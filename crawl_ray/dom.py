@@ -1,0 +1,424 @@
+"""Minimal HTML DOM + CSS selector engine (stdlib-only).
+
+This replaces goquery / net/html in the reference (crackcomm/crawl):
+the extraction library there operates on ``goquery.Selection`` values
+produced by ``goquery.NewDocumentFromReader`` (reference
+``response.go:23-30``).  No third-party HTML parser is available in this
+environment, so we implement the well-formed HTML5 subset the fixture
+corpus is restricted to (see FIXTURES.md §1):
+
+* element / text tree built with :class:`html.parser.HTMLParser`
+  (``convert_charrefs=True`` → entities decoded, script/style kept raw,
+  matching net/html's raw-text elements),
+* void elements and a small auto-close table (``li``, ``p``, ``option``,
+  table rows/cells) so common real-world HTML still parses sensibly,
+* a CSS selector subset covering everything the reference and its
+  examples use: tag, ``*``, ``.class``, ``#id``, ``[attr]``,
+  ``[attr=value]`` (quoted or bare), ``:nth-of-type(n)``,
+  ``:first-child``, descendant and ``>`` combinators, comma groups
+  (cf. ``examples/imdb/spider/spider.go:36,52-53``).
+
+Semantics locked by tests in ``tests/test_dom.py``:
+
+* ``Node.text()`` is the goquery ``Selection.Text()`` equivalent: the
+  in-document-order concatenation of **all** descendant text nodes,
+  including ``<script>``/``<style>`` contents (reference
+  ``html_utils.go:41-45`` relies on this).
+* duplicate attributes keep the **first** occurrence (net/html rule).
+* ``find`` matches **descendants** of the anchor nodes only (goquery
+  ``Find``), returns document order, deduplicated.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+__all__ = ["Node", "parse_html", "find", "compile_selector"]
+
+# HTML5 void elements: no end tag, never pushed on the open stack.
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# tag being opened -> set of open tags it implicitly closes (HTML5-lite).
+_AUTOCLOSE: dict[str, frozenset[str]] = {
+    "li": frozenset({"li"}),
+    "option": frozenset({"option"}),
+    "optgroup": frozenset({"option", "optgroup"}),
+    "tr": frozenset({"tr", "td", "th"}),
+    "td": frozenset({"td", "th"}),
+    "th": frozenset({"td", "th"}),
+    "thead": frozenset({"tr", "td", "th"}),
+    "tbody": frozenset({"tr", "td", "th", "thead"}),
+    "tfoot": frozenset({"tr", "td", "th", "tbody"}),
+    "dd": frozenset({"dd", "dt"}),
+    "dt": frozenset({"dd", "dt"}),
+    "p": frozenset({"p"}),
+    # block-level elements implicitly close an open <p>
+    "div": frozenset({"p"}),
+    "ul": frozenset({"p"}),
+    "ol": frozenset({"p"}),
+    "table": frozenset({"p"}),
+    "h1": frozenset({"p"}),
+    "h2": frozenset({"p"}),
+    "h3": frozenset({"p"}),
+    "h4": frozenset({"p"}),
+    "h5": frozenset({"p"}),
+    "h6": frozenset({"p"}),
+    "form": frozenset({"p"}),
+    "blockquote": frozenset({"p"}),
+    "pre": frozenset({"p"}),
+}
+
+
+class Node:
+    """One DOM node. ``tag`` is ``"#text"`` for text nodes (data in
+    ``data``), ``"#document"`` for the root."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "data", "_order")
+
+    def __init__(
+        self,
+        tag: str,
+        attrs: dict[str, str] | None = None,
+        parent: "Node | None" = None,
+        data: str = "",
+    ) -> None:
+        self.tag = tag
+        self.attrs: dict[str, str] = attrs or {}
+        self.children: list[Node] = []
+        self.parent = parent
+        self.data = data
+        self._order = 0  # document-order index, assigned after parse
+
+    # -- tree walking ------------------------------------------------
+    def iter_elements(self):
+        """Yield descendant element nodes (not self) in document order."""
+        for child in self.children:
+            if child.tag == "#text":
+                continue
+            yield child
+            yield from child.iter_elements()
+
+    def text(self) -> str:
+        """goquery ``Selection.Text()`` for a single node: concatenation
+        of all descendant text-node data in document order — including
+        script/style contents (reference ``html_utils.go:41-45``)."""
+        parts: list[str] = []
+        stack = [iter(self.children)]
+        while stack:
+            try:
+                child = next(stack[-1])
+            except StopIteration:
+                stack.pop()
+                continue
+            if child.tag == "#text":
+                parts.append(child.data)
+            else:
+                stack.append(iter(child.children))
+        return "".join(parts)
+
+    def attr(self, name: str) -> str | None:
+        return self.attrs.get(name)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        if self.tag == "#text":
+            return f"Text({self.data!r})"
+        return f"<{self.tag} {self.attrs}>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack: list[Node] = [self.root]
+
+    # -- helpers -----------------------------------------------------
+    def _make_attrs(self, attrs: list[tuple[str, str | None]]) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for name, value in attrs:
+            if name not in out:  # net/html keeps the FIRST duplicate
+                out[name] = value if value is not None else ""
+        return out
+
+    def _autoclose(self, tag: str) -> None:
+        closes = _AUTOCLOSE.get(tag)
+        if not closes:
+            return
+        while len(self.stack) > 1 and self.stack[-1].tag in closes:
+            self.stack.pop()
+
+    # -- HTMLParser hooks --------------------------------------------
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self._autoclose(tag)
+        node = Node(tag, self._make_attrs(attrs), parent=self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in _VOID:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self._autoclose(tag)
+        node = Node(tag, self._make_attrs(attrs), parent=self.stack[-1])
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID:
+            return
+        # pop to the nearest matching open tag; ignore stray end tags
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        parent = self.stack[-1]
+        parent.children.append(Node("#text", parent=parent, data=data))
+
+
+def parse_html(html: bytes | str) -> Node:
+    """Parse HTML into a DOM tree; returns the ``#document`` root.
+
+    Bytes are decoded as UTF-8 (errors replaced) — the reference buffers
+    raw body bytes and hands them to the parser the same way
+    (``response.go:23-30``)."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    root = builder.root
+    order = 0
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        node._order = order
+        order += 1
+        stack.extend(reversed(node.children))
+    return root
+
+
+# ---------------------------------------------------------------------------
+# CSS selector subset
+# ---------------------------------------------------------------------------
+
+_SIMPLE_RE = re.compile(
+    r"""
+    (?P<tag>[a-zA-Z][\w-]*|\*)?
+    (?P<rest>(?:
+        \#[\w-]+ |
+        \.[\w-]+ |
+        \[[^\]]+\] |
+        :[\w-]+(?:\([^)]*\))?
+    )*)
+    """,
+    re.VERBOSE,
+)
+
+_PART_RE = re.compile(
+    r"""\#(?P<id>[\w-]+)
+      | \.(?P<cls>[\w-]+)
+      | \[(?P<attr>[^\]]+)\]
+      | :(?P<pseudo>[\w-]+)(?:\((?P<arg>[^)]*)\))?
+    """,
+    re.VERBOSE,
+)
+
+
+class _Compound:
+    """One compound selector: tag + id/class/attr/pseudo predicates."""
+
+    __slots__ = ("tag", "preds")
+
+    def __init__(self, tag: str | None, preds: list) -> None:
+        self.tag = tag
+        self.preds = preds
+
+    def matches(self, node: Node) -> bool:
+        if node.tag.startswith("#"):
+            return False
+        if self.tag and self.tag != "*" and node.tag != self.tag:
+            return False
+        return all(pred(node) for pred in self.preds)
+
+
+def _pred_id(value: str):
+    return lambda n: n.attrs.get("id") == value
+
+
+def _pred_class(value: str):
+    return lambda n: value in (n.attrs.get("class") or "").split()
+
+
+def _pred_attr(spec: str):
+    if "=" in spec:
+        name, _, value = spec.partition("=")
+        op = ""
+        if name and name[-1] in "~^$*|":
+            op, name = name[-1], name[:-1]
+        name = name.strip()
+        value = value.strip()
+        if len(value) >= 2 and value[0] in "\"'" and value[-1] == value[0]:
+            value = value[1:-1]
+        if op == "":
+            return lambda n: n.attrs.get(name) == value
+        if op == "^":
+            return lambda n: (n.attrs.get(name) or "").startswith(value)
+        if op == "$":
+            return lambda n: (n.attrs.get(name) or "").endswith(value)
+        if op == "*":
+            return lambda n: value in (n.attrs.get(name) or "")
+        if op == "~":
+            return lambda n: value in (n.attrs.get(name) or "").split()
+        if op == "|":
+            return lambda n: (n.attrs.get(name) or "") in (value, "") or (
+                n.attrs.get(name) or ""
+            ).startswith(value + "-")
+    name = spec.strip()
+    return lambda n: name in n.attrs
+
+
+def _pred_pseudo(name: str, arg: str | None):
+    if name == "nth-of-type":
+        k = int(arg)  # type: ignore[arg-type]
+
+        def nth(n: Node) -> bool:
+            if n.parent is None:
+                return False
+            same = [c for c in n.parent.children if c.tag == n.tag]
+            return same.index(n) + 1 == k
+
+        return nth
+    if name == "first-child":
+        return lambda n: n.parent is not None and next(
+            (c for c in n.parent.children if c.tag != "#text"), None
+        ) is n
+    if name == "last-child":
+        return lambda n: n.parent is not None and next(
+            (c for c in reversed(n.parent.children) if c.tag != "#text"), None
+        ) is n
+    if name == "first-of-type":
+        return _pred_pseudo("nth-of-type", "1")
+    raise ValueError(f"unsupported pseudo-class :{name}")
+
+
+def _parse_compound(token: str) -> _Compound:
+    m = _SIMPLE_RE.fullmatch(token)
+    if not m or (m.group("tag") is None and not m.group("rest")):
+        raise ValueError(f"bad selector token: {token!r}")
+    preds = []
+    for part in _PART_RE.finditer(m.group("rest") or ""):
+        if part.group("id"):
+            preds.append(_pred_id(part.group("id")))
+        elif part.group("cls"):
+            preds.append(_pred_class(part.group("cls")))
+        elif part.group("attr"):
+            preds.append(_pred_attr(part.group("attr")))
+        elif part.group("pseudo"):
+            preds.append(_pred_pseudo(part.group("pseudo"), part.group("arg")))
+    return _Compound(m.group("tag"), preds)
+
+
+_TOKEN_RE = re.compile(r"\s*(>)\s*|\s+")
+
+
+def _parse_group(group: str) -> list[tuple[str, _Compound]]:
+    """Parse one comma-group into [(combinator, compound), ...] where
+    combinator is '' for the leftmost, ' ' (descendant) or '>' (child)."""
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    comb = ""
+    group = group.strip()
+    while pos < len(group):
+        m = _TOKEN_RE.match(group, pos)
+        if m and m.start() == pos and m.end() > pos:
+            comb = ">" if m.group(1) else " "
+            pos = m.end()
+            continue
+        # consume one compound token (up to next whitespace/'>' outside brackets)
+        end = pos
+        depth = 0
+        while end < len(group):
+            ch = group[end]
+            if ch == "[" or ch == "(":
+                depth += 1
+            elif ch == "]" or ch == ")":
+                depth -= 1
+            elif depth == 0 and (ch.isspace() or ch == ">"):
+                break
+            end += 1
+        tokens.append((comb, group[pos:end]))
+        comb = ""
+        pos = end
+    return [(c, _parse_compound(t)) for c, t in tokens]
+
+
+class Selector:
+    """A compiled selector (comma groups of combinator chains)."""
+
+    __slots__ = ("groups", "source")
+
+    def __init__(self, source: str) -> None:
+        self.source = source
+        self.groups = [_parse_group(g) for g in source.split(",") if g.strip()]
+
+    def matches(self, node: Node) -> bool:
+        return any(self._match_chain(chain, node) for chain in self.groups)
+
+    @staticmethod
+    def _match_chain(chain: list[tuple[str, _Compound]], node: Node) -> bool:
+        if not chain or not chain[-1][1].matches(node):
+            return False
+        # walk remaining compounds right-to-left up the ancestor chain
+        idx = len(chain) - 1
+        current = node
+        while idx > 0:
+            comb = chain[idx][0]
+            idx -= 1
+            compound = chain[idx][1]
+            if comb == ">":
+                current = current.parent
+                if current is None or not compound.matches(current):
+                    return False
+            else:  # descendant: any ancestor may match
+                anc = current.parent
+                while anc is not None and not compound.matches(anc):
+                    anc = anc.parent
+                if anc is None:
+                    return False
+                current = anc
+        return True
+
+
+_SELECTOR_CACHE: dict[str, Selector] = {}
+
+
+def compile_selector(selector: str) -> Selector:
+    sel = _SELECTOR_CACHE.get(selector)
+    if sel is None:
+        sel = Selector(selector)
+        if len(_SELECTOR_CACHE) < 4096:
+            _SELECTOR_CACHE[selector] = sel
+    return sel
+
+
+def find(anchors: Node | list[Node], selector: str | Selector) -> list[Node]:
+    """goquery ``Find``: matching **descendants** of the anchor node(s),
+    in document order, deduplicated (``html_utils.go:22-24`` Finder)."""
+    if isinstance(selector, str):
+        selector = compile_selector(selector)
+    if isinstance(anchors, Node):
+        anchors = [anchors]
+    seen: set[int] = set()
+    out: list[Node] = []
+    for anchor in anchors:
+        for node in anchor.iter_elements():
+            if id(node) in seen:
+                continue
+            if selector.matches(node):
+                seen.add(id(node))
+                out.append(node)
+    out.sort(key=lambda n: n._order)
+    return out

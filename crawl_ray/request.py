@@ -1,0 +1,235 @@
+"""Request model, construction kernel (M1/M2) and handler routing (M7).
+
+Faithful re-implementations of ``/root/reference/request.go`` and the
+dispatch logic in ``/root/reference/crawler.go:226-263``, as plain
+Python used inside Ray Data batch kernels.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from urllib.parse import quote_plus
+
+from crawl_ray.urlnorm import resolve_url
+
+__all__ = [
+    "Request",
+    "go_glob",
+    "encode_values",
+    "canonical_header_key",
+    "construct_request",
+    "HandlerRegistry",
+    "DEFAULT_HEADERS",
+]
+
+# crawler.go:96-100 — default crawler headers
+DEFAULT_HEADERS: dict[str, str] = {
+    "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,image/webp,*/*;q=0.8",
+    "Accept-Language": "en-US,en;q=0.8",
+    "User-Agent": (
+        "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) "
+        "Chrome/46.0.2490.86 Safari/537.36"
+    ),
+}
+
+
+@dataclass
+class Request:
+    """The job row (``request.go:13-32``)."""
+
+    url: str = ""
+    method: str = ""
+    referer: str = ""
+    form: dict[str, list[str]] = field(default_factory=dict)
+    query: dict[str, list[str]] = field(default_factory=dict)
+    cookies: dict[str, list[str]] = field(default_factory=dict)
+    headers: dict[str, str] = field(default_factory=dict)
+    raw: bool = False
+    callbacks: list[str] = field(default_factory=list)
+    # scheduling state added by the north rule (SURVEY.md §1.2)
+    depth: int = 0
+    seq_path: bytes = b""
+    priority: float = 0.0
+    deadline: int | None = None  # epoch micros
+    metadata: dict[str, str] = field(default_factory=dict)
+
+    def get_method(self) -> str:
+        """``Request.GetMethod`` (``request.go:120-125``): "" → GET."""
+        return self.method or "GET"
+
+    def __str__(self) -> str:
+        """``Request.String`` (``request.go:128-130``)."""
+        return f"{self.get_method()} {self.url}"
+
+    def to_row(self) -> dict:
+        """Frontier-table row (see ``schemas.FRONTIER_SCHEMA``)."""
+        return {
+            "url": self.url,
+            "url_hash": 0,
+            "host": "",
+            "method": self.method,
+            "referer": self.referer,
+            "form": json.dumps(self.form, sort_keys=True) if self.form else "",
+            "query": json.dumps(self.query, sort_keys=True) if self.query else "",
+            "cookies": json.dumps(self.cookies, sort_keys=True) if self.cookies else "",
+            "headers": json.dumps(self.headers, sort_keys=True) if self.headers else "",
+            "raw": self.raw,
+            "callbacks": list(self.callbacks),
+            "depth": self.depth,
+            "seq_path": self.seq_path,
+            "priority": self.priority,
+            "deadline": self.deadline,
+            "metadata": json.dumps(self.metadata, sort_keys=True) if self.metadata else "",
+        }
+
+
+def go_glob(pattern: str, subj: str) -> bool:
+    """ryanuber/go-glob semantics as used by handler dispatch
+    (``crawler.go:243``): only ``*`` is special; no ``?`` or classes."""
+    if pattern == "":
+        return subj == ""
+    if pattern == "*":
+        return True
+    parts = pattern.split("*")
+    if len(parts) == 1:
+        return subj == pattern
+    leading = pattern.startswith("*")
+    trailing = pattern.endswith("*")
+    end = len(parts) - 1
+    for i in range(end):
+        idx = subj.find(parts[i])
+        if i == 0:
+            if not leading and idx != 0:
+                return False
+        elif idx < 0:
+            return False
+        subj = subj[idx + len(parts[i]):]
+    return trailing or subj.endswith(parts[end])
+
+
+def encode_values(values: dict[str, list[str]]) -> str:
+    """Go ``url.Values.Encode`` (sorted keys, values in order,
+    query-escaped with space → '+') — used for both the query string and
+    the urlencoded form body (``request.go:57-59``, ``:95``)."""
+    pairs = []
+    for key in sorted(values):
+        for value in values[key]:
+            pairs.append(f"{quote_plus(key)}={quote_plus(value)}")
+    return "&".join(pairs)
+
+
+def canonical_header_key(key: str) -> str:
+    """Go ``textproto.CanonicalMIMEHeaderKey``: capitalize the first
+    letter of each '-'-separated token, lowercase the rest."""
+    return "-".join(
+        part[:1].upper() + part[1:].lower() if part else part
+        for part in key.split("-")
+    )
+
+
+def construct_request(req: Request, default_headers: dict[str, str] | None = None) -> dict:
+    """M1 ``ConstructHTTPRequest`` (``request.go:40-99``) + the default
+    header merge from ``crawler.go:160-165``.
+
+    Returns the *effective request*: resolved URL (M2, referer
+    resolution ``request.go:104-117``), method (Form ⇒ POST default),
+    encoded query/body, merged headers, cookie header.  Raises
+    ``ValueError`` on an unparsable URL.
+    """
+    url = resolve_url(req.url, req.referer)
+    method = req.method
+    headers: dict[str, str] = {}
+    body = ""
+
+    if req.form:
+        headers[canonical_header_key("Content-Type")] = "application/x-www-form-urlencoded"
+        if not method:
+            method = "POST"
+        body = encode_values(req.form)
+
+    if req.query:
+        base, _, _ = url.partition("?")
+        url = base + "?" + encode_values(req.query)
+
+    if not method and req.form:
+        method = "POST"
+    if not method:
+        method = "GET"
+
+    for key, value in req.headers.items():
+        headers[canonical_header_key(key)] = value
+
+    if req.cookies:
+        cookie_pairs = []
+        for name, vals in req.cookies.items():
+            for value in vals:
+                cookie_pairs.append(f"{name}={value}")
+        headers[canonical_header_key("Cookie")] = "; ".join(cookie_pairs)
+
+    if req.referer:
+        headers[canonical_header_key("Referer")] = req.referer
+
+    # default-header merge (crawler.go:160-165): only when not already set
+    for key, value in (default_headers or DEFAULT_HEADERS).items():
+        ckey = canonical_header_key(key)
+        if ckey not in headers:
+            headers[ckey] = value
+
+    return {"url": url, "method": method, "headers": headers, "body": body}
+
+
+class HandlerRegistry:
+    """Named handler registry + glob routing (``crawler.go:102-117,
+    :226-263``, U1-U3 in SURVEY.md §2.10).
+
+    * ``register`` adds the name to the pattern list only when it
+      contains ``*`` and was not previously registered
+      (``crawler.go:258-263``).
+    * ``get_handlers`` returns pattern-matched handlers first (pattern
+      registration order; one hit per pattern — the inner loop breaks on
+      the first matching callback), then exact-name handlers in callback
+      order.  A callback equal to a literal pattern string collects that
+      handler **twice** — the reference quirk is intentional
+      (``crawler.go:239-252``).
+    """
+
+    def __init__(self) -> None:
+        self.handlers: dict[str, list] = {}
+        self.patterns: list[str] = []
+        self.middlewares: list = []
+
+    def register(self, name: str, handler) -> None:
+        if name not in self.handlers and "*" in name:
+            self.patterns.append(name)
+        self.handlers.setdefault(name, []).append(handler)
+
+    def middleware(self, fn) -> None:
+        """U2 (``crawler.go:254-256``): ordered pre-fetch hooks; an
+        error return routes the row to the errors output."""
+        self.middlewares.append(fn)
+
+    def get_handlers(self, callbacks: list[str]) -> list:
+        out: list = []
+        for pattern in self.patterns:
+            for name in callbacks:
+                if go_glob(pattern, name):
+                    out.extend(self.handlers[pattern])
+                    break
+        for name in callbacks:
+            out.extend(self.handlers.get(name, []))
+        return out
+
+    def handler_names(self, callbacks: list[str]) -> list[str]:
+        """Like ``get_handlers`` but returns registered names (for
+        routing masks); preserves the duplicate-dispatch quirk."""
+        out: list[str] = []
+        for pattern in self.patterns:
+            for name in callbacks:
+                if go_glob(pattern, name):
+                    out.append(pattern)
+                    break
+        for name in callbacks:
+            if name in self.handlers:
+                out.append(name)
+        return out

@@ -1,0 +1,284 @@
+"""Deterministic synthetic-web fixtures (FIXTURES.md).
+
+Everything is derived from FNV-1a hashes of stable strings — no RNG
+library, so tables are bit-identical across runs, processes and
+platforms.  The ``text`` column is built **by template construction**
+(not by running the engine's extractor), so the byte-identical-text
+invariant test (extract(html) == text) is non-circular.
+
+Sizes (FIXTURES.md): sf_tiny ~200 pages, sf_small ~5_000, sf_bench
+~200_000.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crawl_ray.schemas import PAGES_SCHEMA
+from crawl_ray.urlnorm import fnv1a64
+
+__all__ = [
+    "generate_pages",
+    "generate_seeds",
+    "generate_robots",
+    "generate_form_pages",
+    "fixture_dir",
+    "page_url",
+    "EPOCH_US",
+]
+
+EPOCH_US = 1735689600000000  # 2025-01-01T00:00:00Z in epoch micros
+_LANGS = ("en", "de", "fr", "es")
+
+
+def _host_of(i: int, n_hosts: int, cdf: np.ndarray) -> int:
+    r = fnv1a64(f"host:{i}") / float(1 << 64)
+    return int(np.searchsorted(cdf, r, side="right"))
+
+
+def _zipf_cdf(n_hosts: int, s: float = 1.2) -> np.ndarray:
+    w = 1.0 / np.arange(1, n_hosts + 1, dtype=np.float64) ** s
+    c = np.cumsum(w)
+    return c / c[-1]
+
+
+def page_url(host: int, k: int) -> str:
+    return f"http://host{host}.example/p/{k}"
+
+
+def _page_links(url: str, host: int, host_pages: list[int],
+                n_pages: int, hosts: np.ndarray) -> list[str]:
+    """Deterministic out-links as they appear in the href attributes
+    (relative for even j, absolute for odd; ~2% dangling)."""
+    d = fnv1a64(f"deg:{url}") % 9
+    hrefs: list[str] = []
+    for j in range(d):
+        if fnv1a64(f"dang:{url}:{j}") % 50 == 0:
+            t = fnv1a64(f"dlink:{url}:{j}") % n_pages
+            hrefs.append(f"http://host{host}.example/missing/{t}")
+        elif j % 2 == 0:
+            # relative link to a page on the same host (resolves vs referer)
+            t = host_pages[fnv1a64(f"rlink:{url}:{j}") % len(host_pages)]
+            hrefs.append(f"/p/{t}")
+        else:
+            t = fnv1a64(f"alink:{url}:{j}") % n_pages
+            hrefs.append(page_url(int(hosts[t]), t))
+    return hrefs
+
+
+def _page_html(host: int, k: int, hrefs: list[str]) -> str:
+    lis = "".join(
+        f'<li><a href="{href}">anchor {j}</a></li>' for j, href in enumerate(hrefs)
+    )
+    return (
+        f"<html><head><title>T{host}-{k}</title></head><body>\n"
+        f"<h1>Page {k} on host{host}</h1>\n"
+        f'<p class="c{k % 5}">  lorem{k}   ipsum\t{k * 7}\n dolor </p>\n'
+        f'<span data-price="x"> {k % 100},{k % 10} </span>\n'
+        f"<ul>{lis}</ul>\n"
+        f'<form action="/submit{k}" id="f"><input name="q" value="v{k}">\n'
+        f'<input type="checkbox" name="c" value="1" checked="checked">\n'
+        f'<select name="s"><option value="a">A</option>'
+        f'<option value="b" selected="selected">B</option></select></form>\n'
+        f"<script>var x = {k};</script>\n"
+        f"</body></html>"
+    )
+
+
+def _page_text(host: int, k: int, n_links: int) -> str:
+    """Expected whole-document extracted text, by template construction
+    (goquery Text of <html>, whitespace-collapsed — html_utils.go:37-45)."""
+    # adjacent <li>/<option> text nodes concatenate with NO separator in
+    # goquery Text() — "anchor 0anchor 1", "AB" — before collapse
+    anchors = "".join(f"anchor {j}" for j in range(n_links))
+    parts = [
+        f"T{host}-{k}",
+        f"Page {k} on host{host}",
+        f"lorem{k} ipsum {k * 7} dolor",
+        f"{k % 100},{k % 10}",
+    ]
+    if anchors:
+        parts.append(anchors)
+    parts.append("AB")
+    parts.append(f"var x = {k};")
+    return " ".join(parts)
+
+
+def generate_pages(n_pages: int, n_hosts: int | None = None) -> pa.Table:
+    """The synthetic web: deterministic pages table (FIXTURES.md §1)."""
+    if n_hosts is None:
+        n_hosts = max(4, n_pages // 40)
+    cdf = _zipf_cdf(n_hosts)
+    hosts = np.fromiter(
+        (_host_of(i, n_hosts, cdf) for i in range(n_pages)), dtype=np.int64,
+        count=n_pages,
+    )
+    pages_by_host: dict[int, list[int]] = {}
+    for i in range(n_pages):
+        pages_by_host.setdefault(int(hosts[i]), []).append(i)
+
+    urls, htmls, texts, langs = [], [], [], []
+    for i in range(n_pages):
+        h = int(hosts[i])
+        url = page_url(h, i)
+        hrefs = _page_links(url, h, pages_by_host[h], n_pages, hosts)
+        urls.append(url)
+        htmls.append(_page_html(h, i, hrefs).encode("utf-8"))
+        texts.append(_page_text(h, i, len(hrefs)))
+        langs.append(_LANGS[fnv1a64(url) % 4])
+
+    warc_ts = pa.array(
+        (EPOCH_US + np.arange(n_pages, dtype=np.int64) * 1_000_000),
+        type=pa.timestamp("us"),
+    )
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": warc_ts,
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+
+
+def generate_seeds(pages: pa.Table, n_hosts: int | None = None) -> pa.Table:
+    """Round-0 seed table (FIXTURES.md §2): 8 valid roots (hot + cold
+    hosts), 1 relative URL with referer, 1 dangling; one empty method,
+    one glob-callback row, one proxy-metadata row, one expired deadline."""
+    urls = pages.column("url").to_pylist()
+    n = len(urls)
+    # pick 8 distinct valid seed targets spread over the table (hot hosts
+    # dominate early indices thanks to the Zipf host assignment)
+    picks = sorted({(fnv1a64(f"seed:{i}") % n) for i in range(16)})[:8]
+    rows: list[dict] = []
+    for idx, page_i in enumerate(picks):
+        rows.append(
+            {
+                "url": urls[page_i],
+                "method": "" if idx == 0 else "GET",
+                "referer": "",
+                "callbacks": ["list", "page_extra"] if idx == 1 else ["page"],
+                "metadata": '{"crawl_proxy": "socks5://proxy.example:1080"}'
+                if idx == 2
+                else "",
+                "deadline": None,
+            }
+        )
+    # relative URL resolved against a referer (request.go:104-117)
+    ref_i = fnv1a64("seed:rel") % n
+    ref_url = urls[ref_i]
+    rows.append(
+        {
+            "url": "/p/" + ref_url.rsplit("/", 1)[1],
+            "method": "GET",
+            "referer": ref_url,
+            "callbacks": ["page"],
+            "metadata": "",
+            "deadline": None,
+        }
+    )
+    # dangling URL (error path) with an already-expired deadline (drop
+    # test, nsq/nsqcrawl/queue.go:89-94)
+    rows.append(
+        {
+            "url": "http://host0.example/missing/seed",
+            "method": "GET",
+            "referer": "",
+            "callbacks": ["page"],
+            "metadata": "",
+            "deadline": EPOCH_US - 1,
+        }
+    )
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "method": pa.array([r["method"] for r in rows], pa.string()),
+            "referer": pa.array([r["referer"] for r in rows], pa.string()),
+            "callbacks": pa.array([r["callbacks"] for r in rows], pa.list_(pa.string())),
+            "metadata": pa.array([r["metadata"] for r in rows], pa.string()),
+            "deadline": pa.array([r["deadline"] for r in rows], pa.timestamp("us")),
+        }
+    )
+
+
+def generate_robots(pages: pa.Table) -> pa.Table:
+    """Politeness side table (FIXTURES.md §3): every host present in
+    pages; ~10% get a disallow prefix; hot hosts throttled harder."""
+    hosts = sorted({u.split("/")[2] for u in pages.column("url").to_pylist()})
+    disallow, rate, burst = [], [], []
+    for host in hosts:
+        h = fnv1a64(f"robots:{host}")
+        disallow.append(["/p/13"] if h % 10 == 0 else [])
+        hot = host in ("host1.example", "host2.example")
+        rate.append(0.5 if hot else 2.0)
+        burst.append(4)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "disallow_prefixes": pa.array(disallow, pa.list_(pa.string())),
+            "rate_per_sec": pa.array(rate, pa.float64()),
+            "burst": pa.array(burst, pa.int32()),
+        }
+    )
+
+
+def generate_form_pages() -> pa.Table:
+    """F10 corpus (FIXTURES.md §4): 20 docs exercising forms.go rules."""
+    docs, expect_action, expect_values = [], [], []
+    for i in range(20):
+        checked = 'checked="checked"' if i % 2 == 0 else ""
+        selected = 'selected="selected"' if i % 3 == 0 else ""
+        action = f'action="/go{i}"' if i % 5 != 0 else ""
+        html = (
+            f"<html><body><form {action} id=\"f\">"
+            f'<input name="q" value="v{i}">'
+            f'<input type="submit" name="s" value="Go">'
+            f'<input type="checkbox" name="c" value="{i}" {checked}>'
+            f'<input type="radio" name="r" value="a">'
+            f'<input type="radio" name="r" value="b" {checked}>'
+            f'<select name="sel"><option value="x">X{i}</option>'
+            f'<option value="y" {selected}>Y{i}</option></select>'
+            f"</form></body></html>"
+        )
+        values: dict[str, list[str]] = {"q": [f"v{i}"]}
+        if checked:
+            values["c"] = [str(i)]
+            values["r"] = ["b"]
+        values["sel"] = ["y"] if selected else [""]
+        docs.append(html.encode())
+        expect_action.append(f"/go{i}" if i % 5 != 0 else "")
+        expect_values.append(values)
+    return pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "html": pa.array(docs, pa.binary()),
+            "expect_action": pa.array(expect_action, pa.string()),
+            "expect_values": pa.array(
+                [sorted((k, tuple(v)) for k, v in ev.items()) for ev in expect_values],
+                pa.list_(pa.struct([("key", pa.string()), ("vals", pa.list_(pa.string()))])),
+            ),
+        }
+    )
+
+
+def fixture_dir(n_pages: int, base: str = "/tmp/crawl_ray_fixtures") -> str:
+    """Write (once, cached) the pages/seeds/robots parquet for a size;
+    returns the directory.  Used by tests, bench and ``queries()``."""
+    d = pathlib.Path(base) / f"web_n{n_pages}"
+    marker = d / "_SUCCESS"
+    if marker.exists():
+        return str(d)
+    d.mkdir(parents=True, exist_ok=True)
+    pages = generate_pages(n_pages)
+    pq.write_table(pages, d / "pages.parquet")
+    pq.write_table(generate_seeds(pages), d / "seeds.parquet")
+    pq.write_table(generate_robots(pages), d / "robots.parquet")
+    marker.touch()
+    return str(d)

@@ -1,0 +1,227 @@
+"""Pure-Python single-threaded reference oracle (SURVEY.md §5.2.2).
+
+Simulates the reference crawler loop semantics (``crawler.go:119-144``
++ ``Execute``) at concurrency=1 over the synthetic pages table, plus
+the north-rule additions (dedup, politeness, robots, priority, round
+budget) under the **exact spec the engine implements** — so engine
+output at full parallelism must equal this byte-for-byte:
+
+round K (virtual time = t0 + K seconds):
+  1. pending = this round's frontier + politeness-deferred rows
+  2. canonicalize (M2 referer resolution; bad URL → error row),
+     drop expired deadlines (error kind "expired",
+     nsq/nsqcrawl/queue.go:89-94)
+  3. canonical order = sort by (-priority, depth, seq_path)
+  4. global round budget: rows past it are deferred untouched
+  5. per-host admission in canonical order: within-round duplicate
+     url_hash dropped (keep first); robots disallow → error; seen →
+     drop; token bucket (refill rate/s, cap burst) → admit or defer
+  6. fetch = pages lookup (missing → status 404, empty body)
+  7. M7 dispatch in canonical order; handler raise → error row (that
+     handler's outputs discarded, earlier handlers' kept)
+  8. children: depth+1 (dropped past max_depth), seq_path = parent
+     path + 4-byte emission index
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from crawl_ray.request import HandlerRegistry, Request
+from crawl_ray.response import HandlerResult, ResponseView
+from crawl_ray.schemas import seq_child, seq_root
+from crawl_ray.urlnorm import canonicalize, fnv1a64, url_host
+
+__all__ = ["CrawlConfig", "SimResult", "simulate"]
+
+
+@dataclass
+class CrawlConfig:
+    round_budget: int = 10_000
+    max_rounds: int = 50
+    max_depth: int = 8
+    default_rate: float = 2.0
+    default_burst: int = 4
+    virtual_t0: int = 0  # epoch micros of round 0
+
+
+@dataclass
+class SimResult:
+    trace: list[tuple[int, str]] = field(default_factory=list)  # (round, url)
+    seen: set[int] = field(default_factory=set)
+    records: list[dict] = field(default_factory=list)
+    errors: list[dict] = field(default_factory=list)
+    texts: dict[str, str] = field(default_factory=dict)
+    rounds: int = 0
+
+
+@dataclass
+class _Row:
+    req: Request
+    url: str = ""  # canonical
+    host: str = ""
+    url_hash: int = 0
+
+    def order_key(self):
+        return (-self.req.priority, self.req.depth, self.req.seq_path)
+
+
+def _seed_rows(seeds: pa.Table) -> list[_Row]:
+    rows = []
+    cols = seeds.to_pydict()
+    n = seeds.num_rows
+    for i in range(n):
+        deadline = cols["deadline"][i]
+        if deadline is not None and not isinstance(deadline, int):
+            deadline = int(deadline.timestamp() * 1_000_000)
+        req = Request(
+            url=cols["url"][i],
+            method=cols.get("method", [""] * n)[i] or "",
+            referer=cols.get("referer", [""] * n)[i] or "",
+            callbacks=list(cols["callbacks"][i]),
+            metadata=json.loads(cols["metadata"][i]) if cols.get("metadata", [""] * n)[i] else {},
+            deadline=deadline,
+            depth=0,
+            seq_path=seq_root(i),
+        )
+        rows.append(_Row(req=req))
+    return rows
+
+
+def _robots_maps(robots: pa.Table | None, cfg: CrawlConfig):
+    disallow: dict[str, list[str]] = {}
+    rates: dict[str, tuple[float, int]] = {}
+    if robots is not None:
+        d = robots.to_pydict()
+        for i, host in enumerate(d["host"]):
+            disallow[host] = list(d["disallow_prefixes"][i])
+            rates[host] = (float(d["rate_per_sec"][i]), int(d["burst"][i]))
+    return disallow, rates
+
+
+def simulate(
+    pages: pa.Table,
+    seeds: pa.Table,
+    robots: pa.Table | None,
+    registry: HandlerRegistry,
+    cfg: CrawlConfig | None = None,
+) -> SimResult:
+    cfg = cfg or CrawlConfig()
+    page_index: dict[str, int] = {
+        u: i for i, u in enumerate(pages.column("url").to_pylist())
+    }
+    htmls = pages.column("html").to_pylist()
+    disallow, rates = _robots_maps(robots, cfg)
+
+    res = SimResult()
+    tokens: dict[str, float] = {}
+    pending: list[_Row] = _seed_rows(seeds)
+    deferred: list[_Row] = []
+
+    for rnd in range(cfg.max_rounds + 1):
+        if not pending and not deferred:
+            break
+        res.rounds = rnd + 1
+        now_us = cfg.virtual_t0 + rnd * 1_000_000
+
+        # 2. canonicalize + deadline filter
+        live: list[_Row] = []
+        for row in pending:
+            try:
+                row.url = canonicalize(row.req.url, row.req.referer)
+                row.host = url_host(row.url)
+                if not row.host:
+                    raise ValueError(f"no host in {row.url!r}")
+                row.url_hash = fnv1a64(row.url)
+            except ValueError as exc:
+                res.errors.append(_err(row, "badurl", str(exc)))
+                continue
+            if row.req.deadline is not None and row.req.deadline < now_us:
+                res.errors.append(_err(row, "expired", "deadline expired"))
+                continue
+            live.append(row)
+        live.extend(deferred)  # deferred rows were canonicalized earlier
+        deferred = []
+
+        # 3-4. canonical order + global budget
+        live.sort(key=_Row.order_key)
+        overflow = live[cfg.round_budget:]
+        live = live[: cfg.round_budget]
+
+        # refill all known buckets once per round
+        for host in list(tokens):
+            rate, burst = rates.get(host, (cfg.default_rate, cfg.default_burst))
+            tokens[host] = min(float(burst), tokens[host] + rate)
+
+        # 5. admission
+        admitted: list[_Row] = []
+        round_seen: set[int] = set()
+        for row in live:
+            if row.url_hash in round_seen:
+                continue  # within-round duplicate (silent drop)
+            round_seen.add(row.url_hash)
+            if row.url_hash in res.seen:
+                continue  # already crawled (silent drop)
+            path = "/" + row.url.split("/", 3)[3] if row.url.count("/") >= 3 else "/"
+            if any(path.startswith(p) for p in disallow.get(row.host, [])):
+                res.errors.append(_err(row, "robots", f"disallowed: {path}"))
+                continue
+            if row.host not in tokens:
+                _, burst = rates.get(row.host, (cfg.default_rate, cfg.default_burst))
+                tokens[row.host] = float(burst)
+            if tokens[row.host] >= 1.0:
+                tokens[row.host] -= 1.0
+                res.seen.add(row.url_hash)
+                admitted.append(row)
+            else:
+                deferred.append(row)
+        deferred.extend(overflow)
+
+        # 6-8. fetch + dispatch + fan-out
+        children: list[_Row] = []
+        for row in admitted:
+            res.trace.append((rnd, row.url))
+            idx = page_index.get(row.url)
+            status = 200 if idx is not None else 404
+            body = htmls[idx] if idx is not None else b""
+            resp = ResponseView(row.req, row.url, status, body)
+            merged = HandlerResult()
+            for handler in registry.get_handlers(row.req.callbacks):
+                one = HandlerResult()
+                try:
+                    handler(resp, one)
+                except Exception as exc:  # noqa: BLE001 - handler error path
+                    res.errors.append(_err(row, "handler", str(exc)))
+                    break
+                merged.records.extend(one.records)
+                merged.requests.extend(one.requests)
+            for record in merged.records:
+                res.records.append(
+                    {"url": row.url, "depth": row.req.depth, "fields": record}
+                )
+                if "text" in record:
+                    res.texts[row.url] = record["text"]
+            if row.req.depth + 1 > cfg.max_depth:
+                continue
+            for j, child in enumerate(merged.requests):
+                child.depth = row.req.depth + 1
+                child.seq_path = seq_child(row.req.seq_path, j)
+                children.append(_Row(req=child))
+
+        pending = children
+
+    return res
+
+
+def _err(row: _Row, kind: str, message: str) -> dict:
+    return {
+        "url": row.req.url,
+        "method": row.req.get_method(),
+        "depth": row.req.depth,
+        "seq_path": row.req.seq_path,
+        "error_kind": kind,
+        "error": message,
+    }

@@ -1,0 +1,143 @@
+"""Page store — the fetch side of the engine (SURVEY.md §2.5 J1).
+
+The reference fetches over live HTTP (``crawler.go:180``); per
+BASELINE.json ``input_hint`` our web is a Parquet table of
+Common-Crawl-style pages, so fetch = join frontier against pages on
+``url``.  Two physical strategies:
+
+* :class:`BroadcastPageStore` — the whole (url_hash-sorted) page table
+  is ``ray.put`` once and shared zero-copy by every fetch task.  Right
+  when the page corpus fits the object store (tests, small scale).
+* :class:`BucketedPageStore` — pages pre-partitioned on disk into
+  ``bucket=fnv1a64(url) % B`` directories (:func:`bucket_pages` writes
+  the layout).  A fetch task sorts its batch by bucket and reads only
+  the matching bucket files (column-pruned, lazily cached per worker) —
+  the partition-local hash join that scales to 100 TB: no shuffle of
+  the big side, frontier repartitioned by the same bucket key.
+
+Both expose ``lookup(urls) -> (status: int32 ndarray, html: list[bytes])``
+with missing URLs → (404, b"") — the error path rows.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from crawl_ray.urlnorm import fnv1a64_batch
+
+__all__ = ["BroadcastPageStore", "BucketedPageStore", "bucket_pages", "build_broadcast_index"]
+
+
+def build_broadcast_index(pages: pa.Table) -> pa.Table:
+    """Sort pages by url_hash for binary-search lookup; keeps only the
+    columns fetch needs (prune at the source — SURVEY guidance)."""
+    pages = pages.select(["url", "html"])
+    hashes = fnv1a64_batch(pages.column("url"))
+    pages = pages.append_column("url_hash", pa.array(hashes, pa.uint64()))
+    return pages.sort_by("url_hash").combine_chunks()
+
+
+class BroadcastPageStore:
+    """Zero-copy shared page index (small/mid corpora)."""
+
+    def __init__(self, index: pa.Table) -> None:
+        self._index = index
+        self._hashes = index.column("url_hash").to_numpy(zero_copy_only=False)
+        self._urls = index.column("url")
+        self._html = index.column("html")
+
+    def lookup(self, urls: list[str]) -> tuple[np.ndarray, list[bytes]]:
+        n = len(urls)
+        hashes = fnv1a64_batch(urls)
+        pos = np.searchsorted(self._hashes, hashes)
+        status = np.full(n, 404, dtype=np.int32)
+        htmls: list[bytes] = [b""] * n
+        in_range = pos < len(self._hashes)
+        for i in np.flatnonzero(in_range).tolist():
+            p = int(pos[i])
+            # walk hash-equal run to confirm by exact url (collision-safe)
+            while p < len(self._hashes) and self._hashes[p] == hashes[i]:
+                if self._urls[p].as_py() == urls[i]:
+                    status[i] = 200
+                    htmls[i] = self._html[p].as_py()
+                    break
+                p += 1
+        return status, htmls
+
+
+def bucket_pages(pages_parquet: str, dst_dir: str, n_buckets: int = 64) -> str:
+    """Write the bucketed page-store layout:
+    ``dst/bucket=K/part.parquet`` with rows where
+    ``fnv1a64(url) % n_buckets == K``, each bucket sorted by url_hash.
+
+    At 100 TB this runs once as its own Ray Data job (read → add bucket
+    column → write with partition_cols); here a direct pyarrow pass is
+    enough for the fixture corpora."""
+    dst = pathlib.Path(dst_dir)
+    done = dst / "_SUCCESS"
+    if done.exists():
+        return str(dst)
+    dst.mkdir(parents=True, exist_ok=True)
+    table = pq.read_table(pages_parquet, columns=["url", "html"])
+    hashes = fnv1a64_batch(table.column("url"))
+    table = table.append_column("url_hash", pa.array(hashes, pa.uint64()))
+    buckets = hashes % np.uint64(n_buckets)
+    for b in range(n_buckets):
+        part = table.filter(pa.array(buckets == b)).sort_by("url_hash")
+        bdir = dst / f"bucket={b}"
+        bdir.mkdir(exist_ok=True)
+        pq.write_table(part, bdir / "part.parquet")
+    (dst / "_META").write_text(str(n_buckets))
+    done.touch()
+    return str(dst)
+
+
+class BucketedPageStore:
+    """Partition-local lookup against the bucketed layout.
+
+    Per-worker LRU of open bucket tables; a batch is grouped by bucket
+    so each needed bucket file is read (column-pruned) once."""
+
+    def __init__(self, root: str, cache_buckets: int = 8) -> None:
+        self.root = pathlib.Path(root)
+        self.n_buckets = int((self.root / "_META").read_text())
+        self._cache: dict[int, tuple[np.ndarray, pa.Table]] = {}
+        self._cache_cap = cache_buckets
+
+    def _bucket_table(self, b: int) -> tuple[np.ndarray, pa.Table]:
+        hit = self._cache.get(b)
+        if hit is not None:
+            return hit
+        table = pq.read_table(self.root / f"bucket={b}" / "part.parquet")
+        entry = (table.column("url_hash").to_numpy(zero_copy_only=False), table)
+        if len(self._cache) >= self._cache_cap:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[b] = entry
+        return entry
+
+    def lookup(self, urls: list[str]) -> tuple[np.ndarray, list[bytes]]:
+        n = len(urls)
+        hashes = fnv1a64_batch(urls)
+        buckets = (hashes % np.uint64(self.n_buckets)).astype(np.int64)
+        status = np.full(n, 404, dtype=np.int32)
+        htmls: list[bytes] = [b""] * n
+        for b in np.unique(buckets).tolist():
+            bhashes, btable = self._bucket_table(int(b))
+            burls = btable.column("url")
+            bhtml = btable.column("html")
+            rows = np.flatnonzero(buckets == b)
+            pos = np.searchsorted(bhashes, hashes[rows])
+            for j, i in enumerate(rows.tolist()):
+                p = int(pos[j])
+                while p < len(bhashes) and bhashes[p] == hashes[i]:
+                    if burls[p].as_py() == urls[i]:
+                        status[i] = 200
+                        htmls[i] = bhtml[p].as_py()
+                        break
+                    p += 1
+        return status, htmls

@@ -1,0 +1,206 @@
+"""Fetch + parse/extract stages (M6/M7 + F1-F9 as Ray Data transforms).
+
+``make_fetch_fn`` returns a stateless ``map_batches`` function doing the
+frontier ⋈ pages lookup (J1).  :class:`ExtractActor` is the stateful
+actor-pool stage (ST6): the handler registry is built **once per actor**
+in ``__init__`` and reused across batches; per row it parses the HTML
+(lazily — skipped entirely when ``raw`` is set, M6 gating
+``crawler.go:191-197``), routes callbacks through the glob dispatch
+table (M7, ``crawler.go:226-263``) and collects a tagged union batch:
+
+``kind``: "record" (handler emit), "link" (scheduled child request),
+"error" (handler raised).  The engine splits the union afterwards —
+one parse pass feeds all three outputs.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from crawl_ray.request import HandlerRegistry, Request
+from crawl_ray.response import HandlerResult, ResponseView
+from crawl_ray.schemas import seq_child
+
+__all__ = ["make_fetch_fn", "ExtractActor", "UNION_SCHEMA", "links_to_frontier"]
+
+UNION_SCHEMA = pa.schema(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("url", pa.string()),
+        pa.field("method", pa.string()),
+        pa.field("referer", pa.string()),
+        pa.field("form", pa.string()),
+        pa.field("query", pa.string()),
+        pa.field("cookies", pa.string()),
+        pa.field("headers", pa.string()),
+        pa.field("raw", pa.bool_()),
+        pa.field("callbacks", pa.list_(pa.string())),
+        pa.field("depth", pa.int32()),
+        pa.field("seq_path", pa.binary()),
+        pa.field("priority", pa.float32()),
+        pa.field("metadata", pa.string()),
+        pa.field("handler", pa.string()),
+        pa.field("fields", pa.string()),
+        pa.field("error_kind", pa.string()),
+        pa.field("error", pa.string()),
+    ]
+)
+
+
+def make_fetch_fn(store):
+    """Fetch = page-store lookup per batch; missing URL → 404 + empty
+    body (the live-HTTP analog of ``crawler.go:180-189``).  ``store``
+    may be a plain object or a ``ray.ObjectRef`` (broadcast join)."""
+    import ray
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        nonlocal store
+        if isinstance(store, ray.ObjectRef):
+            store = ray.get(store)
+        urls = batch.column("url").to_pylist()
+        status, htmls = store.lookup(urls)
+        batch = batch.append_column("status", pa.array(status, pa.int32()))
+        batch = batch.append_column("html", pa.array(htmls, pa.binary()))
+        return batch
+
+    return fetch
+
+
+def _row_request(cols: dict, i: int) -> Request:
+    def jload(name: str):
+        v = cols[name][i]
+        return json.loads(v) if v else {}
+
+    return Request(
+        url=cols["url"][i],
+        method=cols["method"][i] or "",
+        referer=cols["referer"][i] or "",
+        form=jload("form"),
+        query=jload("query"),
+        cookies=jload("cookies"),
+        headers=jload("headers"),
+        raw=bool(cols["raw"][i]),
+        callbacks=list(cols["callbacks"][i]),
+        depth=int(cols["depth"][i]),
+        seq_path=cols["seq_path"][i],
+        priority=float(cols["priority"][i]),
+        metadata=jload("metadata"),
+    )
+
+
+class ExtractActor:
+    """Callable class for ``map_batches(..., concurrency=N)``.
+
+    ``spiders``: list of registrator callables (module-level, so the
+    actor constructor args stay picklable); the registry and middleware
+    chain are built once per actor."""
+
+    def __init__(self, spiders: list, max_depth: int = 8) -> None:
+        self.registry = HandlerRegistry()
+        for spider in spiders:
+            spider(self.registry)
+        self.max_depth = max_depth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {name: batch.column(name).to_pylist() for name in batch.column_names}
+        n = batch.num_rows
+        out: dict[str, list] = {name: [] for name in UNION_SCHEMA.names}
+
+        def emit(kind: str, **kw) -> None:
+            defaults = {
+                "method": "", "referer": "", "form": "", "query": "",
+                "cookies": "", "headers": "", "raw": False, "callbacks": [],
+                "depth": 0, "seq_path": b"", "priority": 0.0, "metadata": "",
+                "handler": "", "fields": "", "error_kind": "", "error": "",
+                "url": "",
+            }
+            defaults.update(kw)
+            out["kind"].append(kind)
+            for name, value in defaults.items():
+                out[name].append(value)
+
+        for i in range(n):
+            req = _row_request(cols, i)
+            # middleware chain (M3, crawler.go:153-158): first error
+            # aborts the request to the errors output
+            mw_err = None
+            for mw in self.registry.middlewares:
+                try:
+                    mw(req)
+                except Exception as exc:  # noqa: BLE001
+                    mw_err = str(exc)
+                    break
+            if mw_err is not None:
+                emit("error", url=cols["url"][i], method=req.get_method(),
+                     depth=req.depth, seq_path=req.seq_path,
+                     error_kind="middleware", error=mw_err)
+                continue
+
+            resp = ResponseView(
+                req, cols["url"][i], int(cols["status"][i]), cols["html"][i]
+            )
+            merged = HandlerResult()
+            for handler in self.registry.get_handlers(req.callbacks):
+                one = HandlerResult()
+                try:
+                    handler(resp, one)
+                except Exception as exc:  # noqa: BLE001 - handler error path
+                    emit("error", url=cols["url"][i], method=req.get_method(),
+                         depth=req.depth, seq_path=req.seq_path,
+                         error_kind="handler", error=str(exc))
+                    break
+                merged.records.extend(one.records)
+                merged.requests.extend(one.requests)
+            for record in merged.records:
+                emit("record", url=cols["url"][i], handler="",
+                     depth=req.depth, seq_path=req.seq_path,
+                     fields=json.dumps(record, sort_keys=True))
+            # earlier handlers' outputs survive a later handler's failure
+            if req.depth + 1 > self.max_depth:
+                continue
+            for j, child in enumerate(merged.requests):
+                emit(
+                    "link",
+                    url=child.url,
+                    method=child.method,
+                    referer=child.referer,
+                    form=json.dumps(child.form, sort_keys=True) if child.form else "",
+                    query=json.dumps(child.query, sort_keys=True) if child.query else "",
+                    cookies=json.dumps(child.cookies, sort_keys=True) if child.cookies else "",
+                    headers=json.dumps(child.headers, sort_keys=True) if child.headers else "",
+                    raw=child.raw,
+                    callbacks=list(child.callbacks),
+                    depth=req.depth + 1,
+                    seq_path=seq_child(req.seq_path, j),
+                    priority=child.priority,
+                    metadata=json.dumps(child.metadata, sort_keys=True) if child.metadata else "",
+                )
+
+        arrays = [
+            pa.array(out[f.name], f.type) for f in UNION_SCHEMA
+        ]
+        return pa.Table.from_arrays(arrays, schema=UNION_SCHEMA)
+
+
+def links_to_frontier(links: pa.Table) -> pa.Table:
+    """Project union link rows onto the frontier schema (url_hash/host
+    are recomputed by next round's canonicalize; deadline inherits
+    null)."""
+    import numpy as np
+
+    from crawl_ray.schemas import FRONTIER_SCHEMA
+
+    n = links.num_rows
+    cols = []
+    for fld in FRONTIER_SCHEMA:
+        if fld.name == "url_hash":
+            cols.append(pa.array(np.zeros(n, dtype=np.uint64), fld.type))
+        elif fld.name == "host":
+            cols.append(pa.array([""] * n, fld.type))
+        elif fld.name == "deadline":
+            cols.append(pa.nulls(n, fld.type))
+        else:
+            cols.append(links.column(fld.name).cast(fld.type))
+    return pa.Table.from_arrays(cols, schema=FRONTIER_SCHEMA)

@@ -1,0 +1,164 @@
+"""Engine vs reference-oracle simulator: the big equality test
+(SURVEY.md §5.2.2) + checkpoint/resume (§5.2.3)."""
+
+import json
+import pathlib
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from crawl_ray.engine import CrawlEngine, EngineConfig
+from crawl_ray.fixtures import EPOCH_US, generate_pages, generate_robots, generate_seeds
+from crawl_ray.request import HandlerRegistry
+from crawl_ray.simulator import CrawlConfig, simulate
+from crawl_ray.spiders import flagship_spider
+
+N = 200
+CFG = dict(
+    round_budget=120,
+    max_rounds=16,
+    max_depth=5,
+    virtual_t0=EPOCH_US,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_tables(tmp_path_factory):
+    pages = generate_pages(N)
+    seeds = generate_seeds(pages)
+    robots = generate_robots(pages)
+    d = tmp_path_factory.mktemp("web")
+    import pyarrow.parquet as pq
+
+    pq.write_table(pages, d / "pages.parquet")
+    return pages, seeds, robots, str(d / "pages.parquet")
+
+
+@pytest.fixture(scope="module")
+def sim_result(fixture_tables):
+    pages, seeds, robots, _ = fixture_tables
+    reg = HandlerRegistry()
+    flagship_spider(reg)
+    return simulate(pages, seeds, robots, reg, CrawlConfig(**CFG))
+
+
+@pytest.fixture(scope="module")
+def engine_run(fixture_tables, ray_session, tmp_path_factory):
+    pages, seeds, robots, pages_path = fixture_tables
+    cfg = EngineConfig(
+        **CFG,
+        n_admission_shards=3,
+        extract_concurrency=2,
+        extract_batch_size=64,
+    )
+    engine = CrawlEngine([flagship_spider], cfg)
+    workdir = str(tmp_path_factory.mktemp("crawl"))
+    result = engine.run(pages_path, seeds, robots, workdir)
+    yield engine, result
+    engine.shutdown_shards()
+
+
+def test_trace_matches_simulator(engine_run, sim_result):
+    _, result = engine_run
+    trace = result.trace_table()
+    assert trace is not None
+    rows = sorted(
+        zip(
+            trace.column("round").to_pylist(),
+            trace.column("order_key").to_pylist(),
+            trace.column("url").to_pylist(),
+        )
+    )
+    engine_trace = [(r, u) for r, _, u in rows]
+    assert engine_trace == sim_result.trace
+
+
+def test_seen_set_matches_simulator(engine_run, sim_result):
+    engine, _ = engine_run
+    assert set(engine.dump_seen().tolist()) == sim_result.seen
+
+
+def test_texts_byte_identical(engine_run, sim_result, fixture_tables):
+    pages = fixture_tables[0]
+    page_text = dict(
+        zip(pages.column("url").to_pylist(), pages.column("text").to_pylist())
+    )
+    _, result = engine_run
+    records = result.records_table()
+    assert records is not None
+    texts = {}
+    for url, fields in zip(
+        records.column("url").to_pylist(), records.column("fields").to_pylist()
+    ):
+        texts[url] = json.loads(fields)["text"]
+    assert texts == sim_result.texts
+    for url, text in texts.items():
+        assert text == page_text[url]
+
+
+def test_errors_match_simulator(engine_run, sim_result):
+    _, result = engine_run
+    errors = result.errors_table()
+    assert errors is not None
+    engine_errs = sorted(
+        zip(errors.column("error_kind").to_pylist(), errors.column("url").to_pylist())
+    )
+    sim_errs = sorted((e["error_kind"], e["url"]) for e in sim_result.errors)
+    assert engine_errs == sim_errs
+
+
+def test_no_url_crawled_twice(engine_run):
+    _, result = engine_run
+    trace = result.trace_table()
+    urls = trace.column("url").to_pylist()
+    assert len(urls) == len(set(urls))
+
+
+def test_resume_equals_uninterrupted(fixture_tables, ray_session, tmp_path_factory):
+    """Kill after round 3 commit; resume; outputs must equal a straight
+    run byte-for-byte (manifest idempotency, SURVEY §5.2.3)."""
+    pages, seeds, robots, pages_path = fixture_tables
+    base = dict(CFG)
+
+    def make_engine(max_rounds):
+        cfg = EngineConfig(
+            **{**base, "max_rounds": max_rounds},
+            n_admission_shards=2,
+            extract_concurrency=2,
+        )
+        return CrawlEngine([flagship_spider], cfg)
+
+    wd_full = str(tmp_path_factory.mktemp("full"))
+    e_full = make_engine(base["max_rounds"])
+    r_full = e_full.run(pages_path, seeds, robots, wd_full)
+    e_full.shutdown_shards()
+
+    wd_part = str(tmp_path_factory.mktemp("part"))
+    e_part = make_engine(3)  # "killed" after round 3 commits
+    e_part.run(pages_path, seeds, robots, wd_part)
+    e_part.shutdown_shards()
+
+    e_resume = make_engine(base["max_rounds"])
+    r_resume = e_resume.run(pages_path, None, robots, wd_part, resume=True)
+    e_resume.shutdown_shards()
+
+    t_full = r_full.trace_table()
+    t_res = r_resume.trace_table()
+    full_rows = sorted(
+        zip(t_full.column("round").to_pylist(), t_full.column("url").to_pylist())
+    )
+    res_rows = sorted(
+        zip(t_res.column("round").to_pylist(), t_res.column("url").to_pylist())
+    )
+    assert full_rows == res_rows
+
+    rec_full = r_full.records_table()
+    rec_res = r_resume.records_table()
+    pair_full = sorted(
+        zip(rec_full.column("url").to_pylist(), rec_full.column("fields").to_pylist())
+    )
+    pair_res = sorted(
+        zip(rec_res.column("url").to_pylist(), rec_res.column("fields").to_pylist())
+    )
+    assert pair_full == pair_res

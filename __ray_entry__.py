@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps SURVEY.md §2 operators + the training-data operator
+suite to callables over ``sf_dir``; ``oracle_sql()`` carries the DuckDB
+equivalent for every SQL-expressible query (identical column names —
+aggregates are exact integer cents so partial-sum order can't diverge).
+Crawl-engine pipelines run over the deterministic synthetic web fixture
+(the DuckDB views don't include it) and are rows-only checks.
 """
 
 from __future__ import annotations
@@ -18,27 +16,197 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from crawl_ray.pipelines import crawl_queries as CQ
+from crawl_ray.pipelines import dedup as DD
+from crawl_ray.pipelines import multimodal as MM
+from crawl_ray.pipelines import relational as R
+from crawl_ray.pipelines import similarity as SIM
+from crawl_ray.pipelines import textops as T
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: the full URL-frontier crawl over the synthetic
+    web (byte-identical extracted text per url), sized for sf0.001."""
+    records = CQ.crawl_flagship("/root/testdata/sf0.001")
+    return records.to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # relational operator mappings (SURVEY.md §2.5-2.8)
+        "pricing_summary": R.pricing_summary,
+        "revenue_filter": R.revenue_filter,
+        "top_orders": R.top_orders,
+        "orders_per_nation": R.orders_per_nation,
+        "events_by_type": R.events_by_type,
+        "events_hourly_window": R.events_hourly_window,
+        "top_order_per_segment": R.top_order_per_segment,
+        # text analysis (training-data ops)
+        "normalize_whitespace": T.normalize_whitespace,
+        "token_stats": T.token_stats,
+        "quality_score": T.quality_score,
+        "language_id": T.language_id,
+        "doc_fingerprints": T.fingerprints,
+        # dedup family
+        "exact_dedup": DD.exact_dedup,
+        "minhash_lsh_pairs": DD.minhash_lsh_pairs,
+        "simhash": DD.simhash_64,
+        "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
+        "embedding_near_dup": DD.embedding_near_dup,
+        # similarity search
+        "knn_brute": SIM.knn_brute,
+        "knn_ivf": SIM.knn_ivf,
+        # multimodal plumbing
+        "payload_stats": MM.payload_stats,
+        "decode_images": MM.decode_images,
+        # crawl engine (synthetic web; rows-only)
+        "extract_text": CQ.extract_text_pipeline,
+        "crawl_flagship": CQ.crawl_flagship,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _lang_counts_sql() -> tuple[str, str, str]:
+    """Build marker-count CTE pieces matching textops.LANG_MARKERS."""
+    from crawl_ray.pipelines.textops import LANG_MARKERS
+
+    exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}"
+            for w in markers
+        )
+        exprs.append(f"cast({terms} as bigint) AS score_{lang}")
+    score_cols = ", ".join(exprs)
+    langs = list(LANG_MARKERS)
+    case = "CASE "
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs[i + 1 :]
+        )
+        case += f"WHEN {conds} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    greatest = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    return score_cols, case, greatest
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    score_cols, lang_case, lang_greatest = _lang_counts_sql()
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(cast(round(l_quantity * 100) as bigint)) AS sum_qty_cents,
+                   sum(cast(round(l_extendedprice * 100) as bigint)) AS sum_base_price_cents,
+                   sum(cast(round(l_discount * 100) as bigint)) AS sum_disc_cents,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_filter": """
+            SELECT coalesce(sum(cast(round(l_extendedprice * l_discount * 100) as bigint)), 0)
+                       AS revenue_cents,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "top_orders": """
+            SELECT o_orderkey,
+                   cast(round(o_totalprice * 100) as bigint) AS total_cents
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "orders_per_nation": """
+            SELECT n_name,
+                   sum(cast(round(o_totalprice * 100) as bigint)) AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "events_by_type": """
+            SELECT event_type,
+                   sum(cast(round(value * 100) as bigint)) AS sum_value_cents,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_hourly_window": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+                   sum(cast(round(value * 100) as bigint)) AS sum_value_cents,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_order_per_segment": """
+            SELECT c_mktsegment, o_orderkey, total_cents FROM (
+                SELECT c_mktsegment, o_orderkey,
+                       cast(round(o_totalprice * 100) as bigint) AS total_cents,
+                       row_number() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY cast(round(o_totalprice * 100) as bigint) DESC,
+                                    o_orderkey
+                       ) AS rn
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rn = 1 ORDER BY c_mktsegment
+        """,
+        "normalize_whitespace": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_norm
+            FROM documents
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint)
+                       AS n_tokens,
+                   cast(length(text) as bigint) AS n_chars
+            FROM documents
+        """,
+        "quality_score": r"""
+            SELECT doc_id, n_chars, n_alpha, n_spaces,
+                   CASE WHEN n_tokens > 0
+                        THEN (n_chars - n_spaces) * 1000 // n_tokens
+                        ELSE 0 END AS mean_tok_len_milli
+            FROM (
+                SELECT doc_id,
+                       cast(length(text) as bigint) AS n_chars,
+                       cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as bigint)
+                           AS n_alpha,
+                       cast(length(regexp_replace(text, '[^ ]', '', 'g')) as bigint)
+                           AS n_spaces,
+                       cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint)
+                           AS n_tokens
+                FROM documents
+            )
+        """,
+        "language_id": f"""
+            SELECT doc_id, {lang_case} AS lang_pred,
+                   {lang_greatest} AS lang_score
+            FROM (
+                SELECT doc_id, {score_cols}
+                FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)
+            )
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "knn_brute": """
+            WITH q AS (
+                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), s AS (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding, (SELECT qe FROM q)) AS sim
+                FROM embeddings
+            )
+            SELECT cast(row_number() OVER (ORDER BY sim DESC, vec_id) as bigint)
+                       AS rank,
+                   vec_id,
+                   cast(round(sim * 1000) as bigint) AS cos_milli
+            FROM s ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "payload_stats": """
+            SELECT doc_id, cast(strlen(text) as bigint) AS n_bytes
+            FROM documents
+        """,
+    }

@@ -1,0 +1,320 @@
+"""Deduplication operators for training-data pipelines.
+
+* :func:`exact_dedup` — hash-partition + per-group keep-first (the
+  shuffle-exact path; SQL-oracle-checkable).
+* :func:`minhash_lsh_pairs` — shingle → minhash → LSH band buckets →
+  candidate pairs verified by true Jaccard.  The banding groupby IS the
+  scale path: candidates are generated per bucket, never all-pairs.
+* :func:`simhash_64` — 64-bit simhash per document.
+* :func:`ngram_jaccard_pairs` — exact n-gram Jaccard over LSH
+  candidates (re-uses the minhash machinery with verification always
+  on).
+* :func:`embedding_near_dup` — cosine near-duplicate pairs over the
+  embeddings table via coarse bucketing (sign-LSH) + in-bucket
+  verification.
+
+All hashing is FNV-1a with stable string derivations — deterministic
+across runs/processes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from crawl_ray.util import collect_table
+
+from crawl_ray.urlnorm import fnv1a64_batch
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_64",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+]
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def exact_dedup(sf_dir: str):
+    """Exact text dedup: key = 64-bit content hash; keep the lowest
+    doc_id per key (deterministic).  Shuffle is keyed by the hash —
+    the url_hash-partition dedup pattern (SURVEY.md §2.8)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "text_hash": pa.array(
+                    fnv1a64_batch(batch.column("text")), pa.uint64()
+                ),
+            }
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        kept = group.take(idx[:1]).select(["doc_id"])
+        return kept.append_column("n_dups", pa.array([group.num_rows], pa.int64()))
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_hash, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("text_hash").map_groups(keep_first, batch_format="pyarrow")
+
+
+# -- MinHash / LSH ---------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    a = fnv1a64_batch([f"mh-a:{i}" for i in range(n_perm)]) % np.uint64(_MERSENNE - 1) + np.uint64(1)
+    b = fnv1a64_batch([f"mh-b:{i}" for i in range(n_perm)]) % np.uint64(_MERSENNE)
+    return a.astype(np.uint64), b.astype(np.uint64)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if not toks:
+        return np.zeros(1, dtype=np.uint64)
+    if len(toks) < k:
+        return fnv1a64_batch([" ".join(toks)])
+    return np.unique(fnv1a64_batch([" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]))
+
+
+def _signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    # (a*x + b) mod p, minimum per permutation; object-dtype-free via
+    # uint64 modular arithmetic (values < 2^61 so products need care:
+    # use python ints per permutation over the vector — n_perm is small)
+    x = shingles.astype(object)  # exact bigint math, vector over shingles
+    sig = np.empty(len(a), dtype=np.uint64)
+    for i in range(len(a)):
+        vals = (int(a[i]) * x + int(b[i])) % _MERSENNE
+        sig[i] = np.uint64(min(vals))
+    return sig
+
+
+def minhash_signatures(sf_dir: str, n_perm: int = 32, k: int = 3):
+    """MinHash signature per document (stateful params built once per
+    actor — ST6 pattern)."""
+
+    class Signer:
+        def __init__(self) -> None:
+            self.a, self.b = _minhash_params(n_perm)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            sigs = [
+                _signature(_shingle_hashes(t, k), self.a, self.b) for t in texts
+            ]
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").cast(pa.int64()),
+                    "signature": pa.array(
+                        [s.tolist() for s in sigs], pa.list_(pa.uint64())
+                    ),
+                }
+            )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Signer, batch_format="pyarrow", concurrency=(1, 4), batch_size=512
+    )
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    n_perm: int = 32,
+    k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+):
+    """Near-dup pairs: band signatures → bucket groupby → per-bucket
+    candidate pairs → exact Jaccard verification.
+
+    The only shuffle is keyed by (band, bucket-hash); bucket sizes are
+    small by construction, so the pair enumeration never sees the full
+    corpus."""
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(sf_dir, n_perm=n_perm, k=k)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        signatures = batch.column("signature").to_pylist()
+        out_doc, out_bucket = [], []
+        for doc_id, sig in zip(doc_ids, signatures):
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                key = fnv1a64_batch([f"{b}:" + ",".join(map(str, chunk))])[0]
+                out_doc.append(doc_id)
+                out_bucket.append(key)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "bucket": pa.array(np.array(out_bucket, dtype=np.uint64), pa.uint64()),
+            }
+        )
+
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        a_out, b_out = [], []
+        if len(ids) > 1:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+            }
+        )
+
+    candidates = collect_table(
+        banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    if candidates.num_rows == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_milli": pa.array([], pa.int64()),
+            }
+        )
+    # dedup candidate pairs (same pair can collide in several bands)
+    pairs = {
+        (a, b)
+        for a, b in zip(
+            candidates.column("doc_a").to_pylist(),
+            candidates.column("doc_b").to_pylist(),
+        )
+    }
+    # verification: fetch shingle sets for involved docs (small side)
+    needed = sorted({d for p in pairs for d in p})
+    docs = collect_table(_docs(sf_dir, ["doc_id", "text"]))
+    text_of = dict(
+        zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+    )
+    sh = {d: set(_shingle_hashes(text_of[d], k).tolist()) for d in needed}
+    a_out, b_out, jac = [], [], []
+    for a, b in sorted(pairs):
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b]) or 1
+        j = inter * 1000 // union
+        if j >= int(threshold * 1000):
+            a_out.append(a)
+            b_out.append(b)
+            jac.append(j)
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "jaccard_milli": pa.array(jac, pa.int64()),
+        }
+    )
+
+
+def simhash_64(sf_dir: str):
+    """64-bit SimHash over whitespace tokens (vectorized bit counting)."""
+
+    def sim(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            toks = text.split()
+            if not toks:
+                continue
+            hashes = fnv1a64_batch(toks)
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = bits.sum(axis=0) * 2 - len(hashes)
+            word = np.uint64(0)
+            for bit in np.flatnonzero(votes > 0).tolist():
+                word |= np.uint64(1) << np.uint64(bit)
+            out[i] = word
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "simhash": pa.array(out, pa.uint64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sim, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.3):
+    """Exact n-gram Jaccard near-dup pairs (LSH-bucketed candidates,
+    lower threshold)."""
+    return minhash_lsh_pairs(sf_dir, n_perm=32, k=k, bands=16, threshold=threshold)
+
+
+def embedding_near_dup(sf_dir: str, threshold_milli: int = 950):
+    """Embedding-cosine near-duplicate pairs: sign-LSH coarse buckets
+    (8 random hyperplanes) + exact in-bucket cosine verification."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first.column("embedding")[0])
+    planes = (
+        (fnv1a64_batch([f"plane:{i}:{j}" for i in range(8) for j in range(dim)])
+         .astype(np.float64) / float(1 << 63)) - 1.0
+    ).reshape(8, dim)
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        signs = (mat @ pl.T) > 0
+        bucket = np.zeros(len(mat), dtype=np.uint64)
+        for b in range(signs.shape[1]):
+            bucket |= signs[:, b].astype(np.uint64) << np.uint64(b)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "bucket": pa.array(bucket, pa.uint64()),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_pylist()
+        mat = np.asarray(group.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        cos = unit @ unit.T
+        a_out, b_out, sim = [], [], []
+        order = np.argsort(ids)
+        for ii in range(len(ids)):
+            for jj in range(ii + 1, len(ids)):
+                i, j = int(order[ii]), int(order[jj])
+                milli = int(round(cos[i, j] * 1000))
+                if milli >= threshold_milli:
+                    a, b = sorted((ids[i], ids[j]))
+                    a_out.append(a)
+                    b_out.append(b)
+                    sim.append(milli)
+        return pa.table(
+            {
+                "vec_a": pa.array(a_out, pa.int64()),
+                "vec_b": pa.array(b_out, pa.int64()),
+                "cos_milli": pa.array(sim, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )

@@ -1,0 +1,183 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+whitespace normalization (the F1 kernel at corpus scale), token
+counting, quality scoring, language ID, and document fingerprinting.
+
+All stages are vectorized ``map_batches`` over Arrow batches; the
+SQL-expressible ones carry DuckDB oracles in ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from crawl_ray.urlnorm import fnv1a64_batch
+
+__all__ = [
+    "normalize_whitespace",
+    "token_stats",
+    "quality_score",
+    "language_id",
+    "fingerprints",
+    "LANG_MARKERS",
+]
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def normalize_whitespace(sf_dir: str):
+    """F1 whitespace collapse (``html_utils.go:38``) applied to the
+    documents corpus — pure Arrow kernels, zero Python per row."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        collapsed = pc.replace_substring_regex(text, r"\s+", " ")
+        trimmed = pc.utf8_trim_whitespace(collapsed)
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()), "text_norm": trimmed}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def token_stats(sf_dir: str):
+    """Whitespace token count + char stats per document (vectorized)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        n_tokens = pc.list_value_length(tokens).cast(pa.int64())
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": n_tokens,
+                "n_chars": n_chars,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def quality_score(sf_dir: str):
+    """Deterministic quality signals: alpha-char count, space count,
+    mean token length ×1000 (integer — exact for the oracle)."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        alpha = pc.utf8_length(
+            pc.replace_substring_regex(text, r"[^A-Za-z]", "")
+        ).cast(pa.int64())
+        spaces = pc.utf8_length(
+            pc.replace_substring_regex(text, r"[^ ]", "")
+        ).cast(pa.int64())
+        tokens = pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        ).cast(pa.int64())
+        # mean token length in milli-chars, integer arithmetic
+        mean_tok_len_milli = pc.if_else(
+            pc.greater(tokens, 0),
+            pc.divide(pc.multiply(pc.subtract(n_chars, spaces), 1000), tokens),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_chars": n_chars,
+                "n_alpha": alpha,
+                "n_spaces": spaces,
+                "mean_tok_len_milli": mean_tok_len_milli.cast(pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# marker-word heuristic: count per-language marker occurrences, argmax
+# with fixed tie-break order (the SQL oracle implements the same CASE).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a"],
+    "de": ["der", "die"],
+    "fr": ["le", "la"],
+    "es": ["el", "los"],
+}
+
+
+def language_id(sf_dir: str):
+    """N-gram/marker-word language-ID heuristic (deterministic)."""
+    order = list(LANG_MARKERS)
+
+    def lang(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        padded = pc.binary_join_element_wise(
+            pa.array([" "] * batch.num_rows), text, pa.array([" "] * batch.num_rows), ""
+        )
+        scores = []
+        for markers in LANG_MARKERS.values():
+            total = None
+            for w in markers:
+                c = pc.count_substring(padded, f" {w} ").cast(pa.int64())
+                total = c if total is None else pc.add(total, c)
+            scores.append(total.to_numpy(zero_copy_only=False))
+        mat = np.stack(scores, axis=1)
+        best = np.argmax(mat, axis=1)  # first max wins = order tie-break
+        langs = np.array(order, dtype=object)[best]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang_pred": pa.array(langs.tolist(), pa.string()),
+                "lang_score": pa.array(mat.max(axis=1), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lang, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def fingerprints(sf_dir: str, k: int = 5, window: int = 4):
+    """Winnowing document fingerprint: min FNV hash per sliding window
+    of k-token shingles (rolling-hash scheme; deterministic)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            toks = text.split()
+            if len(toks) < k:
+                out[i] = fnv1a64_batch([" ".join(toks)])[0]
+                continue
+            shingles = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+            hashes = fnv1a64_batch(shingles)
+            if len(hashes) <= window:
+                out[i] = hashes.min()
+            else:
+                # min over each window, xor-combined (order-free digest)
+                mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+                acc = np.uint64(0)
+                for m in np.unique(mins):
+                    acc ^= m
+                out[i] = acc
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "fingerprint": pa.array(out, pa.uint64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -31,6 +31,7 @@ import json
 import os
 import pathlib
 import shutil
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -105,14 +106,6 @@ class CrawlRunResult:
 
     def trace_table(self) -> pa.Table | None:
         return self._read_all("trace")
-
-
-def _filter_batches(ds, fn):
-    """Vectorized filter: Arrow mask inside map_batches (Ray's row
-    ``filter`` would run a Python predicate per row)."""
-    return ds.map_batches(
-        lambda t: t.filter(fn(t)), batch_format="pyarrow", zero_copy_batch=True
-    )
 
 
 def _robots_maps(robots: pa.Table | None):
@@ -213,7 +206,11 @@ class CrawlEngine:
         else:
             index = build_broadcast_index(pq.read_table(pages_path, columns=["url", "html"]))
             store = ray.put(BroadcastPageStore(index))
-        fetch_fn = make_fetch_fn(store)
+
+        # fetch+extract runs as plain tasks (per-process setup cache in
+        # _fetch_extract_task); box the store ref so it ships by
+        # reference, not by value, with every task submission
+        store_box = [store]
 
         start_round = 0
         if resume:
@@ -231,6 +228,16 @@ class CrawlEngine:
         result = CrawlRunResult(workdir=workdir)
         result.rounds = start_round
 
+        self._run_rounds(wd, cfg, shards, store_box, result, start_round)
+
+        # final state for downstream inspection
+        result.metrics.append(
+            {"round": -1, "seen_total": int(sum(ray.get([s.seen_count.remote() for s in shards])))}
+        )
+        self._shards = shards
+        return result
+
+    def _run_rounds(self, wd, cfg, shards, store_box, result, start_round) -> None:
         for rnd in range(start_round, cfg.max_rounds + 1):
             round_dir = wd / f"round={rnd}"
             frontier_files = sorted(
@@ -241,173 +248,209 @@ class CrawlEngine:
             result.rounds = rnd + 1
             now_us = cfg.virtual_t0 + rnd * 1_000_000
             metrics = {"round": rnd}
+            t_phase = time.perf_counter()
 
-            ds = ray.data.read_parquet(frontier_files)
-            ds = ds.map_batches(
+            def _lap(name: str) -> None:
+                nonlocal t_phase
+                now = time.perf_counter()
+                metrics[name] = round(now - t_phase, 3)
+                t_phase = now
+
+            # admission: ONE shuffle keyed by host; one shard RPC/group.
+            # Disposition-aware: bad-canon rows (badurl/expired) ride
+            # through the shuffle tagged BADCANON so the fused fast path
+            # below needs no separate live/bad split execution.
+            handles = shards
+            n_shards = len(shards)
+
+            def admission_fn(group: pa.Table) -> pa.Table:
+                if "disposition" in group.column_names:
+                    okm = pc.equal(group.column("disposition"), "ok")
+                    ok, bad = group.filter(okm), group.filter(pc.invert(okm))
+                else:  # slow path pre-filtered to ok rows
+                    ok, bad = group, group.slice(0, 0)
+                parts = []
+                if ok.num_rows:
+                    idx = pc.sort_indices(
+                        ok, sort_keys=[("order_key", "ascending")]
+                    )
+                    ok = ok.take(idx)
+                    host = ok.column("host")[0].as_py()
+                    hashes = ok.column("url_hash").to_numpy(zero_copy_only=False)
+                    paths = ok.column("path").to_pylist()
+                    shard = handles[fnv1a64(host) % n_shards]
+                    disp = ray.get(shard.admit.remote(host, hashes, paths, rnd))
+                    parts.append(
+                        ok.append_column("admit", pa.array(disp, pa.int8()))
+                    )
+                if bad.num_rows:
+                    parts.append(
+                        bad.append_column(
+                            "admit",
+                            pa.array([BADCANON] * bad.num_rows, pa.int8()),
+                        )
+                    )
+                if not parts:
+                    return group.append_column("admit", pa.array([], pa.int8()))
+                return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+
+            # frontier size from parquet metadata — no execution needed
+            pending_meta = sum(
+                pq.read_metadata(f).num_rows for f in frontier_files
+            )
+            canon = ray.data.read_parquet(frontier_files).map_batches(
                 canonicalize_batch,
                 fn_kwargs={"now_us": now_us},
                 batch_format="pyarrow",
                 batch_size=cfg.canonicalize_batch_size,
                 zero_copy_batch=True,
-            ).materialize()
+            )
 
-            bad = _filter_batches(
-                ds, lambda t: pc.not_equal(t.column("disposition"), "ok")
-            ).materialize()
-            if bad.count():
-                err = _union_to_errors_from_canon(bad.to_arrow_refs())
+            if pending_meta <= cfg.round_budget:
+                # FAST PATH (common): n_live ≤ pending ≤ budget ⇒ the
+                # priority split can never trigger, so canonicalize +
+                # host shuffle + admission fuse into ONE execution.
+                admission = (
+                    canon.groupby("host")
+                    .map_groups(admission_fn, batch_format="pyarrow")
+                    .materialize()
+                )
+                _lap("t_canon")
+            else:
+                # SLOW PATH: materialize canonicalized rows, count the
+                # live side, then O2 priority sort + budget split.
+                ds = canon.materialize()
+                live_refs, bad_refs, n_refs = [], [], []
+                for ref in ds.to_arrow_refs():
+                    l_ref, b_ref, n_ref = _split_canon.remote(ref)
+                    live_refs.append(l_ref)
+                    bad_refs.append(b_ref)
+                    n_refs.append(n_ref)
+                live_counts = ray.get(n_refs)
+                bad_tables = [t for t in ray.get(bad_refs) if t.num_rows]
+                if bad_tables:
+                    err = _union_to_errors_from_canon(bad_tables)
+                    _write(err, round_dir / "errors", "canon.parquet")
+                    result.errors += err.num_rows
+
+                n_live = int(sum(live_counts))
+                _lap("t_canon")
+                if n_live == 0:
+                    metrics["pending"] = 0
+                    self._finish_round(shards, round_dir, metrics, result, rnd)
+                    continue
+
+                live = ray.data.from_arrow_refs(
+                    [r for r, n in zip(live_refs, live_counts) if n]
+                )
+                if n_live > cfg.round_budget:
+                    live = live.sort("order_key")
+                    head, tail = live.split_at_indices([cfg.round_budget])
+                    spill_tbl = _collect(tail).select(FRONTIER_SCHEMA.names)
+                    _write(spill_tbl, wd / f"round={rnd + 1}" / "spill", "overflow.parquet")
+                    metrics["overflow_deferred"] = spill_tbl.num_rows
+                    live = head
+
+                admission = (
+                    live.groupby("host")
+                    .map_groups(admission_fn, batch_format="pyarrow")
+                    .materialize()
+                )
+
+            # One pass of split tasks: deferred spill written task-side
+            # (never concatenated on the driver — it can be frontier-sized);
+            # admitted stays in the object store as block refs.
+            spill_dir = wd / f"round={rnd + 1}" / "spill"
+            admitted_refs, rest_refs = [], []
+            for i, ref in enumerate(admission.to_arrow_refs()):
+                a_ref, r_ref = _split_admission.remote(ref, str(spill_dir), i)
+                admitted_refs.append(a_ref)
+                rest_refs.append(r_ref)
+            rests = ray.get(rest_refs)
+            _lap("t_admission")
+
+            metrics["pending"] = sum(r["n_ok"] for r in rests)
+            bad_tables = [r["bad"] for r in rests if r["bad"].num_rows]
+            if bad_tables:
+                err = _union_to_errors_from_canon(bad_tables)
                 _write(err, round_dir / "errors", "canon.parquet")
                 result.errors += err.num_rows
-            live = _filter_batches(
-                ds, lambda t: pc.equal(t.column("disposition"), "ok")
-            ).materialize()
-
-            n_live = live.count()
-            metrics["pending"] = n_live
-            if n_live == 0:
-                # nothing fetchable this round; no new frontier/spill is
-                # written, so the next iteration terminates on no files
-                self._finish_round(shards, round_dir, metrics, result, rnd)
-                continue
-
-            # O2: priority sort + budget split only when over budget
-            if n_live > cfg.round_budget:
-                live = live.sort("order_key")
-                head, tail = live.split_at_indices([cfg.round_budget])
-                spill_tbl = _collect(tail).select(FRONTIER_SCHEMA.names)
-                _write(spill_tbl, wd / f"round={rnd + 1}" / "spill", "overflow.parquet")
-                metrics["overflow_deferred"] = spill_tbl.num_rows
-                live = head
-
-            # admission: ONE shuffle keyed by host; one shard RPC/group
-            handles = shards
-            n_shards = len(shards)
-
-            def admission_fn(group: pa.Table) -> pa.Table:
-                idx = pc.sort_indices(
-                    group, sort_keys=[("order_key", "ascending")]
-                )
-                group = group.take(idx)
-                host = group.column("host")[0].as_py()
-                hashes = group.column("url_hash").to_numpy(zero_copy_only=False)
-                paths = group.column("path").to_pylist()
-                shard = handles[fnv1a64(host) % n_shards]
-                disp = ray.get(shard.admit.remote(host, hashes, paths, rnd))
-                return group.append_column("admit", pa.array(disp, pa.int8()))
-
-            admission = (
-                live.groupby("host")
-                .map_groups(admission_fn, batch_format="pyarrow")
-                .materialize()
-            )
-
-            admitted = _filter_batches(
-                admission, lambda t: pc.equal(t.column("admit"), ADMIT)
-            ).materialize()
-            deferred = _collect(
-                _filter_batches(
-                    admission, lambda t: pc.equal(t.column("admit"), DEFER)
-                )
-            )
-            if deferred.num_rows:
-                _write(
-                    deferred.select(FRONTIER_SCHEMA.names),
-                    wd / f"round={rnd + 1}" / "spill",
-                    "deferred.parquet",
-                )
-            robots_rows = _collect(
-                _filter_batches(
-                    admission, lambda t: pc.equal(t.column("admit"), ROBOTS)
-                )
-            )
-            if robots_rows.num_rows:
+            robots_tables = [r["robots"] for r in rests if r["robots"].num_rows]
+            if robots_tables:
+                robots_rows = pa.concat_tables(robots_tables)
                 _write(
                     _canon_rows_to_errors(robots_rows, "robots", "disallowed"),
                     round_dir / "errors",
                     "robots.parquet",
                 )
                 result.errors += robots_rows.num_rows
-            for name, code in (("dup_dropped", DUP), ("seen_dropped", SEEN)):
-                metrics[name] = _count(
-                    _filter_batches(
-                        admission, lambda t, c=code: pc.equal(t.column("admit"), c)
-                    )
-                )
-            metrics["deferred"] = deferred.num_rows
-            n_admitted = admitted.count()
+            metrics["dup_dropped"] = sum(r["dup"] for r in rests)
+            metrics["seen_dropped"] = sum(r["seen"] for r in rests)
+            metrics["deferred"] = sum(r["deferred"] for r in rests)
+            n_admitted = sum(r["n_admitted"] for r in rests)
             metrics["admitted"] = n_admitted
             result.admitted += n_admitted
 
             if cfg.keep_trace and n_admitted:
-                trace = _collect(admitted).select(["url", "order_key", "depth"])
+                trace = pa.concat_tables(
+                    [r["trace"] for r in rests if r["trace"].num_rows]
+                )
                 trace = trace.append_column(
                     "round", pa.array([rnd] * trace.num_rows, pa.int32())
                 )
                 _write(trace, round_dir / "trace")
 
             if n_admitted:
-                union = (
-                    admitted.map_batches(
-                        fetch_fn, batch_format="pyarrow", zero_copy_batch=True
-                    )
-                    .map_batches(
-                        ExtractActor,
-                        fn_constructor_kwargs={
-                            "spiders": self.spiders,
-                            "max_depth": cfg.max_depth,
-                        },
-                        batch_format="pyarrow",
-                        batch_size=cfg.extract_batch_size,
-                        concurrency=(1, cfg.extract_concurrency),
-                        zero_copy_batch=True,
-                    )
-                    .materialize()
-                )
-                records = _collect(
-                    _filter_batches(union, lambda t: pc.equal(t.column("kind"), "record"))
-                )
-                if records.num_rows:
-                    _write(
-                        records.select(["url", "depth", "seq_path", "fields"]),
-                        round_dir / "records",
-                    )
+                # Fetch + extract as plain tasks over batch-size slices
+                # of the admitted blocks (a per-round map_batches would
+                # rebuild its actor pool every round and never ramp up
+                # inside a short round; a persistent pinned pool causes
+                # worker churn — see _FetchExtractWorker docstring).
+                out_refs = []
+                for a_ref, rest in zip(admitted_refs, rests):
+                    c = rest["n_admitted"]
+                    for off in range(0, c, cfg.extract_batch_size):
+                        ln = min(cfg.extract_batch_size, c - off)
+                        out_refs.append(
+                            _fetch_extract_task.remote(
+                                a_ref, off, ln, store_box,
+                                self.spiders, cfg.max_depth,
+                            )
+                        )
+                # One split pass: next-round frontier written task-side.
+                frontier_dir = wd / f"round={rnd + 1}" / "frontier"
+                u_refs = [
+                    _split_union.remote(ref, str(frontier_dir), i)
+                    for i, ref in enumerate(out_refs)
+                ]
+                u_rests = ray.get(u_refs)
+                _lap("t_extract")
+                records_tables = [
+                    r["records"] for r in u_rests if r["records"].num_rows
+                ]
+                if records_tables:
+                    records = pa.concat_tables(records_tables)
+                    _write(records, round_dir / "records")
                     result.records += records.num_rows
-                errors = _collect(
-                    _filter_batches(union, lambda t: pc.equal(t.column("kind"), "error"))
-                )
-                if errors.num_rows:
-                    _write(
-                        errors.select(
-                            ["url", "method", "depth", "seq_path", "error_kind", "error"]
-                        ),
-                        round_dir / "errors",
-                        "extract.parquet",
-                    )
+                    metrics["records"] = records.num_rows
+                else:
+                    metrics["records"] = 0
+                error_tables = [r["errors"] for r in u_rests if r["errors"].num_rows]
+                if error_tables:
+                    errors = pa.concat_tables(error_tables)
+                    _write(errors, round_dir / "errors", "extract.parquet")
                     result.errors += errors.num_rows
-                links = _collect(
-                    _filter_batches(union, lambda t: pc.equal(t.column("kind"), "link"))
-                )
-                metrics["records"] = records.num_rows
-                metrics["links"] = links.num_rows
-                result.links += links.num_rows
-                if links.num_rows:
-                    _write(
-                        links_to_frontier(links),
-                        wd / f"round={rnd + 1}" / "frontier",
-                    )
+                n_links = sum(r["n_links"] for r in u_rests)
+                metrics["links"] = n_links
+                result.links += n_links
 
+            t_phase = time.perf_counter()
             self._finish_round(shards, round_dir, metrics, result, rnd)
+            metrics["t_finish"] = round(time.perf_counter() - t_phase, 3)
 
             nxt = wd / f"round={rnd + 1}"
             if _dir_rows(nxt / "frontier") == 0 and _dir_rows(nxt / "spill") == 0:
                 break
-
-        # final state for downstream inspection
-        result.metrics.append(
-            {"round": -1, "seen_total": int(sum(ray.get([s.seen_count.remote() for s in shards])))}
-        )
-        self._shards = shards
-        return result
 
     def _finish_round(self, shards, round_dir, metrics, result, rnd) -> None:
         if rnd % self.cfg.checkpoint_interval == 0:
@@ -433,6 +476,134 @@ class CrawlEngine:
         self._shards = []
 
 
+class _FetchExtractWorker:
+    """Fetch+extract execution state: the page-store handle and the
+    parsed handler registry — what the reference rebuilt per response
+    (``response.go:28``) and we build once per worker process (ST6).
+
+    Not an actor: pinned actor pools proved pathological here — idle
+    actor processes crowd Ray's bounded worker pool, so every stateless
+    Dataset execution in the round loop paid worker-churn (measured
+    3-4× slowdown of unrelated executions with a 32-actor pool on a
+    32-CPU node). Plain tasks + this per-process cache get the same
+    setup amortization with a fully elastic scheduler."""
+
+    def __init__(self, store, spiders: list, max_depth: int) -> None:
+        self._fetch = make_fetch_fn(store)
+        self._extract = ExtractActor(spiders=spiders, max_depth=max_depth)
+
+    def process(self, block: pa.Table, offset: int, length: int) -> pa.Table:
+        chunk = block.slice(offset, length)
+        return self._extract(self._fetch(chunk))
+
+
+_WORKER_CACHE: dict = {}  # per worker process: cache key -> _FetchExtractWorker
+
+
+def _store_cache_key(store) -> object:
+    if isinstance(store, ray.ObjectRef):
+        return store.hex()
+    root = getattr(store, "root", None)
+    return ("handle", root) if root is not None else ("handle", id(store))
+
+
+@ray.remote
+def _fetch_extract_task(
+    block: pa.Table, offset: int, length: int,
+    store_box: list, spiders: list, max_depth: int,
+) -> pa.Table:
+    """One fetch+extract work unit. ``store_box`` wraps the store (or
+    its ObjectRef) in a list so Ray does NOT auto-deref it — the task
+    derefs lazily and caches the built worker for the process
+    lifetime."""
+    store = store_box[0]
+    key = (
+        _store_cache_key(store), max_depth,
+        tuple(f"{s.__module__}.{getattr(s, '__qualname__', repr(s))}" for s in spiders),
+    )
+    worker = _WORKER_CACHE.get(key)
+    if worker is None:
+        if isinstance(store, ray.ObjectRef):
+            store = ray.get(store)
+        worker = _FetchExtractWorker(store, spiders, max_depth)
+        _WORKER_CACHE[key] = worker
+    return worker.process(block, offset, length)
+
+
+# -- per-block split tasks --------------------------------------------------
+# Each materialized stage output is post-processed by ONE parallel task per
+# block instead of one Dataset execution per category — the categories are
+# disjoint filters, so a single pass suffices and the driver only ever
+# receives the small/bounded sides (counts, trace, robots errors, records).
+
+
+@ray.remote(num_returns=3)
+def _split_canon(t: pa.Table):
+    # empty shuffle/map blocks can surface with the pre-stage schema
+    if t.num_rows == 0 or "disposition" not in t.column_names:
+        empty = t.slice(0, 0)
+        return empty, empty, 0
+    ok = pc.equal(t.column("disposition"), "ok")
+    live = t.filter(ok)
+    return live, t.filter(pc.invert(ok)), live.num_rows
+
+
+def _mask_count(mask) -> int:
+    v = pc.sum(pc.cast(mask, pa.int64())).as_py()
+    return int(v) if v is not None else 0
+
+
+BADCANON = 6  # local admit code for disposition != "ok" rows (fused path)
+
+
+@ray.remote(num_returns=2)
+def _split_admission(t: pa.Table, spill_dir: str, part: int):
+    if t.num_rows == 0 or "admit" not in t.column_names:
+        empty = t.slice(0, 0)
+        return empty, {
+            "robots": empty, "bad": empty, "dup": 0, "seen": 0,
+            "deferred": 0, "n_admitted": 0, "n_ok": 0, "trace": empty,
+        }
+    adm = t.column("admit")
+    admitted = t.filter(pc.equal(adm, ADMIT))
+    deferred = t.filter(pc.equal(adm, DEFER)).select(FRONTIER_SCHEMA.names)
+    if deferred.num_rows:
+        _write(deferred, pathlib.Path(spill_dir), f"deferred-{part}.parquet")
+    bad = t.filter(pc.equal(adm, BADCANON))
+    rest = {
+        "robots": t.filter(pc.equal(adm, ROBOTS)),
+        "bad": bad,
+        "dup": _mask_count(pc.equal(adm, DUP)),
+        "seen": _mask_count(pc.equal(adm, SEEN)),
+        "deferred": deferred.num_rows,
+        "n_admitted": admitted.num_rows,
+        "n_ok": t.num_rows - bad.num_rows,
+        "trace": admitted.select(["url", "order_key", "depth"]),
+    }
+    return admitted, rest
+
+
+@ray.remote
+def _split_union(t: pa.Table, frontier_dir: str, part: int) -> dict:
+    if t.num_rows == 0 or "kind" not in t.column_names:
+        empty = t.slice(0, 0)
+        return {"records": empty, "errors": empty, "n_links": 0}
+    kind = t.column("kind")
+    links = t.filter(pc.equal(kind, "link"))
+    if links.num_rows:
+        _write(links_to_frontier(links), pathlib.Path(frontier_dir),
+               f"links-{part}.parquet")
+    return {
+        "records": t.filter(pc.equal(kind, "record")).select(
+            ["url", "depth", "seq_path", "fields"]
+        ),
+        "errors": t.filter(pc.equal(kind, "error")).select(
+            ["url", "method", "depth", "seq_path", "error_kind", "error"]
+        ),
+        "n_links": links.num_rows,
+    }
+
+
 # -- small helpers ---------------------------------------------------------
 
 
@@ -444,10 +615,6 @@ def _collect(ds) -> pa.Table:
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
 
 
-def _count(ds) -> int:
-    return ds.count()
-
-
 def _dir_rows(directory: pathlib.Path) -> int:
     total = 0
     for f in directory.glob("*.parquet"):
@@ -455,8 +622,7 @@ def _dir_rows(directory: pathlib.Path) -> int:
     return total
 
 
-def _union_to_errors_from_canon(refs) -> pa.Table:
-    tables = [t for t in ray.get(refs) if t.num_rows]
+def _union_to_errors_from_canon(tables: list[pa.Table]) -> pa.Table:
     src = pa.concat_tables(tables, promote_options="default")
     kinds = src.column("disposition").to_pylist()
     return pa.Table.from_arrays(

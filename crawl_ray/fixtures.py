@@ -71,9 +71,24 @@ def _page_links(url: str, host: int, host_pages: list[int],
     return hrefs
 
 
-def _page_html(host: int, k: int, hrefs: list[str]) -> str:
+def _filler_paras(k: int, weight: int) -> list[str]:
+    """Deterministic filler paragraphs scaling page size (~170 B each);
+    ``weight`` approximates realistic page fatness (Common-Crawl pages
+    are tens of KB, not the 1 KB of the minimal template)."""
+    out = []
+    for w in range(weight - 1):
+        base = (k * 7919 + w * 104729) % 999983
+        words = " ".join(f"w{(base + i * 31) % 9973}" for i in range(24))
+        out.append(f"para {w} {words}")
+    return out
+
+
+def _page_html(host: int, k: int, hrefs: list[str], weight: int = 1) -> str:
     lis = "".join(
         f'<li><a href="{href}">anchor {j}</a></li>' for j, href in enumerate(hrefs)
+    )
+    filler = "".join(
+        f'<p class="fill"><em>{p}</em></p>\n' for p in _filler_paras(k, weight)
     )
     return (
         f"<html><head><title>T{host}-{k}</title></head><body>\n"
@@ -81,6 +96,7 @@ def _page_html(host: int, k: int, hrefs: list[str]) -> str:
         f'<p class="c{k % 5}">  lorem{k}   ipsum\t{k * 7}\n dolor </p>\n'
         f'<span data-price="x"> {k % 100},{k % 10} </span>\n'
         f"<ul>{lis}</ul>\n"
+        f"{filler}"
         f'<form action="/submit{k}" id="f"><input name="q" value="v{k}">\n'
         f'<input type="checkbox" name="c" value="1" checked="checked">\n'
         f'<select name="s"><option value="a">A</option>'
@@ -90,7 +106,7 @@ def _page_html(host: int, k: int, hrefs: list[str]) -> str:
     )
 
 
-def _page_text(host: int, k: int, n_links: int) -> str:
+def _page_text(host: int, k: int, n_links: int, weight: int = 1) -> str:
     """Expected whole-document extracted text, by template construction
     (goquery Text of <html>, whitespace-collapsed — html_utils.go:37-45)."""
     # adjacent <li>/<option> text nodes concatenate with NO separator in
@@ -104,12 +120,15 @@ def _page_text(host: int, k: int, n_links: int) -> str:
     ]
     if anchors:
         parts.append(anchors)
+    parts.extend(_filler_paras(k, weight))
     parts.append("AB")
     parts.append(f"var x = {k};")
     return " ".join(parts)
 
 
-def generate_pages(n_pages: int, n_hosts: int | None = None) -> pa.Table:
+def generate_pages(
+    n_pages: int, n_hosts: int | None = None, weight: int = 1
+) -> pa.Table:
     """The synthetic web: deterministic pages table (FIXTURES.md §1)."""
     if n_hosts is None:
         n_hosts = max(4, n_pages // 40)
@@ -128,8 +147,8 @@ def generate_pages(n_pages: int, n_hosts: int | None = None) -> pa.Table:
         url = page_url(h, i)
         hrefs = _page_links(url, h, pages_by_host[h], n_pages, hosts)
         urls.append(url)
-        htmls.append(_page_html(h, i, hrefs).encode("utf-8"))
-        texts.append(_page_text(h, i, len(hrefs)))
+        htmls.append(_page_html(h, i, hrefs, weight).encode("utf-8"))
+        texts.append(_page_text(h, i, len(hrefs), weight))
         langs.append(_LANGS[fnv1a64(url) % 4])
 
     warc_ts = pa.array(
@@ -268,15 +287,20 @@ def generate_form_pages() -> pa.Table:
     )
 
 
-def fixture_dir(n_pages: int, base: str = "/tmp/crawl_ray_fixtures") -> str:
+def fixture_dir(
+    n_pages: int, base: str = "/tmp/crawl_ray_fixtures", weight: int = 1
+) -> str:
     """Write (once, cached) the pages/seeds/robots parquet for a size;
-    returns the directory.  Used by tests, bench and ``queries()``."""
-    d = pathlib.Path(base) / f"web_n{n_pages}"
+    returns the directory.  Used by tests, bench and ``queries()``.
+    ``weight`` scales page body size (bench uses a heavier web so
+    per-URL parse work is realistic; tests keep the minimal pages)."""
+    suffix = f"web_n{n_pages}" if weight == 1 else f"web_n{n_pages}_w{weight}"
+    d = pathlib.Path(base) / suffix
     marker = d / "_SUCCESS"
     if marker.exists():
         return str(d)
     d.mkdir(parents=True, exist_ok=True)
-    pages = generate_pages(n_pages)
+    pages = generate_pages(n_pages, weight=weight)
     pq.write_table(pages, d / "pages.parquet")
     pq.write_table(generate_seeds(pages), d / "seeds.parquet")
     pq.write_table(generate_robots(pages), d / "robots.parquet")

@@ -72,12 +72,13 @@ def exact_dedup(sf_dir: str):
 
 # -- MinHash / LSH ---------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
 
 def _minhash_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
-    a = fnv1a64_batch([f"mh-a:{i}" for i in range(n_perm)]) % np.uint64(_MERSENNE - 1) + np.uint64(1)
-    b = fnv1a64_batch([f"mh-b:{i}" for i in range(n_perm)]) % np.uint64(_MERSENNE)
+    """xor-multiply family h_i(x) = (x ^ b_i) * a_i in wrapping uint64
+    (a_i odd ⇒ the multiply is a bijection on Z/2^64) — fully
+    vectorizable, unlike (a*x+b) mod 2^61-1 which needs 128-bit math."""
+    a = fnv1a64_batch([f"mh-a:{i}" for i in range(n_perm)]) | np.uint64(1)
+    b = fnv1a64_batch([f"mh-b:{i}" for i in range(n_perm)])
     return a.astype(np.uint64), b.astype(np.uint64)
 
 
@@ -91,15 +92,9 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 def _signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    # (a*x + b) mod p, minimum per permutation; object-dtype-free via
-    # uint64 modular arithmetic (values < 2^61 so products need care:
-    # use python ints per permutation over the vector — n_perm is small)
-    x = shingles.astype(object)  # exact bigint math, vector over shingles
-    sig = np.empty(len(a), dtype=np.uint64)
-    for i in range(len(a)):
-        vals = (int(a[i]) * x + int(b[i])) % _MERSENNE
-        sig[i] = np.uint64(min(vals))
-    return sig
+    # one (n_perm × n_shingles) broadcast: min over wrapped products
+    vals = (shingles[None, :] ^ b[:, None]) * a[:, None]
+    return vals.min(axis=1)
 
 
 def minhash_signatures(sf_dir: str, n_perm: int = 32, k: int = 3):
@@ -198,13 +193,38 @@ def minhash_lsh_pairs(
             candidates.column("doc_b").to_pylist(),
         )
     }
-    # verification: fetch shingle sets for involved docs (small side)
-    needed = sorted({d for p in pairs for d in p})
-    docs = collect_table(_docs(sf_dir, ["doc_id", "text"]))
-    text_of = dict(
-        zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+    # verification: stream the corpus, shingling ONLY candidate docs
+    # (needed set broadcast once via ray.put; the driver receives just
+    # the candidates' shingle sets, never the full table)
+    needed_ref = ray.put(frozenset(d for p in pairs for d in p))
+
+    def shingles_of(batch: pa.Table) -> pa.Table:
+        needed_set = ray.get(needed_ref)
+        ids = batch.column("doc_id").to_pylist()
+        keep = [i for i, d in enumerate(ids) if d in needed_set]
+        texts = batch.column("text").take(pa.array(keep, pa.int64())).to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array([ids[i] for i in keep], pa.int64()),
+                "shingles": pa.array(
+                    [_shingle_hashes(t, k).tolist() for t in texts],
+                    pa.list_(pa.uint64()),
+                ),
+            }
+        )
+
+    sh_tbl = collect_table(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            shingles_of, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
-    sh = {d: set(_shingle_hashes(text_of[d], k).tolist()) for d in needed}
+    sh = {
+        d: set(s)
+        for d, s in zip(
+            sh_tbl.column("doc_id").to_pylist(),
+            sh_tbl.column("shingles").to_pylist(),
+        )
+    }
     a_out, b_out, jac = [], [], []
     for a, b in sorted(pairs):
         inter = len(sh[a] & sh[b])

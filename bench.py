@@ -349,7 +349,11 @@ def main() -> None:
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--sf-dir",
                    default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    p.add_argument("--scaling-lo", type=int, default=8)
+    p.add_argument("--scaling-lo", type=int, default=4,
+                   help="N for the N-vs-4N pair; hi = min(4*N, --cpus). "
+                        "Default 4 -> 16: the largest pair whose 4x ideal "
+                        "fits under this box's ~5.5k urls/s memory-bandwidth "
+                        "saturation point (see BASELINE.md)")
     p.add_argument("--repeats", type=int, default=2,
                    help="interleaved runs per level in --scaling (best kept)")
     p.add_argument("--mode", default="steady", choices=["steady", "bfs"])
@@ -359,7 +363,8 @@ def main() -> None:
         _crawl_once(args.sf_dir, args.cpus, args.mode)
         return
     if args.scaling:
-        out = run_scaling(args.sf_dir, args.scaling_lo, args.cpus, args.repeats)
+        hi = min(4 * args.scaling_lo, args.cpus)  # N vs 4N, capped by the box
+        out = run_scaling(args.sf_dir, args.scaling_lo, hi, args.repeats)
     else:
         out = run_bench(args.sf_dir, args.cpus)
     print(json.dumps(out))

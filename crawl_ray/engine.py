@@ -209,7 +209,11 @@ class CrawlEngine:
         wd.mkdir(parents=True, exist_ok=True)
 
         disallow, rates = _robots_maps(robots)
-        ShardActor = ray.remote(num_cpus=0.25)(AdmissionShard)
+        # num_cpus=0: shards are near-idle coordinators (brief batch RPCs
+        # during the admission phase only); reserving fractional CPUs
+        # permanently steals map-task slots — measured 25% of the
+        # scheduler at num_cpus=4 — and distorts N-vs-4N comparisons
+        ShardActor = ray.remote(num_cpus=0)(AdmissionShard)
         shards = [
             ShardActor.remote(disallow, rates, cfg.default_rate, cfg.default_burst)
             for _ in range(cfg.n_admission_shards)

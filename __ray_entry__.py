@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl engine (synthetic web; rows-only)
         "extract_text": CQ.extract_text_pipeline,
         "crawl_flagship": CQ.crawl_flagship,
+        "crawl_errors": CQ.crawl_errors,
+        "forms_extract": CQ.forms_extract,
     }
 
 
@@ -94,16 +96,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(cast(round(l_quantity * 100) as bigint)) AS sum_qty_cents,
-                   sum(cast(round(l_extendedprice * 100) as bigint)) AS sum_base_price_cents,
-                   sum(cast(round(l_discount * 100) as bigint)) AS sum_disc_cents,
+                   cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint) AS sum_qty_cents,
+                   cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint) AS sum_base_price_cents,
+                   cast(sum(cast(round(l_discount * 100) as bigint)) as bigint) AS sum_disc_cents,
                    count(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
         "revenue_filter": """
-            SELECT coalesce(sum(cast(round(l_extendedprice * l_discount * 100) as bigint)), 0)
+            SELECT cast(coalesce(sum(cast(round(l_extendedprice * l_discount * 100) as bigint)), 0) as bigint)
                        AS revenue_cents,
                    count(*) AS n_rows
             FROM lineitem
@@ -118,7 +120,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_per_nation": """
             SELECT n_name,
-                   sum(cast(round(o_totalprice * 100) as bigint)) AS revenue_cents,
+                   cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS revenue_cents,
                    count(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -127,14 +129,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_by_type": """
             SELECT event_type,
-                   sum(cast(round(value * 100) as bigint)) AS sum_value_cents,
+                   cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_value_cents,
                    count(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_hourly_window": """
             SELECT event_type,
                    (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
-                   sum(cast(round(value * 100) as bigint)) AS sum_value_cents,
+                   cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_value_cents,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,

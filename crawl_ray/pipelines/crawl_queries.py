@@ -21,7 +21,13 @@ from crawl_ray.fixtures import EPOCH_US, fixture_dir
 from crawl_ray.functions import html as H
 from crawl_ray.spiders import flagship_spider
 
-__all__ = ["extract_text_pipeline", "crawl_flagship", "fixture_size_for"]
+__all__ = [
+    "extract_text_pipeline",
+    "crawl_flagship",
+    "crawl_errors",
+    "forms_extract",
+    "fixture_size_for",
+]
 
 
 def fixture_size_for(sf_dir: str) -> int:
@@ -89,3 +95,79 @@ def crawl_flagship(sf_dir: str):
     else:
         records = records.select(["url", "depth", "fields"]).sort_by("url")
     return records
+
+
+def crawl_errors(sf_dir: str):
+    """The errors side-output (the reference's errors channel,
+    ``crawler.go:55-58``): badurl / expired / robots / handler rows from
+    the flagship crawl, sorted (error_kind, url)."""
+    n = fixture_size_for(sf_dir)
+    d = fixture_dir(n)
+    cfg = EngineConfig(
+        round_budget=max(200, n // 4),
+        max_rounds=12,
+        max_depth=5,
+        virtual_t0=EPOCH_US,
+        n_admission_shards=4,
+        extract_concurrency=4,
+    )
+    engine = CrawlEngine([flagship_spider], cfg)
+    workdir = f"/tmp/crawl_ray_runs/errors_n{n}"
+    seeds = pq.read_table(f"{d}/seeds.parquet")
+    robots = pq.read_table(f"{d}/robots.parquet")
+    try:
+        result = engine.run(f"{d}/pages.parquet", seeds, robots, workdir)
+        errors = result.errors_table()
+    finally:
+        engine.shutdown_shards()
+    if errors is None:
+        return pa.table(
+            {"error_kind": pa.array([], pa.string()),
+             "url": pa.array([], pa.string())}
+        )
+    return errors.select(["error_kind", "url"]).sort_by(
+        [("error_kind", "ascending"), ("url", "ascending")]
+    )
+
+
+def forms_extract(sf_dir: str):
+    """F10 form scraping as a distributed stage: parse each form page,
+    extract action + default values (``forms/forms.go`` semantics),
+    verify per row against the fixture's expected columns."""
+    import json as _json
+
+    from crawl_ray.fixtures import generate_form_pages
+    from crawl_ray.functions.forms import new_selector
+
+    base = pathlib.Path("/tmp/crawl_ray_fixtures/forms")
+    f = base / "forms.parquet"
+    if not f.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        pq.write_table(generate_form_pages(), f)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        expect_action = batch.column("expect_action").to_pylist()
+        expect_values = batch.column("expect_values").to_pylist()
+        actions, values_json, ok = [], [], []
+        for html, ea, ev in zip(htmls, expect_action, expect_values):
+            form = new_selector(parse_html(html), "#f")
+            actions.append(form.action)
+            vals = sorted((k, tuple(v)) for k, v in form.values.items())
+            values_json.append(
+                _json.dumps([[k, list(v)] for k, v in vals])
+            )
+            want = sorted((e["key"], tuple(e["vals"])) for e in ev)
+            ok.append(form.action == ea and vals == want)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "action": pa.array(actions, pa.string()),
+                "values": pa.array(values_json, pa.string()),
+                "forms_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return ray.data.read_parquet(str(f)).map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True
+    )

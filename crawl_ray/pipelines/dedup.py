@@ -82,13 +82,30 @@ def _minhash_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return a.astype(np.uint64), b.astype(np.uint64)
 
 
+_SHINGLE_PRIME = np.uint64(0x100000001B3)
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Unique k-token shingle hashes, fully vectorized: hash each token
+    once (FNV-1a), then combine each window of k token-hashes with a
+    polynomial mix — identical token sequences map to identical shingle
+    hashes, with no per-shingle string joins."""
     toks = text.split()
     if not toks:
         return np.zeros(1, dtype=np.uint64)
+    th = fnv1a64_batch(toks)
     if len(toks) < k:
-        return fnv1a64_batch([" ".join(toks)])
-    return np.unique(fnv1a64_batch([" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]))
+        h = np.uint64(0xCBF29CE484222325)
+        with np.errstate(over="ignore"):
+            for t in th:
+                h = (h ^ t) * _SHINGLE_PRIME
+        return np.array([h], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(th, k)
+    h = np.full(len(win), 0xCBF29CE484222325, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = (h ^ win[:, j]) * _SHINGLE_PRIME
+    return np.unique(h)
 
 
 def _signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -98,29 +115,26 @@ def _signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray
 
 
 def minhash_signatures(sf_dir: str, n_perm: int = 32, k: int = 3):
-    """MinHash signature per document (stateful params built once per
-    actor — ST6 pattern)."""
+    """MinHash signature per document.  Plain tasks (no actor pool): the
+    permutation params are a trivial derivation, and a bounded actor
+    pool would cap the parallelism of the sign stage — the hottest part
+    of the pipeline — at the pool size."""
 
-    class Signer:
-        def __init__(self) -> None:
-            self.a, self.b = _minhash_params(n_perm)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch.column("text").to_pylist()
-            sigs = [
-                _signature(_shingle_hashes(t, k), self.a, self.b) for t in texts
-            ]
-            return pa.table(
-                {
-                    "doc_id": batch.column("doc_id").cast(pa.int64()),
-                    "signature": pa.array(
-                        [s.tolist() for s in sigs], pa.list_(pa.uint64())
-                    ),
-                }
-            )
+    def sign(batch: pa.Table) -> pa.Table:
+        a, b = _minhash_params(n_perm)
+        texts = batch.column("text").to_pylist()
+        sigs = [_signature(_shingle_hashes(t, k), a, b) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "signature": pa.array(
+                    [s.tolist() for s in sigs], pa.list_(pa.uint64())
+                ),
+            }
+        )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Signer, batch_format="pyarrow", concurrency=(1, 4), batch_size=512
+        sign, batch_format="pyarrow", batch_size=256, zero_copy_batch=True
     )
 
 
@@ -141,19 +155,21 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(sf_dir, n_perm=n_perm, k=k)
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        signatures = batch.column("signature").to_pylist()
-        out_doc, out_bucket = [], []
-        for doc_id, sig in zip(doc_ids, signatures):
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = np.array(batch.column("signature").to_pylist(), dtype=np.uint64)
+        n = len(doc_ids)
+        buckets = np.empty((n, bands), dtype=np.uint64)
+        band_seeds = fnv1a64_batch([f"band:{b}" for b in range(bands)])
+        with np.errstate(over="ignore"):
             for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                key = fnv1a64_batch([f"{b}:" + ",".join(map(str, chunk))])[0]
-                out_doc.append(doc_id)
-                out_bucket.append(key)
+                h = np.full(n, band_seeds[b], dtype=np.uint64)
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band):
+                    h = (h ^ sigs[:, j]) * _SHINGLE_PRIME
+                buckets[:, b] = h
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "bucket": pa.array(np.array(out_bucket, dtype=np.uint64), pa.uint64()),
+                "doc_id": pa.array(np.repeat(doc_ids, bands), pa.int64()),
+                "bucket": pa.array(buckets.reshape(-1), pa.uint64()),
             }
         )
 

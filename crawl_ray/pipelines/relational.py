@@ -54,10 +54,14 @@ def partial_then_final_sum(
     keys: list[str],
     int_exprs: dict[str, "callable"],
     count_name: str | None = None,
-):
-    """Combiner pattern: per-batch Arrow group_by partial aggregation,
-    then a tiny groupby-sum shuffle over one partial row per key per
-    block (SURVEY.md §4.2 'push aggregation partial')."""
+) -> pa.Table:
+    """Combiner pattern: per-batch Arrow group_by partial aggregation in
+    parallel tasks, then the final combine over the partials **on the
+    driver** (SURVEY.md §4.2 'push aggregation partial').  The partials
+    are ≤ |keys| rows per block — collecting them is O(keys × blocks)
+    regardless of input size, so no shuffle runs at all (a Ray Data
+    groupby over the partials costs seconds of all-to-all fixed overhead
+    to combine a few hundred rows)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         cols = {k: batch.column(k) for k in keys}
@@ -73,12 +77,14 @@ def partial_then_final_sum(
         renames = {f"{name}_sum": name for name, _ in aggs}
         return out.rename_columns([renames.get(c, c) for c in out.column_names])
 
-    from ray.data.aggregate import Sum
-
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
     value_names = list(int_exprs) + ([count_name] if count_name else [])
-    agg = partials.groupby(keys).aggregate(*[Sum(v, alias_name=v) for v in value_names])
-    return agg
+    aggs = [(name, "sum") for name in value_names]
+    out = partials.group_by(keys).aggregate(aggs)
+    renames = {f"{name}_sum": name for name in value_names}
+    return out.rename_columns([renames.get(c, c) for c in out.column_names])
 
 
 def pricing_summary(sf_dir: str):
@@ -98,7 +104,7 @@ def pricing_summary(sf_dir: str):
         },
         count_name="count_order",
     )
-    return agg.sort(["l_returnflag", "l_linestatus"])
+    return agg.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
 
 
 def revenue_filter(sf_dir: str):
@@ -128,17 +134,17 @@ def revenue_filter(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Sum
-
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = partials.aggregate(
-        Sum("revenue_cents", alias_name="revenue_cents"),
-        Sum("n_rows", alias_name="n_rows"),
+    partials = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     )
     return pa.table(
         {
-            "revenue_cents": pa.array([out["revenue_cents"]], pa.int64()),
-            "n_rows": pa.array([out["n_rows"]], pa.int64()),
+            "revenue_cents": pa.array(
+                [pc.sum(partials.column("revenue_cents")).as_py() or 0], pa.int64()
+            ),
+            "n_rows": pa.array(
+                [pc.sum(partials.column("n_rows")).as_py() or 0], pa.int64()
+            ),
         }
     )
 
@@ -198,7 +204,7 @@ def orders_per_nation(sf_dir: str):
         annotated, ["n_name"], {"revenue_cents": lambda b: b.column("total_cents")},
         count_name="n_orders",
     )
-    return agg.sort("n_name")
+    return agg.sort_by("n_name")
 
 
 def events_by_type(sf_dir: str):
@@ -209,7 +215,7 @@ def events_by_type(sf_dir: str):
         {"sum_value_cents": lambda b: _cents(b.column("value"))},
         count_name="n_events",
     )
-    return agg.sort("event_type")
+    return agg.sort_by("event_type")
 
 
 def events_hourly_window(sf_dir: str):
@@ -235,7 +241,7 @@ def events_hourly_window(sf_dir: str):
         {"sum_value_cents": lambda b: b.column("value_cents")},
         count_name="n_events",
     )
-    return agg.sort(["event_type", "window_start"])
+    return agg.sort_by([("event_type", "ascending"), ("window_start", "ascending")])
 
 
 def top_order_per_segment(sf_dir: str):

@@ -1,0 +1,99 @@
+"""Dedup-family correctness on a corpus with planted duplicates:
+exact copies, near-copies (small token edits), and unrelated docs."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from crawl_ray.pipelines import dedup as DD
+from crawl_ray.urlnorm import fnv1a64
+
+
+def _base_text(i: int, n_tokens: int = 120) -> str:
+    return " ".join(f"tok{(fnv1a64(f'{i}:{j}') % 5000)}" for j in range(n_tokens))
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    """40 base docs; docs 100-104 are exact copies of 0-4; docs 200-204
+    are near-copies of 0-4 (3 tokens changed out of 120)."""
+    ids, texts = [], []
+    for i in range(40):
+        ids.append(i)
+        texts.append(_base_text(i))
+    for i in range(5):
+        ids.append(100 + i)
+        texts.append(_base_text(i))
+    for i in range(5):
+        toks = _base_text(i).split()
+        for j in (10, 50, 90):
+            toks[j] = f"edit{i}{j}"
+        ids.append(200 + i)
+        texts.append(" ".join(toks))
+    d = tmp_path_factory.mktemp("dedup_corpus")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_exact_dedup_groups_copies(corpus_dir, ray_session):
+    t = DD.exact_dedup(corpus_dir).to_pandas()
+    # 45 distinct texts (40 base + 5 near-copies); the 5 exact copies fold in
+    assert len(t) == 45
+    by_id = dict(zip(t["doc_id"], t["n_dups"]))
+    for i in range(5):
+        assert by_id[i] == 2  # base + exact copy, keeper = lowest doc_id
+    assert by_id[10] == 1
+
+
+def test_minhash_finds_planted_near_dups(corpus_dir, ray_session):
+    pairs = DD.minhash_lsh_pairs(corpus_dir, threshold=0.5)
+    got = set(zip(pairs.column("doc_a").to_pylist(),
+                  pairs.column("doc_b").to_pylist()))
+    for i in range(5):
+        assert (i, 100 + i) in got, f"exact copy pair ({i},{100+i}) missed"
+        assert (i, 200 + i) in got, f"near-dup pair ({i},{200+i}) missed"
+    # unrelated docs don't pair: every surviving pair is within one
+    # planted family {i, 100+i, 200+i}
+    for a, b in got:
+        assert a % 100 == b % 100, f"spurious pair ({a},{b})"
+
+
+def test_minhash_jaccard_values(corpus_dir, ray_session):
+    pairs = DD.minhash_lsh_pairs(corpus_dir, threshold=0.5)
+    jac = {
+        (a, b): j
+        for a, b, j in zip(
+            pairs.column("doc_a").to_pylist(),
+            pairs.column("doc_b").to_pylist(),
+            pairs.column("jaccard_milli").to_pylist(),
+        )
+    }
+    for i in range(5):
+        assert jac[(i, 100 + i)] == 1000  # identical shingle sets
+        assert 700 <= jac[(i, 200 + i)] < 1000  # 3/120 tokens edited
+
+
+def test_simhash_identical_for_copies(corpus_dir, ray_session):
+    t = DD.simhash_64(corpus_dir).to_pandas()
+    sh = dict(zip(t["doc_id"], t["simhash"]))
+    for i in range(5):
+        assert sh[i] == sh[100 + i]
+        ham = bin(int(sh[i]) ^ int(sh[200 + i])).count("1")
+        assert ham <= 12, f"near-dup hamming {ham} too large"
+    ham_far = bin(int(sh[7]) ^ int(sh[23])).count("1")
+    assert ham_far > 12
+
+
+def test_shingle_hashes_deterministic_and_orderfree():
+    h1 = DD._shingle_hashes("a b c d e f", 3)
+    h2 = DD._shingle_hashes("a b c d e f", 3)
+    assert np.array_equal(h1, h2)
+    # shared windows produce shared hashes across different docs
+    ha = set(DD._shingle_hashes("x y a b c", 3).tolist())
+    hb = set(DD._shingle_hashes("a b c q r", 3).tolist())
+    assert ha & hb  # the "a b c" shingle

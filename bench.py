@@ -141,6 +141,10 @@ def _steady_state_run(num_cpus: int, n_pages: int = 50_000,
         default_rate=1e9,
         default_burst=1 << 30,
         n_admission_shards=max(4, num_cpus // 4),
+        # this workload models the 10^10-URL regime where every round is
+        # huge: always take the distributed canonicalize path, never the
+        # driver-side small-round shortcut
+        small_round_threshold=0,
     )
     engine = CrawlEngine([flagship_spider], cfg)
     workdir = f"/tmp/crawl_ray_bench/steady_n{n_pages}_w{weight}"

@@ -6,16 +6,20 @@ becomes per-round Dataset pipelines (SURVEY.md §3.4):
     round K:  read frontier ∪ spill (Parquet)
               → canonicalize (map_batches; M1/M2)
               → [priority sort + budget split when over budget]  (O2)
-              → groupby(host).map_groups(admission)              (ST4/ST5)
+              → explicit hash partition by host shard → one batch
+                admission RPC per shard actor                    (ST4/ST5)
               → fetch join (J1) → ExtractActor pool (M6/M7, F1-F9)
               → links → round K+1 frontier; records/errors/trace sinks
               → snapshot shard state + atomic manifest            (§4.3)
 
 Scale notes (the 100 TB design points, tested here at fixture scale):
 
-* the only per-round shuffles are the host groupby and — only when the
-  pending frontier exceeds the round budget — one priority sort; both
-  are keyed exactly as the north star prescribes.
+* host partitioning is an explicit per-block split keyed
+  ``fnv1a64(host) % n_shards`` feeding one batch RPC per stateful
+  admission shard — co-partitioned with the shard-owned seen/token
+  state, so no all-to-all shuffle runs in the common path.  The only
+  per-round shuffle is the priority sort, and only when the pending
+  frontier exceeds the round budget.
 * every sink is per-round partitioned Parquet, so a killed run resumes
   at the last committed manifest without recomputing finished rounds.
 * the frontier never materializes outside the object store; the round
@@ -57,7 +61,7 @@ from crawl_ray.stages.extract import (
     make_fetch_fn,
 )
 from crawl_ray.state.admission import ADMIT, DEFER, DUP, ROBOTS, SEEN, AdmissionShard
-from crawl_ray.urlnorm import fnv1a64
+from crawl_ray.urlnorm import fnv1a64_batch
 
 __all__ = ["EngineConfig", "CrawlEngine", "CrawlRunResult"]
 
@@ -71,6 +75,11 @@ class EngineConfig(CrawlConfig):
     extract_concurrency: int = 4
     extract_batch_size: int = 256
     canonicalize_batch_size: int = 4096
+    # rounds at or below this many pending rows canonicalize + budget-split
+    # on the driver (one ray.put) instead of paying a Ray Data execution
+    # (~1.5 s fixed per round); large rounds — the 10^10 design point —
+    # stream through the distributed path
+    small_round_threshold: int = 65536
     page_store: str = "broadcast"  # "broadcast" | "bucketed"
     n_page_buckets: int = 64
     checkpoint_interval: int = 1  # snapshot state every N rounds
@@ -274,72 +283,69 @@ class CrawlEngine:
                 metrics[name] = round(now - t_phase, 3)
                 t_phase = now
 
-            # admission: ONE shuffle keyed by host; one shard RPC/group.
-            # Disposition-aware: bad-canon rows (badurl/expired) ride
-            # through the shuffle tagged BADCANON so the fused fast path
-            # below needs no separate live/bad split execution.
-            handles = shards
-            n_shards = len(shards)
-
-            def admission_fn(group: pa.Table) -> pa.Table:
-                if "disposition" in group.column_names:
-                    okm = pc.equal(group.column("disposition"), "ok")
-                    ok, bad = group.filter(okm), group.filter(pc.invert(okm))
-                else:  # slow path pre-filtered to ok rows
-                    ok, bad = group, group.slice(0, 0)
-                parts = []
-                if ok.num_rows:
-                    idx = pc.sort_indices(
-                        ok, sort_keys=[("order_key", "ascending")]
-                    )
-                    ok = ok.take(idx)
-                    host = ok.column("host")[0].as_py()
-                    hashes = ok.column("url_hash").to_numpy(zero_copy_only=False)
-                    paths = ok.column("path").to_pylist()
-                    shard = handles[fnv1a64(host) % n_shards]
-                    disp = ray.get(shard.admit.remote(host, hashes, paths, rnd))
-                    parts.append(
-                        ok.append_column("admit", pa.array(disp, pa.int8()))
-                    )
-                if bad.num_rows:
-                    parts.append(
-                        bad.append_column(
-                            "admit",
-                            pa.array([BADCANON] * bad.num_rows, pa.int8()),
-                        )
-                    )
-                if not parts:
-                    return group.append_column("admit", pa.array([], pa.int8()))
-                return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
-
             # frontier size from parquet metadata — no execution needed
             pending_meta = sum(
                 pq.read_metadata(f).num_rows for f in frontier_files
             )
-            canon = ray.data.read_parquet(frontier_files).map_batches(
-                canonicalize_batch,
-                fn_kwargs={"now_us": now_us},
-                batch_format="pyarrow",
-                batch_size=cfg.canonicalize_batch_size,
-                zero_copy_batch=True,
-            )
-
-            if pending_meta <= cfg.round_budget:
-                # FAST PATH (common): n_live ≤ pending ≤ budget ⇒ the
-                # priority split can never trigger, so canonicalize +
-                # host shuffle + admission fuse into ONE execution.
-                admission = (
-                    canon.groupby("host")
-                    .map_groups(admission_fn, batch_format="pyarrow")
-                    .materialize()
+            n_shards = len(shards)
+            if pending_meta <= cfg.small_round_threshold:
+                # SMALL ROUND: canonicalize + budget split inline on the
+                # driver — one ray.put instead of a Dataset execution.
+                tbl = pa.concat_tables(
+                    [pq.read_table(f) for f in frontier_files],
+                    promote_options="default",
                 )
+                tbl = canonicalize_batch(tbl, now_us=now_us)
                 _lap("t_canon")
+                okm = pc.equal(tbl.column("disposition"), "ok")
+                live_tbl = tbl.filter(okm)
+                bad_tbl = tbl.filter(pc.invert(okm))
+                if bad_tbl.num_rows:
+                    err = _union_to_errors_from_canon([bad_tbl])
+                    _write(err, round_dir / "errors", "canon.parquet")
+                    result.errors += err.num_rows
+                if live_tbl.num_rows == 0:
+                    metrics["pending"] = 0
+                    self._finish_round(shards, round_dir, metrics, result, rnd)
+                    continue
+                if live_tbl.num_rows > cfg.round_budget:
+                    live_tbl = live_tbl.sort_by("order_key")
+                    spill_tbl = live_tbl.slice(cfg.round_budget).select(
+                        FRONTIER_SCHEMA.names
+                    )
+                    _write(spill_tbl, wd / f"round={rnd + 1}" / "spill",
+                           "overflow.parquet")
+                    metrics["overflow_deferred"] = spill_tbl.num_rows
+                    live_tbl = live_tbl.slice(0, cfg.round_budget)
+                live_block_refs = [ray.put(live_tbl)]
+            elif pending_meta <= cfg.round_budget:
+                # FAST PATH: the priority split can never trigger;
+                # blocks go straight to shard partitioning.
+                canon = ray.data.read_parquet(frontier_files).map_batches(
+                    canonicalize_batch,
+                    fn_kwargs={"now_us": now_us},
+                    batch_format="pyarrow",
+                    batch_size=cfg.canonicalize_batch_size,
+                    zero_copy_batch=True,
+                )
+                mat = canon.materialize()  # one execution, NO shuffle
+                _lap("t_canon")
+                live_block_refs = list(mat.to_arrow_refs())
             else:
-                # SLOW PATH: materialize canonicalized rows, count the
-                # live side, then O2 priority sort + budget split.
-                ds = canon.materialize()
+                # SLOW PATH (big over-budget round): count the live
+                # side, then O2 priority sort + budget split before
+                # admission.
+                canon = ray.data.read_parquet(frontier_files).map_batches(
+                    canonicalize_batch,
+                    fn_kwargs={"now_us": now_us},
+                    batch_format="pyarrow",
+                    batch_size=cfg.canonicalize_batch_size,
+                    zero_copy_batch=True,
+                )
+                mat = canon.materialize()
+                _lap("t_canon")
                 live_refs, bad_refs, n_refs = [], [], []
-                for ref in ds.to_arrow_refs():
+                for ref in mat.to_arrow_refs():
                     l_ref, b_ref, n_ref = _split_canon.remote(ref)
                     live_refs.append(l_ref)
                     bad_refs.append(b_ref)
@@ -352,7 +358,6 @@ class CrawlEngine:
                     result.errors += err.num_rows
 
                 n_live = int(sum(live_counts))
-                _lap("t_canon")
                 if n_live == 0:
                     metrics["pending"] = 0
                     self._finish_round(shards, round_dir, metrics, result, rnd)
@@ -368,19 +373,34 @@ class CrawlEngine:
                     _write(spill_tbl, wd / f"round={rnd + 1}" / "spill", "overflow.parquet")
                     metrics["overflow_deferred"] = spill_tbl.num_rows
                     live = head
+                live_block_refs = list(live.to_arrow_refs())
 
-                admission = (
-                    live.groupby("host")
-                    .map_groups(admission_fn, batch_format="pyarrow")
-                    .materialize()
+            # Admission: explicit hash partition by host shard — each
+            # block is split into per-shard sub-tables (plus bad-canon
+            # rows) by a parallel task, then each shard gets ONE batch
+            # RPC covering all of its hosts.  No groupby shuffle: the
+            # per-host map_groups version cost ~3 s/round of fixed
+            # all-to-all overhead regardless of round size.
+            part_refs = [
+                _shard_partition.options(num_returns=n_shards + 1).remote(
+                    ref, n_shards
                 )
+                for ref in live_block_refs
+            ]
+            admission_refs = [
+                shards[s].admit_table.remote(
+                    rnd, *[pr[s] for pr in part_refs]
+                )
+                for s in range(n_shards)
+            ]
+            admission_refs.extend(pr[n_shards] for pr in part_refs)  # bad rows
 
             # One pass of split tasks: deferred spill written task-side
             # (never concatenated on the driver — it can be frontier-sized);
             # admitted stays in the object store as block refs.
             spill_dir = wd / f"round={rnd + 1}" / "spill"
             admitted_refs, rest_refs = [], []
-            for i, ref in enumerate(admission.to_arrow_refs()):
+            for i, ref in enumerate(admission_refs):
                 a_ref, r_ref = _split_admission.remote(ref, str(spill_dir), i)
                 admitted_refs.append(a_ref)
                 rest_refs.append(r_ref)
@@ -567,6 +587,30 @@ def _fetch_extract_task(
 # block instead of one Dataset execution per category — the categories are
 # disjoint filters, so a single pass suffices and the driver only ever
 # receives the small/bounded sides (counts, trace, robots errors, records).
+
+
+@ray.remote
+def _shard_partition(t: pa.Table, n_shards: int):
+    """Split one canonicalized block into per-shard live sub-tables
+    (``fnv1a64(host) % n_shards`` — the same key the shards own) plus
+    the bad-canon rows tagged BADCANON.  Returns ``n_shards + 1``
+    tables via ``num_returns`` (set at call time)."""
+    if t.num_rows == 0 or "disposition" not in t.column_names:
+        empty = t.slice(0, 0)
+        return tuple([empty] * (n_shards + 1))
+    okm = pc.equal(t.column("disposition"), "ok")
+    live = t.filter(okm)
+    bad = t.filter(pc.invert(okm))
+    if bad.num_rows:
+        bad = bad.append_column(
+            "admit", pa.array([BADCANON] * bad.num_rows, pa.int8())
+        )
+    shard_ids = fnv1a64_batch(live.column("host")) % np.uint64(n_shards)
+    parts = [
+        live.filter(pa.array(shard_ids == np.uint64(s)))
+        for s in range(n_shards)
+    ]
+    return (*parts, bad)
 
 
 @ray.remote(num_returns=3)

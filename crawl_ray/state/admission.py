@@ -4,9 +4,9 @@ One :class:`AdmissionShard` owns a slice of the host space
 (``fnv1a64(host) % n_shards``), holding BOTH the seen-set entries and
 the token-bucket state for its hosts (SURVEY.md §2.4 ST4/ST5).  Keying
 the seen set by host (rather than by url hash) co-locates all state one
-frontier host-group needs, so the admission ``map_groups`` task makes
-exactly **one** actor RPC per host per round — no fan-out to every
-seen shard.
+frontier host-group needs, so the engine makes exactly **one** batch
+actor RPC per shard per round (:meth:`admit_table`) — no fan-out to
+every seen shard, no per-host RPCs, no groupby shuffle.
 
 Trade-off, documented: a single enormous host concentrates its seen
 entries on one shard.  Mitigation at 10^10 scale: promote such hosts to
@@ -116,6 +116,45 @@ class AdmissionShard:
             self.seen.add(url_hashes[admitted])
         # remaining candidates stay DEFER
         return out
+
+    def admit_table(self, rnd: int, *tables):
+        """Batch admission for ALL of this shard's hosts in one RPC.
+
+        ``tables`` are the per-block sub-tables routed to this shard
+        (``fnv1a64(host) % n_shards``).  Rows are sorted (host,
+        order_key) so each host's run is processed in canonical order —
+        identical per-host semantics to per-host :meth:`admit` calls,
+        with one RPC per shard per round instead of one per host (the
+        per-host ``groupby.map_groups`` shuffle cost ~3 s/round of
+        fixed overhead regardless of round size).
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tables = list(tables)
+        if not tables:
+            return None
+        t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+        if t.num_rows == 0:
+            return t.slice(0, 0)
+        t = t.combine_chunks()
+        idx = pc.sort_indices(
+            t, sort_keys=[("host", "ascending"), ("order_key", "ascending")]
+        )
+        t = t.take(idx)
+        hosts = t.column("host").to_pylist()
+        hashes = t.column("url_hash").to_numpy(zero_copy_only=False)
+        paths = t.column("path").to_pylist()
+        n = len(hosts)
+        out = np.empty(n, dtype=np.int8)
+        start = 0
+        for i in range(1, n + 1):
+            if i == n or hosts[i] != hosts[start]:
+                out[start:i] = self.admit(
+                    hosts[start], hashes[start:i], paths[start:i], rnd
+                )
+                start = i
+        return t.append_column("admit", pa.array(out, pa.int8()))
 
     # -- introspection / checkpoint ----------------------------------
     def seen_count(self) -> int:

@@ -115,6 +115,37 @@ def test_no_url_crawled_twice(engine_run):
     assert len(urls) == len(set(urls))
 
 
+def test_distributed_path_equals_simulator(
+    fixture_tables, sim_result, ray_session, tmp_path_factory
+):
+    """Force the distributed canonicalize paths (small_round_threshold=0
+    → Ray Data execution every round; round_budget < pending in later
+    rounds → the priority-sort slow path) and re-check trace equality —
+    the small fixtures otherwise exercise only the driver-side small
+    round shortcut."""
+    pages, seeds, robots, pages_path = fixture_tables
+    cfg = EngineConfig(
+        **CFG,
+        n_admission_shards=3,
+        extract_concurrency=2,
+        extract_batch_size=64,
+        small_round_threshold=0,
+    )
+    engine = CrawlEngine([flagship_spider], cfg)
+    workdir = str(tmp_path_factory.mktemp("dist"))
+    result = engine.run(pages_path, seeds, robots, workdir)
+    engine.shutdown_shards()
+    trace = result.trace_table()
+    rows = sorted(
+        zip(
+            trace.column("round").to_pylist(),
+            trace.column("order_key").to_pylist(),
+            trace.column("url").to_pylist(),
+        )
+    )
+    assert [(r, u) for r, _, u in rows] == sim_result.trace
+
+
 def test_resume_equals_uninterrupted(fixture_tables, ray_session, tmp_path_factory):
     """Kill after round 3 commit; resume; outputs must equal a straight
     run byte-for-byte (manifest idempotency, SURVEY §5.2.3)."""

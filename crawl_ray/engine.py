@@ -243,6 +243,22 @@ class CrawlEngine:
             if committed is not None:
                 self._restore(shards, wd / f"round={committed}")
                 start_round = committed + 1
+                # A mid-round kill leaves partial task-side files from
+                # the uncommitted round: its own outputs under
+                # round=start_round/ and next-round frontier/spill parts
+                # under round=start_round+1/.  The manifest is the ONLY
+                # commit point — everything past it is garbage and must
+                # go, or the re-run double-counts stale parts.
+                for d in wd.glob("round=*"):
+                    k = int(d.name.split("=")[1])
+                    if k > start_round:
+                        shutil.rmtree(d)
+                    elif k == start_round:
+                        # keep frontier+spill (written & committed by
+                        # round `committed`); drop partial outputs
+                        for sub in ("trace", "records", "errors", "state"):
+                            shutil.rmtree(d / sub, ignore_errors=True)
+                        (d / "metrics.json").unlink(missing_ok=True)
         if start_round == 0:
             if seeds is None:
                 raise ValueError("seeds required for a fresh run")

@@ -115,6 +115,63 @@ def test_no_url_crawled_twice(engine_run):
     assert len(urls) == len(set(urls))
 
 
+def test_resume_after_mid_round_kill(fixture_tables, ray_session, tmp_path_factory):
+    """A kill MID-round leaves partial task-side files: the dying
+    round's own outputs (trace/records/errors) and partial next-round
+    frontier parts — all uncommitted (no manifest).  Resume must discard
+    them and reproduce the uninterrupted run exactly."""
+    import pyarrow.parquet as pq_
+
+    pages, seeds, robots, pages_path = fixture_tables
+
+    def make_engine(max_rounds):
+        cfg = EngineConfig(
+            **{**CFG, "max_rounds": max_rounds},
+            n_admission_shards=2,
+            extract_concurrency=2,
+        )
+        return CrawlEngine([flagship_spider], cfg)
+
+    wd_full = str(tmp_path_factory.mktemp("mfull"))
+    e_full = make_engine(CFG["max_rounds"])
+    r_full = e_full.run(pages_path, seeds, robots, wd_full)
+    seen_full = set(e_full.dump_seen().tolist())
+    e_full.shutdown_shards()
+
+    # run 3 committed rounds, then fake a mid-round-4 kill: partial
+    # outputs in round=4 and stale frontier parts in round=5
+    wd = pathlib.Path(str(tmp_path_factory.mktemp("mpart")))
+    e_part = make_engine(3)
+    e_part.run(pages_path, seeds, robots, str(wd))
+    e_part.shutdown_shards()
+
+    garbage = pa.table({"url": pa.array(["http://stale.example/x"]),
+                        "order_key": pa.array([b"\x00"], pa.binary()),
+                        "depth": pa.array([0], pa.int32())})
+    (wd / "round=4" / "trace").mkdir(parents=True, exist_ok=True)
+    pq_.write_table(garbage, wd / "round=4" / "trace" / "part-0.parquet")
+    (wd / "round=5" / "frontier").mkdir(parents=True, exist_ok=True)
+    src = next((wd / "round=4" / "frontier").glob("*.parquet"))
+    pq_.write_table(
+        pq_.read_table(str(src)),
+        wd / "round=5" / "frontier" / "links-99.parquet",
+    )
+
+    e_res = make_engine(CFG["max_rounds"])
+    r_res = e_res.run(pages_path, None, robots, str(wd), resume=True)
+    seen_res = set(e_res.dump_seen().tolist())
+    e_res.shutdown_shards()
+
+    for getter in ("trace_table", "records_table"):
+        t_full = getattr(r_full, getter)()
+        t_res = getattr(r_res, getter)()
+        cols = ["url"] + (["order_key"] if getter == "trace_table" else ["fields"])
+        full_rows = sorted(zip(*(t_full.column(c).to_pylist() for c in cols)))
+        res_rows = sorted(zip(*(t_res.column(c).to_pylist() for c in cols)))
+        assert full_rows == res_rows, getter
+    assert seen_res == seen_full
+
+
 def test_distributed_path_equals_simulator(
     fixture_tables, sim_result, ray_session, tmp_path_factory
 ):

@@ -213,7 +213,14 @@ class CrawlEngine:
     ) -> CrawlRunResult:
         cfg = self.cfg
         wd = pathlib.Path(workdir)
-        if not resume and wd.exists():
+        # a workdir seeded via the `seed` CLI (round-0 frontier present,
+        # no seeds table passed) is input, not stale state — keep it
+        pre_seeded = (
+            seeds is None
+            and not resume
+            and any((wd / "round=0" / "frontier").glob("*.parquet"))
+        )
+        if not resume and wd.exists() and not pre_seeded:
             shutil.rmtree(wd)
         wd.mkdir(parents=True, exist_ok=True)
 
@@ -260,11 +267,25 @@ class CrawlEngine:
                             shutil.rmtree(d / sub, ignore_errors=True)
                         (d / "metrics.json").unlink(missing_ok=True)
         if start_round == 0:
-            if seeds is None:
-                raise ValueError("seeds required for a fresh run")
-            for stale in wd.glob("round=*"):
-                shutil.rmtree(stale)
-            self.write_seeds(seeds, workdir)
+            if seeds is None and not pre_seeded:
+                raise ValueError(
+                    "seeds required for a fresh run (or seed the workdir "
+                    "first with the `seed` CLI)"
+                )
+            if seeds is not None:
+                for stale in wd.glob("round=*"):
+                    shutil.rmtree(stale)
+                self.write_seeds(seeds, workdir)
+            else:
+                # pre-seeded: keep round-0 frontier, drop any stale
+                # later rounds / outputs from a previous run
+                for d in wd.glob("round=*"):
+                    if int(d.name.split("=")[1]) > 0:
+                        shutil.rmtree(d)
+                for sub in ("trace", "records", "errors", "state", "spill"):
+                    shutil.rmtree(wd / "round=0" / sub, ignore_errors=True)
+                (wd / "round=0" / "metrics.json").unlink(missing_ok=True)
+                (wd / "round=0" / "manifest.json").unlink(missing_ok=True)
 
         result = CrawlRunResult(workdir=workdir)
         result.rounds = start_round

@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": CQ.extract_text_pipeline,
         "crawl_flagship": CQ.crawl_flagship,
         "crawl_errors": CQ.crawl_errors,
+        "crawl_metrics": CQ.crawl_metrics,
+        "crawl_host_stats": CQ.crawl_host_stats,
         "forms_extract": CQ.forms_extract,
     }
 

@@ -25,9 +25,41 @@ __all__ = [
     "extract_text_pipeline",
     "crawl_flagship",
     "crawl_errors",
+    "crawl_metrics",
+    "crawl_host_stats",
     "forms_extract",
     "fixture_size_for",
 ]
+
+# one flagship run per fixture size per process: the flagship/errors/
+# metrics/host-stats queries are different views of the same crawl
+_RUN_CACHE: dict[int, object] = {}
+
+
+def _run_flagship_cached(sf_dir: str):
+    n = fixture_size_for(sf_dir)
+    cached = _RUN_CACHE.get(n)
+    if cached is not None:
+        return cached
+    d = fixture_dir(n)
+    cfg = EngineConfig(
+        round_budget=max(200, n // 4),
+        max_rounds=12,
+        max_depth=5,
+        virtual_t0=EPOCH_US,
+        n_admission_shards=4,
+        extract_concurrency=4,
+    )
+    engine = CrawlEngine([flagship_spider], cfg)
+    workdir = f"/tmp/crawl_ray_runs/flagship_n{n}"
+    seeds = pq.read_table(f"{d}/seeds.parquet")
+    robots = pq.read_table(f"{d}/robots.parquet")
+    try:
+        result = engine.run(f"{d}/pages.parquet", seeds, robots, workdir)
+    finally:
+        engine.shutdown_shards()
+    _RUN_CACHE[n] = result
+    return result
 
 
 def fixture_size_for(sf_dir: str) -> int:
@@ -68,25 +100,7 @@ def extract_text_pipeline(sf_dir: str):
 def crawl_flagship(sf_dir: str):
     """Full frontier crawl over the fixture web; returns the records
     table (url, depth, fields-json) sorted by url."""
-    n = fixture_size_for(sf_dir)
-    d = fixture_dir(n)
-    cfg = EngineConfig(
-        round_budget=max(200, n // 4),
-        max_rounds=12,
-        max_depth=5,
-        virtual_t0=EPOCH_US,
-        n_admission_shards=4,
-        extract_concurrency=4,
-    )
-    engine = CrawlEngine([flagship_spider], cfg)
-    workdir = f"/tmp/crawl_ray_runs/flagship_n{n}"
-    seeds = pq.read_table(f"{d}/seeds.parquet")
-    robots = pq.read_table(f"{d}/robots.parquet")
-    try:
-        result = engine.run(f"{d}/pages.parquet", seeds, robots, workdir)
-        records = result.records_table()
-    finally:
-        engine.shutdown_shards()
+    records = _run_flagship_cached(sf_dir).records_table()
     if records is None:
         records = pa.table(
             {"url": pa.array([], pa.string()), "depth": pa.array([], pa.int32()),
@@ -101,25 +115,7 @@ def crawl_errors(sf_dir: str):
     """The errors side-output (the reference's errors channel,
     ``crawler.go:55-58``): badurl / expired / robots / handler rows from
     the flagship crawl, sorted (error_kind, url)."""
-    n = fixture_size_for(sf_dir)
-    d = fixture_dir(n)
-    cfg = EngineConfig(
-        round_budget=max(200, n // 4),
-        max_rounds=12,
-        max_depth=5,
-        virtual_t0=EPOCH_US,
-        n_admission_shards=4,
-        extract_concurrency=4,
-    )
-    engine = CrawlEngine([flagship_spider], cfg)
-    workdir = f"/tmp/crawl_ray_runs/errors_n{n}"
-    seeds = pq.read_table(f"{d}/seeds.parquet")
-    robots = pq.read_table(f"{d}/robots.parquet")
-    try:
-        result = engine.run(f"{d}/pages.parquet", seeds, robots, workdir)
-        errors = result.errors_table()
-    finally:
-        engine.shutdown_shards()
+    errors = _run_flagship_cached(sf_dir).errors_table()
     if errors is None:
         return pa.table(
             {"error_kind": pa.array([], pa.string()),
@@ -128,6 +124,71 @@ def crawl_errors(sf_dir: str):
     return errors.select(["error_kind", "url"]).sort_by(
         [("error_kind", "ascending"), ("url", "ascending")]
     )
+
+
+def crawl_metrics(sf_dir: str):
+    """Per-round lineage metrics (A1): one row per committed round —
+    pending/admitted/dedup/deferred/records/links counts, read from the
+    round manifests the checkpoint protocol writes."""
+    result = _run_flagship_cached(sf_dir)
+    rows = [m for m in result.metrics if m.get("round", -1) >= 0]
+    cols = ["round", "pending", "admitted", "dup_dropped", "seen_dropped",
+            "deferred", "records", "links"]
+    return pa.table(
+        {c: pa.array([int(m.get(c, 0)) for m in rows], pa.int64())
+         for c in cols}
+    )
+
+
+_HOST_RENAMES = {"n_fetched_sum": "n_fetched", "first_round_min": "first_round"}
+
+
+def crawl_host_stats(sf_dir: str):
+    """Per-host crawl stats (A2 — the skew/salting-decision input):
+    fetched count + first round per host, aggregated from the trace
+    with the partial-combine pattern (per-block Arrow group_by in
+    parallel tasks, tiny final combine on the driver)."""
+    from urllib.parse import urlsplit
+
+    result = _run_flagship_cached(sf_dir)
+    files = sorted(
+        str(f)
+        for f in pathlib.Path(result.workdir).glob("round=*/trace/*.parquet")
+    )
+    if not files:
+        return pa.table(
+            {"host": pa.array([], pa.string()),
+             "n_fetched": pa.array([], pa.int64()),
+             "first_round": pa.array([], pa.int64())}
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = [urlsplit(u).netloc for u in batch.column("url").to_pylist()]
+        t = pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_fetched": pa.array([1] * len(hosts), pa.int64()),
+                "first_round": batch.column("round").cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["host"]).aggregate(
+            [("n_fetched", "sum"), ("first_round", "min")]
+        )
+        return g.rename_columns([_HOST_RENAMES.get(c, c) for c in g.column_names])
+
+    parts = ray.data.read_parquet(files).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    import pyarrow.compute as pc_  # noqa: F401
+
+    from crawl_ray.util import collect_table
+
+    t = collect_table(parts)
+    out = t.group_by(["host"]).aggregate(
+        [("n_fetched", "sum"), ("first_round", "min")]
+    )
+    out = out.rename_columns([_HOST_RENAMES.get(c, c) for c in out.column_names])
+    return out.select(["host", "n_fetched", "first_round"]).sort_by("host")
 
 
 def forms_extract(sf_dir: str):

@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": DD.simhash_64,
         "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
         "embedding_near_dup": DD.embedding_near_dup,
+        "embedding_near_dup_exact": DD.embedding_near_dup_exact,
         # similarity search
         "knn_brute": SIM.knn_brute,
         "knn_ivf": SIM.knn_ivf,
@@ -194,6 +195,15 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "embedding_near_dup_exact": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   cast(round(list_cosine_similarity(a.embedding, b.embedding) * 1000)
+                        as bigint) AS cos_milli
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE cast(round(list_cosine_similarity(a.embedding, b.embedding) * 1000)
+                       as bigint) >= 450
+            ORDER BY vec_a, vec_b
         """,
         "knn_brute": """
             WITH q AS (

@@ -37,6 +37,7 @@ __all__ = [
     "simhash_64",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
+    "embedding_near_dup_exact",
 ]
 
 
@@ -294,6 +295,52 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.3):
     """Exact n-gram Jaccard near-dup pairs (LSH-bucketed candidates,
     lower threshold)."""
     return minhash_lsh_pairs(sf_dir, n_perm=32, k=k, bands=16, threshold=threshold)
+
+
+def embedding_near_dup_exact(sf_dir: str, threshold_milli: int = 450):
+    """Exact cosine near-dup pairs: per-batch rows × broadcast full
+    unit matrix (one ``ray.put``), emitting pairs ``vec_a < vec_b``
+    above the threshold.  SQL-oracle-checkable (all-pairs ground truth);
+    the sign-LSH variant below is the recall-traded scale path."""
+    import pyarrow.parquet as pq_
+
+    full = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids_full = full.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(full.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit_full = mat / norms[:, None]
+    state = ray.put((ids_full, unit_full))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_f, unit_f = ray.get(state)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bmat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bn = np.linalg.norm(bmat, axis=1)
+        bn[bn == 0] = 1.0
+        cos = (bmat / bn[:, None]) @ unit_f.T
+        milli = (np.sign(cos) * np.floor(np.abs(cos) * 1000 + 0.5)).astype(np.int64)
+        keep = (milli >= threshold_milli) & (bids[:, None] < ids_f[None, :])
+        bi, fj = np.nonzero(keep)
+        return pa.table(
+            {
+                "vec_a": pa.array(bids[bi], pa.int64()),
+                "vec_b": pa.array(ids_f[fj], pa.int64()),
+                "cos_milli": pa.array(milli[bi, fj], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    from crawl_ray.util import collect_table
+
+    out = collect_table(
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
 def embedding_near_dup(sf_dir: str, threshold_milli: int = 950):

@@ -194,18 +194,145 @@ class _TreeBuilder(HTMLParser):
         parent.children.append(Node("#text", parent=parent, data=data))
 
 
+# -- fast tokenizer ---------------------------------------------------------
+# A direct regex scan over the well-formed HTML5 subset, ~3x faster than
+# html.parser's incremental feed machinery.  Any construct it does not
+# recognize aborts to the html.parser-based _TreeBuilder, so semantics
+# never silently diverge; equivalence is locked by tests/test_dom.py and
+# the corpus-wide byte-identical-text checks.
+
+_RAW_TEXT = frozenset({"script", "style"})  # html.parser CDATA elements
+
+_STARTTAG_RE = re.compile(
+    r"<([a-zA-Z][-\w:.]*)"
+    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
+    r"\s*(/?)>"
+)
+_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-\w:.]*)\s*>")
+_ATTR_RE = re.compile(
+    r"([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+_RAW_END_RE = {
+    name: re.compile(rf"</\s*{name}\s*>", re.IGNORECASE) for name in _RAW_TEXT
+}
+
+
+def _fast_parse(html: str) -> Node | None:
+    """One-pass tokenizer; returns the root, or None to request the
+    html.parser fallback."""
+    from html import unescape
+
+    root = Node("#document")
+    stack = [root]
+
+    def add_text(data: str) -> None:
+        parent = stack[-1]
+        parent.children.append(Node("#text", parent=parent, data=data))
+
+    def open_tag(name: str, attrs: dict, push: bool) -> None:
+        closes = _AUTOCLOSE.get(name)
+        if closes:
+            while len(stack) > 1 and stack[-1].tag in closes:
+                stack.pop()
+        node = Node(name, attrs, parent=stack[-1])
+        stack[-1].children.append(node)
+        if push:
+            stack.append(node)
+
+    pos = 0
+    n = len(html)
+    while pos < n:
+        lt = html.find("<", pos)
+        if lt < 0:
+            if pos < n:
+                data = html[pos:]
+                add_text(unescape(data) if "&" in data else data)
+            break
+        if lt > pos:
+            data = html[pos:lt]
+            add_text(unescape(data) if "&" in data else data)
+        nxt = html[lt + 1 : lt + 2]
+        if nxt.isalpha():
+            m = _STARTTAG_RE.match(html, lt)
+            if m is None:
+                return None
+            name = m.group(1).lower()
+            attrs: dict[str, str] = {}
+            if m.group(2):
+                for am in _ATTR_RE.finditer(m.group(2)):
+                    k = am.group(1).lower()
+                    if k in attrs:  # net/html keeps the FIRST duplicate
+                        continue
+                    v = am.group(2)
+                    if v is None:
+                        v = am.group(3)
+                    if v is None:
+                        v = am.group(4)
+                    if v is None:
+                        v = ""
+                    attrs[k] = unescape(v) if "&" in v else v
+            self_closing = bool(m.group(3))
+            pos = m.end()
+            if name in _RAW_TEXT and not self_closing:
+                open_tag(name, attrs, push=True)
+                em = _RAW_END_RE[name].search(html, pos)
+                if em is None:
+                    return None  # unterminated raw text: punt
+                if em.start() > pos:
+                    add_text(html[pos : em.start()])  # raw: NO unescape
+                stack.pop()
+                pos = em.end()
+            else:
+                open_tag(name, attrs, push=not self_closing and name not in _VOID)
+        elif nxt == "/":
+            m = _ENDTAG_RE.match(html, lt)
+            if m is None:
+                return None
+            name = m.group(1).lower()
+            if name not in _VOID:
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].tag == name:
+                        del stack[i:]
+                        break
+            pos = m.end()
+        elif nxt == "!":
+            if html.startswith("<!--", lt):
+                end = html.find("-->", lt + 4)
+                if end < 0:
+                    return None
+                pos = end + 3
+            else:
+                end = html.find(">", lt)
+                if end < 0:
+                    return None
+                pos = end + 1
+        elif nxt == "?":
+            end = html.find(">", lt)
+            if end < 0:
+                return None
+            pos = end + 1
+        else:
+            # bare '<' not opening a construct: html.parser emits it as data
+            add_text("<")
+            pos = lt + 1
+    return root
+
+
 def parse_html(html: bytes | str) -> Node:
     """Parse HTML into a DOM tree; returns the ``#document`` root.
 
     Bytes are decoded as UTF-8 (errors replaced) — the reference buffers
     raw body bytes and hands them to the parser the same way
-    (``response.go:23-30``)."""
+    (``response.go:23-30``).  Uses the fast tokenizer; falls back to the
+    html.parser-based builder on anything it does not recognize."""
     if isinstance(html, bytes):
         html = html.decode("utf-8", errors="replace")
-    builder = _TreeBuilder()
-    builder.feed(html)
-    builder.close()
-    root = builder.root
+    root = _fast_parse(html)
+    if root is None:
+        builder = _TreeBuilder()
+        builder.feed(html)
+        builder.close()
+        root = builder.root
     order = 0
     stack = [root]
     while stack:
@@ -427,14 +554,43 @@ def find(anchors: Node | list[Node], selector: str | Selector) -> list[Node]:
         selector = compile_selector(selector)
     if isinstance(anchors, Node):
         anchors = [anchors]
+
+    # fast path for the overwhelmingly common single-compound selectors
+    # (``a``, ``title``, ``span[data-price]``): match inline during one
+    # explicit-stack walk, no generator recursion, no chain walk
+    fast = None
+    if len(selector.groups) == 1 and len(selector.groups[0]) == 1:
+        compound = selector.groups[0][0][1]
+        tag = compound.tag if compound.tag != "*" else None
+        preds = compound.preds
+        fast = (tag, preds)
+
     seen: set[int] = set()
     out: list[Node] = []
     for anchor in anchors:
-        for node in anchor.iter_elements():
-            if id(node) in seen:
+        stack = [iter(anchor.children)]
+        while stack:
+            try:
+                node = next(stack[-1])
+            except StopIteration:
+                stack.pop()
                 continue
-            if selector.matches(node):
-                seen.add(id(node))
-                out.append(node)
+            tag_ = node.tag
+            if tag_[0] == "#":  # text node; no element children
+                continue
+            if fast is not None:
+                ftag, preds = fast
+                if (ftag is None or tag_ == ftag) and (
+                    not preds or all(p(node) for p in preds)
+                ):
+                    if id(node) not in seen:
+                        seen.add(id(node))
+                        out.append(node)
+            elif selector.matches(node):
+                if id(node) not in seen:
+                    seen.add(id(node))
+                    out.append(node)
+            if node.children:
+                stack.append(iter(node.children))
     out.sort(key=lambda n: n._order)
     return out

@@ -115,6 +115,44 @@ def test_no_url_crawled_twice(engine_run):
     assert len(urls) == len(set(urls))
 
 
+@pytest.mark.parametrize(
+    "variant",
+    [
+        {"round_budget": 37, "max_rounds": 24, "max_depth": 4},   # tight budget
+        {"round_budget": 5000, "max_rounds": 10, "max_depth": 3}, # loose budget
+    ],
+    ids=["tight-budget", "loose-budget"],
+)
+def test_engine_equals_simulator_across_configs(
+    fixture_tables, ray_session, tmp_path_factory, variant
+):
+    """SURVEY §5.2.5: engine ≡ simulator under varying round budgets
+    (exercises overflow spill / priority split and shallow-depth cuts)."""
+    pages, seeds, robots, pages_path = fixture_tables
+    base = {**CFG, **variant}
+    reg = HandlerRegistry()
+    flagship_spider(reg)
+    sim = simulate(pages, seeds, robots, reg, CrawlConfig(**base))
+
+    cfg = EngineConfig(**base, n_admission_shards=2, extract_concurrency=2)
+    engine = CrawlEngine([flagship_spider], cfg)
+    wd = str(tmp_path_factory.mktemp("var"))
+    result = engine.run(pages_path, seeds, robots, wd)
+    seen = set(engine.dump_seen().tolist())
+    engine.shutdown_shards()
+
+    trace = result.trace_table()
+    rows = sorted(
+        zip(
+            trace.column("round").to_pylist(),
+            trace.column("order_key").to_pylist(),
+            trace.column("url").to_pylist(),
+        )
+    )
+    assert [(r, u) for r, _, u in rows] == sim.trace
+    assert seen == sim.seen
+
+
 def test_resume_after_mid_round_kill(fixture_tables, ray_session, tmp_path_factory):
     """A kill MID-round leaves partial task-side files: the dying
     round's own outputs (trace/records/errors) and partial next-round

@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "payload_stats": MM.payload_stats,
         "decode_images": MM.decode_images,
+        "resize_images": MM.resize_images,
+        "sample_frames": MM.sample_frames,
         # crawl engine (synthetic web; rows-only)
         "extract_text": CQ.extract_text_pipeline,
         "crawl_flagship": CQ.crawl_flagship,

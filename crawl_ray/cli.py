@@ -78,7 +78,8 @@ def _load_spider(spec: str):
 def cmd_run(args) -> None:
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", include_dashboard=False)
     from crawl_ray.engine import CrawlEngine, EngineConfig
 
@@ -106,7 +107,8 @@ def cmd_run(args) -> None:
         "errors": result.errors,
         "workdir": result.workdir,
     }))
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
 
 
 def cmd_status(args) -> None:

@@ -1,0 +1,66 @@
+"""CLI surface (seed / run / status) — the reference's entry points."""
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from crawl_ray import cli
+from crawl_ray.fixtures import generate_pages, generate_robots
+
+
+@pytest.fixture(scope="module")
+def web(tmp_path_factory):
+    pages = generate_pages(120)
+    d = tmp_path_factory.mktemp("cliweb")
+    pq.write_table(pages, d / "pages.parquet")
+    pq.write_table(generate_robots(pages), d / "robots.parquet")
+    return pages, d
+
+
+def test_seed_appends_with_monotone_seq(tmp_path, capsys):
+    wd = str(tmp_path / "c")
+    cli.main(["seed", "--workdir", wd, "--callback", "page",
+              "http://host0.example/p/0"])
+    cli.main(["seed", "--workdir", wd, "--callback", "page",
+              "--callback", "list", "--metadata", "k=v",
+              "http://host1.example/p/1"])
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [o["seq"] for o in out] == [0, 1]
+    files = sorted((tmp_path / "c" / "round=0" / "frontier").glob("*.parquet"))
+    assert len(files) == 2
+    t = pq.read_table(str(files[1]))
+    assert t.column("callbacks")[0].as_py() == ["page", "list"]
+    assert json.loads(t.column("metadata")[0].as_py()) == {"k": "v"}
+
+
+def test_seed_requires_callback(tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(["seed", "--workdir", str(tmp_path / "x"),
+                  "http://host0.example/p/0"])
+
+
+def test_seed_then_run_then_status(web, tmp_path, capsys, ray_session):
+    pages, d = web
+    wd = str(tmp_path / "crawl")
+    url = pages.column("url")[0].as_py()
+    cli.main(["seed", "--workdir", wd, "--callback", "page", url])
+    capsys.readouterr()
+    cli.main(["run", "--pages", str(d / "pages.parquet"),
+              "--robots", str(d / "robots.parquet"),
+              "--workdir", wd, "--max-rounds", "4",
+              "--shards", "2", "--concurrency", "2"])
+    run_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert run_out["admitted"] >= 1
+    assert run_out["records"] >= 1
+
+    cli.main(["status", "--workdir", wd])
+    status = json.loads(capsys.readouterr().out)
+    committed = [r for r in status["rounds"] if r["committed"]]
+    assert committed and committed[0]["round"] == 0
+    assert committed[0]["metrics"]["admitted"] >= 1
+
+    # ray session must survive (run must not shut down a shared session)
+    import ray
+
+    assert ray.is_initialized()

@@ -103,7 +103,7 @@ def _flagship_run(sf_dir: str, num_cpus: int = 32) -> dict:
 
 
 def _steady_state_run(num_cpus: int, n_pages: int = 50_000,
-                      weight: int = 120) -> dict:
+                      weight: int = 120, store_mode: str = "broadcast") -> dict:
     """Steady-state frontier throughput: ONE fat round over a heavy web.
 
     At the 10^10-URL design point every round carries millions of URLs,
@@ -145,26 +145,37 @@ def _steady_state_run(num_cpus: int, n_pages: int = 50_000,
         # huge: always take the distributed canonicalize path, never the
         # driver-side small-round shortcut
         small_round_threshold=0,
+        page_store=store_mode,
     )
     engine = CrawlEngine([flagship_spider], cfg)
-    workdir = f"/tmp/crawl_ray_bench/steady_n{n_pages}_w{weight}"
+    workdir = f"/tmp/crawl_ray_bench/steady_n{n_pages}_w{weight}_{store_mode}"
     # store build = input-layout prep (constant, driver-serial); excluded
     # from the timed region like fixture generation itself — the lookup
     # per fetched URL IS timed inside the extract tasks.
-    store = engine.build_store(f"{d}/pages.parquet")
+    if store_mode == "bucketed":
+        from crawl_ray.sources.pages import bucket_pages
+
+        pages_path = bucket_pages(
+            f"{d}/pages.parquet",
+            f"/tmp/crawl_ray_bench/buckets_n{n_pages}_w{weight}",
+            n_buckets=64,
+        )
+    else:
+        pages_path = f"{d}/pages.parquet"
+    store = engine.build_store(pages_path)
     # warm pre-run (cluster bring-up): touches the store mapping and
     # builds the per-worker-process extract state on every worker, so
     # the timed run measures steady-state throughput, not cold starts
     warm_n = min(2048, n)
     warm_seeds = seeds.slice(0, warm_n)
     engine.run(
-        f"{d}/pages.parquet", warm_seeds, None,
+        pages_path, warm_seeds, None,
         f"{workdir}_warm", store=store,
     )
     t0 = time.perf_counter()
     try:
         result = engine.run(
-            f"{d}/pages.parquet", seeds, None, workdir, store=store
+            pages_path, seeds, None, workdir, store=store
         )
     finally:
         engine.shutdown_shards()
@@ -180,6 +191,7 @@ def _steady_state_run(num_cpus: int, n_pages: int = 50_000,
         "rounds": result.rounds,
         "n_pages": n_pages,
         "page_weight": weight,
+        "store": store_mode,
     }
 
 
@@ -223,7 +235,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
-def _crawl_once(sf_dir: str, num_cpus: int, mode: str = "steady") -> None:
+def _crawl_once(sf_dir: str, num_cpus: int, mode: str = "steady",
+                store: str = "broadcast") -> None:
     """Internal: fresh-process crawl for --scaling."""
     import ray
 
@@ -236,7 +249,7 @@ def _crawl_once(sf_dir: str, num_cpus: int, mode: str = "steady") -> None:
         lambda b: b, batch_format="pyarrow"
     ).count()
     if mode == "steady":
-        res = _steady_state_run(num_cpus)
+        res = _steady_state_run(num_cpus, store_mode=store)
     else:
         res = _flagship_run(sf_dir, num_cpus)
     res["num_cpus"] = num_cpus
@@ -317,7 +330,7 @@ def run_scaling(sf_dir: str, lo: int, hi: int, repeats: int = 2) -> dict:
             env.pop("RAY_ADDRESS", None)
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
-                 "--_crawl-once", "--mode", "steady",
+                 "--_crawl-once", "--mode", "steady", "--store", "bucketed",
                  "--cpus", str(cpus), "--sf-dir", sf_dir],
                 capture_output=True, text=True, env=env, cwd=REPO, check=True,
             )
@@ -361,10 +374,13 @@ def main() -> None:
     p.add_argument("--repeats", type=int, default=2,
                    help="interleaved runs per level in --scaling (best kept)")
     p.add_argument("--mode", default="steady", choices=["steady", "bfs"])
+    p.add_argument("--store", default="broadcast",
+                   choices=["broadcast", "bucketed"],
+                   help="page-store strategy for --mode steady")
     args = p.parse_args()
 
     if args.crawl_once:
-        _crawl_once(args.sf_dir, args.cpus, args.mode)
+        _crawl_once(args.sf_dir, args.cpus, args.mode, args.store)
         return
     if args.scaling:
         hi = min(4 * args.scaling_lo, args.cpus)  # N vs 4N, capped by the box

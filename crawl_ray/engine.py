@@ -481,17 +481,46 @@ class CrawlEngine:
                 # rebuild its actor pool every round and never ramp up
                 # inside a short round; a persistent pinned pool causes
                 # worker churn — see _FetchExtractWorker docstring).
-                out_refs = []
-                for a_ref, rest in zip(admitted_refs, rests):
-                    c = rest["n_admitted"]
-                    for off in range(0, c, cfg.extract_batch_size):
-                        ln = min(cfg.extract_batch_size, c - off)
-                        out_refs.append(
-                            _fetch_extract_task.remote(
-                                a_ref, off, ln, store_box,
-                                self.spiders, cfg.max_depth,
+                #
+                # Bucketed store: re-partition admitted rows by the
+                # store's bucket key FIRST (SURVEY §2.5 J1a) so each
+                # fetch task reads exactly one bucket file — without
+                # this co-partitioning every task touches ~all buckets
+                # and the per-worker bucket cache thrashes (measured
+                # 17x slowdown).
+                slices: list[tuple] = []
+                if isinstance(store_box[0], BucketedPageStore):
+                    nb = store_box[0].n_buckets
+                    live_a = [r for r, rest in zip(admitted_refs, rests)
+                              if rest["n_admitted"]]
+                    if live_a:
+                        gather = [
+                            _gather_bucket.options(num_returns=2).remote(
+                                b, nb, *live_a
                             )
-                        )
+                            for b in range(nb)
+                        ]
+                        counts = ray.get([g[1] for g in gather])
+                        # whole-bucket tasks (unless a bucket is huge):
+                        # each bucket file is then opened once cluster-
+                        # wide instead of once per 256-row slice
+                        bucket_batch = 4 * cfg.extract_batch_size
+                        for (t_ref, _), c in zip(gather, counts):
+                            for off in range(0, c, bucket_batch):
+                                ln = min(bucket_batch, c - off)
+                                slices.append((t_ref, off, ln))
+                else:
+                    for a_ref, rest in zip(admitted_refs, rests):
+                        c = rest["n_admitted"]
+                        for off in range(0, c, cfg.extract_batch_size):
+                            ln = min(cfg.extract_batch_size, c - off)
+                            slices.append((a_ref, off, ln))
+                out_refs = [
+                    _fetch_extract_task.remote(
+                        ref, off, ln, store_box, self.spiders, cfg.max_depth
+                    )
+                    for ref, off, ln in slices
+                ]
                 # One split pass: frontier + records written task-side.
                 frontier_dir = wd / f"round={rnd + 1}" / "frontier"
                 records_dir = round_dir / "records"
@@ -624,6 +653,25 @@ def _fetch_extract_task(
 # block instead of one Dataset execution per category — the categories are
 # disjoint filters, so a single pass suffices and the driver only ever
 # receives the small/bounded sides (counts, trace, robots errors, records).
+
+
+@ray.remote(num_returns=2)
+def _gather_bucket(b: int, n_buckets: int, *tables: pa.Table):
+    """Collect one page-store bucket's rows from all admitted blocks
+    (the frontier-side half of the partition-local fetch join)."""
+    parts = []
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        hashes = t.column("url_hash").to_numpy(zero_copy_only=False)
+        mask = (hashes % np.uint64(n_buckets)) == np.uint64(b)
+        if mask.any():
+            parts.append(t.filter(pa.array(mask)))
+    if not parts:
+        empty = tables[0].slice(0, 0)
+        return empty, 0
+    out = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+    return out, out.num_rows
 
 
 @ray.remote

@@ -275,7 +275,8 @@ def _calib_worker(_) -> float:
     return len(htmls) * rounds / (time.perf_counter() - t0)
 
 
-def _hw_calibration(lo: int, hi: int, n_docs: int = 64, rounds: int = 8) -> dict:
+def _hw_calibration(lo: int, hi: int, n_docs: int = 64, rounds: int = 8,
+                    passes: int = 2) -> dict:
     """Measure THIS BOX's parallel-scaling ceiling with plain
     multiprocessing — no Ray, no engine, just the parse kernel on
     fork-inherited data.  A Firecracker guest shares host cores and
@@ -305,8 +306,8 @@ def _hw_calibration(lo: int, hi: int, n_docs: int = 64, rounds: int = 8) -> dict
             rates = pool.map(_calib_worker, range(nproc))
         return sum(rates)
 
-    best_lo = max(measure(lo) for _ in range(2))
-    best_hi = max(measure(hi) for _ in range(2))
+    best_lo = max(measure(lo) for _ in range(passes))
+    best_hi = max(measure(hi) for _ in range(passes))
     return {
         "docs_per_s_lo": round(best_lo, 1),
         "docs_per_s_hi": round(best_hi, 1),
@@ -314,7 +315,8 @@ def _hw_calibration(lo: int, hi: int, n_docs: int = 64, rounds: int = 8) -> dict
     }
 
 
-def run_scaling(sf_dir: str, lo: int, hi: int, repeats: int = 2) -> dict:
+def run_scaling(sf_dir: str, lo: int, hi: int, repeats: int = 2,
+                mode: str = "steady", store: str = "bucketed") -> dict:
     """Fresh process per parallelism level (BASELINE.md protocol).
 
     This sandbox shares one Firecracker host with noisy neighbors
@@ -322,24 +324,37 @@ def run_scaling(sf_dir: str, lo: int, hi: int, repeats: int = 2) -> dict:
     each level runs ``repeats`` times INTERLEAVED (lo, hi, lo, hi, …)
     and the per-level throughput is the best run — the standard
     noisy-VM protocol: interference only ever slows a run down, so the
-    max is the least-contaminated estimate at both levels."""
+    max is the least-contaminated estimate at both levels.  The hw
+    calibration runs once per repeat, inside the same interference
+    window as that repeat's engine runs."""
+    if repeats < 1:
+        raise SystemExit("--repeats must be >= 1")
     runs: dict[int, list[dict]] = {lo: [], hi: []}
+    calibs: list[dict] = []
     for _ in range(repeats):
         for cpus in (lo, hi):
             env = dict(os.environ)
             env.pop("RAY_ADDRESS", None)
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
-                 "--_crawl-once", "--mode", "steady", "--store", "bucketed",
+                 "--_crawl-once", "--mode", mode, "--store", store,
                  "--cpus", str(cpus), "--sf-dir", sf_dir],
                 capture_output=True, text=True, env=env, cwd=REPO, check=True,
             )
             runs[cpus].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+        calibs.append(_hw_calibration(lo, hi, passes=1))
     best = {c: max(rs, key=lambda r: r["urls_per_s"]) for c, rs in runs.items()}
     t_lo = best[lo]["urls_per_s"]
     t_hi = best[hi]["urls_per_s"]
     eff = round(t_hi / (t_lo * (hi / lo)), 3) if t_lo else 0.0
-    calib = _hw_calibration(lo, hi)
+    c_lo = max(c["docs_per_s_lo"] for c in calibs)
+    c_hi = max(c["docs_per_s_hi"] for c in calibs)
+    calib = {
+        "docs_per_s_lo": c_lo,
+        "docs_per_s_hi": c_hi,
+        "hw_ceiling": round(c_hi / (c_lo * (hi / lo)), 3) if c_lo else 0.0,
+        "per_window": calibs,
+    }
     ceiling = calib["hw_ceiling"]
     return {
         "metric": "scaling-efficiency",
@@ -374,9 +389,10 @@ def main() -> None:
     p.add_argument("--repeats", type=int, default=2,
                    help="interleaved runs per level in --scaling (best kept)")
     p.add_argument("--mode", default="steady", choices=["steady", "bfs"])
-    p.add_argument("--store", default="broadcast",
+    p.add_argument("--store", default="bucketed",
                    choices=["broadcast", "bucketed"],
-                   help="page-store strategy for --mode steady")
+                   help="page-store strategy for --mode steady (bucketed = "
+                        "the partition-local 10^10-representative layout)")
     args = p.parse_args()
 
     if args.crawl_once:
@@ -384,7 +400,8 @@ def main() -> None:
         return
     if args.scaling:
         hi = min(4 * args.scaling_lo, args.cpus)  # N vs 4N, capped by the box
-        out = run_scaling(args.sf_dir, args.scaling_lo, hi, args.repeats)
+        out = run_scaling(args.sf_dir, args.scaling_lo, hi, args.repeats,
+                          args.mode, args.store)
     else:
         out = run_bench(args.sf_dir, args.cpus)
     print(json.dumps(out))

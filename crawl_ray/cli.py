@@ -153,7 +153,8 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--max-depth", type=int, default=8)
     r.add_argument("--round-budget", type=int, default=1 << 20)
     r.add_argument("--shards", type=int, default=4)
-    r.add_argument("--concurrency", type=int, default=8)
+    r.add_argument("--concurrency", type=int, default=0,
+                   help="max fetch+extract tasks in flight (0 = uncapped)")
     r.add_argument("--resume", action="store_true")
     r.set_defaults(fn=cmd_run)
 

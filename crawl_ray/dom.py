@@ -81,7 +81,13 @@ class Node:
     downward (``children``), so a dropped document is reclaimed by pure
     refcounting — no reference cycles, no cyclic-GC pressure.  That
     matters in the hot extract stage, where tasks parse thousands of
-    documents per batch with the cyclic collector disabled."""
+    documents per batch with the cyclic collector disabled.
+
+    Lifetime contract: keep the document ROOT alive while using any
+    node from it.  Holding only a subtree node lets its ancestors be
+    collected, after which ``parent`` walks (ancestor combinators,
+    ``:first-child``-style pseudos) see ``None``.  All in-repo callers
+    hold the root (the response/form object owns the parsed doc)."""
 
     __slots__ = ("tag", "attrs", "children", "_parent", "data", "_order", "__weakref__")
 

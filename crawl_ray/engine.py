@@ -72,7 +72,10 @@ class EngineConfig(CrawlConfig):
     physical execution knobs."""
 
     n_admission_shards: int = 4
-    extract_concurrency: int = 4
+    # max fetch+extract tasks in flight at once; 0 = uncapped (let the
+    # Ray scheduler fan out across the cluster).  Set to throttle the
+    # crawl's CPU footprint on a shared cluster.
+    extract_concurrency: int = 0
     extract_batch_size: int = 256
     canonicalize_batch_size: int = 4096
     # rounds at or below this many pending rows canonicalize + budget-split
@@ -230,10 +233,14 @@ class CrawlEngine:
         # permanently steals map-task slots — measured 25% of the
         # scheduler at num_cpus=4 — and distorts N-vs-4N comparisons
         ShardActor = ray.remote(num_cpus=0)(AdmissionShard)
+        self.shutdown_shards()  # a prior run's actors would leak otherwise
         shards = [
             ShardActor.remote(disallow, rates, cfg.default_rate, cfg.default_burst)
             for _ in range(cfg.n_admission_shards)
         ]
+        # register immediately so an exception mid-run still lets the
+        # caller's `finally: shutdown_shards()` reclaim the actors
+        self._shards = shards
 
         # page store (J1): broadcast index or bucketed partition-local
         if store is None:
@@ -298,7 +305,6 @@ class CrawlEngine:
             {"round": -1, "seen_total": int(sum(ray.get([s.seen_count.remote() for s in shards]))),
              "t_seen_rpc": round(time.perf_counter() - t_seen, 3)}
         )
-        self._shards = shards
         return result
 
     def _run_rounds(self, wd, cfg, shards, store_box, result, start_round) -> None:
@@ -424,13 +430,16 @@ class CrawlEngine:
                 )
                 for ref in live_block_refs
             ]
-            admission_refs = [
-                shards[s].admit_table.remote(
-                    rnd, *[pr[s] for pr in part_refs]
-                )
-                for s in range(n_shards)
-            ]
-            admission_refs.extend(pr[n_shards] for pr in part_refs)  # bad rows
+            if part_refs:
+                admission_refs = [
+                    shards[s].admit_table.remote(
+                        rnd, *[pr[s] for pr in part_refs]
+                    )
+                    for s in range(n_shards)
+                ]
+                admission_refs.extend(pr[n_shards] for pr in part_refs)  # bad
+            else:
+                admission_refs = []
 
             # One pass of split tasks: deferred spill written task-side
             # (never concatenated on the driver — it can be frontier-sized);
@@ -515,12 +524,30 @@ class CrawlEngine:
                         for off in range(0, c, cfg.extract_batch_size):
                             ln = min(cfg.extract_batch_size, c - off)
                             slices.append((a_ref, off, ln))
-                out_refs = [
-                    _fetch_extract_task.remote(
-                        ref, off, ln, store_box, self.spiders, cfg.max_depth
-                    )
-                    for ref, off, ln in slices
-                ]
+                cap = cfg.extract_concurrency
+                out_refs = []
+                if cap and cap < len(slices):
+                    # windowed submission: at most `cap` fetch+extract
+                    # tasks in flight (the concurrency throttle)
+                    pending: set = set()
+                    for ref, off, ln in slices:
+                        if len(pending) >= cap:
+                            done, _ = ray.wait(list(pending), num_returns=1)
+                            pending.difference_update(done)
+                        r = _fetch_extract_task.remote(
+                            ref, off, ln, store_box, self.spiders,
+                            cfg.max_depth,
+                        )
+                        pending.add(r)
+                        out_refs.append(r)
+                else:
+                    out_refs = [
+                        _fetch_extract_task.remote(
+                            ref, off, ln, store_box, self.spiders,
+                            cfg.max_depth,
+                        )
+                        for ref, off, ln in slices
+                    ]
                 # One split pass: frontier + records written task-side.
                 frontier_dir = wd / f"round={rnd + 1}" / "frontier"
                 records_dir = round_dir / "records"

@@ -179,8 +179,6 @@ def crawl_host_stats(sf_dir: str):
     parts = ray.data.read_parquet(files).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    import pyarrow.compute as pc_  # noqa: F401
-
     from crawl_ray.util import collect_table
 
     t = collect_table(parts)

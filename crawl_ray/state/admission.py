@@ -131,12 +131,16 @@ class AdmissionShard:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        tables = list(tables)
-        if not tables:
+        all_tables = list(tables)
+        if not all_tables:
             return None
+        # empty blocks can surface with a pre-canonicalize schema
+        # (engine _split_canon hedges likewise) — drop them BEFORE
+        # concat or pa.concat_tables raises on the schema mismatch
+        tables = [t for t in all_tables if t.num_rows]
+        if not tables:
+            return all_tables[0].slice(0, 0)
         t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
-        if t.num_rows == 0:
-            return t.slice(0, 0)
         t = t.combine_chunks()
         idx = pc.sort_indices(
             t, sort_keys=[("host", "ascending"), ("order_key", "ascending")]

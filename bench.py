@@ -356,6 +356,11 @@ def run_scaling(sf_dir: str, lo: int, hi: int, repeats: int = 2,
         "per_window": calibs,
     }
     ceiling = calib["hw_ceiling"]
+    per_window_eff = [
+        round(h["urls_per_s"] / (l["urls_per_s"] * (hi / lo)), 3)
+        if l["urls_per_s"] else 0.0
+        for l, h in zip(runs[lo], runs[hi])
+    ]
     return {
         "metric": "scaling-efficiency",
         "value": eff,
@@ -367,6 +372,7 @@ def run_scaling(sf_dir: str, lo: int, hi: int, repeats: int = 2,
         "throughput_hi_urls_per_s": t_hi,
         "hw_calibration": calib,
         "efficiency_vs_hw_ceiling": round(eff / ceiling, 3) if ceiling else 0.0,
+        "per_window_efficiency": per_window_eff,
         "runs": {str(c): best[c] for c in (lo, hi)},
         "all_runs": {str(c): [r["urls_per_s"] for r in rs]
                      for c, rs in runs.items()},

@@ -81,7 +81,7 @@ def _flagship_run(sf_dir: str, num_cpus: int = 32) -> dict:
         default_rate=1e9,
         default_burst=1 << 30,
         n_admission_shards=max(4, num_cpus // 4),
-        extract_concurrency=max(4, num_cpus),
+        extract_concurrency=0,  # uncapped
     )
     engine = CrawlEngine([flagship_spider], cfg)
     workdir = f"/tmp/crawl_ray_bench/flagship_n{n}"

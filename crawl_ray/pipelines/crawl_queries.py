@@ -48,7 +48,7 @@ def _run_flagship_cached(sf_dir: str):
         max_depth=5,
         virtual_t0=EPOCH_US,
         n_admission_shards=4,
-        extract_concurrency=4,
+        extract_concurrency=0,  # uncapped
     )
     engine = CrawlEngine([flagship_spider], cfg)
     workdir = f"/tmp/crawl_ray_runs/flagship_n{n}"

@@ -92,12 +92,13 @@ def _flagship_run(sf_dir: str, num_cpus: int = 32) -> dict:
     finally:
         engine.shutdown_shards()
     elapsed = time.perf_counter() - t0
-    urls = result.admitted + result.records
+    # urls/s counts each admitted (fetched+extracted) URL once;
+    # records are reported separately, not double-counted into the rate
     return {
         "elapsed_s": round(elapsed, 3),
         "fetched": result.admitted,
         "extracted": result.records,
-        "urls_per_s": round(urls / elapsed, 1) if elapsed else 0.0,
+        "urls_per_s": round(result.admitted / elapsed, 1) if elapsed else 0.0,
         "rounds": result.rounds,
     }
 
@@ -182,12 +183,11 @@ def _steady_state_run(num_cpus: int, n_pages: int = 50_000,
     elapsed = time.perf_counter() - t0
     if os.environ.get("BENCH_DEBUG"):
         print(f"DEBUG round_metrics={result.metrics}", file=sys.stderr)
-    urls_done = result.admitted + result.records
     return {
         "elapsed_s": round(elapsed, 3),
         "fetched": result.admitted,
         "extracted": result.records,
-        "urls_per_s": round(urls_done / elapsed, 1) if elapsed else 0.0,
+        "urls_per_s": round(result.admitted / elapsed, 1) if elapsed else 0.0,
         "rounds": result.rounds,
         "n_pages": n_pages,
         "page_weight": weight,

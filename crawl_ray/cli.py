@@ -38,7 +38,9 @@ def _parse_kv(pairs: list[str]) -> dict[str, str]:
     out: dict[str, str] = {}
     for p in pairs:
         k, sep, v = p.partition("=")
-        if not sep:
+        # reject missing '=' AND empty keys — crawl-schedule's listToForm
+        # skips pairs with '=' at index 0 (main.go:147-159, `i <= 0`)
+        if not sep or not k:
             raise SystemExit(f"bad k=v flag: {p!r}")
         out[k] = v
     return out

@@ -108,7 +108,18 @@ class Node:
     @property
     def parent(self) -> "Node | None":
         ref = self._parent
-        return ref() if ref is not None else None
+        if ref is None:
+            return None
+        node = ref()
+        if node is None:
+            # the caller dropped the document root while keeping a
+            # subtree node: ancestor-dependent matching would silently
+            # return wrong results — fail loudly instead
+            raise RuntimeError(
+                "Node.parent is dead: hold the document root while "
+                "matching selectors against a subtree"
+            )
+        return node
 
     @parent.setter
     def parent(self, node: "Node | None") -> None:

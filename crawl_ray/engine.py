@@ -671,6 +671,10 @@ def _fetch_extract_task(
         if isinstance(store, ray.ObjectRef):
             store = ray.get(store)
         worker = _FetchExtractWorker(store, spiders, max_depth)
+        # single-slot cache: a new run's store evicts the previous one,
+        # so repeated engine runs in one Ray session (tests, bench) don't
+        # pin one full page index per run in every worker process
+        _WORKER_CACHE.clear()
         _WORKER_CACHE[key] = worker
     return worker.process(block, offset, length)
 

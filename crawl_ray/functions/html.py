@@ -26,6 +26,7 @@ __all__ = [
     "node_attr",
     "node_href",
     "node_src",
+    "node_data_photo",
     "node_resolve_url",
     "collapse_ws",
 ]

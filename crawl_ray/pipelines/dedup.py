@@ -28,7 +28,7 @@ import ray.data
 
 from crawl_ray.util import collect_table
 
-from crawl_ray.urlnorm import fnv1a64_batch
+from crawl_ray.urlnorm import content_hash64_batch, fnv1a64_batch
 
 __all__ = [
     "exact_dedup",
@@ -51,11 +51,13 @@ def exact_dedup(sf_dir: str):
     the url_hash-partition dedup pattern (SURVEY.md §2.8)."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
+        # blake2b per row (one C call each): document text is long, so
+        # the padded-matrix FNV kernel would cost rows × longest-doc
         return pa.table(
             {
                 "doc_id": batch.column("doc_id").cast(pa.int64()),
                 "text_hash": pa.array(
-                    fnv1a64_batch(batch.column("text")), pa.uint64()
+                    content_hash64_batch(batch.column("text")), pa.uint64()
                 ),
             }
         )

@@ -42,6 +42,55 @@ def build_broadcast_index(pages: pa.Table) -> pa.Table:
     return pages.sort_by("url_hash").combine_chunks()
 
 
+def _resolve_sorted(
+    bhashes: np.ndarray,
+    burls,
+    bhtml,
+    urls: list[str],
+    hashes: np.ndarray,
+    rows: np.ndarray,
+    status: np.ndarray,
+    htmls: list,
+) -> None:
+    """Resolve query rows against one url_hash-sorted store slice.
+
+    Vectorized hot path: one ``searchsorted``, one bulk ``take`` of the
+    candidate urls, one vectorized equality, one bulk ``take`` of the
+    matched html payloads.  The per-row probe walk survives only for
+    hash-collision runs (equal hash, different url) — essentially never.
+    """
+    n_store = len(bhashes)
+    if n_store == 0 or len(rows) == 0:
+        return
+    qh = hashes[rows]
+    pos = np.searchsorted(bhashes, qh)
+    cand = np.flatnonzero((pos < n_store) & (bhashes[np.minimum(pos, n_store - 1)] == qh))
+    if not len(cand):
+        return
+    cand_pos = pos[cand]
+    cand_rows = rows[cand]
+    sel_urls = burls.take(pa.array(cand_pos, pa.int64()))
+    q_urls = pa.array([urls[i] for i in cand_rows.tolist()], pa.string())
+    eq = pc.equal(sel_urls, q_urls).to_numpy(zero_copy_only=False)
+    hit_rows = cand_rows[eq]
+    if len(hit_rows):
+        payloads = bhtml.take(pa.array(cand_pos[eq], pa.int64())).to_pylist()
+        status[hit_rows] = 200
+        for i, payload in zip(hit_rows.tolist(), payloads):
+            htmls[i] = payload
+    # collision fallback: walk the equal-hash run row by row
+    for k in np.flatnonzero(~eq).tolist():
+        i = int(cand_rows[k])
+        p = int(cand_pos[k]) + 1
+        h = hashes[i]
+        while p < n_store and bhashes[p] == h:
+            if burls[p].as_py() == urls[i]:
+                status[i] = 200
+                htmls[i] = bhtml[p].as_py()
+                break
+            p += 1
+
+
 class BroadcastPageStore:
     """Zero-copy shared page index (small/mid corpora)."""
 
@@ -54,19 +103,12 @@ class BroadcastPageStore:
     def lookup(self, urls: list[str]) -> tuple[np.ndarray, list[bytes]]:
         n = len(urls)
         hashes = fnv1a64_batch(urls)
-        pos = np.searchsorted(self._hashes, hashes)
         status = np.full(n, 404, dtype=np.int32)
         htmls: list[bytes] = [b""] * n
-        in_range = pos < len(self._hashes)
-        for i in np.flatnonzero(in_range).tolist():
-            p = int(pos[i])
-            # walk hash-equal run to confirm by exact url (collision-safe)
-            while p < len(self._hashes) and self._hashes[p] == hashes[i]:
-                if self._urls[p].as_py() == urls[i]:
-                    status[i] = 200
-                    htmls[i] = self._html[p].as_py()
-                    break
-                p += 1
+        _resolve_sorted(
+            self._hashes, self._urls, self._html,
+            urls, hashes, np.arange(n), status, htmls,
+        )
         return status, htmls
 
 
@@ -128,16 +170,9 @@ class BucketedPageStore:
         htmls: list[bytes] = [b""] * n
         for b in np.unique(buckets).tolist():
             bhashes, btable = self._bucket_table(int(b))
-            burls = btable.column("url")
-            bhtml = btable.column("html")
             rows = np.flatnonzero(buckets == b)
-            pos = np.searchsorted(bhashes, hashes[rows])
-            for j, i in enumerate(rows.tolist()):
-                p = int(pos[j])
-                while p < len(bhashes) and bhashes[p] == hashes[i]:
-                    if burls[p].as_py() == urls[i]:
-                        status[i] = 200
-                        htmls[i] = bhtml[p].as_py()
-                        break
-                    p += 1
+            _resolve_sorted(
+                bhashes, btable.column("url"), btable.column("html"),
+                urls, hashes, rows, status, htmls,
+            )
         return status, htmls

@@ -20,7 +20,10 @@ import numpy as np
 import pyarrow as pa
 from urllib.parse import urljoin, urlsplit
 
-__all__ = ["resolve_url", "url_host", "fnv1a64", "fnv1a64_batch", "canonicalize"]
+__all__ = [
+    "resolve_url", "url_host", "fnv1a64", "fnv1a64_batch",
+    "content_hash64_batch", "canonicalize",
+]
 
 _FNV_OFFSET = 0xCBF29CE484222325
 _FNV_PRIME = 0x100000001B3
@@ -67,13 +70,38 @@ def fnv1a64(data: str | bytes) -> int:
     return h
 
 
+def content_hash64_batch(strings) -> np.ndarray:
+    """64-bit content hash for LONG text (document bodies).
+
+    One C-speed ``blake2b`` digest per row — ``hashlib`` does the whole
+    string in one C call, so cost is O(total bytes), unlike the padded
+    byte-matrix FNV below whose work is rows × longest-string (a single
+    100 KB document in a batch would force 100k vector passes over
+    every row).  Keep :func:`fnv1a64_batch` for short keys (URLs,
+    tokens), use this for document-scale payloads.
+    """
+    import hashlib
+
+    if isinstance(strings, (pa.Array, pa.ChunkedArray)):
+        strings = strings.to_pylist()
+    out = np.empty(len(strings), dtype=np.uint64)
+    b2b = hashlib.blake2b
+    for i, s in enumerate(strings):
+        data = s.encode("utf-8") if isinstance(s, str) else (s or b"")
+        out[i] = int.from_bytes(
+            b2b(data, digest_size=8).digest(), "little"
+        )
+    return out
+
+
 def fnv1a64_batch(strings) -> np.ndarray:
     """Vectorized FNV-1a 64 over a sequence / Arrow array of strings.
 
     Works column-wise over a padded byte matrix: iteration count equals
     the longest string in the batch, each step a fused numpy op over all
     rows — no Python per-row loop.  Returns ``uint64`` array; null/empty
-    inputs hash as the empty string.
+    inputs hash as the empty string.  For long strings (documents) use
+    :func:`content_hash64_batch` instead.
     """
     if isinstance(strings, (pa.Array, pa.ChunkedArray)):
         strings = strings.to_pylist()

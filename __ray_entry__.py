@@ -62,12 +62,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_images": MM.decode_images,
         "resize_images": MM.resize_images,
         "sample_frames": MM.sample_frames,
-        # crawl engine (synthetic web; rows-only)
+        # crawl engine (synthetic web; oracled against the
+        # single-threaded reference simulator / fixture expected columns)
         "extract_text": CQ.extract_text_pipeline,
         "crawl_flagship": CQ.crawl_flagship,
         "crawl_errors": CQ.crawl_errors,
         "crawl_metrics": CQ.crawl_metrics,
         "crawl_host_stats": CQ.crawl_host_stats,
+        "crawl_forms_roundtrip": CQ.crawl_forms_roundtrip,
         "forms_extract": CQ.forms_extract,
     }
 
@@ -96,9 +98,75 @@ def _lang_counts_sql() -> tuple[str, str, str]:
     return score_cols, case, greatest
 
 
+def _crawl_oracle_sql() -> dict[str, str]:
+    """Oracles for the crawl-engine queries: the expected side is the
+    single-threaded reference simulator (independent orchestration) and
+    the fixture's template-built expected columns (independent
+    extraction), materialized to parquet and read via ``read_parquet``.
+    Calling this ensures the expected tables exist (cached)."""
+    from crawl_ray import oracle_data as OD
+    from crawl_ray.fixtures import fixture_dir
+    from crawl_ray.pipelines.crawl_queries import forms_fixture_path
+
+    n = 2000  # the driver's correctness gate runs at sf=0.01
+    web = OD.expected_flagship_dir(n)
+    formweb = OD.expected_forms_dir(40)
+    pages = f"{fixture_dir(n)}/pages.parquet"
+    forms_fx = forms_fixture_path()
+    metric_cols = ", ".join(OD.METRIC_COLS)
+    return {
+        # engine DOM extraction vs the template-CONSTRUCTED text column
+        # (never produced by an extractor — non-circular, FIXTURES.md)
+        "extract_text": f"""
+            SELECT url, text, true AS text_ok
+            FROM read_parquet('{pages}') ORDER BY url
+        """,
+        "crawl_flagship": f"""
+            SELECT url, depth, fields
+            FROM read_parquet('{web}/records.parquet')
+            ORDER BY url, fields
+        """,
+        "crawl_errors": f"""
+            SELECT error_kind, url
+            FROM read_parquet('{web}/errors.parquet')
+            ORDER BY error_kind, url
+        """,
+        "crawl_metrics": f"""
+            SELECT {metric_cols}
+            FROM read_parquet('{web}/metrics.parquet') ORDER BY round
+        """,
+        "crawl_host_stats": f"""
+            SELECT split_part(url, '/', 3) AS host,
+                   count(*) AS n_fetched,
+                   cast(min(round) as bigint) AS first_round
+            FROM read_parquet('{web}/trace.parquet')
+            GROUP BY host ORDER BY host
+        """,
+        "crawl_forms_roundtrip": f"""
+            SELECT url, depth, fields
+            FROM read_parquet('{formweb}/records.parquet')
+            ORDER BY url, fields
+        """,
+        # F10 scrape vs the fixture's expected action/values columns
+        "forms_extract": f"""
+            SELECT doc_id,
+                   expect_action AS action,
+                   array_to_string(
+                       list_transform(
+                           expect_values,
+                           s -> struct_extract(s, 'key') || '=' ||
+                                array_to_string(struct_extract(s, 'vals'), ',')
+                       ), ';') AS values,
+                   true AS forms_ok
+            FROM read_parquet('{forms_fx}') ORDER BY doc_id
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     score_cols, lang_case, lang_greatest = _lang_counts_sql()
-    return {
+    out = _crawl_oracle_sql()
+    out.update({
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint) AS sum_qty_cents,
@@ -225,4 +293,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(strlen(text) as bigint) AS n_bytes
             FROM documents
         """,
-    }
+    })
+    return out

@@ -338,7 +338,7 @@ class CrawlEngine:
                     [pq.read_table(f) for f in frontier_files],
                     promote_options="default",
                 )
-                tbl = canonicalize_batch(tbl, now_us=now_us)
+                tbl = canonicalize_batch(tbl, now_us=now_us, spiders=self.spiders)
                 _lap("t_canon")
                 okm = pc.equal(tbl.column("disposition"), "ok")
                 live_tbl = tbl.filter(okm)
@@ -366,7 +366,7 @@ class CrawlEngine:
                 # blocks go straight to shard partitioning.
                 canon = ray.data.read_parquet(frontier_files).map_batches(
                     canonicalize_batch,
-                    fn_kwargs={"now_us": now_us},
+                    fn_kwargs={"now_us": now_us, "spiders": self.spiders},
                     batch_format="pyarrow",
                     batch_size=cfg.canonicalize_batch_size,
                     zero_copy_batch=True,
@@ -380,7 +380,7 @@ class CrawlEngine:
                 # admission.
                 canon = ray.data.read_parquet(frontier_files).map_batches(
                     canonicalize_batch,
-                    fn_kwargs={"now_us": now_us},
+                    fn_kwargs={"now_us": now_us, "spiders": self.spiders},
                     batch_format="pyarrow",
                     batch_size=cfg.canonicalize_batch_size,
                     zero_copy_batch=True,

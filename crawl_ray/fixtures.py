@@ -27,6 +27,8 @@ __all__ = [
     "generate_seeds",
     "generate_robots",
     "generate_form_pages",
+    "generate_form_web",
+    "form_web_dir",
     "fixture_dir",
     "page_url",
     "EPOCH_US",
@@ -285,6 +287,97 @@ def generate_form_pages() -> pa.Table:
             ),
         }
     )
+
+
+def _form_web_text(kind: str, k: int) -> str:
+    if kind == "form":
+        return f"Form {k} q v{k}"
+    if kind == "submit":
+        return f"submitted {k} ok"
+    return f"search result {k} page 2"
+
+
+def generate_form_web(n: int = 40) -> tuple[pa.Table, pa.Table]:
+    """M1 roundtrip web (form submission + query re-encode): ``n`` form
+    pages, each with a POST target (reached only via Form ⇒ POST on the
+    scraped ``action``) and a GET query target (reached only via the
+    ``query`` re-encode, ``request.go:57-59``).  Returns (pages, seeds).
+
+    The form exercises forms.go default-value rules: checked-only
+    checkbox (k even), first-selected option (k % 3 == 0 → "a", else
+    the select contributes the empty value).
+    """
+    urls, htmls, texts = [], [], []
+    for k in range(n):
+        h = k % 4
+        host = f"http://formhost{h}.example"
+        checked = ' checked="checked"' if k % 2 == 0 else ""
+        selected = ' selected="selected"' if k % 3 == 0 else ""
+        form_html = (
+            f"<html><body><h1>Form {k}</h1>"
+            f'<form action="/submit/{k}" id="f">'
+            f'<input name="q" value="v{k}">'
+            f'<input type="submit" name="go" value="Go">'
+            f'<input type="checkbox" name="c" value="on"{checked}>'
+            f'<select name="s"><option value="a"{selected}>A</option>'
+            f'<option value="b">B</option></select>'
+            f"</form>"
+            f"<p>q v{k}</p></body></html>"
+        )
+        urls.append(f"{host}/form/{k}")
+        htmls.append(form_html.encode())
+        texts.append(_form_web_text("form", k))
+        # POST target: only reachable through the scraped form action
+        urls.append(f"{host}/submit/{k}")
+        htmls.append(f"<html><body>submitted {k} ok</body></html>".encode())
+        texts.append(_form_web_text("submit", k))
+        # GET query target: url must carry the re-encoded query string
+        urls.append(f"{host}/search?page=2&q=v{k}")
+        htmls.append(
+            f"<html><body>search result {k} page 2</body></html>".encode()
+        )
+        texts.append(_form_web_text("search", k))
+
+    n_rows = len(urls)
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                EPOCH_US + np.arange(n_rows, dtype=np.int64) * 1_000_000,
+                type=pa.timestamp("us"),
+            ),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n_rows, pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    seed_urls = [f"http://formhost{k % 4}.example/form/{k}" for k in range(n)]
+    seeds = pa.table(
+        {
+            "url": pa.array(seed_urls, pa.string()),
+            "method": pa.array([""] * n, pa.string()),
+            "referer": pa.array([""] * n, pa.string()),
+            "callbacks": pa.array([["form_page"]] * n, pa.list_(pa.string())),
+            "metadata": pa.array([""] * n, pa.string()),
+            "deadline": pa.nulls(n, pa.timestamp("us")),
+        }
+    )
+    return pages, seeds
+
+
+def form_web_dir(n: int = 40, base: str = "/tmp/crawl_ray_fixtures") -> str:
+    """Write (once, cached) the form-roundtrip web for a size."""
+    d = pathlib.Path(base) / f"formweb_n{n}"
+    marker = d / "_SUCCESS"
+    if marker.exists():
+        return str(d)
+    d.mkdir(parents=True, exist_ok=True)
+    pages, seeds = generate_form_web(n)
+    pq.write_table(pages, d / "pages.parquet")
+    pq.write_table(seeds, d / "seeds.parquet")
+    marker.touch()
+    return str(d)
 
 
 def fixture_dir(

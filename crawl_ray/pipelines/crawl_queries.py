@@ -17,9 +17,10 @@ import ray.data
 
 from crawl_ray.dom import parse_html
 from crawl_ray.engine import CrawlEngine, EngineConfig
-from crawl_ray.fixtures import EPOCH_US, fixture_dir
+from crawl_ray.fixtures import fixture_dir, form_web_dir
 from crawl_ray.functions import html as H
-from crawl_ray.spiders import flagship_spider
+from crawl_ray.oracle_data import flagship_core_cfg, forms_core_cfg
+from crawl_ray.spiders import flagship_spider, forms_spider
 
 __all__ = [
     "extract_text_pipeline",
@@ -27,13 +28,14 @@ __all__ = [
     "crawl_errors",
     "crawl_metrics",
     "crawl_host_stats",
+    "crawl_forms_roundtrip",
     "forms_extract",
     "fixture_size_for",
 ]
 
 # one flagship run per fixture size per process: the flagship/errors/
 # metrics/host-stats queries are different views of the same crawl
-_RUN_CACHE: dict[int, object] = {}
+_RUN_CACHE: dict[object, object] = {}
 
 
 def _run_flagship_cached(sf_dir: str):
@@ -43,10 +45,7 @@ def _run_flagship_cached(sf_dir: str):
         return cached
     d = fixture_dir(n)
     cfg = EngineConfig(
-        round_budget=max(200, n // 4),
-        max_rounds=12,
-        max_depth=5,
-        virtual_t0=EPOCH_US,
+        **flagship_core_cfg(n),
         n_admission_shards=4,
         extract_concurrency=0,  # uncapped
     )
@@ -60,6 +59,19 @@ def _run_flagship_cached(sf_dir: str):
         engine.shutdown_shards()
     _RUN_CACHE[n] = result
     return result
+
+
+def forms_fixture_path() -> str:
+    """Write (once) the F10 form corpus; shared by the ``forms_extract``
+    query and its DuckDB oracle (which reads the expected columns)."""
+    from crawl_ray.fixtures import generate_form_pages
+
+    base = pathlib.Path("/tmp/crawl_ray_fixtures/forms")
+    f = base / "forms.parquet"
+    if not f.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        pq.write_table(generate_form_pages(), f)
+    return str(f)
 
 
 def fixture_size_for(sf_dir: str) -> int:
@@ -94,21 +106,53 @@ def extract_text_pipeline(sf_dir: str):
     return ray.data.read_parquet(
         f"{d}/pages.parquet", columns=["url", "html", "text"]
     ).map_batches(extract, batch_format="pyarrow", batch_size=256,
-                  zero_copy_batch=True)
+                  zero_copy_batch=True).sort("url")
+
+
+def _records_view(result) -> pa.Table:
+    """(url, depth:int64, fields) sorted (url, fields) — the layout the
+    simulator-expected oracle parquet uses."""
+    records = result.records_table()
+    if records is None:
+        return pa.table(
+            {"url": pa.array([], pa.string()), "depth": pa.array([], pa.int64()),
+             "fields": pa.array([], pa.string())}
+        )
+    records = records.select(["url", "depth", "fields"])
+    records = records.set_column(
+        1, "depth", records.column("depth").cast(pa.int64())
+    )
+    return records.sort_by([("url", "ascending"), ("fields", "ascending")])
 
 
 def crawl_flagship(sf_dir: str):
     """Full frontier crawl over the fixture web; returns the records
-    table (url, depth, fields-json) sorted by url."""
-    records = _run_flagship_cached(sf_dir).records_table()
-    if records is None:
-        records = pa.table(
-            {"url": pa.array([], pa.string()), "depth": pa.array([], pa.int32()),
-             "fields": pa.array([], pa.string())}
-        )
-    else:
-        records = records.select(["url", "depth", "fields"]).sort_by("url")
-    return records
+    table (url, depth, fields-json).  Oracle: the single-threaded
+    simulator's records (read_parquet in ``oracle_sql()``)."""
+    return _records_view(_run_flagship_cached(sf_dir))
+
+
+def crawl_forms_roundtrip(sf_dir: str):
+    """M1 roundtrip (``request.go:40-99`` wired into the crawl path):
+    form pages → F10 scrape → Form ⇒ POST submit + query re-encoded GET
+    → records of the effective requests.  Oracle: simulator records on
+    the same web."""
+    key = ("forms", 40)
+    result = _RUN_CACHE.get(key)
+    if result is None:
+        d = form_web_dir(40)
+        cfg = EngineConfig(**forms_core_cfg(), n_admission_shards=2)
+        engine = CrawlEngine([forms_spider], cfg)
+        seeds = pq.read_table(f"{d}/seeds.parquet")
+        try:
+            result = engine.run(
+                f"{d}/pages.parquet", seeds, None,
+                "/tmp/crawl_ray_runs/forms_n40",
+            )
+        finally:
+            engine.shutdown_shards()
+        _RUN_CACHE[key] = result
+    return _records_view(result)
 
 
 def crawl_errors(sf_dir: str):
@@ -193,28 +237,23 @@ def forms_extract(sf_dir: str):
     """F10 form scraping as a distributed stage: parse each form page,
     extract action + default values (``forms/forms.go`` semantics),
     verify per row against the fixture's expected columns."""
-    import json as _json
-
-    from crawl_ray.fixtures import generate_form_pages
     from crawl_ray.functions.forms import new_selector
 
-    base = pathlib.Path("/tmp/crawl_ray_fixtures/forms")
-    f = base / "forms.parquet"
-    if not f.exists():
-        base.mkdir(parents=True, exist_ok=True)
-        pq.write_table(generate_form_pages(), f)
+    f = pathlib.Path(forms_fixture_path())
 
     def extract(batch: pa.Table) -> pa.Table:
         htmls = batch.column("html").to_pylist()
         expect_action = batch.column("expect_action").to_pylist()
         expect_values = batch.column("expect_values").to_pylist()
-        actions, values_json, ok = [], [], []
+        actions, values_enc, ok = [], [], []
         for html, ea, ev in zip(htmls, expect_action, expect_values):
             form = new_selector(parse_html(html), "#f")
             actions.append(form.action)
             vals = sorted((k, tuple(v)) for k, v in form.values.items())
-            values_json.append(
-                _json.dumps([[k, list(v)] for k, v in vals])
+            # "k=v1,v2;k2=..." — the SQL-reconstructable encoding the
+            # DuckDB oracle builds from the fixture's expect_values
+            values_enc.append(
+                ";".join(f"{k}={','.join(v)}" for k, v in vals)
             )
             want = sorted((e["key"], tuple(e["vals"])) for e in ev)
             ok.append(form.action == ea and vals == want)
@@ -222,7 +261,7 @@ def forms_extract(sf_dir: str):
             {
                 "doc_id": batch.column("doc_id").cast(pa.int64()),
                 "action": pa.array(actions, pa.string()),
-                "values": pa.array(values_json, pa.string()),
+                "values": pa.array(values_enc, pa.string()),
                 "forms_ok": pa.array(ok, pa.bool_()),
             }
         )

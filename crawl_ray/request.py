@@ -19,6 +19,8 @@ __all__ = [
     "encode_values",
     "canonical_header_key",
     "construct_request",
+    "effective_fetch_key",
+    "merge_default_headers",
     "HandlerRegistry",
     "DEFAULT_HEADERS",
 ]
@@ -177,6 +179,49 @@ def construct_request(req: Request, default_headers: dict[str, str] | None = Non
             headers[ckey] = value
 
     return {"url": url, "method": method, "headers": headers, "body": body}
+
+
+def effective_fetch_key(
+    url: str,
+    referer: str,
+    method: str,
+    form: dict[str, list[str]] | None,
+    query: dict[str, list[str]] | None,
+) -> tuple[str, str]:
+    """The fetch-key half of M1 (``request.go:40-99``), shared by the
+    engine's canonicalize stage and the simulator: resolved URL with
+    the query re-encoded (Go ``url.Values.Encode`` — sorted keys) and
+    the effective method (Form ⇒ POST when method is empty).
+
+    The fragment is dropped (it never reaches the server) BEFORE the
+    query is appended, so ``/p#f`` + query yields ``/p?…`` not
+    ``/p#f?…``.  Method "" still means GET downstream; it is rewritten
+    only for the Form⇒POST default so the frontier row records the
+    method that was actually used.
+    """
+    u = resolve_url(url, referer)
+    frag = u.find("#")
+    if frag >= 0:
+        u = u[:frag]
+    if query:
+        base, _, _ = u.partition("?")
+        u = base + "?" + encode_values(query)
+    if not method and form:
+        method = "POST"
+    return u, method
+
+
+def merge_default_headers(
+    headers: dict[str, str], default_headers: dict[str, str] | None = None
+) -> dict[str, str]:
+    """Default-header merge (``crawler.go:160-165``): defaults apply
+    only when the key is not already set.  Runs AFTER middlewares, like
+    the reference."""
+    for key, value in (default_headers or DEFAULT_HEADERS).items():
+        ckey = canonical_header_key(key)
+        if ckey not in headers:
+            headers[ckey] = value
+    return headers
 
 
 class HandlerRegistry:

@@ -8,9 +8,12 @@ output at full parallelism must equal this byte-for-byte:
 
 round K (virtual time = t0 + K seconds):
   1. pending = this round's frontier + politeness-deferred rows
-  2. canonicalize (M2 referer resolution; bad URL → error row),
+  2. canonicalize (M1 effective fetch key: referer resolution, query
+     re-encode, Form ⇒ POST — request.go:40-99; bad URL → error row),
      drop expired deadlines (error kind "expired",
-     nsq/nsqcrawl/queue.go:89-94)
+     nsq/nsqcrawl/queue.go:89-94), then run the middleware chain
+     pre-fetch (first error → "middleware" error row,
+     crawler.go:153-158)
   3. canonical order = sort by (-priority, depth, seq_path)
   4. global round budget: rows past it are deferred untouched
   5. per-host admission in canonical order: within-round duplicate
@@ -30,10 +33,16 @@ from dataclasses import dataclass, field
 
 import pyarrow as pa
 
-from crawl_ray.request import HandlerRegistry, Request
+from crawl_ray.request import (
+    HandlerRegistry,
+    Request,
+    construct_request,
+    effective_fetch_key,
+    merge_default_headers,
+)
 from crawl_ray.response import HandlerResult, ResponseView
 from crawl_ray.schemas import seq_child, seq_root
-from crawl_ray.urlnorm import canonicalize, fnv1a64, url_host
+from crawl_ray.urlnorm import fnv1a64, url_host
 
 __all__ = ["CrawlConfig", "SimResult", "simulate"]
 
@@ -56,6 +65,9 @@ class SimResult:
     errors: list[dict] = field(default_factory=list)
     texts: dict[str, str] = field(default_factory=dict)
     rounds: int = 0
+    # per-round lineage metrics, same keys/definitions as the engine's
+    # round manifests (A1): the hard oracle for `crawl_metrics`
+    metrics: list[dict] = field(default_factory=list)
 
 
 @dataclass
@@ -127,11 +139,20 @@ def simulate(
         res.rounds = rnd + 1
         now_us = cfg.virtual_t0 + rnd * 1_000_000
 
-        # 2. canonicalize + deadline filter
+        # 2. canonicalize (M1 effective fetch key) + deadline filter
+        #    + pre-fetch middleware chain — same order as the engine's
+        #    canonicalize stage.  Deferred rows go through step 2 again,
+        #    exactly like the engine's spill parquet does (idempotent:
+        #    their url is already canonical; deadlines are re-checked).
         live: list[_Row] = []
-        for row in pending:
+        carried, deferred = deferred, []
+        for row in pending + carried:
             try:
-                row.url = canonicalize(row.req.url, row.req.referer)
+                row.url, eff_method = effective_fetch_key(
+                    row.req.url, row.req.referer, row.req.method,
+                    row.req.form, row.req.query,
+                )
+                row.req.method = eff_method
                 row.host = url_host(row.url)
                 if not row.host:
                     raise ValueError(f"no host in {row.url!r}")
@@ -142,14 +163,22 @@ def simulate(
             if row.req.deadline is not None and row.req.deadline < now_us:
                 res.errors.append(_err(row, "expired", "deadline expired"))
                 continue
+            if registry.middlewares:
+                effective = construct_request(row.req, default_headers={})
+                try:
+                    for mw in registry.middlewares:
+                        mw(row.req, effective)
+                    merge_default_headers(effective["headers"])
+                except Exception as exc:  # noqa: BLE001 - middleware abort
+                    res.errors.append(_err(row, "middleware", str(exc)))
+                    continue
             live.append(row)
-        live.extend(deferred)  # deferred rows were canonicalized earlier
-        deferred = []
 
         # 3-4. canonical order + global budget
         live.sort(key=_Row.order_key)
         overflow = live[cfg.round_budget:]
         live = live[: cfg.round_budget]
+        metrics = {"round": rnd, "pending": len(live)}
 
         # refill all known buckets once per round
         for host in list(tokens):
@@ -158,12 +187,16 @@ def simulate(
 
         # 5. admission
         admitted: list[_Row] = []
+        n_deferred_before = len(deferred)
+        dup_dropped = seen_dropped = 0
         round_seen: set[int] = set()
         for row in live:
             if row.url_hash in round_seen:
+                dup_dropped += 1
                 continue  # within-round duplicate (silent drop)
             round_seen.add(row.url_hash)
             if row.url_hash in res.seen:
+                seen_dropped += 1
                 continue  # already crawled (silent drop)
             path = "/" + row.url.split("/", 3)[3] if row.url.count("/") >= 3 else "/"
             if any(path.startswith(p) for p in disallow.get(row.host, [])):
@@ -178,9 +211,14 @@ def simulate(
                 admitted.append(row)
             else:
                 deferred.append(row)
+        metrics["admitted"] = len(admitted)
+        metrics["dup_dropped"] = dup_dropped
+        metrics["seen_dropped"] = seen_dropped
+        metrics["deferred"] = len(deferred) - n_deferred_before
         deferred.extend(overflow)
 
         # 6-8. fetch + dispatch + fan-out
+        n_records_before = len(res.records)
         children: list[_Row] = []
         for row in admitted:
             res.trace.append((rnd, row.url))
@@ -211,6 +249,10 @@ def simulate(
                 child.seq_path = seq_child(row.req.seq_path, j)
                 children.append(_Row(req=child))
 
+        if admitted:
+            metrics["records"] = len(res.records) - n_records_before
+            metrics["links"] = len(children)
+        res.metrics.append(metrics)
         pending = children
 
     return res

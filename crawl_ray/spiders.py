@@ -16,7 +16,10 @@ from __future__ import annotations
 from crawl_ray.request import HandlerRegistry, Request
 from crawl_ray.response import HandlerResult, ResponseView
 
-__all__ = ["flagship_spider", "HandlerError", "PAGE", "LIST", "PAGE_GLOB"]
+__all__ = [
+    "flagship_spider", "forms_spider", "HandlerError",
+    "PAGE", "LIST", "PAGE_GLOB",
+]
 
 PAGE = "page"
 LIST = "list"
@@ -85,3 +88,47 @@ def flagship_spider(registry: HandlerRegistry) -> None:
     registry.register(PAGE, page_handler)
     registry.register(PAGE_GLOB, page_handler)
     registry.register(LIST, list_handler)
+
+
+def form_page_handler(resp: ResponseView, result: HandlerResult) -> None:
+    """M1 roundtrip driver: scrape the form (F10, ``forms/forms.go``)
+    and submit it — Form ⇒ POST on the resolved action (the imdb-style
+    child schedule, but through ``construct_request`` semantics) — plus
+    a query-carrying GET child exercising ``request.go:57-59``."""
+    from crawl_ray.functions.forms import new_selector
+
+    _check_status(resp)
+    form = new_selector(resp.doc, "#f")
+    result.emit(kind="form", action=form.action)
+    result.schedule(
+        Request(
+            url=form.action,
+            referer=resp.url,
+            form=form.values,
+            callbacks=["submitted"],
+        )
+    )
+    result.schedule(
+        Request(
+            url="/search",
+            referer=resp.url,
+            query={"q": form.values.get("q", [""]), "page": ["2"]},
+            callbacks=["submitted"],
+        )
+    )
+
+
+def submitted_handler(resp: ResponseView, result: HandlerResult) -> None:
+    """Records the effective request: method proves Form ⇒ POST, url
+    proves the query re-encode keyed the fetch."""
+    _check_status(resp)
+    result.emit(
+        kind="result",
+        method=resp.request.get_method(),
+        text=resp.text("html"),
+    )
+
+
+def forms_spider(registry: HandlerRegistry) -> None:
+    registry.register("form_page", form_page_handler)
+    registry.register("submitted", submitted_handler)

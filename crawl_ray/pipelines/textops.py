@@ -15,8 +15,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from crawl_ray.urlnorm import fnv1a64_batch
-
 __all__ = [
     "normalize_whitespace",
     "token_stats",
@@ -149,32 +147,40 @@ def language_id(sf_dir: str):
 
 
 def fingerprints(sf_dir: str, k: int = 5, window: int = 4):
-    """Winnowing document fingerprint: min FNV hash per sliding window
-    of k-token shingles (rolling-hash scheme; deterministic)."""
+    """Winnowing document fingerprint over k-token shingles:
+    per sliding window of ``window`` shingle hashes keep the minimum,
+    then digest the sorted distinct window-minima.
+
+    Hashes are md5 hex strings (C-speed per shingle; lexicographic min
+    ≡ numeric min on hex), so DuckDB recomputes the whole scheme exactly
+    — the driver oracle re-derives every fingerprint in SQL."""
+    import hashlib
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, text in enumerate(texts):
+        out = []
+        md5 = hashlib.md5
+        for text in texts:
             toks = text.split()
             if len(toks) < k:
-                out[i] = fnv1a64_batch([" ".join(toks)])[0]
-                continue
-            shingles = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
-            hashes = fnv1a64_batch(shingles)
-            if len(hashes) <= window:
-                out[i] = hashes.min()
+                shingles = [md5(" ".join(toks).encode()).hexdigest()]
             else:
-                # min over each window, xor-combined (order-free digest)
-                mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
-                acc = np.uint64(0)
-                for m in np.unique(mins):
-                    acc ^= m
-                out[i] = acc
+                shingles = [
+                    md5(" ".join(toks[j : j + k]).encode()).hexdigest()
+                    for j in range(len(toks) - k + 1)
+                ]
+            if len(shingles) <= window:
+                mins = [min(shingles)]
+            else:
+                mins = [
+                    min(shingles[j : j + window])
+                    for j in range(len(shingles) - window + 1)
+                ]
+            out.append(md5(",".join(sorted(set(mins))).encode()).hexdigest())
         return pa.table(
             {
                 "doc_id": batch.column("doc_id").cast(pa.int64()),
-                "fingerprint": pa.array(out, pa.uint64()),
+                "fingerprint": pa.array(out, pa.string()),
             }
         )
 

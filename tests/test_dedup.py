@@ -80,12 +80,12 @@ def test_minhash_jaccard_values(corpus_dir, ray_session):
 
 def test_simhash_identical_for_copies(corpus_dir, ray_session):
     t = DD.simhash_64(corpus_dir).to_pandas()
-    sh = dict(zip(t["doc_id"], t["simhash"]))
+    sh = {d: int(h, 16) for d, h in zip(t["doc_id"], t["simhash_hex"])}
     for i in range(5):
         assert sh[i] == sh[100 + i]
-        ham = bin(int(sh[i]) ^ int(sh[200 + i])).count("1")
+        ham = bin(sh[i] ^ sh[200 + i]).count("1")
         assert ham <= 12, f"near-dup hamming {ham} too large"
-    ham_far = bin(int(sh[7]) ^ int(sh[23])).count("1")
+    ham_far = bin(sh[7] ^ sh[23]).count("1")
     assert ham_far > 12
 
 

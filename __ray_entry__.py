@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": T.quality_score,
         "language_id": T.language_id,
         "doc_fingerprints": T.fingerprints,
+        "sample_documents": T.sample_documents,
         # dedup family
         "exact_dedup": DD.exact_dedup,
         "minhash_lsh_pairs": DD.minhash_lsh_pairs,
@@ -293,6 +294,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)
             )
         """,
+        # seeded deterministic sampling (O3): Knuth multiplicative hash
+        "sample_documents": """
+            SELECT doc_id, text FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296
+                  < 200000 * 4294967296 // 1000000
+            ORDER BY doc_id
+        """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text ORDER BY doc_id
@@ -390,6 +398,23 @@ def oracle_sql() -> dict[str, str]:
                        as bigint) >= 450
             ORDER BY vec_a, vec_b
         """,
+        # knn_ivf probes ALL lists by default (exhaustive through the
+        # IVF layout) ⇒ exact, same oracle as brute; the nprobe<n_lists
+        # read-reduction path is asserted in tests/test_similarity
+        "knn_ivf": """
+            WITH q AS (
+                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), s AS (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding, (SELECT qe FROM q)) AS sim
+                FROM embeddings
+            )
+            SELECT cast(row_number() OVER (ORDER BY sim DESC, vec_id) as bigint)
+                       AS rank,
+                   vec_id,
+                   cast(round(sim * 1000) as bigint) AS cos_milli
+            FROM s ORDER BY sim DESC, vec_id LIMIT 10
+        """,
         "knn_brute": """
             WITH q AS (
                 SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
@@ -404,9 +429,79 @@ def oracle_sql() -> dict[str, str]:
                    cast(round(sim * 1000) as bigint) AS cos_milli
             FROM s ORDER BY sim DESC, vec_id LIMIT 10
         """,
-        "payload_stats": """
-            SELECT doc_id, cast(strlen(text) as bigint) AS n_bytes
-            FROM documents
-        """,
     })
+    out.update(_multimodal_oracle_sql())
     return out
+
+
+# arithmetic media parameters per doc_id — MUST mirror
+# crawl_ray.pipelines.multimodal.media_params; the payloads are real
+# PNG/BMP/WAV/Y4M bytes whose decode outputs reduce to this arithmetic,
+# so a broken encoder OR decoder breaks these oracles
+_MEDIA_PARAMS_CTE = """
+    WITH p AS (
+        SELECT doc_id,
+               doc_id % 4 AS kind,
+               4 + (doc_id % 29) AS iw,
+               4 + (doc_id % 23) AS ih,
+               4 + 2 * (doc_id % 14) AS vw,
+               4 + 2 * (doc_id % 10) AS vh,
+               32 + (doc_id * 31) % 95 AS pv,
+               64 + (doc_id % 191) AS ns,
+               3 + (doc_id % 5) AS nf
+        FROM documents
+    )
+"""
+
+
+def _multimodal_oracle_sql() -> dict[str, str]:
+    return {
+        # closed-form file sizes: PNG uses a stored-block (level 0)
+        # zlib IDAT so its size is 57 + h(1+3w) + 11; BMP rows pad to 4
+        "payload_stats": _MEDIA_PARAMS_CTE + """
+            SELECT doc_id,
+                   CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+                             WHEN 2 THEN 'audio/wav' ELSE 'video/y4m'
+                   END AS media_type,
+                   cast(CASE kind
+                        WHEN 0 THEN 57 + ih * (1 + 3 * iw) + 11
+                        WHEN 1 THEN 54 + ih * (((3 * iw + 3) // 4) * 4)
+                        WHEN 2 THEN 44 + ns
+                        ELSE length('YUV4MPEG2 W' || vw || ' H' || vh
+                                    || ' F25:1') + 1
+                             + nf * (6 + (vw * vh * 3) // 2)
+                   END as bigint) AS n_bytes
+            FROM p ORDER BY doc_id
+        """,
+        "decode_images": _MEDIA_PARAMS_CTE + """
+            SELECT doc_id,
+                   CASE kind WHEN 0 THEN 'image/png' ELSE 'image/bmp'
+                   END AS media_type,
+                   cast(iw as bigint) AS width,
+                   cast(ih as bigint) AS height,
+                   cast(pv as bigint) AS mean_px
+            FROM p WHERE kind IN (0, 1) ORDER BY doc_id
+        """,
+        "resize_images": _MEDIA_PARAMS_CTE + """
+            SELECT doc_id,
+                   cast(CASE WHEN greatest(iw, ih) <= 16 THEN iw
+                             ELSE greatest(1, (iw * 16) // greatest(iw, ih))
+                        END as bigint) AS width,
+                   cast(CASE WHEN greatest(iw, ih) <= 16 THEN ih
+                             ELSE greatest(1, (ih * 16) // greatest(iw, ih))
+                        END as bigint) AS height,
+                   cast(pv as bigint) AS mean_px
+            FROM p WHERE kind IN (0, 1) ORDER BY doc_id
+        """,
+        "sample_frames": _MEDIA_PARAMS_CTE + """
+            SELECT doc_id,
+                   cast(i as bigint) AS sample_i,
+                   cast((i * (nf - 1)) // 3 as bigint) AS frame_idx,
+                   md5(repeat(chr(cast(32 + (doc_id * 31
+                                        + ((i * (nf - 1)) // 3) * 7) % 95
+                                       as integer)),
+                              (vw * vh * 3) // 2)) AS frame_md5
+            FROM p, range(0, 4) t(i)
+            WHERE kind = 3 ORDER BY doc_id, sample_i
+        """,
+    }

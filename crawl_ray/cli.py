@@ -113,6 +113,23 @@ def cmd_run(args) -> None:
         ray.shutdown()
 
 
+def cmd_dump_sample(args) -> None:
+    """S5 debug sink (the ``open/open.go:16-35`` analog minus the
+    browser launch): write N sample pages' html bodies to files."""
+    import pyarrow.parquet as pq_
+
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    t = pq_.read_table(args.pages, columns=["url", "html"])
+    n = min(args.n, t.num_rows)
+    written = []
+    for i in range(n):
+        name = f"sample-{i}.html"
+        (out / name).write_bytes(t.column("html")[i].as_py())
+        written.append({"url": t.column("url")[i].as_py(), "file": name})
+    print(json.dumps({"out": str(out), "pages": written}))
+
+
 def cmd_status(args) -> None:
     wd = pathlib.Path(args.workdir)
     rounds = []
@@ -159,6 +176,13 @@ def main(argv: list[str] | None = None) -> None:
                    help="max fetch+extract tasks in flight (0 = uncapped)")
     r.add_argument("--resume", action="store_true")
     r.set_defaults(fn=cmd_run)
+
+    ds = sub.add_parser("dump-sample",
+                        help="write N sample page bodies to html files (debug)")
+    ds.add_argument("--pages", required=True)
+    ds.add_argument("--out", required=True)
+    ds.add_argument("-n", type=int, default=5)
+    ds.set_defaults(fn=cmd_dump_sample)
 
     st = sub.add_parser("status", help="inspect a crawl workdir")
     st.add_argument("--workdir", required=True)

@@ -21,8 +21,12 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprints",
+    "sample_documents",
     "LANG_MARKERS",
 ]
+
+SAMPLE_MODULUS = 1 << 32
+SAMPLE_MULT = 2654435761  # Knuth multiplicative hash
 
 
 def _docs(sf_dir: str, columns=None):
@@ -143,6 +147,31 @@ def language_id(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lang, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def sample_documents(sf_dir: str, rate_ppm: int = 200_000):
+    """Seeded deterministic sampling (O3): keep rows whose Knuth
+    multiplicative hash of ``doc_id`` falls below the rate — the
+    reproducible, SQL-expressible analog of
+    ``ds.random_sample(f, seed=…)`` (same sample on every run, every
+    partitioning, every cluster size)."""
+    threshold = np.uint64(rate_ppm * SAMPLE_MODULUS // 1_000_000)
+
+    def samp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            keep = (ids * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MODULUS) < threshold
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id").cast(pa.int64()),
+                "text": out.column("text"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        samp, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

@@ -64,3 +64,16 @@ def test_seed_then_run_then_status(web, tmp_path, capsys, ray_session):
     import ray
 
     assert ray.is_initialized()
+
+
+def test_dump_sample(tmp_path):
+    from crawl_ray.cli import main
+    from crawl_ray.fixtures import fixture_dir
+
+    d = fixture_dir(500)
+    out = tmp_path / "dump"
+    main(["dump-sample", "--pages", f"{d}/pages.parquet",
+          "--out", str(out), "-n", "3"])
+    files = sorted(out.glob("sample-*.html"))
+    assert len(files) == 3
+    assert files[0].read_bytes().startswith(b"<html>")

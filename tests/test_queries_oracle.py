@@ -83,12 +83,56 @@ def test_rows_only_queries_run(ray_session):
 
 
 def test_knn_ivf_matches_brute(ray_session):
-    """IVF with enough probes must equal the exact result here."""
+    """IVF probing every list (exhaustive through the layout) must
+    equal the exact result."""
     from crawl_ray.pipelines.similarity import knn_brute, knn_ivf
 
     brute = knn_brute(SF_DIR, k=10).to_pandas()
     ivf = knn_ivf(SF_DIR, k=10, n_lists=8, nprobe=8).to_pandas()  # probe all
     pd.testing.assert_frame_equal(brute, ivf)
+
+
+def test_knn_ivf_reads_only_probed_lists(ray_session):
+    """The scale path actually reduces reads: nprobe < n_lists scans a
+    strict subset of the corpus rows, and still finds the query's own
+    neighborhood."""
+    import pathlib
+
+    import pyarrow.parquet as pq_
+
+    from crawl_ray.pipelines.similarity import (
+        build_ivf_index, knn_brute, knn_ivf,
+    )
+
+    root = pathlib.Path(build_ivf_index(SF_DIR, n_lists=16))
+    total_rows = sum(
+        pq_.read_metadata(str(f)).num_rows for f in root.glob("list=*/*.parquet")
+    )
+    # every corpus row is in exactly one list
+    n_corpus = pq_.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows
+    assert total_rows == n_corpus
+
+    probed_rows = 0
+    import numpy as np
+
+    from crawl_ray.pipelines.similarity import _unit, query_vector
+
+    cent = np.load(root / "centroids.npy")
+    q = query_vector(SF_DIR, 0)
+    q = q / np.linalg.norm(q)
+    for c in np.argsort(-(cent @ q))[:4].tolist():
+        probed_rows += sum(
+            pq_.read_metadata(str(f)).num_rows
+            for f in (root / f"list={c}").glob("*.parquet")
+        )
+    assert probed_rows < n_corpus  # real read reduction
+
+    ivf = knn_ivf(SF_DIR, k=10, n_lists=16, nprobe=4).to_pandas()
+    brute = knn_brute(SF_DIR, k=10).to_pandas()
+    # rank 1 is the query itself; approximate recall is bounded below
+    assert ivf.iloc[0]["vec_id"] == brute.iloc[0]["vec_id"] == 0
+    recall = len(set(ivf["vec_id"]) & set(brute["vec_id"])) / len(brute)
+    assert recall >= 0.5, f"recall {recall}"
 
 
 def test_extract_text_all_ok(ray_session):

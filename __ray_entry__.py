@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_metrics": CQ.crawl_metrics,
         "crawl_host_stats": CQ.crawl_host_stats,
         "crawl_forms_roundtrip": CQ.crawl_forms_roundtrip,
+        "crawl_cookies": CQ.crawl_cookies,
         "forms_extract": CQ.forms_extract,
     }
 
@@ -143,6 +144,7 @@ def _crawl_oracle_sql() -> dict[str, str]:
     n = 2000  # the driver's correctness gate runs at sf=0.01
     web = OD.expected_flagship_dir(n)
     formweb = OD.expected_forms_dir(40)
+    cookieweb = OD.expected_cookies_dir(24)
     pages = f"{fixture_dir(n)}/pages.parquet"
     forms_fx = forms_fixture_path()
     metric_cols = ", ".join(OD.METRIC_COLS)
@@ -177,6 +179,11 @@ def _crawl_oracle_sql() -> dict[str, str]:
         "crawl_forms_roundtrip": f"""
             SELECT url, depth, fields
             FROM read_parquet('{formweb}/records.parquet')
+            ORDER BY url, fields
+        """,
+        "crawl_cookies": f"""
+            SELECT url, depth, fields
+            FROM read_parquet('{cookieweb}/records.parquet')
             ORDER BY url, fields
         """,
         # F10 scrape vs the fixture's expected action/values columns

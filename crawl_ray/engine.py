@@ -177,6 +177,7 @@ class CrawlEngine:
                 state_dir / f"shard_{i}.npz",
                 table=snap["seen"]["table"],
                 tokens=json.dumps(snap["tokens"]),
+                jar=json.dumps(snap["jar"]),
             )
 
     @staticmethod
@@ -187,6 +188,7 @@ class CrawlEngine:
                 state = {
                     "seen": {"table": z["table"]},
                     "tokens": json.loads(str(z["tokens"])),
+                    "jar": json.loads(str(z["jar"])) if "jar" in z else {},
                 }
             futures.append(shard.restore.remote(state))
         ray.get(futures)
@@ -200,9 +202,11 @@ class CrawlEngine:
         small-corpus shortcut."""
         if self.cfg.page_store == "bucketed":
             return BucketedPageStore(pages_path)  # workers open files
-        index = build_broadcast_index(
-            pq.read_table(pages_path, columns=["url", "html"])
+        have = pq.read_schema(pages_path).names
+        cols = ["url", "html"] + (
+            ["set_cookie"] if "set_cookie" in have else []
         )
+        index = build_broadcast_index(pq.read_table(pages_path, columns=cols))
         return ray.put(BroadcastPageStore(index))
 
     def run(
@@ -569,6 +573,28 @@ class CrawlEngine:
                 n_links = sum(r["n_links"] for r in u_rests)
                 metrics["links"] = n_links
                 result.links += n_links
+                # ST1: fold this round's harvested Set-Cookie partials
+                # (per-task pre-folded) and push to the host-sharded
+                # jars BEFORE the checkpoint snapshot, so round K+1 —
+                # including a resumed one — sees them
+                folded: dict[tuple[str, str], tuple[bytes, str]] = {}
+                for r in u_rests:
+                    for key, cand in r["cookies"].items():
+                        cur = folded.get(key)
+                        if cur is None or cand[0] > cur[0]:
+                            folded[key] = cand
+                if folded:
+                    per_shard: list[dict] = [{} for _ in shards]
+                    for (host, name), (_, value) in folded.items():
+                        # NB: uint64 % np.uint64 — a bare python-int
+                        # modulus promotes to float64 and mis-routes
+                        s = int(fnv1a64_batch([host])[0]
+                                % np.uint64(len(shards)))
+                        per_shard[s].setdefault(host, {})[name] = value
+                    ray.get([
+                        shards[s].update_cookies.remote(per_shard[s])
+                        for s in range(len(shards)) if per_shard[s]
+                    ])
                 _lap("t_sink")
 
             t_phase = time.perf_counter()
@@ -800,7 +826,39 @@ def _split_union(t: pa.Table, frontier_dir: str, records_dir: str,
             ["url", "method", "depth", "seq_path", "error_kind", "error"]
         ),
         "n_links": links.num_rows,
+        # ST1 jar harvest, pre-folded per task to (host, name) → the
+        # canonically-LAST value (max order key), so the driver-side
+        # round fold is bounded by hosts × cookie-names — never by the
+        # number of fetched pages
+        "cookies": _fold_cookie_rows(
+            t.filter(pc.equal(kind, "cookie"))
+        ),
     }
+
+
+def _fold_cookie_rows(rows: pa.Table) -> dict:
+    """Fold kind="cookie" union rows (url, fields=Set-Cookie JSON) into
+    ``(host, name) -> (order_key, value)`` keeping the canonically last
+    write — the same order the simulator applies jar updates in."""
+    from crawl_ray.stages.canonicalize import encode_order_key
+    from crawl_ray.urlnorm import url_host
+
+    out: dict[tuple[str, str], tuple[bytes, str]] = {}
+    if rows.num_rows == 0:
+        return out
+    urls = rows.column("url").to_pylist()
+    payloads = rows.column("fields").to_pylist()
+    prios = rows.column("priority").to_pylist()
+    depths = rows.column("depth").to_pylist()
+    seqs = rows.column("seq_path").to_pylist()
+    for i in range(rows.num_rows):
+        host = url_host(urls[i])
+        okey = encode_order_key(prios[i], depths[i], seqs[i])
+        for name, value in json.loads(payloads[i]).items():
+            cur = out.get((host, name))
+            if cur is None or okey > cur[0]:
+                out[(host, name)] = (okey, str(value))
+    return out
 
 
 # -- small helpers ---------------------------------------------------------

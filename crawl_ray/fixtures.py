@@ -12,6 +12,7 @@ Sizes (FIXTURES.md): sf_tiny ~200 pages, sf_small ~5_000, sf_bench
 
 from __future__ import annotations
 
+import json
 import os
 import pathlib
 
@@ -28,7 +29,9 @@ __all__ = [
     "generate_robots",
     "generate_form_pages",
     "generate_form_web",
+    "generate_cookie_web",
     "form_web_dir",
+    "cookie_web_dir",
     "fixture_dir",
     "page_url",
     "EPOCH_US",
@@ -374,6 +377,92 @@ def form_web_dir(n: int = 40, base: str = "/tmp/crawl_ray_fixtures") -> str:
         return str(d)
     d.mkdir(parents=True, exist_ok=True)
     pages, seeds = generate_form_web(n)
+    pq.write_table(pages, d / "pages.parquet")
+    pq.write_table(seeds, d / "seeds.parquet")
+    marker.touch()
+    return str(d)
+
+
+def generate_cookie_web(n: int = 24) -> tuple[pa.Table, pa.Table]:
+    """ST1 cookie-jar web: per k a 3-page chain on its own host —
+
+    * ``/start/k`` sets ``sid=s{k}``; its handler schedules ``/next/k``
+      with an explicit request cookie ``u=x{k}`` → at ``/next/k`` the
+      observed Cookie header is "u=x{k}; sid=s{k}" (explicit first,
+      jar sorted after — ``request.cookie_header``).
+    * ``/next/k`` OVERRIDES ``sid=o{k}`` and adds ``tok=t{k}``; links
+      to ``/final/k`` → observed header "sid=o{k}; tok=t{k}" proves
+      round-boundary accumulation + same-name override.
+    * two extra pages share ``cookieshared.example`` and both set
+      ``shared`` in round 0 — the canonically-last seed wins, proving
+      the deterministic last-write-wins fold.
+
+    Returns (pages, seeds); pages carry the optional ``set_cookie``
+    column (JSON name→value) the page store surfaces to the jar.
+    """
+    urls, htmls, texts, cookies = [], [], [], []
+
+    def page(url: str, body: str, text: str, set_cookie: dict | None) -> None:
+        urls.append(url)
+        htmls.append(f"<html><body>{body}</body></html>".encode())
+        texts.append(text)
+        cookies.append(
+            json.dumps(set_cookie, sort_keys=True) if set_cookie else ""
+        )
+
+    for k in range(n):
+        host = f"http://cookiehost{k}.example"
+        page(f"{host}/start/{k}", f"<h1>start {k}</h1>",
+             f"start {k}", {"sid": f"s{k}"})
+        page(f"{host}/next/{k}", f"<p>next {k}</p>",
+             f"next {k}", {"sid": f"o{k}", "tok": f"t{k}"})
+        page(f"{host}/final/{k}", f"<p>final {k}</p>", f"final {k}", None)
+    shared = "http://cookieshared.example"
+    for i in range(2):
+        page(f"{shared}/a/{i}", f"<p>a {i}</p>", f"a {i}",
+             {"shared": f"v{i}"})
+        page(f"{shared}/check/{i}", f"<p>check {i}</p>", f"check {i}", None)
+
+    n_rows = len(urls)
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                EPOCH_US + np.arange(n_rows, dtype=np.int64) * 1_000_000,
+                type=pa.timestamp("us"),
+            ),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n_rows, pa.string()),
+            "set_cookie": pa.array(cookies, pa.string()),
+        }
+    )
+    seed_urls = [f"http://cookiehost{k}.example/start/{k}" for k in range(n)]
+    seed_cbs = [["cookie_start"]] * n
+    seed_urls += [f"{shared}/a/{i}" for i in range(2)]
+    seed_cbs += [["cookie_shared"]] * 2
+    m = len(seed_urls)
+    seeds = pa.table(
+        {
+            "url": pa.array(seed_urls, pa.string()),
+            "method": pa.array([""] * m, pa.string()),
+            "referer": pa.array([""] * m, pa.string()),
+            "callbacks": pa.array(seed_cbs, pa.list_(pa.string())),
+            "metadata": pa.array([""] * m, pa.string()),
+            "deadline": pa.nulls(m, pa.timestamp("us")),
+        }
+    )
+    return pages, seeds
+
+
+def cookie_web_dir(n: int = 24, base: str = "/tmp/crawl_ray_fixtures") -> str:
+    """Write (once, cached) the cookie-jar web for a size."""
+    d = pathlib.Path(base) / f"cookieweb_n{n}"
+    marker = d / "_SUCCESS"
+    if marker.exists():
+        return str(d)
+    d.mkdir(parents=True, exist_ok=True)
+    pages, seeds = generate_cookie_web(n)
     pq.write_table(pages, d / "pages.parquet")
     pq.write_table(seeds, d / "seeds.parquet")
     marker.touch()

@@ -25,17 +25,24 @@ import pathlib
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from crawl_ray.fixtures import EPOCH_US, fixture_dir, form_web_dir
+from crawl_ray.fixtures import (
+    EPOCH_US,
+    cookie_web_dir,
+    fixture_dir,
+    form_web_dir,
+)
 from crawl_ray.request import HandlerRegistry
 from crawl_ray.simulator import CrawlConfig, SimResult, simulate
-from crawl_ray.spiders import flagship_spider, forms_spider
+from crawl_ray.spiders import cookie_spider, flagship_spider, forms_spider
 
 __all__ = [
     "EXPECTED_BASE",
     "flagship_core_cfg",
     "forms_core_cfg",
+    "cookies_core_cfg",
     "expected_flagship_dir",
     "expected_forms_dir",
+    "expected_cookies_dir",
 ]
 
 EXPECTED_BASE = "/tmp/crawl_ray_expected"
@@ -64,6 +71,16 @@ def forms_core_cfg() -> dict:
         round_budget=500,
         max_rounds=24,
         max_depth=3,
+        virtual_t0=EPOCH_US,
+    )
+
+
+def cookies_core_cfg() -> dict:
+    """Semantic config for the ST1 cookie-jar web (engine + sim)."""
+    return dict(
+        round_budget=500,
+        max_rounds=8,
+        max_depth=4,
         virtual_t0=EPOCH_US,
     )
 
@@ -128,6 +145,25 @@ def expected_flagship_dir(n: int) -> str:
     reg = HandlerRegistry()
     flagship_spider(reg)
     sim = simulate(pages, seeds, robots, reg, CrawlConfig(**flagship_core_cfg(n)))
+    _write_sim_outputs(sim, d)
+    marker.touch()
+    return str(d)
+
+
+def expected_cookies_dir(n: int = 24) -> str:
+    """Materialize (once) the simulator-expected outputs of the ST1
+    cookie-jar crawl; returns the directory."""
+    d = pathlib.Path(EXPECTED_BASE) / f"cookieweb_n{n}"
+    marker = d / "_SUCCESS"
+    if marker.exists():
+        return str(d)
+    d.mkdir(parents=True, exist_ok=True)
+    fd = cookie_web_dir(n)
+    pages = pq.read_table(f"{fd}/pages.parquet")
+    seeds = pq.read_table(f"{fd}/seeds.parquet")
+    reg = HandlerRegistry()
+    cookie_spider(reg)
+    sim = simulate(pages, seeds, None, reg, CrawlConfig(**cookies_core_cfg()))
     _write_sim_outputs(sim, d)
     marker.touch()
     return str(d)

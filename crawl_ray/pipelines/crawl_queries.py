@@ -17,10 +17,14 @@ import ray.data
 
 from crawl_ray.dom import parse_html
 from crawl_ray.engine import CrawlEngine, EngineConfig
-from crawl_ray.fixtures import fixture_dir, form_web_dir
+from crawl_ray.fixtures import cookie_web_dir, fixture_dir, form_web_dir
 from crawl_ray.functions import html as H
-from crawl_ray.oracle_data import flagship_core_cfg, forms_core_cfg
-from crawl_ray.spiders import flagship_spider, forms_spider
+from crawl_ray.oracle_data import (
+    cookies_core_cfg,
+    flagship_core_cfg,
+    forms_core_cfg,
+)
+from crawl_ray.spiders import cookie_spider, flagship_spider, forms_spider
 
 __all__ = [
     "extract_text_pipeline",
@@ -29,6 +33,7 @@ __all__ = [
     "crawl_metrics",
     "crawl_host_stats",
     "crawl_forms_roundtrip",
+    "crawl_cookies",
     "forms_extract",
     "fixture_size_for",
 ]
@@ -148,6 +153,31 @@ def crawl_forms_roundtrip(sf_dir: str):
             result = engine.run(
                 f"{d}/pages.parquet", seeds, None,
                 "/tmp/crawl_ray_runs/forms_n40",
+            )
+        finally:
+            engine.shutdown_shards()
+        _RUN_CACHE[key] = result
+    return _records_view(result)
+
+
+def crawl_cookies(sf_dir: str):
+    """ST1 cookie jar (``crawler.go:87``) wired through the crawl path:
+    Set-Cookie payloads harvested from fetched pages accumulate in the
+    host-sharded jar and are sent (merged with explicit request
+    cookies) on subsequent rounds' requests; records capture the
+    observed Cookie header per stage.  Oracle: simulator records on the
+    same web."""
+    key = ("cookies", 24)
+    result = _RUN_CACHE.get(key)
+    if result is None:
+        d = cookie_web_dir(24)
+        cfg = EngineConfig(**cookies_core_cfg(), n_admission_shards=2)
+        engine = CrawlEngine([cookie_spider], cfg)
+        seeds = pq.read_table(f"{d}/seeds.parquet")
+        try:
+            result = engine.run(
+                f"{d}/pages.parquet", seeds, None,
+                "/tmp/crawl_ray_runs/cookies_n24",
             )
         finally:
             engine.shutdown_shards()

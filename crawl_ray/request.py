@@ -21,6 +21,7 @@ __all__ = [
     "construct_request",
     "effective_fetch_key",
     "merge_default_headers",
+    "cookie_header",
     "HandlerRegistry",
     "DEFAULT_HEADERS",
 ]
@@ -209,6 +210,31 @@ def effective_fetch_key(
     if not method and form:
         method = "POST"
     return u, method
+
+
+def cookie_header(
+    explicit: dict[str, list[str]] | None, jar: dict[str, str] | None
+) -> str:
+    """ST1 — the effective ``Cookie`` header for one request.
+
+    The reference sends the request's explicit cookies
+    (``request.go:69-73``, ``AddCookie`` order = map iteration over
+    ``url.Values``) and the client jar's cookies for the host
+    (``crawler.go:87``, ``http.Client`` appends jar cookies after the
+    header is built).  Deterministic spec here: explicit pairs first in
+    request order, then jar pairs sorted by name, skipping names the
+    request already set explicitly.
+    """
+    pairs: list[str] = []
+    seen_names: set[str] = set()
+    for name, vals in (explicit or {}).items():
+        seen_names.add(name)
+        for value in vals:
+            pairs.append(f"{name}={value}")
+    for name in sorted(jar or {}):
+        if name not in seen_names:
+            pairs.append(f"{name}={jar[name]}")
+    return "; ".join(pairs)
 
 
 def merge_default_headers(

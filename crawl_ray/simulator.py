@@ -19,7 +19,14 @@ round K (virtual time = t0 + K seconds):
   5. per-host admission in canonical order: within-round duplicate
      url_hash dropped (keep first); robots disallow → error; seen →
      drop; token bucket (refill rate/s, cap burst) → admit or defer
-  6. fetch = pages lookup (missing → status 404, empty body)
+  6. fetch = pages lookup (missing → status 404, empty body); the
+     request's effective Cookie header (ST1: explicit request cookies
+     + the host's jar as of the END of the previous round,
+     crawler.go:87 + request.go:69-73) is set on req.headers before
+     dispatch; the page's Set-Cookie payload (optional ``set_cookie``
+     pages column, JSON name→value) is harvested regardless of handler
+     outcome and folded into the jar at the round boundary in
+     canonical order (last write per (host, name) wins)
   7. M7 dispatch in canonical order; handler raise → error row (that
      handler's outputs discarded, earlier handlers' kept)
   8. children: depth+1 (dropped past max_depth), seq_path = parent
@@ -37,6 +44,7 @@ from crawl_ray.request import (
     HandlerRegistry,
     Request,
     construct_request,
+    cookie_header,
     effective_fetch_key,
     merge_default_headers,
 )
@@ -126,10 +134,16 @@ def simulate(
         u: i for i, u in enumerate(pages.column("url").to_pylist())
     }
     htmls = pages.column("html").to_pylist()
+    set_cookies = (
+        pages.column("set_cookie").to_pylist()
+        if "set_cookie" in pages.column_names
+        else [""] * pages.num_rows
+    )
     disallow, rates = _robots_maps(robots, cfg)
 
     res = SimResult()
     tokens: dict[str, float] = {}
+    jar: dict[str, dict[str, str]] = {}  # ST1: host -> {name: value}
     pending: list[_Row] = _seed_rows(seeds)
     deferred: list[_Row] = []
 
@@ -220,11 +234,23 @@ def simulate(
         # 6-8. fetch + dispatch + fan-out
         n_records_before = len(res.records)
         children: list[_Row] = []
+        new_cookies: dict[str, dict[str, str]] = {}
         for row in admitted:
             res.trace.append((rnd, row.url))
             idx = page_index.get(row.url)
             status = 200 if idx is not None else 404
             body = htmls[idx] if idx is not None else b""
+            header = cookie_header(row.req.cookies, jar.get(row.host))
+            if header:
+                row.req.headers = dict(row.req.headers)
+                row.req.headers["Cookie"] = header
+            if idx is not None and set_cookies[idx]:
+                # harvested in admitted (canonical) order; applied to
+                # the jar at the round boundary — later rows this round
+                # still see the round-start jar, like the engine
+                new_cookies.setdefault(row.host, {}).update(
+                    {k: str(v) for k, v in json.loads(set_cookies[idx]).items()}
+                )
             resp = ResponseView(row.req, row.url, status, body)
             merged = HandlerResult()
             for handler in registry.get_handlers(row.req.callbacks):
@@ -252,6 +278,8 @@ def simulate(
         if admitted:
             metrics["records"] = len(res.records) - n_records_before
             metrics["links"] = len(children)
+        for host, cookies in new_cookies.items():
+            jar.setdefault(host, {}).update(cookies)
         res.metrics.append(metrics)
         pending = children
 

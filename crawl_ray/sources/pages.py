@@ -15,8 +15,11 @@ Common-Crawl-style pages, so fetch = join frontier against pages on
   the partition-local hash join that scales to 100 TB: no shuffle of
   the big side, frontier repartitioned by the same bucket key.
 
-Both expose ``lookup(urls) -> (status: int32 ndarray, html: list[bytes])``
-with missing URLs → (404, b"") — the error path rows.
+Both expose ``lookup(urls) -> (status: int32 ndarray, html: list[bytes],
+set_cookie: list[str])`` with missing URLs → (404, b"", "") — the error
+path rows.  ``set_cookie`` is the page's response-cookie payload (JSON
+dict name→value, "" = none) feeding the client cookie jar (ST1,
+``crawler.go:87``); corpora without the column behave as all-"".
 """
 
 from __future__ import annotations
@@ -33,10 +36,22 @@ from crawl_ray.urlnorm import fnv1a64_batch
 __all__ = ["BroadcastPageStore", "BucketedPageStore", "bucket_pages", "build_broadcast_index"]
 
 
+def _with_set_cookie(pages: pa.Table) -> pa.Table:
+    """Normalize the optional ``set_cookie`` column ("" when absent)."""
+    if "set_cookie" not in pages.column_names:
+        pages = pages.append_column(
+            "set_cookie", pa.array([""] * pages.num_rows, pa.string())
+        )
+    return pages
+
+
 def build_broadcast_index(pages: pa.Table) -> pa.Table:
     """Sort pages by url_hash for binary-search lookup; keeps only the
     columns fetch needs (prune at the source — SURVEY guidance)."""
-    pages = pages.select(["url", "html"])
+    names = ["url", "html"] + (
+        ["set_cookie"] if "set_cookie" in pages.column_names else []
+    )
+    pages = _with_set_cookie(pages.select(names))
     hashes = fnv1a64_batch(pages.column("url"))
     pages = pages.append_column("url_hash", pa.array(hashes, pa.uint64()))
     return pages.sort_by("url_hash").combine_chunks()
@@ -46,11 +61,13 @@ def _resolve_sorted(
     bhashes: np.ndarray,
     burls,
     bhtml,
+    bcookies,
     urls: list[str],
     hashes: np.ndarray,
     rows: np.ndarray,
     status: np.ndarray,
     htmls: list,
+    set_cookies: list,
 ) -> None:
     """Resolve query rows against one url_hash-sorted store slice.
 
@@ -74,10 +91,13 @@ def _resolve_sorted(
     eq = pc.equal(sel_urls, q_urls).to_numpy(zero_copy_only=False)
     hit_rows = cand_rows[eq]
     if len(hit_rows):
-        payloads = bhtml.take(pa.array(cand_pos[eq], pa.int64())).to_pylist()
+        hit_pos = pa.array(cand_pos[eq], pa.int64())
+        payloads = bhtml.take(hit_pos).to_pylist()
+        cookies = bcookies.take(hit_pos).to_pylist()
         status[hit_rows] = 200
-        for i, payload in zip(hit_rows.tolist(), payloads):
+        for i, payload, ck in zip(hit_rows.tolist(), payloads, cookies):
             htmls[i] = payload
+            set_cookies[i] = ck or ""
     # collision fallback: walk the equal-hash run row by row
     for k in np.flatnonzero(~eq).tolist():
         i = int(cand_rows[k])
@@ -87,6 +107,7 @@ def _resolve_sorted(
             if burls[p].as_py() == urls[i]:
                 status[i] = 200
                 htmls[i] = bhtml[p].as_py()
+                set_cookies[i] = bcookies[p].as_py() or ""
                 break
             p += 1
 
@@ -95,21 +116,26 @@ class BroadcastPageStore:
     """Zero-copy shared page index (small/mid corpora)."""
 
     def __init__(self, index: pa.Table) -> None:
+        index = _with_set_cookie(index)
         self._index = index
         self._hashes = index.column("url_hash").to_numpy(zero_copy_only=False)
         self._urls = index.column("url")
         self._html = index.column("html")
+        self._cookies = index.column("set_cookie")
 
-    def lookup(self, urls: list[str]) -> tuple[np.ndarray, list[bytes]]:
+    def lookup(
+        self, urls: list[str]
+    ) -> tuple[np.ndarray, list[bytes], list[str]]:
         n = len(urls)
         hashes = fnv1a64_batch(urls)
         status = np.full(n, 404, dtype=np.int32)
         htmls: list[bytes] = [b""] * n
+        set_cookies: list[str] = [""] * n
         _resolve_sorted(
-            self._hashes, self._urls, self._html,
-            urls, hashes, np.arange(n), status, htmls,
+            self._hashes, self._urls, self._html, self._cookies,
+            urls, hashes, np.arange(n), status, htmls, set_cookies,
         )
-        return status, htmls
+        return status, htmls, set_cookies
 
 
 def bucket_pages(pages_parquet: str, dst_dir: str, n_buckets: int = 64) -> str:
@@ -125,7 +151,9 @@ def bucket_pages(pages_parquet: str, dst_dir: str, n_buckets: int = 64) -> str:
     if done.exists():
         return str(dst)
     dst.mkdir(parents=True, exist_ok=True)
-    table = pq.read_table(pages_parquet, columns=["url", "html"])
+    have = pq.read_schema(pages_parquet).names
+    cols = ["url", "html"] + (["set_cookie"] if "set_cookie" in have else [])
+    table = _with_set_cookie(pq.read_table(pages_parquet, columns=cols))
     hashes = fnv1a64_batch(table.column("url"))
     table = table.append_column("url_hash", pa.array(hashes, pa.uint64()))
     buckets = hashes % np.uint64(n_buckets)
@@ -155,24 +183,30 @@ class BucketedPageStore:
         hit = self._cache.get(b)
         if hit is not None:
             return hit
-        table = pq.read_table(self.root / f"bucket={b}" / "part.parquet")
+        table = _with_set_cookie(
+            pq.read_table(self.root / f"bucket={b}" / "part.parquet")
+        )
         entry = (table.column("url_hash").to_numpy(zero_copy_only=False), table)
         if len(self._cache) >= self._cache_cap:
             self._cache.pop(next(iter(self._cache)))
         self._cache[b] = entry
         return entry
 
-    def lookup(self, urls: list[str]) -> tuple[np.ndarray, list[bytes]]:
+    def lookup(
+        self, urls: list[str]
+    ) -> tuple[np.ndarray, list[bytes], list[str]]:
         n = len(urls)
         hashes = fnv1a64_batch(urls)
         buckets = (hashes % np.uint64(self.n_buckets)).astype(np.int64)
         status = np.full(n, 404, dtype=np.int32)
         htmls: list[bytes] = [b""] * n
+        set_cookies: list[str] = [""] * n
         for b in np.unique(buckets).tolist():
             bhashes, btable = self._bucket_table(int(b))
             rows = np.flatnonzero(buckets == b)
             _resolve_sorted(
                 bhashes, btable.column("url"), btable.column("html"),
-                urls, hashes, rows, status, htmls,
+                btable.column("set_cookie"),
+                urls, hashes, rows, status, htmls, set_cookies,
             )
-        return status, htmls
+        return status, htmls, set_cookies

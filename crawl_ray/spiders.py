@@ -17,7 +17,7 @@ from crawl_ray.request import HandlerRegistry, Request
 from crawl_ray.response import HandlerResult, ResponseView
 
 __all__ = [
-    "flagship_spider", "forms_spider", "HandlerError",
+    "flagship_spider", "forms_spider", "cookie_spider", "HandlerError",
     "PAGE", "LIST", "PAGE_GLOB",
 ]
 
@@ -132,3 +132,66 @@ def submitted_handler(resp: ResponseView, result: HandlerResult) -> None:
 def forms_spider(registry: HandlerRegistry) -> None:
     registry.register("form_page", form_page_handler)
     registry.register("submitted", submitted_handler)
+
+
+def _emit_cookie_record(resp: ResponseView, result: HandlerResult,
+                        stage: str) -> None:
+    """Record the Cookie header the crawler actually sent (ST1 — the
+    jar-merged effective header, observable via resp.request.headers
+    exactly as a live server would observe it)."""
+    result.emit(
+        stage=stage,
+        cookie=resp.request.headers.get("Cookie", ""),
+        text=resp.text("html"),
+    )
+
+
+def cookie_start_handler(resp: ResponseView, result: HandlerResult) -> None:
+    """Chain driver: schedules /next with an EXPLICIT request cookie
+    (request.go:69-73) on top of whatever the jar accumulated."""
+    _check_status(resp)
+    _emit_cookie_record(resp, result, "start")
+    k = resp.url.rsplit("/", 1)[1]
+    result.schedule(
+        Request(
+            url=f"/next/{k}",
+            referer=resp.url,
+            cookies={"u": [f"x{k}"]},
+            callbacks=["cookie_next"],
+        )
+    )
+
+
+def cookie_next_handler(resp: ResponseView, result: HandlerResult) -> None:
+    _check_status(resp)
+    _emit_cookie_record(resp, result, "next")
+    k = resp.url.rsplit("/", 1)[1]
+    result.schedule(
+        Request(url=f"/final/{k}", referer=resp.url,
+                callbacks=["cookie_final"])
+    )
+
+
+def cookie_final_handler(resp: ResponseView, result: HandlerResult) -> None:
+    _check_status(resp)
+    _emit_cookie_record(resp, result, "final")
+
+
+def cookie_shared_handler(resp: ResponseView, result: HandlerResult) -> None:
+    """Same-host concurrent Set-Cookie: both /a pages write ``shared``
+    in round 0; /check observes the canonical last-write-wins value."""
+    _check_status(resp)
+    _emit_cookie_record(resp, result, "shared")
+    i = resp.url.rsplit("/", 1)[1]
+    result.schedule(
+        Request(url=f"/check/{i}", referer=resp.url,
+                callbacks=["cookie_final"])
+    )
+
+
+def cookie_spider(registry: HandlerRegistry) -> None:
+    """ST1 jar coverage spider (see ``fixtures.generate_cookie_web``)."""
+    registry.register("cookie_start", cookie_start_handler)
+    registry.register("cookie_next", cookie_next_handler)
+    registry.register("cookie_final", cookie_final_handler)
+    registry.register("cookie_shared", cookie_shared_handler)

@@ -19,7 +19,7 @@ import json
 
 import pyarrow as pa
 
-from crawl_ray.request import HandlerRegistry, Request
+from crawl_ray.request import HandlerRegistry, Request, cookie_header
 from crawl_ray.response import HandlerResult, ResponseView
 from crawl_ray.schemas import seq_child
 
@@ -60,9 +60,12 @@ def make_fetch_fn(store):
         if isinstance(store, ray.ObjectRef):
             store = ray.get(store)
         urls = batch.column("url").to_pylist()
-        status, htmls = store.lookup(urls)
+        status, htmls, set_cookies = store.lookup(urls)
         batch = batch.append_column("status", pa.array(status, pa.int32()))
         batch = batch.append_column("html", pa.array(htmls, pa.binary()))
+        batch = batch.append_column(
+            "set_cookie", pa.array(set_cookies, pa.string())
+        )
         return batch
 
     return fetch
@@ -124,8 +127,30 @@ class ExtractActor:
         # middlewares (M3) do NOT run here: they run pre-fetch in the
         # canonicalize stage (crawler.go:153-158 — a rejected request
         # never consumes a politeness token or a fetch)
+        jar_col = cols.get("jar_cookies")
+        set_cookie_col = cols.get("set_cookie")
         for i in range(n):
             req = _row_request(cols, i)
+            # ST1: effective Cookie header = explicit request cookies +
+            # admission-stamped jar cookies for the host, observable to
+            # handlers via resp.request.headers (crawler.go:87 jar +
+            # request.go:69-73 AddCookie)
+            header = cookie_header(
+                req.cookies,
+                json.loads(jar_col[i]) if jar_col and jar_col[i] else None,
+            )
+            if header:
+                req.headers = dict(req.headers)
+                req.headers["Cookie"] = header
+            # jar harvest: the response's Set-Cookie payload, recorded
+            # regardless of handler outcome (the reference's jar updates
+            # inside the HTTP client, before handlers run); applied by
+            # the engine at the round boundary in canonical order
+            if set_cookie_col and set_cookie_col[i]:
+                emit("cookie", url=cols["url"][i],
+                     fields=set_cookie_col[i],
+                     depth=req.depth, seq_path=req.seq_path,
+                     priority=req.priority)
             resp = ResponseView(
                 req, cols["url"][i], int(cols["status"][i]), cols["html"][i]
             )

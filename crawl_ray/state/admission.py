@@ -22,6 +22,8 @@ per-round refill loop exactly.
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 
 from crawl_ray.state.seen import SeenTable
@@ -51,6 +53,14 @@ class AdmissionShard:
         self.default = (default_rate, default_burst)
         # host -> [tokens, last_refill_round]
         self.tokens: dict[str, list[float]] = {}
+        # ST1 client cookie jar (crawler.go:87), sharded by host like
+        # all other per-host state: host -> {name: value}.  Host-scoped
+        # session cookies (no path/expiry attributes — documented
+        # simplification of RFC 6265); updated by the engine at each
+        # round boundary, so round K requests see the jar as of the end
+        # of round K-1 (the deterministic spec for the reference's racy
+        # concurrent visibility).
+        self.jar: dict[str, dict[str, str]] = {}
 
     def _bucket(self, host: str, rnd: int) -> float:
         rate, burst = self.rates.get(host, self.default)
@@ -151,14 +161,29 @@ class AdmissionShard:
         paths = t.column("path").to_pylist()
         n = len(hosts)
         out = np.empty(n, dtype=np.int8)
+        jar_cookies = [""] * n
         start = 0
         for i in range(1, n + 1):
             if i == n or hosts[i] != hosts[start]:
                 out[start:i] = self.admit(
                     hosts[start], hashes[start:i], paths[start:i], rnd
                 )
+                jar = self.jar.get(hosts[start])
+                if jar:
+                    enc = json.dumps(jar, sort_keys=True)
+                    jar_cookies[start:i] = [enc] * (i - start)
                 start = i
-        return t.append_column("admit", pa.array(out, pa.int8()))
+        t = t.append_column("admit", pa.array(out, pa.int8()))
+        return t.append_column(
+            "jar_cookies", pa.array(jar_cookies, pa.string())
+        )
+
+    def update_cookies(self, updates: dict[str, dict[str, str]]) -> None:
+        """Merge one round's harvested Set-Cookie payloads for this
+        shard's hosts (already folded in canonical order by the
+        engine — last write per name wins)."""
+        for host, cookies in updates.items():
+            self.jar.setdefault(host, {}).update(cookies)
 
     # -- introspection / checkpoint ----------------------------------
     def seen_count(self) -> int:
@@ -171,8 +196,10 @@ class AdmissionShard:
         return {
             "seen": self.seen.snapshot(),
             "tokens": {h: list(v) for h, v in self.tokens.items()},
+            "jar": {h: dict(c) for h, c in self.jar.items()},
         }
 
     def restore(self, state: dict) -> None:
         self.seen = SeenTable.restore(state["seen"])
         self.tokens = {h: list(v) for h, v in state["tokens"].items()}
+        self.jar = {h: dict(c) for h, c in state.get("jar", {}).items()}

@@ -385,3 +385,104 @@ def test_metrics_match_simulator(engine_run, sim_result):
     ]
     sim = [tuple(int(m.get(c, 0)) for c in cols) for m in sim_result.metrics]
     assert eng == sim
+
+
+# -- ST1 cookie jar parity (round 2) ----------------------------------------
+
+
+def _cookie_records(result):
+    records = result.records_table()
+    return sorted(
+        (u, json.loads(f))
+        for u, f in zip(records.column("url").to_pylist(),
+                        records.column("fields").to_pylist())
+    )
+
+
+@pytest.mark.parametrize("store", ["broadcast", "bucketed"])
+def test_cookie_jar_equals_simulator(ray_session, tmp_path_factory, store):
+    """ST1 (crawler.go:87): Set-Cookie payloads accumulate in the
+    host-sharded jar with round-boundary visibility; the effective
+    Cookie header (explicit request cookies first, jar sorted after)
+    is what handlers observe — engine at full parallelism ≡
+    single-threaded simulator, over both page-store strategies."""
+    import pyarrow.parquet as pq_
+
+    from crawl_ray.fixtures import cookie_web_dir
+    from crawl_ray.oracle_data import cookies_core_cfg
+    from crawl_ray.simulator import simulate
+    from crawl_ray.sources.pages import bucket_pages
+    from crawl_ray.spiders import cookie_spider
+
+    d = cookie_web_dir(24)
+    pages = pq_.read_table(f"{d}/pages.parquet")
+    seeds = pq_.read_table(f"{d}/seeds.parquet")
+    reg = HandlerRegistry()
+    cookie_spider(reg)
+    sim = simulate(pages, seeds, None, reg, CrawlConfig(**cookies_core_cfg()))
+
+    pages_path = f"{d}/pages.parquet"
+    if store == "bucketed":
+        pages_path = bucket_pages(
+            pages_path, str(tmp_path_factory.mktemp("ckbuckets")), n_buckets=5
+        )
+    cfg = EngineConfig(**cookies_core_cfg(), n_admission_shards=2,
+                       extract_concurrency=2, page_store=store)
+    engine = CrawlEngine([cookie_spider], cfg)
+    wd = str(tmp_path_factory.mktemp("cookies"))
+    result = engine.run(pages_path, seeds, None, wd)
+    engine.shutdown_shards()
+
+    eng_records = _cookie_records(result)
+    sim_records = sorted((r["url"], r["fields"]) for r in sim.records)
+    assert eng_records == sim_records
+
+    by_url = dict(eng_records)
+    # explicit request cookie first, then the jar cookie, name-sorted
+    assert by_url["http://cookiehost7.example/next/7"]["cookie"] == "u=x7; sid=s7"
+    # accumulation + same-name override across rounds
+    assert by_url["http://cookiehost7.example/final/7"]["cookie"] == "sid=o7; tok=t7"
+    # same-host same-round writes: canonically-last seed wins, and both
+    # observers see the same folded value
+    assert by_url["http://cookieshared.example/check/0"]["cookie"] == "shared=v1"
+    assert by_url["http://cookieshared.example/check/1"]["cookie"] == "shared=v1"
+
+
+def test_cookie_jar_survives_resume(ray_session, tmp_path_factory):
+    """The jar is part of the checkpoint state: kill after round 1
+    commits (sid/tok harvested but /final not yet fetched), resume, and
+    the /final records must still carry the restored jar cookies."""
+    import pyarrow.parquet as pq_
+
+    from crawl_ray.fixtures import cookie_web_dir
+    from crawl_ray.oracle_data import cookies_core_cfg
+    from crawl_ray.spiders import cookie_spider
+
+    d = cookie_web_dir(24)
+    seeds = pq_.read_table(f"{d}/seeds.parquet")
+
+    def make_engine(max_rounds):
+        cfg = EngineConfig(
+            **{**cookies_core_cfg(), "max_rounds": max_rounds},
+            n_admission_shards=2, extract_concurrency=2,
+        )
+        return CrawlEngine([cookie_spider], cfg)
+
+    wd_full = str(tmp_path_factory.mktemp("ckfull"))
+    e_full = make_engine(cookies_core_cfg()["max_rounds"])
+    r_full = e_full.run(f"{d}/pages.parquet", seeds, None, wd_full)
+    e_full.shutdown_shards()
+
+    wd_part = str(tmp_path_factory.mktemp("ckpart"))
+    e_part = make_engine(1)  # "killed" after round 1 commits
+    e_part.run(f"{d}/pages.parquet", seeds, None, wd_part)
+    e_part.shutdown_shards()
+
+    e_res = make_engine(cookies_core_cfg()["max_rounds"])
+    r_res = e_res.run(f"{d}/pages.parquet", None, None, wd_part, resume=True)
+    e_res.shutdown_shards()
+
+    assert _cookie_records(r_res) == _cookie_records(r_full)
+    finals = [f for _, f in _cookie_records(r_res) if f["stage"] == "final"]
+    assert finals and all("tok=" in f["cookie"] or "shared=" in f["cookie"]
+                          for f in finals)

@@ -39,10 +39,13 @@ def test_lookup_equivalence(web, tmp_path_factory):
     bucketed = BucketedPageStore(root)
     urls = pages.column("url").to_pylist()
     probe = urls[:40] + ["http://nowhere.example/missing", urls[-1]]
-    s_b, h_b = broadcast.lookup(probe)
-    s_k, h_k = bucketed.lookup(probe)
+    s_b, h_b, c_b = broadcast.lookup(probe)
+    s_k, h_k, c_k = bucketed.lookup(probe)
     assert s_b.tolist() == s_k.tolist()
     assert h_b == h_k
+    assert c_b == c_k
+    # the flagship web has no set_cookie column -> all ""
+    assert set(c_b) == {""}
     assert s_b[len(probe) - 2] == 404 and h_b[len(probe) - 2] == b""
     assert s_b[0] == 200
 

@@ -806,7 +806,7 @@ def _split_union(t: pa.Table, frontier_dir: str, records_dir: str,
                  part: int) -> dict:
     if t.num_rows == 0 or "kind" not in t.column_names:
         empty = t.slice(0, 0)
-        return {"n_records": 0, "errors": empty, "n_links": 0}
+        return {"n_records": 0, "errors": empty, "n_links": 0, "cookies": {}}
     kind = t.column("kind")
     links = t.filter(pc.equal(kind, "link"))
     if links.num_rows:

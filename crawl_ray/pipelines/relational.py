@@ -189,6 +189,11 @@ def orders_per_nation(sf_dir: str):
         keys = batch.column("o_custkey").to_numpy()
         pos = np.searchsorted(lk["cust_sorted"], keys)
         pos = np.clip(pos, 0, len(lk["cust_sorted"]) - 1)
+        # FK integrity guard: a custkey missing from customer would
+        # silently bind to a neighbor's nation — fail loudly instead
+        if not np.array_equal(lk["cust_sorted"][pos], keys):
+            missing = keys[lk["cust_sorted"][pos] != keys]
+            raise ValueError(f"orders.o_custkey not in customer: {missing[:5]}")
         nk = lk["nation_of_cust"][pos]
         names = [lk["nation_names"][int(x)] for x in nk]
         return pa.table(
@@ -261,6 +266,9 @@ def top_order_per_segment(sf_dir: str):
         lk = ray.get(seg_ref)
         keys = batch.column("o_custkey").to_numpy()
         pos = np.clip(np.searchsorted(lk["cust_sorted"], keys), 0, len(lk["cust_sorted"]) - 1)
+        if not np.array_equal(lk["cust_sorted"][pos], keys):
+            missing = keys[lk["cust_sorted"][pos] != keys]
+            raise ValueError(f"orders.o_custkey not in customer: {missing[:5]}")
         return pa.table(
             {
                 "c_mktsegment": pa.array(lk["segment"][pos].tolist(), pa.string()),

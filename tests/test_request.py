@@ -185,3 +185,38 @@ def test_registry_exact_handlers_in_callback_order():
 def test_request_string():
     assert str(Request(url="http://x/")) == "GET http://x/"
     assert str(Request(url="http://x/", method="POST")) == "POST http://x/"
+
+
+# -- ST1 cookie header (round 2) ---------------------------------------------
+
+
+def test_cookie_header_explicit_then_jar_sorted():
+    from crawl_ray.request import cookie_header
+
+    # explicit request cookies keep request order; jar cookies follow,
+    # sorted by name (the deterministic spec for crawler.go:87 +
+    # request.go:69-73)
+    h = cookie_header({"u": ["x1"], "b": ["2"]}, {"sid": "s", "aaa": "v"})
+    assert h == "u=x1; b=2; aaa=v; sid=s"
+
+
+def test_cookie_header_explicit_wins_name_conflict():
+    from crawl_ray.request import cookie_header
+
+    h = cookie_header({"sid": ["mine"]}, {"sid": "jar", "tok": "t"})
+    assert h == "sid=mine; tok=t"
+
+
+def test_cookie_header_multi_valued_explicit():
+    from crawl_ray.request import cookie_header
+
+    # url.Values carries multiple values per name; AddCookie sends each
+    h = cookie_header({"a": ["1", "2"]}, None)
+    assert h == "a=1; a=2"
+
+
+def test_cookie_header_empty():
+    from crawl_ray.request import cookie_header
+
+    assert cookie_header(None, None) == ""
+    assert cookie_header({}, {}) == ""

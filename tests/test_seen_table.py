@@ -74,3 +74,28 @@ def test_matches_set_model(batches):
         expect = [(1 if p == 0 else p) in model for p in probe.tolist()]
         assert t.contains(probe).tolist() == expect
     assert len(t) == len(model)
+
+
+def test_uint64_shard_routing_matches_scalar():
+    """Regression: ``np.uint64 % python-int`` silently promotes to
+    float64 and loses low bits, mis-routing hosts to the wrong shard.
+    Every shard-routing site must use ``% np.uint64(n)`` so the batch
+    hash, the scalar hash and the driver-side route agree."""
+    import numpy as np
+
+    from crawl_ray.urlnorm import fnv1a64, fnv1a64_batch
+
+    hosts = [f"cookiehost{k}.example" for k in range(64)] + [
+        "host1.example", "cookieshared.example", "a.b.c.example:8080",
+    ]
+    for n_shards in (2, 3, 4, 7):
+        batch = fnv1a64_batch(hosts) % np.uint64(n_shards)
+        for h, b in zip(hosts, batch.tolist()):
+            assert b == fnv1a64(h) % n_shards, (h, n_shards)
+            # the trap: float64 promotion gives a DIFFERENT answer for
+            # hashes with >53 significant bits — keep proving the guard
+            # matters for at least one input
+    assert any(
+        int(fnv1a64_batch([h])[0] % 2) != fnv1a64(h) % 2  # noqa: S001 - the trap itself
+        for h in hosts
+    )

@@ -361,6 +361,23 @@ def run_scaling(sf_dir: str, lo: int, hi: int, repeats: int = 2,
         if l["urls_per_s"] else 0.0
         for l, h in zip(runs[lo], runs[hi])
     ]
+    # window-consistent view: pair lo/hi runs from the SAME interference
+    # window and normalize by that window's own Ray-free ceiling — the
+    # cross-window best-of pairing above can understate efficiency when
+    # one level catches a clean window the other missed
+    per_window_norm = [
+        round(e / c["hw_ceiling"], 3) if c["hw_ceiling"] else 0.0
+        for e, c in zip(per_window_eff, calibs)
+    ]
+    bw = max(range(len(per_window_eff)), key=lambda i: per_window_eff[i])
+    best_window = {
+        "window": bw,
+        "efficiency": per_window_eff[bw],
+        "hw_ceiling": calibs[bw]["hw_ceiling"],
+        "normalized": per_window_norm[bw],
+        "throughput_lo_urls_per_s": runs[lo][bw]["urls_per_s"],
+        "throughput_hi_urls_per_s": runs[hi][bw]["urls_per_s"],
+    }
     return {
         "metric": "scaling-efficiency",
         "value": eff,
@@ -373,6 +390,8 @@ def run_scaling(sf_dir: str, lo: int, hi: int, repeats: int = 2,
         "hw_calibration": calib,
         "efficiency_vs_hw_ceiling": round(eff / ceiling, 3) if ceiling else 0.0,
         "per_window_efficiency": per_window_eff,
+        "per_window_normalized": per_window_norm,
+        "best_window": best_window,
         "runs": {str(c): best[c] for c in (lo, hi)},
         "all_runs": {str(c): [r["urls_per_s"] for r in rs]
                      for c, rs in runs.items()},

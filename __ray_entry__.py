@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": T.language_id,
         "doc_fingerprints": T.fingerprints,
         "sample_documents": T.sample_documents,
+        "ngram_counts": T.ngram_counts,
+        "top_terms_per_doc": T.top_terms_per_doc,
+        "redact_terms": T.redact_terms,
         # dedup family
         "exact_dedup": DD.exact_dedup,
         "minhash_lsh_pairs": DD.minhash_lsh_pairs,
@@ -55,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
         "embedding_near_dup": DD.embedding_near_dup,
         "embedding_near_dup_exact": DD.embedding_near_dup_exact,
+        "dedup_clusters": DD.dedup_clusters,
         # similarity search
         "knn_brute": SIM.knn_brute,
         "knn_ivf": SIM.knn_ivf,
@@ -307,6 +311,77 @@ def oracle_sql() -> dict[str, str]:
             WHERE (doc_id * 2654435761) % 4294967296
                   < 200000 * 4294967296 // 1000000
             ORDER BY doc_id
+        """,
+        # global top-k word bigrams (count desc, ngram asc — both sides
+        # order identically so the limit boundary is deterministic)
+        "ngram_counts": r"""
+            WITH toks AS (
+                SELECT string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT unnest(list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i + 1])) AS ngram
+                FROM toks WHERE len(t) >= 2
+            )
+            SELECT ngram, cast(count(*) as bigint) AS cnt
+            FROM grams GROUP BY ngram
+            ORDER BY cnt DESC, ngram LIMIT 50
+        """,
+        "top_terms_per_doc": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS term
+                FROM documents
+            ), c AS (
+                SELECT doc_id, term, count(*) AS cnt
+                FROM toks GROUP BY doc_id, term
+            ), r AS (
+                SELECT doc_id, term, cnt,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY cnt DESC, term
+                       ) AS rnk
+                FROM c
+            )
+            SELECT doc_id, cast(rnk as bigint) AS rnk, term,
+                   cast(cnt as bigint) AS cnt
+            FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        # regex redaction (RE2 on both sides: Arrow
+        # replace_substring_regex ≡ DuckDB regexp_replace(…, 'g'))
+        "redact_terms": r"""
+            SELECT doc_id,
+                   regexp_replace(text, '\b(customer|part)\b', '[PII]', 'g')
+                       AS text_red,
+                   cast(length(text)
+                        - length(regexp_replace(
+                              text, '\b(customer|part)\b', '', 'g'))
+                        as bigint) AS redacted_chars
+            FROM documents ORDER BY doc_id
+        """,
+        # connected components over the exact near-dup pairs: recursive
+        # transitive closure, min label per dup-graph node
+        "dedup_clusters": """
+            WITH pairs AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE cast(round(list_cosine_similarity(
+                          a.embedding, b.embedding) * 1000) as bigint) >= 450
+            ), edges AS (
+                SELECT va AS src, vb AS dst FROM pairs
+                UNION ALL SELECT vb, va FROM pairs
+            ), reach AS (
+                WITH RECURSIVE r(node, label) AS (
+                    SELECT DISTINCT src, src FROM edges
+                    UNION
+                    SELECT e.dst, r.label
+                    FROM r JOIN edges e ON r.node = e.src
+                )
+                SELECT node, min(label) AS cluster_id FROM r GROUP BY node
+            )
+            SELECT node AS vec_id, cast(cluster_id as bigint) AS cluster_id,
+                   (node = cluster_id) AS keep
+            FROM reach ORDER BY vec_id
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -38,6 +38,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dup",
     "embedding_near_dup_exact",
+    "dedup_clusters",
 ]
 
 
@@ -682,3 +683,153 @@ def embedding_near_dup(
              "cos_milli": pa.array([], pa.int64())}
         )
     return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Connected-components dedup clustering
+# ---------------------------------------------------------------------------
+
+CLUSTER_DRIVER_THRESHOLD = 65536  # edges; same precedent as engine small rounds
+
+
+def _cc_union_find(src: np.ndarray, dst: np.ndarray) -> dict:
+    """Driver-side union-find (path-halving) over a bounded edge list —
+    the small-input fast path, mirroring the engine's
+    ``small_round_threshold`` precedent."""
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        while True:
+            p = parent.get(x, x)
+            if p == x:
+                return x
+            gp = parent.get(p, p)
+            parent[x] = gp
+            x = gp
+
+    for u, v in zip(src.tolist(), dst.tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {x: find(x) for x in set(src.tolist()) | set(dst.tolist())}
+
+
+def _cc_label_propagation(
+    edges: pa.Table, max_iters: int = 64
+) -> pa.Table:
+    """Distributed min-label propagation: labels start at node id; each
+    round every node broadcasts its label along its edges via a
+    groupby-emulated join (label row + edge rows grouped on the same
+    key), then takes the min of received labels.  Labels are monotone
+    non-increasing, so an unchanged label sum certifies the fixpoint.
+
+    Rounds = cluster diameter — the right trade for near-dup graphs
+    (dense, shallow clusters); for adversarial long chains the
+    log-round star-contraction variant (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") would replace this loop.
+    Two shuffles per round; per-group work is O(degree)."""
+    from ray.data.aggregate import Min
+
+    src = edges.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edges.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    # symmetrize once; per-key dedup happens inside the group step
+    u = np.concatenate([src, dst])
+    v = np.concatenate([dst, src])
+    nodes = np.unique(u)
+    edge_ds = ray.data.from_arrow(
+        pa.table(
+            {"key": pa.array(u, pa.int64()),
+             "val": pa.array(v, pa.int64()),
+             "is_label": pa.array(np.zeros(len(u), dtype=bool))}
+        )
+    ).materialize()
+    labels = pa.table(
+        {"key": pa.array(nodes, pa.int64()),
+         "val": pa.array(nodes, pa.int64()),
+         "is_label": pa.array(np.ones(len(nodes), dtype=bool))}
+    )
+    prev_sum = int(nodes.sum())
+
+    def propagate(group: pa.Table) -> pa.Table:
+        vals = group.column("val").to_numpy(zero_copy_only=False)
+        is_lbl = group.column("is_label").to_numpy(zero_copy_only=False)
+        lbl = int(vals[is_lbl].min())
+        key = int(group.column("key")[0].as_py())
+        targets = np.unique(vals[~is_lbl])
+        out_nodes = np.concatenate([targets, [key]]).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(out_nodes, pa.int64()),
+             "label": pa.array(np.full(len(out_nodes), lbl), pa.int64())}
+        )
+
+    for _ in range(max_iters):
+        msgs = (
+            edge_ds.union(ray.data.from_arrow(labels))
+            .groupby("key")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+        new_labels = collect_table(
+            msgs.groupby("node").aggregate(Min("label"))
+        )  # bounded: one row per dup-graph node
+        node_arr = new_labels.column("node").to_numpy(zero_copy_only=False)
+        lbl_arr = new_labels.column("min(label)").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        labels = pa.table(
+            {"key": pa.array(node_arr, pa.int64()),
+             "val": pa.array(lbl_arr, pa.int64()),
+             "is_label": pa.array(np.ones(len(node_arr), dtype=bool))}
+        )
+        cur_sum = int(lbl_arr.sum())
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
+    return pa.table(
+        {"node": labels.column("key"), "label": labels.column("val")}
+    )
+
+
+def dedup_clusters(
+    sf_dir: str,
+    threshold_milli: int = 450,
+    force_distributed: bool = False,
+):
+    """Near-duplicate cluster assignment: connected components over the
+    exact cosine near-dup pairs (``embedding_near_dup_exact``), one
+    cluster id (= component min vec_id) per dup-graph node, plus the
+    dedup decision — ``keep`` marks the cluster representative.
+
+    Applying the decision to the corpus is an anti-join of ``keep =
+    false`` ids against the documents table — at scale that is the same
+    sharded-actor anti-join the URL frontier uses (SURVEY.md §2.5 J3).
+
+    Edge lists ≤ ``CLUSTER_DRIVER_THRESHOLD`` run driver-side
+    union-find; larger graphs (or ``force_distributed``) run the
+    distributed min-label-propagation loop."""
+    pairs = embedding_near_dup_exact(sf_dir, threshold_milli=threshold_milli)
+    src = pairs.column("vec_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = pairs.column("vec_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(src) > CLUSTER_DRIVER_THRESHOLD or force_distributed:
+        edges = pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+        lab = _cc_label_propagation(edges)
+        node = lab.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        label = lab.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        mapping = _cc_union_find(src, dst)
+        node = np.array(sorted(mapping), dtype=np.int64)
+        label = np.array([mapping[x] for x in node.tolist()], dtype=np.int64)
+    order = np.argsort(node, kind="stable")
+    node, label = node[order], label[order]
+    return pa.table(
+        {
+            "vec_id": pa.array(node, pa.int64()),
+            "cluster_id": pa.array(label, pa.int64()),
+            "keep": pa.array(node == label),
+        }
+    )

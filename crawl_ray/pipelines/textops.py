@@ -22,6 +22,9 @@ __all__ = [
     "language_id",
     "fingerprints",
     "sample_documents",
+    "ngram_counts",
+    "top_terms_per_doc",
+    "redact_terms",
     "LANG_MARKERS",
 ]
 
@@ -172,6 +175,158 @@ def sample_documents(sf_dir: str, rate_ppm: int = 200_000):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         samp, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _token_lists(batch: pa.Table):
+    """Whitespace-split every doc; returns (doc_ids, flat token object
+    array, per-doc token counts) — the shared vectorized tokenizer for
+    the n-gram/term operators (splitter ≡ the oracle's
+    ``string_split_regex(trim(text), '\\s+')``)."""
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch.column("text")), r"\s+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    return doc_ids, flat, lens
+
+
+def ngram_counts(sf_dir: str, n: int = 2, top_k: int = 50):
+    """Global top-k word n-gram frequencies — the word-count shape at
+    corpus scale: per-batch partial counts (``np.unique``, no Python
+    per token) → distributed ``groupby(ngram).sum`` over the shrunken
+    partials → per-block local top-k (exact: groupby output blocks are
+    key-disjoint) → bounded driver merge.  No global sort."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, lens = _token_lists(batch)
+        if not len(flat):
+            return pa.table(
+                {"ngram": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        n_grams = np.maximum(lens - n + 1, 0)
+        starts = np.repeat(np.cumsum(lens) - lens, n_grams)
+        offs = np.arange(n_grams.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(n_grams) - n_grams, n_grams
+        )
+        idx = starts + offs
+        if not len(idx):
+            return pa.table(
+                {"ngram": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        parts = [pa.array(flat[idx + j], pa.string()) for j in range(n)]
+        grams = parts[0]
+        for p in parts[1:]:
+            grams = pc.binary_join_element_wise(grams, p, " ")
+        uniq, counts = np.unique(
+            grams.to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"ngram": pa.array(uniq, pa.string()),
+             "cnt": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        grams = batch.column("ngram").to_numpy(zero_copy_only=False)
+        cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((grams, -cnt))[:top_k]
+        return pa.table(
+            {"ngram": pa.array(grams[order], pa.string()),
+             "cnt": pa.array(cnt[order], pa.int64())}
+        )
+
+    ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ngram")
+        .aggregate(Sum("cnt"))
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    from crawl_ray.util import collect_table
+
+    t = collect_table(ds)  # bounded: ≤ top_k rows per groupby block
+    grams = t.column("ngram").to_numpy(zero_copy_only=False)
+    cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((grams, -cnt))[:top_k]
+    return pa.table(
+        {"ngram": pa.array(grams[order], pa.string()),
+         "cnt": pa.array(cnt[order], pa.int64())}
+    )
+
+
+def top_terms_per_doc(sf_dir: str, k: int = 3):
+    """Per-document top-k terms by count (ties broken by term asc) —
+    batch-local, zero shuffle: term ids via ``np.unique`` (sorted, so
+    id order ≡ lexicographic), composite ``doc × vocab`` keys counted
+    in one pass, ranked with a vectorized segmented ``lexsort``."""
+
+    def topk(batch: pa.Table) -> pa.Table:
+        doc_ids, flat, lens = _token_lists(batch)
+        if not len(flat):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "rnk": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+        vocab, inv = np.unique(flat, return_inverse=True)
+        key = doc_idx * len(vocab) + inv
+        uk, counts = np.unique(key, return_counts=True)
+        d = uk // len(vocab)
+        term_id = uk % len(vocab)
+        order = np.lexsort((term_id, -counts, d))
+        d, term_id, counts = d[order], term_id[order], counts[order]
+        seg_start = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        rnk = np.arange(len(d)) - np.repeat(seg_start, np.diff(np.r_[seg_start, len(d)])) + 1
+        keep = rnk <= k
+        return pa.table(
+            {"doc_id": pa.array(doc_ids[d[keep]], pa.int64()),
+             "rnk": pa.array(rnk[keep].astype(np.int64), pa.int64()),
+             "term": pa.array(vocab[term_id[keep]], pa.string()),
+             "cnt": pa.array(counts[keep].astype(np.int64), pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+DEFAULT_REDACT_PATTERN = r"\b(customer|part)\b"
+
+
+def redact_terms(
+    sf_dir: str,
+    pattern: str = DEFAULT_REDACT_PATTERN,
+    replacement: str = "[PII]",
+):
+    """Regex redaction over the corpus (the PII-scrub shape: emails,
+    phones, ids — demoed with terms the synthetic corpus contains).
+    Pure RE2 Arrow kernels; DuckDB's ``regexp_replace(…, 'g')`` is RE2
+    too, so the oracle reproduces it byte-for-byte."""
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        red = pc.replace_substring_regex(text, pattern, replacement)
+        stripped = pc.replace_substring_regex(text, pattern, "")
+        n_red = pc.subtract(
+            pc.utf8_length(text).cast(pa.int64()),
+            pc.utf8_length(stripped).cast(pa.int64()),
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "text_red": red,
+             "redacted_chars": n_red}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        redact, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

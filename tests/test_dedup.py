@@ -97,3 +97,32 @@ def test_shingle_hashes_deterministic_and_orderfree():
     ha = set(DD._shingle_hashes("x y a b c", 3).tolist())
     hb = set(DD._shingle_hashes("a b c q r", 3).tolist())
     assert ha & hb  # the "a b c" shingle
+
+
+def test_cc_label_propagation_chain_and_island(ray_session):
+    """Distributed min-label propagation converges on a 5-chain (worst
+    diameter shape) plus a disjoint component, labeling every node with
+    its component minimum."""
+    import pyarrow as pa
+
+    edges = pa.table(
+        {"src": pa.array([1, 2, 3, 4, 10], pa.int64()),
+         "dst": pa.array([2, 3, 4, 5, 11], pa.int64())}
+    )
+    lab = DD._cc_label_propagation(edges)
+    got = dict(zip(lab.column("node").to_pylist(), lab.column("label").to_pylist()))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_distributed_matches_driver(ray_session):
+    """The distributed label-propagation path and the driver union-find
+    fast path must produce identical cluster tables."""
+    sf = "/root/testdata/sf0.001"
+    fast = DD.dedup_clusters(sf).to_pandas()
+    dist = DD.dedup_clusters(sf, force_distributed=True).to_pandas()
+    assert len(fast) > 0
+    assert fast.equals(dist)
+    # exactly one keeper per cluster, and it's the cluster min
+    for cid, grp in fast.groupby("cluster_id"):
+        assert grp["keep"].sum() == 1
+        assert grp.loc[grp["keep"], "vec_id"].iloc[0] == cid == grp["vec_id"].min()

@@ -1,0 +1,77 @@
+"""Edge-case tests for the n-gram / per-doc-term / redaction operators
+on a tiny hand-written corpus (docs shorter than n, count ties, empty
+redaction); corpus-scale parity with DuckDB is covered by
+tests/test_queries_oracle.py."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from crawl_ray.pipelines import textops as T
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(tmp_path_factory):
+    docs = [
+        (0, "a b a b c"),        # bigrams: "a b"×2, "b a", "b c"
+        (1, "x"),                # shorter than n=2 → no bigrams
+        (2, "b a b"),            # "b a", "a b"
+        (3, "tie tie alpha beta alpha beta"),  # per-doc count ties
+    ]
+    d = tmp_path_factory.mktemp("tiny_docs")
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([i for i, _ in docs], pa.int64()),
+             "text": pa.array([t for _, t in docs], pa.string())}
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_ngram_counts_bigrams(tiny_dir, ray_session):
+    t = T.ngram_counts(tiny_dir, n=2, top_k=10)
+    got = dict(zip(t.column("ngram").to_pylist(), t.column("cnt").to_pylist()))
+    assert got == {
+        "a b": 3, "b a": 2, "b c": 1, "tie tie": 1, "tie alpha": 1,
+        "alpha beta": 2, "beta alpha": 1,
+    }
+    # ordering: count desc, then ngram asc
+    rows = list(zip(t.column("ngram").to_pylist(), t.column("cnt").to_pylist()))
+    assert rows == sorted(rows, key=lambda r: (-r[1], r[0]))
+
+
+def test_ngram_counts_topk_truncates(tiny_dir, ray_session):
+    t = T.ngram_counts(tiny_dir, n=2, top_k=2)
+    assert t.column("ngram").to_pylist() == ["a b", "alpha beta"]
+    assert t.column("cnt").to_pylist() == [3, 2]
+
+
+def test_trigrams_skip_short_docs(tiny_dir, ray_session):
+    t = T.ngram_counts(tiny_dir, n=3, top_k=50)
+    got = dict(zip(t.column("ngram").to_pylist(), t.column("cnt").to_pylist()))
+    assert "x" not in " ".join(got)  # doc 1 contributes nothing
+    assert got["a b a"] == 1 and got["b a b"] == 2
+
+
+def test_top_terms_tie_break(tiny_dir, ray_session):
+    df = T.top_terms_per_doc(tiny_dir, k=2).to_pandas()
+    d3 = df[df["doc_id"] == 3].sort_values("rnk")
+    # counts: tie=2, alpha=2, beta=2 → tie broken term-ascending
+    assert list(d3["term"]) == ["alpha", "beta"]
+    assert list(d3["cnt"]) == [2, 2]
+    d1 = df[df["doc_id"] == 1]
+    assert list(d1["term"]) == ["x"] and list(d1["rnk"]) == [1]
+
+
+def test_redact_terms_counts(tiny_dir, ray_session):
+    df = (
+        T.redact_terms(tiny_dir, pattern=r"\b(alpha|x)\b", replacement="[PII]")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert df.loc[3, "text_red"] == "tie tie [PII] beta [PII] beta"
+    assert df.loc[3, "redacted_chars"] == 10
+    assert df.loc[1, "text_red"] == "[PII]"
+    assert df.loc[0, "redacted_chars"] == 0
+    assert df.loc[0, "text_red"] == "a b a b c"

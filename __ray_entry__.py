@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": T.ngram_counts,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
+        "pack_sequences": T.pack_sequences,
         # dedup family
         "exact_dedup": DD.exact_dedup,
         "minhash_lsh_pairs": DD.minhash_lsh_pairs,
@@ -346,6 +347,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(rnk as bigint) AS rnk, term,
                    cast(cnt as bigint) AS cnt
             FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        # sequence packing: bin = global ordered token prefix-sum / cap
+        "pack_sequences": r"""
+            WITH tc AS (
+                SELECT doc_id,
+                       cast(len(string_split_regex(trim(text), '\s+'))
+                            as bigint) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   cast((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                        // 512 as bigint) AS bin_id
+            FROM tc ORDER BY doc_id
         """,
         # regex redaction (RE2 on both sides: Arrow
         # replace_substring_regex ≡ DuckDB regexp_replace(…, 'g'))

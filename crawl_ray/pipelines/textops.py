@@ -25,6 +25,7 @@ __all__ = [
     "ngram_counts",
     "top_terms_per_doc",
     "redact_terms",
+    "pack_sequences",
     "LANG_MARKERS",
 ]
 
@@ -370,4 +371,106 @@ def fingerprints(sf_dir: str, k: int = 5, window: int = 4):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def pack_sequences(
+    sf_dir: str,
+    capacity: int = 512,
+    n_ranges: int = 64,
+    sample_ppm: int = 50_000,
+):
+    """Deterministic sequence packing for LLM training shards: docs in
+    doc_id order fill contiguous token bins of ``capacity``; a doc's
+    bin is ``(tokens before it) // capacity`` — the global ordered
+    prefix sum, computed distributed:
+
+    1. token counts per doc (vectorized batch map);
+    2. range boundaries from a deterministic hash-sample of doc_ids
+       (bounded driver-side quantiles — no full sort);
+    3. per-range token sums via per-batch partials (``n_ranges`` rows
+       per batch, bounded driver combine) → per-range start offsets;
+    4. ``groupby(range_id).map_groups``: sort the range by doc_id,
+       local cumsum + the range's offset.
+
+    One shuffle total (step 4); every range is ~1/``n_ranges`` of the
+    corpus, so group memory is controlled by the range count."""
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        _, _, lens = _token_lists(batch)
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "n_tokens": pa.array(lens, pa.int64())}
+        )
+
+    counts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # step 2: deterministic hash-sample → range boundaries
+    def sample_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        thr = np.uint64(sample_ppm * SAMPLE_MODULUS // 1_000_000)
+        with np.errstate(over="ignore"):
+            keep = (ids * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MODULUS) < thr
+        return pa.table({"doc_id": pa.array(ids[keep].astype(np.int64), pa.int64())})
+
+    from crawl_ray.util import collect_table
+
+    samp = collect_table(
+        counts.map_batches(sample_ids, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    sampled = np.sort(samp.column("doc_id").to_numpy(zero_copy_only=False))
+    if len(sampled) >= n_ranges:
+        qs = np.linspace(0, len(sampled) - 1, n_ranges + 1)[1:-1]
+        bounds = np.unique(sampled[qs.astype(np.int64)])
+    else:
+        bounds = np.empty(0, dtype=np.int64)  # tiny corpus: one range
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rid = np.searchsorted(bounds, ids, side="right").astype(np.int64)
+        return batch.append_column("range_id", pa.array(rid, pa.int64()))
+
+    ranged = counts.map_batches(
+        add_range, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # step 3: per-range token sums (per-batch partials → driver combine)
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        rid = batch.column("range_id").to_numpy(zero_copy_only=False)
+        tok = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        uniq = np.unique(rid)
+        sums = np.array(
+            [tok[rid == r].sum() for r in uniq.tolist()], dtype=np.int64
+        )
+        return pa.table(
+            {"range_id": pa.array(uniq, pa.int64()),
+             "tok_sum": pa.array(sums, pa.int64())}
+        )
+
+    parts = collect_table(
+        ranged.map_batches(partial_sums, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    per_range = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for r, s in zip(parts.column("range_id").to_pylist(),
+                    parts.column("tok_sum").to_pylist()):
+        per_range[r] += s
+    offsets = np.cumsum(per_range) - per_range  # tokens before each range
+
+    # step 4: range-local ordered cumsum + global offset
+    def pack_group(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        g = group.take(order)
+        tok = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        rid = int(g.column("range_id")[0].as_py())
+        before = int(offsets[rid]) + (np.cumsum(tok) - tok)
+        return pa.table(
+            {"doc_id": g.column("doc_id"),
+             "n_tokens": g.column("n_tokens"),
+             "bin_id": pa.array(before // capacity, pa.int64())}
+        )
+
+    return ranged.groupby("range_id").map_groups(
+        pack_group, batch_format="pyarrow"
     )

@@ -75,3 +75,21 @@ def test_redact_terms_counts(tiny_dir, ray_session):
     assert df.loc[1, "text_red"] == "[PII]"
     assert df.loc[0, "redacted_chars"] == 0
     assert df.loc[0, "text_red"] == "a b a b c"
+
+
+def test_pack_sequences_multirange_matches_single(ray_session):
+    """The distributed multi-range prefix sum (real boundaries + offsets)
+    must equal the degenerate single-range packing."""
+    sf = "/root/testdata/sf0.01"
+    single = (
+        T.pack_sequences(sf, capacity=128, n_ranges=1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    multi = (
+        T.pack_sequences(sf, capacity=128, n_ranges=8, sample_ppm=600_000)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(single) == 500
+    assert single.equals(multi)
+    # bins fill contiguously: bin ids are non-decreasing in doc order
+    assert (single["bin_id"].diff().dropna() >= 0).all()

@@ -884,7 +884,7 @@ def _union_to_errors_from_canon(tables: list[pa.Table]) -> pa.Table:
     kinds = src.column("disposition").to_pylist()
     return pa.Table.from_arrays(
         [
-            src.column("url").cast(pa.string()),
+            src.column("req_url").cast(pa.string()),
             pc.if_else(
                 pc.equal(src.column("method"), ""),
                 pa.scalar("GET"),
@@ -903,7 +903,7 @@ def _canon_rows_to_errors(rows: pa.Table, kind: str, message: str) -> pa.Table:
     n = rows.num_rows
     return pa.Table.from_arrays(
         [
-            rows.column("url").cast(pa.string()),
+            rows.column("req_url").cast(pa.string()),
             pc.if_else(
                 pc.equal(rows.column("method"), ""),
                 pa.scalar("GET"),

@@ -41,8 +41,15 @@ EPOCH_US = 1735689600000000  # 2025-01-01T00:00:00Z in epoch micros
 _LANGS = ("en", "de", "fr", "es")
 
 
-def _host_of(i: int, n_hosts: int, cdf: np.ndarray) -> int:
-    r = fnv1a64(f"host:{i}") / float(1 << 64)
+def _salted(salt: str, key: str) -> str:
+    """Prefix a fixture hash key with a web-variant salt; the empty
+    salt (default) reproduces the canonical fixture web byte-for-byte
+    (property tests generate alternative webs via non-empty salts)."""
+    return key if not salt else f"{salt}|{key}"
+
+
+def _host_of(i: int, n_hosts: int, cdf: np.ndarray, salt: str = "") -> int:
+    r = fnv1a64(_salted(salt, f"host:{i}")) / float(1 << 64)
     return int(np.searchsorted(cdf, r, side="right"))
 
 
@@ -57,21 +64,21 @@ def page_url(host: int, k: int) -> str:
 
 
 def _page_links(url: str, host: int, host_pages: list[int],
-                n_pages: int, hosts: np.ndarray) -> list[str]:
+                n_pages: int, hosts: np.ndarray, salt: str = "") -> list[str]:
     """Deterministic out-links as they appear in the href attributes
     (relative for even j, absolute for odd; ~2% dangling)."""
-    d = fnv1a64(f"deg:{url}") % 9
+    d = fnv1a64(_salted(salt, f"deg:{url}")) % 9
     hrefs: list[str] = []
     for j in range(d):
-        if fnv1a64(f"dang:{url}:{j}") % 50 == 0:
-            t = fnv1a64(f"dlink:{url}:{j}") % n_pages
+        if fnv1a64(_salted(salt, f"dang:{url}:{j}")) % 50 == 0:
+            t = fnv1a64(_salted(salt, f"dlink:{url}:{j}")) % n_pages
             hrefs.append(f"http://host{host}.example/missing/{t}")
         elif j % 2 == 0:
             # relative link to a page on the same host (resolves vs referer)
-            t = host_pages[fnv1a64(f"rlink:{url}:{j}") % len(host_pages)]
+            t = host_pages[fnv1a64(_salted(salt, f"rlink:{url}:{j}")) % len(host_pages)]
             hrefs.append(f"/p/{t}")
         else:
-            t = fnv1a64(f"alink:{url}:{j}") % n_pages
+            t = fnv1a64(_salted(salt, f"alink:{url}:{j}")) % n_pages
             hrefs.append(page_url(int(hosts[t]), t))
     return hrefs
 
@@ -132,15 +139,15 @@ def _page_text(host: int, k: int, n_links: int, weight: int = 1) -> str:
 
 
 def generate_pages(
-    n_pages: int, n_hosts: int | None = None, weight: int = 1
+    n_pages: int, n_hosts: int | None = None, weight: int = 1, salt: str = ""
 ) -> pa.Table:
     """The synthetic web: deterministic pages table (FIXTURES.md §1)."""
     if n_hosts is None:
         n_hosts = max(4, n_pages // 40)
     cdf = _zipf_cdf(n_hosts)
     hosts = np.fromiter(
-        (_host_of(i, n_hosts, cdf) for i in range(n_pages)), dtype=np.int64,
-        count=n_pages,
+        (_host_of(i, n_hosts, cdf, salt) for i in range(n_pages)),
+        dtype=np.int64, count=n_pages,
     )
     pages_by_host: dict[int, list[int]] = {}
     for i in range(n_pages):
@@ -150,7 +157,7 @@ def generate_pages(
     for i in range(n_pages):
         h = int(hosts[i])
         url = page_url(h, i)
-        hrefs = _page_links(url, h, pages_by_host[h], n_pages, hosts)
+        hrefs = _page_links(url, h, pages_by_host[h], n_pages, hosts, salt)
         urls.append(url)
         htmls.append(_page_html(h, i, hrefs, weight).encode("utf-8"))
         texts.append(_page_text(h, i, len(hrefs), weight))
@@ -172,7 +179,9 @@ def generate_pages(
     )
 
 
-def generate_seeds(pages: pa.Table, n_hosts: int | None = None) -> pa.Table:
+def generate_seeds(
+    pages: pa.Table, n_hosts: int | None = None, salt: str = ""
+) -> pa.Table:
     """Round-0 seed table (FIXTURES.md §2): 8 valid roots (hot + cold
     hosts), 1 relative URL with referer, 1 dangling; one empty method,
     one glob-callback row, one proxy-metadata row, one expired deadline."""
@@ -180,7 +189,7 @@ def generate_seeds(pages: pa.Table, n_hosts: int | None = None) -> pa.Table:
     n = len(urls)
     # pick 8 distinct valid seed targets spread over the table (hot hosts
     # dominate early indices thanks to the Zipf host assignment)
-    picks = sorted({(fnv1a64(f"seed:{i}") % n) for i in range(16)})[:8]
+    picks = sorted({(fnv1a64(_salted(salt, f"seed:{i}")) % n) for i in range(16)})[:8]
     rows: list[dict] = []
     for idx, page_i in enumerate(picks):
         rows.append(
@@ -196,7 +205,7 @@ def generate_seeds(pages: pa.Table, n_hosts: int | None = None) -> pa.Table:
             }
         )
     # relative URL resolved against a referer (request.go:104-117)
-    ref_i = fnv1a64("seed:rel") % n
+    ref_i = fnv1a64(_salted(salt, "seed:rel")) % n
     ref_url = urls[ref_i]
     rows.append(
         {
@@ -232,13 +241,13 @@ def generate_seeds(pages: pa.Table, n_hosts: int | None = None) -> pa.Table:
     )
 
 
-def generate_robots(pages: pa.Table) -> pa.Table:
+def generate_robots(pages: pa.Table, salt: str = "") -> pa.Table:
     """Politeness side table (FIXTURES.md §3): every host present in
     pages; ~10% get a disallow prefix; hot hosts throttled harder."""
     hosts = sorted({u.split("/")[2] for u in pages.column("url").to_pylist()})
     disallow, rate, burst = [], [], []
     for host in hosts:
-        h = fnv1a64(f"robots:{host}")
+        h = fnv1a64(_salted(salt, f"robots:{host}"))
         disallow.append(["/p/13"] if h % 10 == 0 else [])
         hot = host in ("host1.example", "host2.example")
         rate.append(0.5 if hot else 2.0)

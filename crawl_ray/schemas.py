@@ -37,6 +37,9 @@ PAGES_SCHEMA = pa.schema(
 # the Request row (request.go:13-32) + scheduling state (SURVEY.md §1.2)
 FRONTIER_FIELDS = [
     pa.field("url", pa.string()),
+    pa.field("req_url", pa.string()),  # as-scheduled URL ("" until canonicalize);
+                                       # error rows report THIS (request_error.go
+                                       # wraps the raw Request, not the resolved URL)
     pa.field("url_hash", pa.uint64()),
     pa.field("host", pa.string()),
     pa.field("method", pa.string()),

@@ -39,6 +39,7 @@ from crawl_ray.urlnorm import fnv1a64_batch
 __all__ = ["canonicalize_batch", "encode_order_key", "order_key_batch"]
 
 _DEFAULTS = {
+    "req_url": "",
     "method": "",
     "referer": "",
     "form": "",
@@ -113,6 +114,10 @@ def canonicalize_batch(
     batch = _ensure_columns(batch)
     n = batch.num_rows
     urls = batch.column("url").to_pylist()
+    # as-scheduled URL: preserved across spill/re-canonicalization so
+    # error rows always report the raw request URL (simulator parity)
+    prev_req = batch.column("req_url").to_pylist()
+    req_urls = [prev_req[i] or (urls[i] or "") for i in range(n)]
     referers = batch.column("referer").to_pylist()
     forms = batch.column("form").to_pylist()
     queries = batch.column("query").to_pylist()
@@ -198,7 +203,7 @@ def canonicalize_batch(
     # which reports req.url in error records)
     for i in range(n):
         if disposition[i] != "ok":
-            canon[i] = urls[i] or ""
+            canon[i] = req_urls[i]
 
     order_keys = order_key_batch(
         batch.column("priority").to_numpy(zero_copy_only=False),
@@ -208,6 +213,10 @@ def canonicalize_batch(
 
     batch = batch.set_column(
         batch.schema.get_field_index("url"), "url", pa.array(canon, pa.string())
+    )
+    batch = batch.set_column(
+        batch.schema.get_field_index("req_url"), "req_url",
+        pa.array(req_urls, pa.string()),
     )
     if eff_methods != methods:
         batch = batch.set_column(

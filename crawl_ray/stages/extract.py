@@ -210,7 +210,7 @@ def links_to_frontier(links: pa.Table) -> pa.Table:
     for fld in FRONTIER_SCHEMA:
         if fld.name == "url_hash":
             cols.append(pa.array(np.zeros(n, dtype=np.uint64), fld.type))
-        elif fld.name == "host":
+        elif fld.name in ("host", "req_url"):
             cols.append(pa.array([""] * n, fld.type))
         elif fld.name == "deadline":
             cols.append(pa.nulls(n, fld.type))

@@ -486,3 +486,54 @@ def test_cookie_jar_survives_resume(ray_session, tmp_path_factory):
     finals = [f for _, f in _cookie_records(r_res) if f["stage"] == "final"]
     assert finals and all("tok=" in f["cookie"] or "shared=" in f["cookie"]
                           for f in finals)
+
+
+@pytest.mark.parametrize("salt", ["webA", "webB", "webC"])
+def test_engine_equals_simulator_on_random_webs(
+    ray_session, tmp_path_factory, salt
+):
+    """SURVEY §5.2.5 property test: engine ≡ simulator over seeded
+    random link graphs (salted fixture webs with different host
+    assignments, degrees, link targets, seeds and robots rules)."""
+    import pyarrow.parquet as pq
+
+    pages = generate_pages(120, salt=salt)
+    seeds = generate_seeds(pages, salt=salt)
+    robots = generate_robots(pages, salt=salt)
+    d = tmp_path_factory.mktemp(f"web_{salt}")
+    pq.write_table(pages, d / "pages.parquet")
+
+    cfg = dict(round_budget=60, max_rounds=12, max_depth=4,
+               virtual_t0=EPOCH_US)
+    reg = HandlerRegistry()
+    flagship_spider(reg)
+    sim = simulate(pages, seeds, robots, reg, CrawlConfig(**cfg))
+
+    engine = CrawlEngine(
+        [flagship_spider],
+        EngineConfig(**cfg, n_admission_shards=2, extract_concurrency=2,
+                     extract_batch_size=64),
+    )
+    wd = str(tmp_path_factory.mktemp(f"crawl_{salt}"))
+    try:
+        result = engine.run(str(d / "pages.parquet"), seeds, robots, wd)
+        trace = result.trace_table()
+        rows = sorted(zip(trace.column("round").to_pylist(),
+                          trace.column("order_key").to_pylist(),
+                          trace.column("url").to_pylist()))
+        assert [(r, u) for r, _, u in rows] == sim.trace
+        records = result.records_table()
+        texts = {
+            u: json.loads(f)["text"]
+            for u, f in zip(records.column("url").to_pylist(),
+                            records.column("fields").to_pylist())
+        }
+        assert texts == sim.texts
+        errors = result.errors_table()
+        engine_errs = sorted(zip(errors.column("error_kind").to_pylist(),
+                                 errors.column("url").to_pylist()))
+        assert engine_errs == sorted(
+            (e["error_kind"], e["url"]) for e in sim.errors
+        )
+    finally:
+        engine.shutdown_shards()

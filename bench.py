@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "language_id",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "ngram_counts",  # added round 2 (word-count shape; +~1 groupby)
     "knn_brute",
     "extract_text",
     "crawl_flagship",

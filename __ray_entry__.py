@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
+        "repetition_stats": T.repetition_stats,
+        "unigram_logprob": T.unigram_logprob,
         # dedup family
         "exact_dedup": DD.exact_dedup,
         "minhash_lsh_pairs": DD.minhash_lsh_pairs,
@@ -78,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_forms_roundtrip": CQ.crawl_forms_roundtrip,
         "crawl_cookies": CQ.crawl_cookies,
         "forms_extract": CQ.forms_extract,
+        "recrawl_schedule": CQ.recrawl_schedule,
     }
 
 
@@ -190,6 +193,18 @@ def _crawl_oracle_sql() -> dict[str, str]:
             SELECT url, depth, fields
             FROM read_parquet('{cookieweb}/records.parquet')
             ORDER BY url, fields
+        """,
+        # recrawl wave: k stalest URLs per host from the page store
+        "recrawl_schedule": f"""
+            SELECT host, url, warc_ts_us, rnk FROM (
+                SELECT split_part(url, '/', 3) AS host, url,
+                       epoch_us(warc_ts) AS warc_ts_us,
+                       cast(row_number() OVER (
+                           PARTITION BY split_part(url, '/', 3)
+                           ORDER BY warc_ts, url
+                       ) as bigint) AS rnk
+                FROM read_parquet('{pages}')
+            ) WHERE rnk <= 5 ORDER BY host, rnk
         """,
         # F10 scrape vs the fixture's expected action/values columns
         "forms_extract": f"""
@@ -372,6 +387,68 @@ def oracle_sql() -> dict[str, str]:
                               text, '\b(customer|part)\b', '', 'g'))
                         as bigint) AS redacted_chars
             FROM documents ORDER BY doc_id
+        """,
+        # Gopher-style repetition quality signals (integer milli)
+        "repetition_stats": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), u AS (
+                SELECT doc_id, unnest(t) AS w FROM toks
+            ), uc AS (
+                SELECT doc_id, w, count(*) AS c FROM u GROUP BY doc_id, w
+            ), us AS (
+                SELECT doc_id, cast(max(c) as bigint) AS mx,
+                       cast(count(*) as bigint) AS nd,
+                       cast(sum(c) as bigint) AS nt
+                FROM uc GROUP BY doc_id
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i + 1])) AS g
+                FROM toks WHERE len(t) >= 2
+            ), bc AS (
+                SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+            ), bs AS (
+                SELECT doc_id, cast(max(c) as bigint) AS bmx
+                FROM bc GROUP BY doc_id
+            )
+            SELECT us.doc_id, nt AS n_tokens,
+                   nd * 1000 // nt AS distinct_frac_milli,
+                   mx * 1000 // nt AS max_word_frac_milli,
+                   coalesce(bmx, 0) * 1000 // greatest(nt - 1, 1)
+                       AS top_bigram_frac_milli
+            FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+        """,
+        # unigram-LM NLL scoring: same floor(-1e6*ln(c/T)) quantization
+        # (floor, not round: Python round() is banker's, DuckDB's is
+        # half-away; both ln() hit the same libm)
+        "unigram_logprob": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS w
+                FROM documents
+            ), vc AS (
+                SELECT w, count(*) AS c FROM u GROUP BY w
+            ), tot AS (
+                SELECT cast(sum(c) as bigint) AS T FROM vc
+            ), v AS (
+                SELECT w, cast(floor(-1000000 * ln(
+                           c / (SELECT T FROM tot))) as bigint) AS nll
+                FROM (SELECT w, c FROM vc ORDER BY c DESC, w LIMIT 65536)
+            ), scored AS (
+                SELECT u.doc_id,
+                       coalesce(v.nll,
+                                (SELECT cast(floor(-1000000 * ln(0.5 / T))
+                                             as bigint) FROM tot)) AS nll
+                FROM u LEFT JOIN v ON u.w = v.w
+            )
+            SELECT doc_id, cast(count(*) as bigint) AS n_tokens,
+                   cast(sum(nll) as bigint) AS nll_micro,
+                   cast(sum(nll) // (count(*) * 1000) as bigint)
+                       AS avg_nll_milli
+            FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         # connected components over the exact near-dup pairs: recursive
         # transitive closure, min label per dup-graph node

@@ -9,7 +9,9 @@ from __future__ import annotations
 
 import pathlib
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -35,6 +37,7 @@ __all__ = [
     "crawl_forms_roundtrip",
     "crawl_cookies",
     "forms_extract",
+    "recrawl_schedule",
     "fixture_size_for",
 ]
 
@@ -299,3 +302,55 @@ def forms_extract(sf_dir: str):
     return ray.data.read_parquet(str(f)).map_batches(
         extract, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def recrawl_schedule(sf_dir: str, k: int = 5):
+    """Recrawl selection over the page store (the `warc_ts` column of
+    the Common-Crawl-style input): the k stalest URLs per host, i.e.
+    the next politeness-respecting refetch wave.  Per-batch local
+    top-k per host (vectorized rank-in-run after an Arrow sort) →
+    bounded driver merge (≤ hosts × k rows per block) — no shuffle; at
+    10^10 URLs the partials stay host-count-sized per block."""
+    d = fixture_dir(fixture_size_for(sf_dir))
+
+    def _stalest_k(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("host", "ascending"),
+                ("warc_ts_us", "ascending"),
+                ("url", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        h = t.column("host").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        runlens = np.diff(np.append(starts, len(h)))
+        rnk = (
+            np.arange(len(h), dtype=np.int64)
+            - np.repeat(starts, runlens)
+            + 1
+        )
+        t = t.append_column("rnk", pa.array(rnk, pa.int64()))
+        return t.filter(pa.array(rnk <= k))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        hosts = pc.list_element(pc.split_pattern(urls, "/"), 2)
+        t = pa.table(
+            {
+                "host": hosts,
+                "url": urls,
+                "warc_ts_us": batch.column("warc_ts").cast(pa.int64()),
+            }
+        )
+        return _stalest_k(t).drop_columns(["rnk"])
+
+    parts = ray.data.read_parquet(
+        f"{d}/pages.parquet", columns=["url", "warc_ts"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from crawl_ray.util import collect_table
+
+    t = collect_table(parts)
+    out = _stalest_k(t)
+    return out.select(["host", "url", "warc_ts_us", "rnk"])

@@ -26,6 +26,8 @@ __all__ = [
     "top_terms_per_doc",
     "redact_terms",
     "pack_sequences",
+    "repetition_stats",
+    "unigram_logprob",
     "LANG_MARKERS",
 ]
 
@@ -473,4 +475,178 @@ def pack_sequences(
 
     return ranged.groupby("range_id").map_groups(
         pack_group, batch_format="pyarrow"
+    )
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals per document: distinct-
+    token fraction, most-frequent-word fraction, and top-bigram
+    fraction (Rae et al. 2021 §A1.1 repetition filters, adapted to the
+    newline-free synthetic corpus).  Fully vectorized: tokens are
+    FNV-hashed (64-bit — collisions negligible at any corpus size) and
+    per-(doc, key) counts come from one ``lexsort`` + run-length pass
+    per batch; no shuffle, no Python per row.  Integer milli outputs
+    keep the DuckDB oracle hash-stable."""
+    from crawl_ray.urlnorm import fnv1a64_batch
+
+    def _doc_group_max(didx: np.ndarray, keys: np.ndarray, n_docs: int):
+        """Per-doc (distinct-key count, max key multiplicity) via
+        sort + run-length — one pass, no hash maps."""
+        if not len(didx):
+            z = np.zeros(n_docs, dtype=np.int64)
+            return z, z.copy()
+        order = np.lexsort((keys, didx))
+        ds_, ks_ = didx[order], keys[order]
+        new = np.ones(len(order), dtype=bool)
+        new[1:] = (ds_[1:] != ds_[:-1]) | (ks_[1:] != ks_[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(order)))
+        gdoc = ds_[starts]
+        n_distinct = np.bincount(gdoc, minlength=n_docs).astype(np.int64)
+        doc_starts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+        mx = np.zeros(n_docs, dtype=np.int64)
+        mx[gdoc[doc_starts]] = np.maximum.reduceat(counts, doc_starts)
+        return n_distinct, mx
+
+    def stats(batch: pa.Table) -> pa.Table:
+        doc_ids, flat, lens = _token_lists(batch)
+        n = len(doc_ids)
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "distinct_frac_milli": pa.array([], pa.int64()),
+                 "max_word_frac_milli": pa.array([], pa.int64()),
+                 "top_bigram_frac_milli": pa.array([], pa.int64())}
+            )
+        didx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        h = fnv1a64_batch(flat)
+        n_distinct, mx_word = _doc_group_max(didx, h, n)
+
+        # within-doc adjacent bigrams (same index construction as
+        # ngram_counts): key = fnv(tok_i) * FNV_PRIME ^ fnv(tok_i+1)
+        n_bg = np.maximum(lens - 1, 0)
+        tok_starts = np.cumsum(lens) - lens
+        i1 = np.repeat(tok_starts, n_bg) + (
+            np.arange(n_bg.sum(), dtype=np.int64)
+            - np.repeat(np.cumsum(n_bg) - n_bg, n_bg)
+        )
+        with np.errstate(over="ignore"):
+            bkeys = h[i1] * np.uint64(1099511628211) ^ h[i1 + 1]
+        bdoc = np.repeat(np.arange(n, dtype=np.int64), n_bg)
+        _, mx_bigram = _doc_group_max(bdoc, bkeys, n)
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "distinct_frac_milli": pa.array(1000 * n_distinct // lens, pa.int64()),
+                "max_word_frac_milli": pa.array(1000 * mx_word // lens, pa.int64()),
+                "top_bigram_frac_milli": pa.array(
+                    1000 * mx_bigram // np.maximum(lens - 1, 1), pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def unigram_logprob(sf_dir: str, top_v: int = 65536):
+    """CCNet-style unigram-LM quality scoring: build the corpus unigram
+    model distributed (per-batch partial counts → ``groupby(token).sum``
+    → per-block local top-``top_v`` → bounded driver merge), broadcast
+    the quantized neg-log-prob table once (``ray.put``), then score
+    every document in one vectorized pass (searchsorted against the
+    sorted vocab, ``bincount`` per-doc sums).
+
+    Quantize-then-sum: each token's NLL is floored to integer
+    micro-nats BEFORE summing, so partial-sum order can never move the
+    result and the DuckDB oracle (same ``floor(-1e6*ln(c/T))``) hashes
+    identically.  Tokens outside the top-``top_v`` vocab score as
+    count 0.5 (OOV floor) — the documented 100-TB path where the full
+    vocab cannot be broadcast."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from crawl_ray.util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _token_lists(batch)
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"token": pa.array(uniq, pa.string()),
+             "cnt": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    # partials are vocab-sized per block; materialize once, reuse for
+    # the exact total AND the vocab groupby (no second corpus read)
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    total = int(partials.sum("cnt"))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        toks = batch.column("token").to_numpy(zero_copy_only=False)
+        cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((toks, -cnt))[:top_v]
+        return pa.table(
+            {"token": pa.array(toks[order], pa.string()),
+             "cnt": pa.array(cnt[order], pa.int64())}
+        )
+
+    vt = collect_table(
+        partials.groupby("token")
+        .aggregate(Sum("cnt"))
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    toks = vt.column("token").to_numpy(zero_copy_only=False)
+    cnts = vt.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((toks, -cnts))[:top_v]
+    toks, cnts = toks[order], cnts[order]
+    # floor-quantized NLL per vocab entry (micro-nats); math.log is the
+    # same libm the oracle's ln() hits, and floor kills rounding-mode
+    # divergence (Python round() is banker's, DuckDB's is half-away)
+    nll = np.array(
+        [math.floor(-1e6 * math.log(c / total)) for c in cnts.tolist()],
+        dtype=np.int64,
+    )
+    oov_nll = math.floor(-1e6 * math.log(0.5 / total))
+    sidx = np.argsort(toks)
+    lm_ref = ray.put(
+        {"toks": toks[sidx], "nll": nll[sidx], "oov": np.int64(oov_nll)}
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        lm = ray.get(lm_ref)
+        doc_ids, flat, lens = _token_lists(batch)
+        n = len(doc_ids)
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "nll_micro": pa.array([], pa.int64()),
+                 "avg_nll_milli": pa.array([], pa.int64())}
+            )
+        pos = np.searchsorted(lm["toks"], flat)
+        pos = np.clip(pos, 0, len(lm["toks"]) - 1)
+        hit = lm["toks"][pos] == flat
+        tok_nll = np.where(hit, lm["nll"][pos], lm["oov"])
+        didx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # NLL ≤ ~2e7 micro-nats/token ⇒ doc sums ≪ 2^53: float64-exact
+        sums = np.bincount(didx, weights=tok_nll.astype(np.float64),
+                           minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "nll_micro": pa.array(sums, pa.int64()),
+                "avg_nll_milli": pa.array(sums // (lens * 1000), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -93,3 +93,53 @@ def test_pack_sequences_multirange_matches_single(ray_session):
     assert single.equals(multi)
     # bins fill contiguously: bin ids are non-decreasing in doc order
     assert (single["bin_id"].diff().dropna() >= 0).all()
+
+
+def test_repetition_stats_tiny(tiny_dir, ray_session):
+    t = T.repetition_stats(tiny_dir).to_pandas().set_index("doc_id")
+    # doc 0 "a b a b c": 5 tokens, 3 distinct, max word "a"/"b"=2,
+    # bigrams [a b, b a, a b, b c] → top "a b"=2 of 4 positions
+    r0 = t.loc[0]
+    assert r0.n_tokens == 5
+    assert r0.distinct_frac_milli == 3000 // 5
+    assert r0.max_word_frac_milli == 2000 // 5
+    assert r0.top_bigram_frac_milli == 2000 // 4
+    # doc 1 single token: no bigrams → 0
+    r1 = t.loc[1]
+    assert r1.n_tokens == 1
+    assert r1.distinct_frac_milli == 1000
+    assert r1.max_word_frac_milli == 1000
+    assert r1.top_bigram_frac_milli == 0
+
+
+def test_unigram_logprob_oov_cap(tiny_dir, ray_session):
+    """With the vocab capped at 2 entries, only the 2 most frequent
+    tokens keep their corpus NLL; the rest fall to the OOV floor
+    (count 0.5) — the 100-TB bounded-broadcast path."""
+    import math
+
+    full = T.unigram_logprob(tiny_dir).to_pandas().set_index("doc_id")
+    capped = T.unigram_logprob(tiny_dir, top_v=2).to_pandas().set_index("doc_id")
+    # corpus: a×3 b×4 c×1 x×1 tie×2 alpha×2 beta×2 → T=15, top2 = b, a
+    total = 15
+    oov = math.floor(-1e6 * math.log(0.5 / total))
+    nll = {w: math.floor(-1e6 * math.log(c / total))
+           for w, c in {"a": 3, "b": 4}.items()}
+    # doc 2 "b a b": fully in-vocab either way
+    assert capped.loc[2].nll_micro == nll["b"] * 2 + nll["a"]
+    assert capped.loc[2].nll_micro == full.loc[2].nll_micro
+    # doc 1 "x": OOV under the cap, in-vocab without it
+    assert capped.loc[1].nll_micro == oov
+    assert full.loc[1].nll_micro == math.floor(-1e6 * math.log(1 / total))
+    assert (capped.nll_micro >= full.nll_micro).all()
+
+
+def test_recrawl_schedule_ranks(ray_session):
+    from crawl_ray.pipelines.crawl_queries import recrawl_schedule
+
+    t = recrawl_schedule("/root/testdata/sf0.001", k=3).to_pandas()
+    assert set(t.columns) == {"host", "url", "warc_ts_us", "rnk"}
+    for _, g in t.groupby("host"):
+        assert list(g.rnk) == list(range(1, len(g) + 1))
+        assert list(g.warc_ts_us) == sorted(g.warc_ts_us)
+        assert len(g) <= 3

@@ -408,6 +408,11 @@ def pack_sequences(
     counts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         count_tokens, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    # bound the per-group size: one range ≤ ~250k docs no matter the
+    # corpus (bin_id is a global prefix-sum property — independent of
+    # the range partitioning, so growing n_ranges never changes output;
+    # tests/test_textops.py asserts multi-range ≡ single-range)
+    n_ranges = max(n_ranges, counts.count() // 250_000)
 
     # step 2: deterministic hash-sample → range boundaries
     def sample_ids(batch: pa.Table) -> pa.Table:

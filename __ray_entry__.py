@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": T.pack_sequences,
         "repetition_stats": T.repetition_stats,
         "unigram_logprob": T.unigram_logprob,
+        "training_corpus_prep": T.training_corpus_prep,
         # dedup family
         "exact_dedup": DD.exact_dedup,
         "minhash_lsh_pairs": DD.minhash_lsh_pairs,
@@ -449,6 +450,38 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(nll) // (count(*) * 1000) as bigint)
                        AS avg_nll_milli
             FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        # composed prep chain: quality+lang filter → keep-first exact
+        # dedup → ordered prefix-sum packing (same kernels as
+        # quality_score / language_id / exact_dedup / pack_sequences)
+        "training_corpus_prep": rf"""
+            WITH q AS (
+                SELECT doc_id, text,
+                       cast(len(string_split_regex(trim(text), '\s+'))
+                            as bigint) AS n_tokens,
+                       cast(length(text) as bigint) AS n_chars,
+                       cast(length(regexp_replace(text, '[^ ]', '', 'g'))
+                            as bigint) AS n_spaces,
+                       {score_cols}
+                FROM (SELECT doc_id, text, ' ' || text || ' ' AS p
+                      FROM documents)
+            ), l AS (
+                SELECT doc_id, text, n_tokens,
+                       (n_chars - n_spaces) * 1000 // n_tokens AS mtl,
+                       {lang_case} AS lang_pred
+                FROM q
+            ), f AS (
+                SELECT doc_id, text, n_tokens FROM l
+                WHERE lang_pred = 'en' AND mtl BETWEEN 4300 AND 4700
+                      AND n_tokens >= 20
+            ), d AS (
+                SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+                FROM f GROUP BY text
+            )
+            SELECT doc_id, n_tokens,
+                   cast((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                        // 512 as bigint) AS bin_id
+            FROM d ORDER BY doc_id
         """,
         # connected components over the exact near-dup pairs: recursive
         # transitive closure, min label per dup-graph node

@@ -28,6 +28,7 @@ __all__ = [
     "pack_sequences",
     "repetition_stats",
     "unigram_logprob",
+    "training_corpus_prep",
     "LANG_MARKERS",
 ]
 
@@ -408,6 +409,18 @@ def pack_sequences(
     counts = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         count_tokens, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    return _pack_from_counts(counts, capacity, n_ranges, sample_ppm)
+
+
+def _pack_from_counts(
+    counts,
+    capacity: int,
+    n_ranges: int,
+    sample_ppm: int,
+):
+    """Steps 2-4 of :func:`pack_sequences` over a materialized
+    ``(doc_id, n_tokens)`` Dataset — shared with
+    :func:`training_corpus_prep`, which packs a filtered corpus."""
     # bound the per-group size: one range ≤ ~250k docs no matter the
     # corpus (bin_id is a global prefix-sum property — independent of
     # the range partitioning, so growing n_ranges never changes output;
@@ -655,3 +668,83 @@ def unigram_logprob(sf_dir: str, top_v: int = 65536):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def training_corpus_prep(
+    sf_dir: str,
+    capacity: int = 512,
+    mtl_lo: int = 4300,
+    mtl_hi: int = 4700,
+    min_tokens: int = 20,
+    lang: str = "en",
+):
+    """The composed LLM training-data prep chain — quality filter →
+    language filter → exact dedup (keep-first) → sequence packing —
+    as ONE streaming pipeline: a fused single-pass filter batch map
+    (no intermediate materialization of rejected rows), a
+    content-hash ``groupby`` for the dedup (the only shuffle), then
+    the distributed ordered prefix-sum packer over the survivors.
+
+    The fused filter recomputes the ``quality_score`` /
+    ``language_id`` kernels in one batch pass; thresholds are the
+    corpus-calibrated middle band.  Content hashing uses the C-speed
+    per-row digest (not vectorized FNV — document text is long)."""
+    from ray.data.aggregate import Min
+
+    from crawl_ray.urlnorm import content_hash64_batch
+
+    order = list(LANG_MARKERS)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        spaces = pc.utf8_length(
+            pc.replace_substring_regex(text, r"[^ ]", "")
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nt = pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mtl = (n_chars - spaces) * 1000 // nt
+        padded = pc.binary_join_element_wise(
+            pa.array([" "] * batch.num_rows), text,
+            pa.array([" "] * batch.num_rows), ""
+        )
+        scores = []
+        for markers in LANG_MARKERS.values():
+            total = None
+            for w in markers:
+                c = pc.count_substring(padded, f" {w} ").cast(pa.int64())
+                total = c if total is None else pc.add(total, c)
+            scores.append(total.to_numpy(zero_copy_only=False))
+        best = np.argmax(np.stack(scores, axis=1), axis=1)
+        keep = (
+            (np.array(order, dtype=object)[best] == lang)
+            & (mtl >= mtl_lo) & (mtl <= mtl_hi) & (nt >= min_tokens)
+        )
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "content_hash": pa.array(
+                    content_hash64_batch(out.column("text")).astype(np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": out.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(nt[keep], pa.int64()),
+            }
+        )
+
+    def first_per_hash(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("min(doc_id)").cast(pa.int64()),
+             "n_tokens": batch.column("min(n_tokens)").cast(pa.int64())}
+        )
+
+    survivors = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("content_hash")
+        .aggregate(Min("doc_id"), Min("n_tokens"))
+        .map_batches(first_per_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    return _pack_from_counts(survivors, capacity, n_ranges=64, sample_ppm=50_000)

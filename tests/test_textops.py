@@ -143,3 +143,22 @@ def test_recrawl_schedule_ranks(ray_session):
         assert list(g.rnk) == list(range(1, len(g) + 1))
         assert list(g.warc_ts_us) == sorted(g.warc_ts_us)
         assert len(g) <= 3
+
+
+def test_training_corpus_prep_composition(ray_session):
+    """The composed chain must agree with its parts: survivors are
+    en-language, mid-quality, ≥20-token, first-per-text docs, and the
+    bin assignment is the ordered prefix sum over exactly them."""
+    sf = "/root/testdata/sf0.001"
+    out = T.training_corpus_prep(sf).to_pandas().sort_values("doc_id")
+    q = T.quality_score(sf).to_pandas().set_index("doc_id")
+    lang = T.language_id(sf).to_pandas().set_index("doc_id")
+    toks = T.token_stats(sf).to_pandas().set_index("doc_id")
+    for d in out.doc_id:
+        assert lang.loc[d].lang_pred == "en"
+        assert 4300 <= q.loc[d].mean_tok_len_milli <= 4700
+        assert toks.loc[d].n_tokens >= 20
+    # packing: recompute prefix sum over the survivor set
+    nt = out.n_tokens.to_numpy()
+    before = nt.cumsum() - nt
+    assert (out.bin_id.to_numpy() == before // 512).all()

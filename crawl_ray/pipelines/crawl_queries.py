@@ -304,13 +304,21 @@ def forms_extract(sf_dir: str):
     )
 
 
-def recrawl_schedule(sf_dir: str, k: int = 5):
+RECRAWL_DRIVER_THRESHOLD = 200_000  # partial rows; above ⇒ distributed
+
+
+def recrawl_schedule(
+    sf_dir: str, k: int = 5, force_distributed: bool = False
+):
     """Recrawl selection over the page store (the `warc_ts` column of
     the Common-Crawl-style input): the k stalest URLs per host, i.e.
     the next politeness-respecting refetch wave.  Per-batch local
-    top-k per host (vectorized rank-in-run after an Arrow sort) →
-    bounded driver merge (≤ hosts × k rows per block) — no shuffle; at
-    10^10 URLs the partials stay host-count-sized per block."""
+    top-k per host (vectorized rank-in-run after an Arrow sort)
+    shrinks every block to ≤ hosts-in-block × k rows; the final merge
+    is driver-side when the partials are small, and a
+    ``groupby(host).map_groups`` re-rank when the host count itself is
+    frontier-scale (10^8 hosts × k doesn't fit one table) — same
+    dual-path shape as ``dedup_clusters``."""
     d = fixture_dir(fixture_size_for(sf_dir))
 
     def _stalest_k(t: pa.Table) -> pa.Table:
@@ -349,6 +357,18 @@ def recrawl_schedule(sf_dir: str, k: int = 5):
     parts = ray.data.read_parquet(
         f"{d}/pages.parquet", columns=["url", "warc_ts"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    if force_distributed or parts.count() > RECRAWL_DRIVER_THRESHOLD:
+        # frontier-scale host count: re-rank inside each host group
+        def rerank(group: pa.Table) -> pa.Table:
+            return _stalest_k(group).select(
+                ["host", "url", "warc_ts_us", "rnk"]
+            )
+
+        return parts.groupby("host").map_groups(
+            rerank, batch_format="pyarrow"
+        )
+
     from crawl_ray.util import collect_table
 
     t = collect_table(parts)

@@ -162,3 +162,21 @@ def test_training_corpus_prep_composition(ray_session):
     nt = out.n_tokens.to_numpy()
     before = nt.cumsum() - nt
     assert (out.bin_id.to_numpy() == before // 512).all()
+
+
+def test_recrawl_schedule_distributed_matches_driver(ray_session):
+    from crawl_ray.pipelines.crawl_queries import recrawl_schedule
+
+    a = (
+        recrawl_schedule("/root/testdata/sf0.001", k=3)
+        .to_pandas()
+        .sort_values(["host", "rnk"])
+        .reset_index(drop=True)
+    )
+    b = (
+        recrawl_schedule("/root/testdata/sf0.001", k=3, force_distributed=True)
+        .to_pandas()
+        .sort_values(["host", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)

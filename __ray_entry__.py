@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "payload_stats": MM.payload_stats,
         "decode_images": MM.decode_images,
+        "decode_audio": MM.decode_audio,
         "resize_images": MM.resize_images,
         "sample_frames": MM.sample_frames,
         # crawl engine (synthetic web; oracled against the
@@ -687,6 +688,14 @@ def _multimodal_oracle_sql() -> dict[str, str]:
                    cast(ih as bigint) AS height,
                    cast(pv as bigint) AS mean_px
             FROM p WHERE kind IN (0, 1) ORDER BY doc_id
+        """,
+        "decode_audio": _MEDIA_PARAMS_CTE + """
+            SELECT doc_id,
+                   cast(8000 as bigint) AS sample_rate,
+                   cast(ns as bigint) AS n_samples,
+                   cast(ns * 1000 // 8000 as bigint) AS duration_ms,
+                   cast(pv as bigint) AS mean_amp
+            FROM p WHERE kind = 2 ORDER BY doc_id
         """,
         "resize_images": _MEDIA_PARAMS_CTE + """
             SELECT doc_id,

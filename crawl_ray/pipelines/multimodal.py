@@ -34,7 +34,9 @@ __all__ = [
     "payload_table",
     "payload_stats",
     "DecodeImageActor",
+    "DecodeAudioActor",
     "decode_images",
+    "decode_audio",
     "resize_images",
     "sample_frames",
     "media_params",
@@ -231,6 +233,50 @@ class DecodeImageActor:
         )
 
 
+class DecodeAudioActor:
+    """Actor-pool audio decode stage: parse real RIFF/WAVE bytes
+    (fmt + data chunk walk, 8-bit PCM) → sample rate, sample count,
+    duration, mean amplitude.  Same ST6 shape as ``DecodeImageActor``
+    (a real deployment loads soundfile/ffmpeg in ``__init__``)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        rates, counts, durs, means = [], [], [], []
+        for data in payloads:
+            if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                raise ValueError("bad WAV signature")
+            pos, rate, bits, samples = 12, None, None, None
+            while pos + 8 <= len(data):
+                tag = data[pos:pos + 4]
+                (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+                body = data[pos + 8:pos + 8 + length]
+                if tag == b"fmt ":
+                    _, ch, rate, _, _, bits = struct.unpack(
+                        "<HHIIHH", body[:16]
+                    )
+                    if ch != 1 or bits != 8:
+                        raise ValueError(f"unsupported WAV layout {ch}ch/{bits}bit")
+                elif tag == b"data":
+                    samples = np.frombuffer(body, dtype=np.uint8)
+                pos += 8 + length + (length & 1)
+            if rate is None or samples is None:
+                raise ValueError("WAV missing fmt/data chunk")
+            rates.append(rate)
+            counts.append(len(samples))
+            durs.append(len(samples) * 1000 // rate)
+            means.append(int(samples.mean()) if len(samples) else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "n_samples": pa.array(counts, pa.int64()),
+                "duration_ms": pa.array(durs, pa.int64()),
+                "mean_amp": pa.array(means, pa.int64()),
+            }
+        )
+
+
 def _filter_media(sf_dir: str, prefix: str):
     def keep(batch: pa.Table) -> pa.Table:
         return batch.filter(
@@ -252,6 +298,17 @@ def decode_images(sf_dir: str, concurrency: int = 2, batch_size: int = 64):
     worker heaps)."""
     return _images_only(sf_dir).map_batches(
         DecodeImageActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+
+def decode_audio(sf_dir: str, concurrency: int = 2, batch_size: int = 64):
+    """Audio decode stage over the WAV payloads (actor pool, small
+    batches — payload bytes × batch_size × concurrency bound heap)."""
+    return _filter_media(sf_dir, "audio/").map_batches(
+        DecodeAudioActor,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),

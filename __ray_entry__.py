@@ -21,6 +21,7 @@ from crawl_ray.pipelines import dedup as DD
 from crawl_ray.pipelines import multimodal as MM
 from crawl_ray.pipelines import relational as R
 from crawl_ray.pipelines import similarity as SIM
+from crawl_ray.pipelines import streams as S
 from crawl_ray.pipelines import textops as T
 
 
@@ -41,6 +42,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": R.events_by_type,
         "events_hourly_window": R.events_hourly_window,
         "top_order_per_segment": R.top_order_per_segment,
+        # event-stream operators (as-of join, sliding window, sessions)
+        "events_asof_join": S.events_asof_join,
+        "events_sliding_window": S.events_sliding_window,
+        "sessionize": S.sessionize,
         # text analysis (training-data ops)
         "normalize_whitespace": T.normalize_whitespace,
         "token_stats": T.token_stats,
@@ -273,6 +278,62 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_value_cents,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # as-of join: latest prior click per purchase, per user; ties
+        # on ts break to the highest event_id on both sides
+        "events_asof_join": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   epoch_us(p.ts) AS purchase_ts_us,
+                   c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM events p, LATERAL (
+                SELECT event_id, ts FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                      AND c.ts <= p.ts
+                ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+            ) c
+            WHERE p.event_type = 'purchase'
+            ORDER BY purchase_id
+        """,
+        # sliding 6h windows every 2h: each event covers exactly
+        # size/slide = 3 window starts (us//slide - k)*slide, k in 0..2
+        "events_sliding_window": """
+            WITH e AS (
+                SELECT event_type, epoch_us(ts) AS us,
+                       cast(round(value * 100) as bigint) AS cents
+                FROM events
+            )
+            SELECT event_type,
+                   ((us // 7200000000) - k) * 7200000000 AS window_start,
+                   cast(sum(cents) as bigint) AS sum_value_cents,
+                   count(*) AS n_events
+            FROM e, range(0, 3) t(k)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # 30-min-gap sessionization per user
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       cast(round(value * 100) as bigint) AS cents
+                FROM events
+            ), m AS (
+                SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                                    OR us - lag(us) OVER w > 1800000000
+                               THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+            ), s AS (
+                SELECT *, sum(new_sess) OVER (
+                              PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess_no
+                FROM m
+            )
+            SELECT user_id, cast(sess_no - 1 as bigint) AS session_idx,
+                   count(*) AS n_events,
+                   cast(min(us) as bigint) AS start_us,
+                   cast(max(us) as bigint) AS end_us,
+                   cast(max(us) - min(us) as bigint) AS duration_us,
+                   cast(sum(cents) as bigint) AS sum_value_cents
+            FROM s GROUP BY user_id, sess_no ORDER BY user_id, session_idx
         """,
         "top_order_per_segment": """
             SELECT c_mktsegment, o_orderkey, total_cents FROM (

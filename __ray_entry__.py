@@ -18,9 +18,11 @@ from typing import Any
 
 from crawl_ray.pipelines import crawl_queries as CQ
 from crawl_ray.pipelines import dedup as DD
+from crawl_ray.pipelines import joins as J
 from crawl_ray.pipelines import multimodal as MM
 from crawl_ray.pipelines import relational as R
 from crawl_ray.pipelines import similarity as SIM
+from crawl_ray.pipelines import stats as ST
 from crawl_ray.pipelines import streams as S
 from crawl_ray.pipelines import textops as T
 
@@ -46,6 +48,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": S.events_asof_join,
         "events_sliding_window": S.events_sliding_window,
         "sessionize": S.sessionize,
+        # big-big hash joins (native Dataset.join)
+        "unshipped_orders": J.unshipped_orders,
+        "returned_revenue_by_customer": J.returned_revenue_by_customer,
+        # distributed statistics (exact quantiles / distinct + HLL sketch)
+        "events_value_quantiles": ST.events_value_quantiles,
+        "distinct_users_per_type": ST.distinct_users_per_type,
+        "hll_distinct_users": ST.hll_distinct_users,
         # text analysis (training-data ops)
         "normalize_whitespace": T.normalize_whitespace,
         "token_stats": T.token_stats,
@@ -334,6 +343,56 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(us) - min(us) as bigint) AS duration_us,
                    cast(sum(cents) as bigint) AS sum_value_cents
             FROM s GROUP BY user_id, sess_no ORDER BY user_id, session_idx
+        """,
+        # big-big hash join shapes; revenue in exact integer centi-cents
+        "unshipped_orders": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   epoch_us(o.o_orderdate) AS o_orderdate_us,
+                   o.o_orderpriority,
+                   cast(sum(cast(round(l.l_extendedprice * 100) as bigint)
+                            * (100 - cast(round(l.l_discount * 100) as bigint)))
+                        as bigint) AS revenue_cc
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND epoch_us(o.o_orderdate) < 900288000000000
+              AND epoch_us(l.l_shipdate) > 900288000000000
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_cc DESC, o_orderkey LIMIT 10
+        """,
+        "returned_revenue_by_customer": """
+            SELECT c.c_custkey, c.c_name,
+                   cast(sum(cast(round(l.l_extendedprice * 100) as bigint)
+                            * (100 - cast(round(l.l_discount * 100) as bigint)))
+                        as bigint) AS revenue_cc
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY 1, 2
+            ORDER BY revenue_cc DESC, c_custkey LIMIT 20
+        """,
+        # exact discrete quantiles over integer cents (rank = ceil(q·n)−1,
+        # verified to match DuckDB quantile_disc at integer-percent ranks)
+        "events_value_quantiles": """
+            WITH v AS (
+                SELECT cast(round(value * 100) as bigint) AS cents FROM events
+            )
+            SELECT 'p25' AS quantile, cast(quantile_disc(cents, 0.25) as bigint) AS value_cents FROM v
+            UNION ALL
+            SELECT 'p50', cast(quantile_disc(cents, 0.50) as bigint) FROM v
+            UNION ALL
+            SELECT 'p75', cast(quantile_disc(cents, 0.75) as bigint) FROM v
+            UNION ALL
+            SELECT 'p90', cast(quantile_disc(cents, 0.90) as bigint) FROM v
+            UNION ALL
+            SELECT 'p99', cast(quantile_disc(cents, 0.99) as bigint) FROM v
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type,
+                   cast(count(DISTINCT user_id) as bigint) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "top_order_per_segment": """
             SELECT c_mktsegment, o_orderkey, total_cents FROM (

@@ -1,0 +1,229 @@
+"""Big-big shuffle joins (TPC-H Q3/Q10 shapes) over the star-schema
+tables, built on Ray Data's native hash join (``Dataset.join``).
+
+Everything else in the repo joins by broadcasting a small side
+(``relational.orders_per_nation``) or by co-partitioned bucket lookup
+(the page store, ``sources/pages.py``).  This module covers the third
+join shape a 100-TB engine needs: **both sides frontier-sized**, so
+neither fits in one worker and the join must hash-partition both inputs
+(`num_partitions` aggregator actors, each holding one key range).
+
+Scale notes:
+
+* Filters are applied and columns projected **before** the join on both
+  sides — the shuffle moves only surviving rows of the needed columns.
+* The small dimension lookups that remain (filtered customer-segment
+  keys in Q3, customer names in Q10) are broadcast once via ``ray.put``;
+  at 100 TB those would be either another hash join or a Bloom-filter
+  semi-join — the swap is a one-line change and is documented per site.
+* ``num_partitions`` defaults to 2× the cluster CPU count so each
+  aggregator's partition stays well under the object-store block
+  target; at real scale size it to ``input_bytes / target_block_size``.
+* Post-join per-key aggregation pre-combines inside ``map_batches``
+  (one row per key per block) before the final ``groupby`` shuffle, so
+  the second exchange carries partial sums, not raw joined rows.
+
+Float policy matches ``relational``: revenue is computed in exact
+integer **centi-cents** (``cents(price) × (100 − cents(discount))``),
+so parallel partial sums are associative and byte-equal to the DuckDB
+oracle's serial bigint sum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from crawl_ray.pipelines.relational import _cents, _read
+from crawl_ray.util import collect_table
+
+__all__ = [
+    "unshipped_orders",
+    "returned_revenue_by_customer",
+]
+
+# Q3 cutoff: orders placed before, lineitems shipped after
+CUTOFF_US = 900_288_000_000_000  # 1998-07-13T00:00:00Z in µs
+
+
+def _default_partitions() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(8, 2 * cpus)
+
+
+def _revenue_cc(batch: pa.Table) -> pa.Array:
+    """Exact integer centi-cents: cents(extendedprice) × (100 − cents(discount))."""
+    price_c = _cents(batch.column("l_extendedprice"))
+    disc_c = _cents(batch.column("l_discount"))
+    return pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+
+
+def unshipped_orders(sf_dir: str, k: int = 10, num_partitions: int | None = None):
+    """TPC-H Q3 shape: top-k revenue among orders from BUILDING-segment
+    customers placed before the cutoff whose lineitems shipped after it.
+
+    lineitem ⋈ orders is a native hash join (both sides big); the
+    filtered customer-key set is a broadcast semi-join (keys only — at
+    100 TB swap for a Bloom filter or a second hash join)."""
+    num_partitions = num_partitions or _default_partitions()
+
+    cust = collect_table(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+    keys = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING")).column(
+        "c_custkey"
+    ).to_numpy()
+    if len(keys) == 0:
+        # Ray's hash join loses the schema of an all-empty side — and an
+        # empty key set means an empty result anyway, so short-circuit
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate_us": pa.array([], pa.int64()),
+                "o_orderpriority": pa.array([], pa.string()),
+                "revenue_cc": pa.array([], pa.int64()),
+            }
+        )
+    keys_ref = ray.put(np.sort(keys))
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        date_us = batch.column("o_orderdate").cast(pa.int64())
+        batch = batch.filter(pc.less(date_us, pa.scalar(CUTOFF_US, pa.int64())))
+        ck = batch.column("o_custkey").to_numpy()
+        sorted_keys = ray.get(keys_ref)
+        pos = np.searchsorted(sorted_keys, ck)
+        pos_c = np.minimum(pos, len(sorted_keys) - 1) if len(sorted_keys) else pos
+        mask = (
+            sorted_keys[pos_c] == ck if len(sorted_keys) else np.zeros(len(ck), bool)
+        )
+        batch = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_orderdate_us": batch.column("o_orderdate").cast(pa.int64()),
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        ship_us = batch.column("l_shipdate").cast(pa.int64())
+        batch = batch.filter(pc.greater(ship_us, pa.scalar(CUTOFF_US, pa.int64())))
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "revenue_cc": _revenue_cc(batch),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(lineitem_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = li.join(
+        orders, "inner", num_partitions, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    group_keys = ["l_orderkey", "o_orderdate_us", "o_orderpriority"]
+
+    def pre_agg(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(group_keys).aggregate([("revenue_cc", "sum")])
+        return out.rename_columns(
+            [c if c != "revenue_cc_sum" else "revenue_cc" for c in out.column_names]
+        )
+
+    # grouping key is per-order (high cardinality) -> distributed
+    # groupby over the pre-combined partials, NOT a driver-side merge
+    agg = (
+        joined.map_batches(pre_agg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_keys)
+        .sum("revenue_cc")
+    )
+    top = agg.sort(
+        ["sum(revenue_cc)", "l_orderkey"], descending=[True, False]
+    ).limit(k)
+    t = collect_table(top)
+    return pa.table(
+        {
+            "o_orderkey": t.column("l_orderkey"),
+            "o_orderdate_us": t.column("o_orderdate_us"),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "revenue_cc": t.column("sum(revenue_cc)"),
+        }
+    )
+
+
+def returned_revenue_by_customer(
+    sf_dir: str, k: int = 20, num_partitions: int | None = None
+):
+    """TPC-H Q10 shape: top-k customers by revenue on returned
+    lineitems.  lineitem(R) ⋈ orders is the native hash join; the
+    c_custkey → c_name resolution happens AFTER the aggregate, on k
+    rows only (never broadcast to the wide stage)."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "revenue_cc": _revenue_cc(batch),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    ).map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": b.column("o_custkey").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    joined = li.join(
+        orders, "inner", num_partitions, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def pre_agg(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["o_custkey"]).aggregate([("revenue_cc", "sum")])
+        return out.rename_columns(
+            [c if c != "revenue_cc_sum" else "revenue_cc" for c in out.column_names]
+        )
+
+    agg = (
+        joined.map_batches(pre_agg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .sum("revenue_cc")
+    )
+    top = collect_table(
+        agg.sort(["sum(revenue_cc)", "o_custkey"], descending=[True, False]).limit(k)
+    )
+
+    # name lookup on k rows only
+    cust = collect_table(_read(sf_dir, "customer", ["c_custkey", "c_name"]))
+    ck = cust.column("c_custkey").to_numpy()
+    order = np.argsort(ck)
+    names = np.array(cust.column("c_name").to_pylist(), dtype=object)[order]
+    ck_sorted = ck[order]
+    want = top.column("o_custkey").to_numpy()
+    pos = np.searchsorted(ck_sorted, want)
+    if len(want) and not np.array_equal(ck_sorted[np.minimum(pos, len(ck_sorted) - 1)], want):
+        raise ValueError("orders.o_custkey not in customer")
+    return pa.table(
+        {
+            "c_custkey": top.column("o_custkey"),
+            "c_name": pa.array([names[p] for p in pos], pa.string()),
+            "revenue_cc": top.column("sum(revenue_cc)"),
+        }
+    )

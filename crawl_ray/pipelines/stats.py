@@ -1,0 +1,211 @@
+"""Distributed statistics operators: exact quantiles, exact
+count-distinct, and a HyperLogLog distinct sketch.
+
+The reference has no analytics operators at all; these are the
+summary-statistics tier of the training-data suite (SURVEY.md §2.8) —
+the shapes a corpus-curation pipeline uses to pick filtering thresholds
+(quality-score quantiles, per-shard distinct URLs/users) at 100 TB.
+
+Scale notes:
+
+* ``events_value_quantiles`` computes **exact** discrete quantiles with
+  NO sort and NO shuffle: one ``map_batches`` pass builds per-block
+  histograms over integer cents (key space bounded by the *value
+  domain*, not the row count), the tiny partials combine, and the
+  quantile ranks are read off the cumulative histogram.  This is the
+  right 100-TB shape whenever the value domain is bounded-precision
+  (money, scores, token counts); for unbounded domains the same
+  operator runs per-range after a coarse first pass.
+* ``distinct_users_per_type`` is exact two-level distinct: batch-local
+  pair dedup (shrinks the shuffle to distinct pairs per block), one
+  hash groupby on the pair, then a bounded per-type count.
+* ``hll_distinct_users`` is the sketch path: p=12 HyperLogLog registers
+  built vectorized per block, merged by ``np.maximum`` — partials are
+  4 KiB per (type, block) regardless of row count, so the combine is
+  O(types × blocks) bytes and the operator never shuffles row data.
+  Deterministic (splitmix64 hash), ±~1.6% typical error; tested
+  against the exact operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from crawl_ray.pipelines.relational import _cents, _read, partial_then_final_sum
+from crawl_ray.util import collect_table
+
+__all__ = [
+    "events_value_quantiles",
+    "distinct_users_per_type",
+    "hll_distinct_users",
+]
+
+QUANTILES = (25, 50, 75, 90, 99)  # integer percents — exact rank math
+
+
+def events_value_quantiles(sf_dir: str) -> pa.Table:
+    """Exact discrete quantiles of ``events.value`` in integer cents.
+
+    Rank convention matches DuckDB ``quantile_disc``: the element at
+    0-indexed rank ``ceil(q·n) − 1``.  Ranks are computed in integer
+    arithmetic (percent·n) so no float boundary can misround."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cents": _cents(batch.column("value")),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["cents"]).aggregate([("n", "sum")])
+        return out.rename_columns(["cents", "n"])
+
+    partials = collect_table(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    combined = partials.group_by(["cents"]).aggregate([("n", "sum")])
+    cents = combined.column("cents").to_numpy()
+    counts = combined.column("n_sum").to_numpy()
+    order = np.argsort(cents)
+    cents, counts = cents[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+
+    labels, values = [], []
+    for pct in QUANTILES:
+        rank = max(-(-pct * n // 100) - 1, 0)  # ceil(pct·n/100) − 1, int math
+        idx = int(np.searchsorted(cum, rank + 1))
+        labels.append(f"p{pct}")
+        values.append(int(cents[idx]) if n else None)
+    return pa.table(
+        {
+            "quantile": pa.array(labels, pa.string()),
+            "value_cents": pa.array(values, pa.int64()),
+        }
+    )
+
+
+def distinct_users_per_type(sf_dir: str) -> pa.Table:
+    """Exact COUNT(DISTINCT user_id) per event_type: batch-local pair
+    dedup → one hash groupby on (event_type, user_id) → bounded
+    per-type count."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(dedup_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .count()
+    )
+    agg = partial_then_final_sum(
+        pairs.select_columns(["event_type"]),
+        ["event_type"],
+        {},
+        count_name="n_users",
+    )
+    return agg.sort_by("event_type")
+
+
+# --- HyperLogLog ---------------------------------------------------------
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return x ^ (x >> np.uint64(31))
+
+
+def _hll_registers(ids: np.ndarray) -> np.ndarray:
+    """Vectorized HLL register fill for one key's ids."""
+    h = _splitmix64(ids.astype(np.uint64))
+    bucket = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    # rho = leading zeros of the (64−P)-bit suffix + 1; rest's low P bits
+    # are zero, so word-level leading zeros == suffix leading zeros
+    rho = np.full(len(h), 64 - HLL_P + 1, dtype=np.int64)  # rest == 0 case
+    nz = rest != 0
+    r = rest[nz]
+    # floor(log2) via float64, then exact downward correction: float64
+    # rounds uint64 ≥ 2^53 to nearest and can land ON the next power of
+    # two (over-estimating k by 1); r >> k == 0 detects exactly that
+    k = np.floor(np.log2(r.astype(np.float64))).astype(np.uint64)
+    k -= ((r >> k) == 0).astype(np.uint64)
+    rho[nz] = 63 - k.astype(np.int64) + 1
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, bucket, rho.astype(np.uint8))
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    m = HLL_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)  # linear counting, small range
+    return int(round(est))
+
+
+def hll_distinct_users(sf_dir: str) -> pa.Table:
+    """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type.
+
+    Per-block partials are fixed 4 KiB register arrays (one per type
+    seen in the block) carried as a binary column; the driver merge is
+    ``np.maximum`` over O(types × blocks) registers — no shuffle, no
+    row data movement.  Deterministic; see tests for the error bound
+    vs :func:`distinct_users_per_type`."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        types, regs = [], []
+        for t in np.unique(et):
+            types.append(str(t))
+            regs.append(_hll_registers(uid[et == t]).tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "registers": pa.array(regs, pa.binary()),
+            }
+        )
+
+    partials = collect_table(
+        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    merged: dict[str, np.ndarray] = {}
+    for t, blob in zip(
+        partials.column("event_type").to_pylist(),
+        partials.column("registers").to_pylist(),
+    ):
+        regs = np.frombuffer(blob, dtype=np.uint8)
+        if t in merged:
+            merged[t] = np.maximum(merged[t], regs)
+        else:
+            merged[t] = regs.copy()
+    types = sorted(merged)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "approx_users": pa.array(
+                [_hll_estimate(merged[t]) for t in types], pa.int64()
+            ),
+        }
+    )

@@ -1,0 +1,171 @@
+"""Edge-case tests for the big-big hash joins (joins.py) and the
+distributed statistics operators (stats.py): empty join sides, tiny-n
+quantile ranks, HLL error bounds at real cardinality, and HLL register
+merge associativity."""
+
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crawl_ray.pipelines import joins as J
+from crawl_ray.pipelines import stats as ST
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write(tmp_path: pathlib.Path, name: str, table: pa.Table) -> None:
+    pq.write_table(table, tmp_path / f"{name}.parquet")
+
+
+def _star_fixture(tmp_path, segments):
+    _write(
+        tmp_path,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_name": pa.array(["a", "b"], pa.string()),
+                "c_mktsegment": pa.array(segments, pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 20], pa.int64()),
+                "o_custkey": pa.array([1, 2], pa.int64()),
+                "o_orderdate": pa.array([0, 0], pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 2, pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([10, 10, 20, 30], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 5.0, 99.0], pa.float64()),
+                "l_discount": pa.array([0.1, 0.0, 0.05, 0.0], pa.float64()),
+                "l_shipdate": pa.array(
+                    [J.CUTOFF_US + 1] * 4, pa.timestamp("us")
+                ),
+                "l_returnflag": pa.array(["R", "N", "R", "R"], pa.string()),
+            }
+        ),
+    )
+
+
+def test_unshipped_orders_join_and_filters(tmp_path, ray_session):
+    _star_fixture(tmp_path, ["BUILDING", "MACHINERY"])
+    out = J.unshipped_orders(str(tmp_path), num_partitions=4)
+    # only order 10 (BUILDING customer); lineitem 30 has no order
+    assert out.column("o_orderkey").to_pylist() == [10]
+    # revenue_cc = 1000*90 + 2000*100 = 290000
+    assert out.column("revenue_cc").to_pylist() == [290_000]
+
+
+def test_unshipped_orders_empty_semi_join(tmp_path, ray_session):
+    _star_fixture(tmp_path, ["MACHINERY", "MACHINERY"])
+    out = J.unshipped_orders(str(tmp_path), num_partitions=4)
+    assert out.num_rows == 0
+
+
+def test_returned_revenue_by_customer(tmp_path, ray_session):
+    _star_fixture(tmp_path, ["BUILDING", "MACHINERY"])
+    out = J.returned_revenue_by_customer(str(tmp_path), num_partitions=4)
+    got = dict(
+        zip(out.column("c_custkey").to_pylist(), out.column("revenue_cc").to_pylist())
+    )
+    # cust 1: R line 1000c*90 = 90000; cust 2: R line 500c*95 = 47500
+    assert got == {1: 90_000, 2: 47_500}
+    # sorted by revenue desc
+    assert out.column("c_custkey").to_pylist() == [1, 2]
+
+
+def test_quantiles_tiny_n(tmp_path, ray_session):
+    vals = [10.0, 20.0, 30.0, 40.0]
+    _write(
+        tmp_path,
+        "events",
+        pa.table({"value": pa.array(vals, pa.float64())}),
+    )
+    out = ST.events_value_quantiles(str(tmp_path))
+    got = dict(
+        zip(out.column("quantile").to_pylist(), out.column("value_cents").to_pylist())
+    )
+    # rank = ceil(p·n/100) − 1 over cents: n=4
+    assert got == {"p25": 1000, "p50": 2000, "p75": 3000, "p90": 4000, "p99": 4000}
+
+
+def test_quantiles_single_value(tmp_path, ray_session):
+    _write(tmp_path, "events", pa.table({"value": pa.array([7.77], pa.float64())}))
+    out = ST.events_value_quantiles(str(tmp_path))
+    assert set(out.column("value_cents").to_pylist()) == {777}
+
+
+def test_distinct_users_exact(tmp_path, ray_session):
+    # heavy duplication: 3 users x 1000 rows for type a, 1 user for b
+    n = 1000
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "event_type": pa.array(["a"] * (3 * n) + ["b"] * 5, pa.string()),
+                "user_id": pa.array(
+                    list(np.arange(3).repeat(n)) + [42] * 5, pa.int64()
+                ),
+            }
+        ),
+    )
+    out = ST.distinct_users_per_type(str(tmp_path))
+    got = dict(
+        zip(out.column("event_type").to_pylist(), out.column("n_users").to_pylist())
+    )
+    assert got == {"a": 3, "b": 1}
+
+
+def test_hll_error_bound_large(tmp_path, ray_session):
+    # 50k distinct ids -> HLL(p=12) should be within ~5%
+    rng = np.random.default_rng(7)
+    ids = rng.choice(10**12, size=50_000, replace=False)
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * len(ids), pa.string()),
+                "user_id": pa.array(ids, pa.int64()),
+            }
+        ),
+    )
+    out = ST.hll_distinct_users(str(tmp_path))
+    est = out.column("approx_users").to_pylist()[0]
+    assert abs(est - 50_000) / 50_000 < 0.05
+
+
+def test_hll_register_merge_associative():
+    rng = np.random.default_rng(3)
+    ids = rng.choice(10**9, size=30_000, replace=False).astype(np.int64)
+    whole = ST._hll_registers(ids)
+    # split three ways, merge by max — must equal the one-shot registers
+    parts = np.array_split(ids, 3)
+    merged = np.zeros_like(whole)
+    for p in parts:
+        merged = np.maximum(merged, ST._hll_registers(p))
+    assert np.array_equal(whole, merged)
+
+
+def test_hll_rho_exact_at_power_of_two_boundaries():
+    # craft hash inputs irrelevant — directly exercise the register fill
+    # with ids whose splitmix64 hash suffix lands near 2^k boundaries by
+    # brute scan: estimator must stay deterministic and rho <= 53
+    ids = np.arange(100_000, dtype=np.int64)
+    regs = ST._hll_registers(ids)
+    assert regs.max() <= 64 - ST.HLL_P
+    assert ST._hll_estimate(regs) > 0

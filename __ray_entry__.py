@@ -51,8 +51,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # big-big hash joins (native Dataset.join)
         "unshipped_orders": J.unshipped_orders,
         "returned_revenue_by_customer": J.returned_revenue_by_customer,
+        "customers_without_urgent_orders": J.customers_without_urgent_orders,
+        "events_price_band_join": J.events_price_band_join,
         # distributed statistics (exact quantiles / distinct + HLL sketch)
         "events_value_quantiles": ST.events_value_quantiles,
+        "value_quantiles_per_type": ST.value_quantiles_per_type,
         "distinct_users_per_type": ST.distinct_users_per_type,
         "hll_distinct_users": ST.hll_distinct_users,
         # text analysis (training-data ops)
@@ -372,6 +375,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.l_returnflag = 'R'
             GROUP BY 1, 2
             ORDER BY revenue_cc DESC, c_custkey LIMIT 20
+        """,
+        # distributed anti-join (native left_anti hash join)
+        "customers_without_urgent_orders": """
+            SELECT c_custkey, c_name,
+                   cast(round(c_acctbal * 100) as bigint) AS acctbal_cents
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey
+        """,
+        # broadcast range join: bin events into value bands by interval
+        # containment, then aggregate per band
+        "events_price_band_join": """
+            WITH bands(band, lo, hi) AS (
+                VALUES ('b0_micro', 0, 1000), ('b1_small', 1000, 5000),
+                       ('b2_medium', 5000, 15000), ('b3_large', 15000, 40000),
+                       ('b4_xlarge', 40000, 1152921504606846976)
+            ), e AS (
+                SELECT cast(round(value * 100) as bigint) AS cents FROM events
+            )
+            SELECT b.band,
+                   cast(sum(e.cents) as bigint) AS sum_value_cents,
+                   count(*) AS n_events
+            FROM e JOIN bands b ON e.cents >= b.lo AND e.cents < b.hi
+            GROUP BY b.band ORDER BY b.band
+        """,
+        "value_quantiles_per_type": """
+            WITH v AS (
+                SELECT event_type,
+                       cast(round(value * 100) as bigint) AS cents
+                FROM events
+            ), q AS (
+                SELECT event_type,
+                       cast(quantile_disc(cents, 0.50) as bigint) AS p50,
+                       cast(quantile_disc(cents, 0.95) as bigint) AS p95
+                FROM v GROUP BY event_type
+            )
+            SELECT event_type, 'p50' AS quantile, p50 AS value_cents FROM q
+            UNION ALL
+            SELECT event_type, 'p95', p95 FROM q
+            ORDER BY event_type, quantile
         """,
         # exact discrete quantiles over integer cents (rank = ceil(q·n)−1,
         # verified to match DuckDB quantile_disc at integer-percent ranks)

@@ -38,12 +38,14 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from crawl_ray.pipelines.relational import _cents, _read
+from crawl_ray.pipelines.relational import _cents, _read, partial_then_final_sum
 from crawl_ray.util import collect_table
 
 __all__ = [
     "unshipped_orders",
     "returned_revenue_by_customer",
+    "customers_without_urgent_orders",
+    "events_price_band_join",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -227,3 +229,89 @@ def returned_revenue_by_customer(
             "revenue_cc": top.column("sum(revenue_cc)"),
         }
     )
+
+
+def customers_without_urgent_orders(sf_dir: str, num_partitions: int | None = None):
+    """Distributed anti-join: customers that never placed a 1-URGENT
+    order, via the native hash join's ``left_anti`` mode — both sides
+    shuffle by key, nothing is broadcast (the right 100-TB shape for
+    big∖big set difference).  The right side is filtered and projected
+    to the key column before the shuffle."""
+    num_partitions = num_partitions or _default_partitions()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                "c_name": b.column("c_name"),
+                "acctbal_cents": _cents(b.column("c_acctbal")),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.filter(
+                    pc.equal(b.column("o_orderpriority"), "1-URGENT")
+                ).column("o_custkey").cast(pa.int64())
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    anti = cust.join(
+        orders, "left_anti", num_partitions, on=("c_custkey",), right_on=("o_custkey",)
+    )
+    t = collect_table(anti.sort("c_custkey"))
+    # explicit schema so an empty result stays typed
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "acctbal_cents": pa.array([], pa.int64()),
+            }
+        )
+    return t.select(["c_custkey", "c_name", "acctbal_cents"])
+
+
+# (band, lo_cents, hi_cents) — upper bound exclusive; last band open-ended
+PRICE_BANDS = (
+    ("b0_micro", 0, 1_000),
+    ("b1_small", 1_000, 5_000),
+    ("b2_medium", 5_000, 15_000),
+    ("b3_large", 15_000, 40_000),
+    ("b4_xlarge", 40_000, 1 << 60),
+)
+
+
+def events_price_band_join(sf_dir: str):
+    """Broadcast range join: events binned into value bands by interval
+    containment (the classic small-side range join — band boundaries
+    broadcast as a sorted array, containment = one ``searchsorted`` per
+    batch), then a bounded per-band aggregate.  No shuffle of the big
+    side at any point."""
+    ds = _read(sf_dir, "events", ["value"])
+    bounds = np.array([b[1] for b in PRICE_BANDS], dtype=np.int64)
+    names = [b[0] for b in PRICE_BANDS]
+
+    def bin_batch(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("value")).to_numpy()
+        idx = np.searchsorted(bounds, cents, side="right") - 1
+        return pa.table(
+            {
+                "band": pa.array(np.array(names, dtype=object)[idx], pa.string()),
+                "value_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    binned = ds.map_batches(bin_batch, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial_then_final_sum(
+        binned,
+        ["band"],
+        {"sum_value_cents": lambda b: b.column("value_cents")},
+        count_name="n_events",
+    )
+    return agg.sort_by("band")

@@ -42,6 +42,7 @@ from crawl_ray.util import collect_table
 
 __all__ = [
     "events_value_quantiles",
+    "value_quantiles_per_type",
     "distinct_users_per_type",
     "hll_distinct_users",
 ]
@@ -88,6 +89,54 @@ def events_value_quantiles(sf_dir: str) -> pa.Table:
         {
             "quantile": pa.array(labels, pa.string()),
             "value_cents": pa.array(values, pa.int64()),
+        }
+    )
+
+
+def value_quantiles_per_type(sf_dir: str) -> pa.Table:
+    """Exact grouped quantiles (p50 / p95 of ``value`` per event_type)
+    via the same shuffle-free histogram: key space is (types × cents
+    domain) — still bounded by the value domain, not the row count."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+        return out.rename_columns(["event_type", "cents", "n"])
+
+    partials = collect_table(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    combined = partials.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+    types = np.array(combined.column("event_type").to_pylist(), dtype=object)
+    cents = combined.column("cents").to_numpy()
+    counts = combined.column("n_sum").to_numpy()
+
+    out_type, out_q, out_v = [], [], []
+    for t in sorted(set(types)):
+        mask = types == t
+        c, n_arr = cents[mask], counts[mask]
+        order = np.argsort(c)
+        c, n_arr = c[order], n_arr[order]
+        cum = np.cumsum(n_arr)
+        n = int(cum[-1])
+        for pct in (50, 95):
+            rank = max(-(-pct * n // 100) - 1, 0)
+            idx = int(np.searchsorted(cum, rank + 1))
+            out_type.append(str(t))
+            out_q.append(f"p{pct}")
+            out_v.append(int(c[idx]))
+    return pa.table(
+        {
+            "event_type": pa.array(out_type, pa.string()),
+            "quantile": pa.array(out_q, pa.string()),
+            "value_cents": pa.array(out_v, pa.int64()),
         }
     )
 

@@ -169,3 +169,75 @@ def test_hll_rho_exact_at_power_of_two_boundaries():
     regs = ST._hll_registers(ids)
     assert regs.max() <= 64 - ST.HLL_P
     assert ST._hll_estimate(regs) > 0
+
+
+def test_customers_without_urgent_orders(tmp_path, ray_session):
+    _write(
+        tmp_path,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_name": pa.array(["a", "b", "c"], pa.string()),
+                "c_acctbal": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 2, 2], pa.int64()),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "5-LOW", "5-LOW"], pa.string()
+                ),
+            }
+        ),
+    )
+    out = J.customers_without_urgent_orders(str(tmp_path), num_partitions=4)
+    # cust 1 has an urgent order; 2 has only LOW; 3 has none at all
+    assert out.column("c_custkey").to_pylist() == [2, 3]
+    assert out.column("acctbal_cents").to_pylist() == [250, 350]
+
+
+def test_price_band_join_boundaries(tmp_path, ray_session):
+    # values exactly at band edges: 10.00 -> b1 (hi exclusive), 9.99 -> b0
+    _write(
+        tmp_path,
+        "events",
+        pa.table({"value": pa.array([9.99, 10.0, 50.0, 0.01, 400.0], pa.float64())}),
+    )
+    out = J.events_price_band_join(str(tmp_path))
+    got = {
+        r["band"]: (r["n_events"], r["sum_value_cents"])
+        for r in out.to_pandas().to_dict("records")
+    }
+    assert got == {
+        "b0_micro": (2, 999 + 1),
+        "b1_small": (1, 1000),
+        "b2_medium": (1, 5000),
+        "b4_xlarge": (1, 40000),
+    }
+
+
+def test_grouped_quantiles(tmp_path, ray_session):
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "event_type": pa.array(["a"] * 4 + ["b"], pa.string()),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0, 9.0], pa.float64()),
+            }
+        ),
+    )
+    out = ST.value_quantiles_per_type(str(tmp_path)).to_pandas()
+    got = {(r.event_type, r.quantile): r.value_cents for r in out.itertuples()}
+    # a: n=4 -> p50 rank ceil(2)-1=1 -> 200; p95 rank ceil(3.8)-1=3 -> 400
+    assert got == {
+        ("a", "p50"): 200,
+        ("a", "p95"): 400,
+        ("b", "p50"): 900,
+        ("b", "p95"): 900,
+    }

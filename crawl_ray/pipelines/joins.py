@@ -53,8 +53,14 @@ CUTOFF_US = 900_288_000_000_000  # 1998-07-13T00:00:00Z in µs
 
 
 def _default_partitions() -> int:
+    # each hash-join partition is a long-lived aggregator ACTOR holding
+    # a CPU slot: partitions must stay well under the CPU count or the
+    # aggregators starve the map tasks feeding them (measured 171 s vs
+    # 10 s at sf0.1/32 CPUs for 64 vs 8 partitions).  cpus/4 leaves 3/4
+    # of the box for the producer stages; at real scale raise it only
+    # with the cluster size, never past input_bytes/target_block_size.
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(8, 2 * cpus)
+    return max(4, cpus // 4)
 
 
 def _revenue_cc(batch: pa.Table) -> pa.Array:

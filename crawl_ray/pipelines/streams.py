@@ -35,7 +35,6 @@ import pyarrow as pa
 import ray.data
 
 from crawl_ray.pipelines.relational import _cents, _read, partial_then_final_sum
-from crawl_ray.util import collect_table
 
 __all__ = [
     "events_asof_join",
@@ -103,7 +102,9 @@ def events_asof_join(sf_dir: str) -> pa.Table:
         )
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
-    return collect_table(out).sort_by("purchase_id")
+    # output is per-purchase (frontier-sized at scale): stay lazy, sort
+    # distributed — never collected on the driver
+    return out.sort("purchase_id")
 
 
 def events_sliding_window(sf_dir: str) -> pa.Table:
@@ -179,6 +180,5 @@ def sessionize(sf_dir: str) -> pa.Table:
         )
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
-    return collect_table(out).sort_by(
-        [("user_id", "ascending"), ("session_idx", "ascending")]
-    )
+    # per-session output is unbounded: stay lazy, distributed sort
+    return out.sort(["user_id", "session_idx"])

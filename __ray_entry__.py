@@ -18,6 +18,7 @@ from typing import Any
 
 from crawl_ray.pipelines import crawl_queries as CQ
 from crawl_ray.pipelines import dedup as DD
+from crawl_ray.pipelines import graph as G
 from crawl_ray.pipelines import joins as J
 from crawl_ray.pipelines import multimodal as MM
 from crawl_ray.pipelines import relational as R
@@ -53,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_revenue_by_customer": J.returned_revenue_by_customer,
         "customers_without_urgent_orders": J.customers_without_urgent_orders,
         "events_price_band_join": J.events_price_band_join,
+        # iterative graph computation (integer PageRank)
+        "supplier_pagerank": G.supplier_pagerank,
         # distributed statistics (exact quantiles / distinct + HLL sketch)
         "events_value_quantiles": ST.events_value_quantiles,
         "value_quantiles_per_type": ST.value_quantiles_per_type,
@@ -156,6 +159,45 @@ def _jaccard_pairs_sql(k: int, thr_milli: int) -> str:
               >= {thr_milli} * len(list_distinct(list_concat(a.sh, b.sh)))
         ORDER BY doc_a, doc_b
     """
+
+
+def _pagerank_sql(iterations: int = 3, k: int = 20) -> str:
+    """Unrolled-CTE oracle for ``graph.supplier_pagerank``: identical
+    integer micro-unit arithmetic (contrib = rank // outdeg, new =
+    150000 + (850·Σ) // 1000), one CTE pair per iteration."""
+    sql = """
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS s
+            FROM lineitem
+        ),
+        edges AS (
+            SELECT p AS src, s AS dst FROM pairs
+            UNION SELECT s, p FROM pairs
+        ),
+        outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        nodes AS (SELECT src AS node FROM outdeg),
+        r0 AS (SELECT node, cast(1000000 as bigint) AS rank FROM nodes)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+        c{i} AS (
+            SELECT e.dst AS node, sum(r.rank // d.outdeg) AS c
+            FROM edges e
+            JOIN r{i - 1} r ON r.node = e.src
+            JOIN outdeg d ON d.src = e.src
+            GROUP BY e.dst
+        ),
+        r{i} AS (
+            SELECT n.node,
+                   150000 + (850 * coalesce(c.c, 0)) // 1000 AS rank
+            FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+        )"""
+    sql += f"""
+        SELECT node, node >= 1000000 AS is_supplier,
+               cast(rank as bigint) AS rank_micro
+        FROM r{iterations}
+        ORDER BY rank DESC, node LIMIT {k}
+    """
+    return sql
 
 
 def _crawl_oracle_sql() -> dict[str, str]:
@@ -376,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue_cc DESC, c_custkey LIMIT 20
         """,
+        "supplier_pagerank": _pagerank_sql(),
         # distributed anti-join (native left_anti hash join)
         "customers_without_urgent_orders": """
             SELECT c_custkey, c_name,

@@ -1,0 +1,190 @@
+"""Iterative distributed graph computation: PageRank over the
+part ↔ supplier bipartite graph derived from ``lineitem``.
+
+This is the iterative-algorithm tier of the operator suite (the shape
+of link-graph scoring over a crawl corpus — the reference's domain —
+where edges are frontier-sized and ranks iterate to fixpoint).  The
+graph: every distinct ``(l_partkey, l_suppkey)`` pair contributes a
+part→supplier edge and its reverse, so rank circulates (no sinks other
+than isolated nodes, which keep the base rank).
+
+Exact-arithmetic policy: ranks are integer **micro-units** (node starts
+at 1_000_000) and every step is integer math —
+``contrib = rank // outdeg``, ``new = 150_000 + (850 · Σcontrib) // 1_000``
+(damping 0.85) — so the distributed sums are associative and the result
+is bit-equal to a DuckDB oracle that unrolls the same iterations as
+CTEs.
+
+Scale notes:
+
+* Edges are deduped with one hash groupby; out-degrees ride along as a
+  second groupby over the already-deduped edges (both shuffles carry
+  (src, dst) pairs only).
+* Each iteration is: edges ⋈ ranks on src (native hash join — ranks
+  are node-count-sized, NOT broadcastable for a web graph), a
+  per-batch pre-combined ``groupby(dst).sum``, and nodes ⟕ contribs
+  (native ``left_outer``) to re-base nodes with no in-edges.  Nothing
+  materializes on the driver until the final bounded top-k.
+* The iteration count is fixed (K=3) — fixpoint detection would need a
+  convergence reduce per round; for ranking-quality use cases the
+  fixed-K unroll is the standard corpus-scale choice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from crawl_ray.pipelines.joins import _default_partitions
+from crawl_ray.pipelines.relational import _read
+from crawl_ray.util import collect_table, normalize_schema
+
+__all__ = ["supplier_pagerank"]
+
+BASE_RANK = 1_000_000
+TELEPORT = 150_000  # 0.15 in micro-units
+DAMP_MILLI = 850
+SUPPLIER_OFFSET = 1_000_000  # disambiguate supplier ids from part ids
+
+
+def supplier_pagerank(
+    sf_dir: str, iterations: int = 3, k: int = 20, num_partitions: int | None = None
+) -> pa.Table:
+    """Top-k nodes by integer PageRank after ``iterations`` rounds over
+    the bidirected part–supplier graph.  Returns
+    ``(node, is_supplier, rank_micro)`` sorted by rank desc, node asc."""
+    num_partitions = num_partitions or _default_partitions()
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_partkey").to_numpy().astype(np.int64)
+        s = batch.column("l_suppkey").to_numpy().astype(np.int64) + SUPPLIER_OFFSET
+        # both directions; batch-local dedup shrinks the shuffle
+        src = np.concatenate([p, s])
+        dst = np.concatenate([s, p])
+        t = pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    edges = normalize_schema(
+        li.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .count(),
+        {"src": pa.int64(), "dst": pa.int64()},
+        coalesce=num_partitions,
+    )
+    edges = edges.materialize()  # reused every iteration — keep in object store
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "src": batch.column("src"),
+                "outdeg": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["src"]).aggregate([("outdeg", "sum")])
+        return out.rename_columns(["src", "outdeg"])
+
+    outdeg = normalize_schema(
+        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("src")
+        .sum("outdeg"),
+        {"src": pa.int64(), "outdeg": pa.int64()},
+        rename={"sum(outdeg)": "outdeg"},
+        coalesce=num_partitions,
+    )
+
+    # (src, dst, outdeg) — join once, reuse every iteration.  Joins also
+    # emit zero-column empty partition blocks: normalize after each one
+    # before the output feeds another join or a column-addressed kernel.
+    edges_wd = normalize_schema(
+        edges.join(outdeg, "inner", num_partitions, on=("src",)),
+        {"src": pa.int64(), "dst": pa.int64(), "outdeg": pa.int64()},
+        coalesce=num_partitions,
+    ).materialize()
+
+    # nodes = every src (graph is bidirected, so src set == node set)
+    nodes = outdeg.select_columns(["src"]).map_batches(
+        lambda b: pa.table({"node": b.column("src")}), batch_format="pyarrow"
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "rank_micro": pa.array(
+                    np.full(b.num_rows, BASE_RANK, dtype=np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    for _ in range(iterations):
+        carrying = normalize_schema(
+            edges_wd.join(
+                ranks, "inner", num_partitions, on=("src",), right_on=("node",)
+            ),
+            {"dst": pa.int64(), "outdeg": pa.int64(), "rank_micro": pa.int64()},
+            coalesce=num_partitions,
+        )
+
+        def contrib_partial(batch: pa.Table) -> pa.Table:
+            rank = batch.column("rank_micro").to_numpy()
+            deg = batch.column("outdeg").to_numpy()
+            t = pa.table(
+                {
+                    "dst": batch.column("dst"),
+                    "contrib": pa.array(rank // deg, pa.int64()),
+                }
+            )
+            out = t.group_by(["dst"]).aggregate([("contrib", "sum")])
+            return out.rename_columns(["dst", "contrib"])
+
+        contribs = normalize_schema(
+            carrying.map_batches(
+                contrib_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("dst")
+            .sum("contrib"),
+            {"dst": pa.int64(), "contrib": pa.int64()},
+            rename={"sum(contrib)": "contrib"},
+            coalesce=num_partitions,
+        )
+        rebased = normalize_schema(
+            nodes.join(
+                contribs, "left_outer", num_partitions, on=("node",), right_on=("dst",)
+            ),
+            {"node": pa.int64(), "contrib": pa.int64()},
+            coalesce=num_partitions,
+        )
+
+        def apply_rank(batch: pa.Table) -> pa.Table:
+            c = batch.column("contrib").to_numpy(zero_copy_only=False)
+            c = np.where(np.isnan(c.astype(np.float64)), 0, c).astype(np.int64)
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "rank_micro": pa.array(
+                        TELEPORT + (DAMP_MILLI * c) // 1_000, pa.int64()
+                    ),
+                }
+            )
+
+        ranks = rebased.map_batches(apply_rank, batch_format="pyarrow")
+
+    top = collect_table(
+        ranks.sort(["rank_micro", "node"], descending=[True, False]).limit(k)
+    )
+    node = top.column("node").to_numpy()
+    return pa.table(
+        {
+            "node": pa.array(node, pa.int64()),
+            "is_supplier": pa.array(node >= SUPPLIER_OFFSET, pa.bool_()),
+            "rank_micro": top.column("rank_micro"),
+        }
+    )

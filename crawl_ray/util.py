@@ -6,7 +6,38 @@ import pyarrow as pa
 
 import ray
 
-__all__ = ["collect_table"]
+__all__ = ["collect_table", "normalize_schema"]
+
+
+def normalize_schema(
+    ds,
+    schema: dict[str, "pa.DataType"],
+    rename: dict | None = None,
+    coalesce: int | None = None,
+):
+    """Re-emit blocks with exactly the given columns/types.
+
+    Ray's sort-based ``groupby`` and the hash join emit ZERO-COLUMN
+    empty blocks for empty partitions; feeding those into a later
+    ``Dataset.join`` fails in the aggregator's Arrow join
+    (``ArrowInvalid: No match … for key field reference``), and
+    ``map_batches`` alone cannot fix them — Ray short-circuits empty
+    blocks past the UDF.  Pass ``coalesce=n`` to ``repartition(n)``
+    first (merges the schema-less empties into typed blocks); then the
+    projection map renames (e.g. ``{"sum(x)": "x"}``) and casts
+    zero-copy.  Use between any wide op and a join over its output."""
+    if coalesce:
+        ds = ds.repartition(coalesce)
+    empty = pa.table({k: pa.array([], t) for k, t in schema.items()})
+
+    def fix(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        if rename:
+            b = b.rename_columns([rename.get(c, c) for c in b.column_names])
+        return pa.table({k: b.column(k).cast(t) for k, t in schema.items()})
+
+    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def collect_table(ds) -> pa.Table:

@@ -1,0 +1,44 @@
+"""Hand-computed integer-PageRank check over a 3-node bipartite graph
+(two parts supplying one supplier), plus a symmetry fixpoint case."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crawl_ray.pipelines.graph import SUPPLIER_OFFSET, supplier_pagerank
+
+
+def _li(tmp_path, pairs):
+    t = pa.table(
+        {
+            "l_partkey": pa.array([p for p, _ in pairs], pa.int64()),
+            "l_suppkey": pa.array([s for _, s in pairs], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    return str(tmp_path)
+
+
+def test_two_node_cycle_is_fixpoint(tmp_path, ray_session):
+    # one part <-> one supplier: rank stays at the 1_000_000 base
+    out = supplier_pagerank(_li(tmp_path, [(1, 1)]), num_partitions=4)
+    assert out.column("rank_micro").to_pylist() == [1_000_000, 1_000_000]
+
+
+def test_star_graph_hand_computed(tmp_path, ray_session):
+    # parts 1,2 -> supplier 1 (duplicated lineitem rows must not
+    # create duplicate edges)
+    out = supplier_pagerank(
+        _li(tmp_path, [(1, 1), (2, 1), (1, 1)]), num_partitions=4
+    )
+    got = dict(
+        zip(out.column("node").to_pylist(), out.column("rank_micro").to_pylist())
+    )
+    # 3 iterations of contrib = rank//outdeg, new = 150000 + 850*sum//1000:
+    # supplier: 1850000 -> 1127500 -> 1741625; parts: 575000 -> 936250 -> 629187
+    assert got == {
+        SUPPLIER_OFFSET + 1: 1_741_625,
+        1: 629_187,
+        2: 629_187,
+    }
+    # supplier first (rank desc)
+    assert out.column("node").to_pylist()[0] == SUPPLIER_OFFSET + 1

@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": S.events_asof_join,
         "events_sliding_window": S.events_sliding_window,
         "sessionize": S.sessionize,
+        "sessionize_bucketed": S.sessionize_bucketed,
         # big-big hash joins (native Dataset.join)
         "unshipped_orders": J.unshipped_orders,
         "returned_revenue_by_customer": J.returned_revenue_by_customer,
@@ -845,6 +846,8 @@ def oracle_sql() -> dict[str, str]:
         """,
     })
     out.update(_multimodal_oracle_sql())
+    # the bucketed scale path must reproduce sessionize exactly
+    out["sessionize_bucketed"] = out["sessionize"]
     return out
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "events_asof_join",
     "events_sliding_window",
     "sessionize",
+    "sessionize_bucketed",
 ]
 
 # 30-minute session gap / 6-hour windows sliding by 2 hours (µs)
@@ -182,3 +183,99 @@ def sessionize(sf_dir: str) -> pa.Table:
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
     # per-session output is unbounded: stay lazy, distributed sort
     return out.sort(["user_id", "session_idx"])
+
+
+def sessionize_bucketed(sf_dir: str, bucket_us: int = 86_400_000_000) -> pa.Table:
+    """Hot-key-safe sessionization — the scale path for
+    :func:`sessionize` (same output, same oracle).
+
+    Two phases remove the "one user's full history fits in a task"
+    assumption:
+
+    1. shuffle by ``(user_id, ts // bucket_us)`` and sessionize each
+       bucket locally — a task holds at most one user-day of events;
+    2. shuffle the resulting *sessions* by ``user_id`` and stitch
+       chains whose inter-session gap ≤ the threshold (only sessions
+       ending/starting at bucket edges can merge; within-bucket splits
+       already have gap > threshold, so the event-level rule and the
+       session-level rule agree exactly).
+
+    Phase 2's per-user input is bounded by wall-clock range — at most
+    one session per gap period (``time_range / SESSION_GAP_US``) — NOT
+    by event count, so a user with any event volume stitches in O(that
+    bound) regardless of scale."""
+    assert bucket_us >= SESSION_GAP_US
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "us": us,
+                "user_id": batch.column("user_id"),
+                "cents": _cents(batch.column("value")),
+                "bucket": pa.array(
+                    _np(us) // bucket_us, pa.int64()
+                ),
+            }
+        )
+
+    def local_sessions(g: pa.Table) -> pa.Table:
+        ts = _np(g.column("us"))
+        eid = _np(g.column("event_id"))
+        uid = int(g.column("user_id")[0].as_py())
+        cents = _np(g.column("cents"))
+        order = np.lexsort((eid, ts))
+        ts, cents = ts[order], cents[order]
+        new_sess = np.ones(len(ts), dtype=bool)
+        new_sess[1:] = np.diff(ts) > SESSION_GAP_US
+        starts = np.flatnonzero(new_sess)
+        n_events = np.diff(np.append(starts, len(ts)))
+        end_idx = np.append(starts[1:], len(ts)) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(starts), uid), pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "start_us": pa.array(ts[starts], pa.int64()),
+                "end_us": pa.array(ts[end_idx], pa.int64()),
+                "sum_value_cents": pa.array(
+                    np.add.reduceat(cents, starts), pa.int64()
+                ),
+            }
+        )
+
+    def stitch(g: pa.Table) -> pa.Table:
+        uid = int(g.column("user_id")[0].as_py())
+        start = _np(g.column("start_us"))
+        end = _np(g.column("end_us"))
+        n = _np(g.column("n_events"))
+        cents = _np(g.column("sum_value_cents"))
+        order = np.argsort(start, kind="stable")
+        start, end, n, cents = start[order], end[order], n[order], cents[order]
+        new_sess = np.ones(len(start), dtype=bool)
+        new_sess[1:] = (start[1:] - end[:-1]) > SESSION_GAP_US
+        heads = np.flatnonzero(new_sess)
+        tails = np.append(heads[1:], len(start)) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(heads), uid), pa.int64()),
+                "session_idx": pa.array(np.arange(len(heads)), pa.int64()),
+                "n_events": pa.array(np.add.reduceat(n, heads), pa.int64()),
+                "start_us": pa.array(start[heads], pa.int64()),
+                "end_us": pa.array(end[tails], pa.int64()),
+                "duration_us": pa.array(end[tails] - start[heads], pa.int64()),
+                "sum_value_cents": pa.array(
+                    np.add.reduceat(cents, heads), pa.int64()
+                ),
+            }
+        )
+
+    sessions = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "bucket"])
+        .map_groups(local_sessions, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(stitch, batch_format="pyarrow")
+    )
+    return sessions.sort(["user_id", "session_idx"])

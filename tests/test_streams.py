@@ -105,3 +105,36 @@ def test_sliding_window_coverage(tmp_path, ray_session):
     # window_start <= ts < window_start + size for every emitted window
     assert all(s <= 40 * US and 40 * US - 30 * US < s + S.WINDOW_SIZE_US
                for s in starts)
+
+
+def test_sessionize_bucketed_equals_plain(tmp_path, ray_session):
+    _events_dir(tmp_path)
+    plain = S.sessionize(str(tmp_path)).to_pandas()
+    bucketed = S.sessionize_bucketed(str(tmp_path)).to_pandas()
+    assert plain.equals(bucketed)
+
+
+def test_sessionize_bucketed_stitches_across_boundaries(tmp_path, ray_session):
+    gap = S.SESSION_GAP_US
+    B = gap  # smallest legal bucket: every bucket edge is a potential split
+    # user 7: a session STRADDLING a bucket edge (events at B-1, B+1 —
+    # gap 2µs), then a chain through an EMPTY bucket (event at 3B+gap
+    # relative to 3B-... ), then a real split
+    ts = [B - 1, B + 1,              # straddle edge -> one session
+          3 * B, 4 * B - 1, 4 * B + gap - 1,   # chain across 2 edges
+          6 * B + 2 * gap]           # real split (> gap after previous)
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(1, len(ts) + 1)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([7] * len(ts), pa.int64()),
+            "event_type": pa.array(["view"] * len(ts), pa.string()),
+            "value": pa.array([1.0] * len(ts), pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    plain = S.sessionize(str(tmp_path)).to_pandas()
+    bucketed = S.sessionize_bucketed(str(tmp_path), bucket_us=B).to_pandas()
+    assert plain.equals(bucketed)
+    assert bucketed.n_events.tolist() == [2, 3, 1]
+    assert bucketed.session_idx.tolist() == [0, 1, 2]

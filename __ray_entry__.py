@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_order_per_segment": R.top_order_per_segment,
         # event-stream operators (as-of join, sliding window, sessions)
         "events_asof_join": S.events_asof_join,
+        "events_asof_join_bucketed": S.events_asof_join_bucketed,
         "events_sliding_window": S.events_sliding_window,
         "sessionize": S.sessionize,
         "sessionize_bucketed": S.sessionize_bucketed,
@@ -846,8 +847,9 @@ def oracle_sql() -> dict[str, str]:
         """,
     })
     out.update(_multimodal_oracle_sql())
-    # the bucketed scale path must reproduce sessionize exactly
+    # the bucketed scale paths must reproduce their plain operators exactly
     out["sessionize_bucketed"] = out["sessionize"]
+    out["events_asof_join_bucketed"] = out["events_asof_join"]
     return out
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -38,6 +39,7 @@ from crawl_ray.pipelines.relational import _cents, _read, partial_then_final_sum
 
 __all__ = [
     "events_asof_join",
+    "events_asof_join_bucketed",
     "events_sliding_window",
     "sessionize",
     "sessionize_bucketed",
@@ -106,6 +108,250 @@ def events_asof_join(sf_dir: str) -> pa.Table:
     # output is per-purchase (frontier-sized at scale): stay lazy, sort
     # distributed — never collected on the driver
     return out.sort("purchase_id")
+
+
+def events_asof_join_bucketed(
+    sf_dir: str, bucket_us: int = 86_400_000_000, num_partitions: int | None = None
+):
+    """Hot-key-safe as-of join — the scale path for
+    :func:`events_asof_join` (same output, same oracle).
+
+    Phase 1 shuffles by ``(user_id, ts // bucket_us)`` and resolves
+    every purchase against the clicks of its OWN bucket; a purchase
+    with no in-bucket prior click stays unresolved, and each active
+    bucket emits one summary row (its last click, or a marker if it
+    only has unresolved purchases).  Phase 2 shuffles ONLY the bucket
+    summaries by user — bounded by active buckets per user (wall-clock
+    range / bucket), not by event count — and computes each bucket's
+    carry = the latest click in any earlier bucket.  Unresolved
+    purchases then hash-join their carry on ``(user_id, bucket)``:
+    correct because every earlier-bucket click precedes the purchase,
+    so the carry IS the as-of answer when the own bucket has none."""
+    from crawl_ray.util import normalize_schema
+
+    if num_partitions is None:
+        from crawl_ray.pipelines.joins import _default_partitions
+
+        num_partitions = _default_partitions()
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "us": us,
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "bucket": pa.array(_np(us) // bucket_us, pa.int64()),
+            }
+        )
+
+    OUT_COLS = {
+        "user_id": pa.int64(),
+        "bucket": pa.int64(),
+        "purchase_id": pa.int64(),
+        "purchase_ts_us": pa.int64(),
+        "click_id": pa.int64(),
+        "click_ts_us": pa.int64(),
+    }
+
+    def _rows(uid, bucket, pid, pts, cid, cts):
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+                "purchase_id": pa.array(pid, pa.int64()),
+                "purchase_ts_us": pa.array(pts, pa.int64()),
+                "click_id": pa.array(cid, pa.int64()),
+                "click_ts_us": pa.array(cts, pa.int64()),
+            }
+        )
+
+    def local_asof(g: pa.Table) -> pa.Table:
+        et = _np(g.column("event_type"))
+        ts = _np(g.column("us"))
+        eid = _np(g.column("event_id"))
+        uid = int(g.column("user_id")[0].as_py())
+        bucket = int(g.column("bucket")[0].as_py())
+        is_c = et == "click"
+        is_p = et == "purchase"
+        out = []
+        n_unres = 0
+        if is_p.any():
+            pts, peid = ts[is_p], eid[is_p]
+            if is_c.any():
+                cts, ceid = ts[is_c], eid[is_c]
+                order = np.lexsort((ceid, cts))
+                cts, ceid = cts[order], ceid[order]
+                idx = np.searchsorted(cts, pts, side="right") - 1
+                ok = idx >= 0
+            else:
+                ok = np.zeros(len(pts), dtype=bool)
+            if ok.any():
+                ii = idx[ok]
+                out.append(
+                    _rows(
+                        np.full(ok.sum(), uid), np.full(ok.sum(), bucket),
+                        peid[ok], pts[ok], ceid[ii], cts[ii],
+                    )
+                )
+            n_unres = int((~ok).sum())
+            if n_unres:
+                out.append(
+                    _rows(
+                        np.full(n_unres, uid), np.full(n_unres, bucket),
+                        peid[~ok], pts[~ok],
+                        np.full(n_unres, -1), np.full(n_unres, -1),
+                    )
+                )
+        if is_c.any() or n_unres:
+            # summary row: last in-bucket click (or -1 marker) — keyed
+            # by purchase_id = -1
+            if is_c.any():
+                cts_all, ceid_all = ts[is_c], eid[is_c]
+                last = np.lexsort((ceid_all, cts_all))[-1]
+                cid, cts_v = int(ceid_all[last]), int(cts_all[last])
+            else:
+                cid, cts_v = -1, -1
+            out.append(_rows([uid], [bucket], [-1], [-1], [cid], [cts_v]))
+        if not out:
+            return _rows([], [], [], [], [], [])
+        return pa.concat_tables(out)
+
+    phase1 = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "bucket"])
+        .map_groups(local_asof, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def keep(pred):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return _rows([], [], [], [], [], [])
+            return b.filter(pred(b))
+
+        return fn
+
+    resolved = phase1.map_batches(
+        keep(lambda b: pc.and_(
+            pc.greater_equal(b.column("purchase_id"), 0),
+            pc.greater_equal(b.column("click_id"), 0),
+        )),
+        batch_format="pyarrow",
+    )
+    unresolved = normalize_schema(
+        phase1.map_batches(
+            keep(lambda b: pc.and_(
+                pc.greater_equal(b.column("purchase_id"), 0),
+                pc.less(b.column("click_id"), 0),
+            )),
+            batch_format="pyarrow",
+        ),
+        OUT_COLS,
+        coalesce=num_partitions,
+    )
+    summaries = phase1.map_batches(
+        keep(lambda b: pc.less(b.column("purchase_id"), 0)),
+        batch_format="pyarrow",
+    )
+
+    def carries(g: pa.Table) -> pa.Table:
+        uid = int(g.column("user_id")[0].as_py())
+        bucket = _np(g.column("bucket"))
+        cid = _np(g.column("click_id"))
+        cts = _np(g.column("click_ts_us"))
+        order = np.argsort(bucket, kind="stable")
+        bucket, cid, cts = bucket[order], cid[order], cts[order]
+        idx = np.arange(len(bucket))
+        last_click_idx = np.maximum.accumulate(np.where(cid >= 0, idx, -1))
+        carry_idx = np.concatenate(([np.int64(-1)], last_click_idx[:-1]))
+        has = carry_idx >= 0
+        ci = carry_idx[has]
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(int(has.sum()), uid), pa.int64()),
+                "bucket": pa.array(bucket[has], pa.int64()),
+                "carry_click_id": pa.array(cid[ci], pa.int64()),
+                "carry_click_ts": pa.array(cts[ci], pa.int64()),
+            }
+        )
+
+    carry_ds = normalize_schema(
+        summaries.groupby("user_id").map_groups(carries, batch_format="pyarrow"),
+        {
+            "user_id": pa.int64(),
+            "bucket": pa.int64(),
+            "carry_click_id": pa.int64(),
+            "carry_click_ts": pa.int64(),
+        },
+        coalesce=num_partitions,
+    )
+
+    # a FULLY empty join side is schema-less even after normalization
+    # (repartition of only-empty blocks stays zero-column) — join only
+    # when both sides are non-empty; counts on materialized datasets
+    # are metadata-only
+    unresolved = unresolved.materialize()
+    carry_ds = carry_ds.materialize()
+    if unresolved.count() == 0 or carry_ds.count() == 0:
+        late = None
+    else:
+        late = unresolved.join(
+            carry_ds, "inner", num_partitions, on=("user_id", "bucket")
+        )
+
+    def finish_late(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "purchase_id" not in b.column_names:
+            return _final_empty()
+        return _final(
+            b.column("purchase_id"), b.column("user_id"),
+            b.column("purchase_ts_us"), b.column("carry_click_id"),
+            b.column("carry_click_ts"),
+        )
+
+    def finish_resolved(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _final_empty()
+        return _final(
+            b.column("purchase_id"), b.column("user_id"),
+            b.column("purchase_ts_us"), b.column("click_id"),
+            b.column("click_ts_us"),
+        )
+
+    out = resolved.map_batches(finish_resolved, batch_format="pyarrow")
+    if late is not None:
+        out = out.union(late.map_batches(finish_late, batch_format="pyarrow"))
+    return out.sort("purchase_id")
+
+
+def _final(pid, uid, pts, cid, cts):
+    gap = pc.subtract(pts.cast(pa.int64()), cts.cast(pa.int64()))
+    return pa.table(
+        {
+            "purchase_id": pid.cast(pa.int64()),
+            "user_id": uid.cast(pa.int64()),
+            "purchase_ts_us": pts.cast(pa.int64()),
+            "click_id": cid.cast(pa.int64()),
+            "click_ts_us": cts.cast(pa.int64()),
+            "gap_us": gap,
+        }
+    )
+
+
+def _final_empty():
+    return pa.table(
+        {
+            "purchase_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "purchase_ts_us": pa.array([], pa.int64()),
+            "click_id": pa.array([], pa.int64()),
+            "click_ts_us": pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        }
+    )
 
 
 def events_sliding_window(sf_dir: str) -> pa.Table:

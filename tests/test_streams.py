@@ -138,3 +138,41 @@ def test_sessionize_bucketed_stitches_across_boundaries(tmp_path, ray_session):
     assert plain.equals(bucketed)
     assert bucketed.n_events.tolist() == [2, 3, 1]
     assert bucketed.session_idx.tolist() == [0, 1, 2]
+
+
+def test_asof_bucketed_equals_plain(tmp_path, ray_session):
+    _events_dir(tmp_path)
+    plain = S.events_asof_join(_events_dir(tmp_path)).to_pandas()
+    buck = S.events_asof_join_bucketed(str(tmp_path)).to_pandas()
+    assert plain.equals(buck)
+
+
+def test_asof_bucketed_carry_chain(tmp_path, ray_session):
+    B = 1_000_000_000  # 1000 s buckets
+    # user 1: click in bucket 0; bucket 1 has only a purchase (carry
+    # from bucket 0 through summary chain); bucket 3 purchase skips the
+    # empty bucket 2; bucket 4: click AFTER the purchase in-bucket ->
+    # must still use the carry, not the later click
+    rows = [
+        (1, 100, "click"),
+        (2, B + 100, "purchase"),          # -> click 1 (carry)
+        (3, 3 * B + 5, "purchase"),        # -> click 1 (carry over empty b2)
+        (4, 4 * B + 10, "purchase"),       # -> click 1 (carry; click 5 is later)
+        (5, 4 * B + 20, "click"),
+        (6, 4 * B + 30, "purchase"),       # -> click 5 (in-bucket)
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = S.events_asof_join_bucketed(str(tmp_path), bucket_us=B).to_pandas()
+    got = dict(zip(out.purchase_id.astype(int), out.click_id.astype(int)))
+    assert got == {2: 1, 3: 1, 4: 1, 6: 5}
+    plain = S.events_asof_join(str(tmp_path)).to_pandas()
+    assert plain.equals(out)

@@ -13,10 +13,10 @@ Scale notes:
 * ``events_asof_join`` / ``sessionize`` shuffle ONCE by ``user_id``
   (hash groupby) and do all per-user work vectorized (numpy
   searchsorted / reduceat) inside ``map_groups``.  The partitioning
-  assumption is per-user history fits in a task; a hot key (one user =
-  whole dataset) would need a secondary time-bucket split — documented,
-  not needed for clickstream-shaped data where per-user event counts
-  are bounded.
+  assumption is per-user history fits in a task — for hot keys use the
+  ``*_bucketed`` variants below, which split by ``(user, time bucket)``
+  and stitch with per-user state bounded by wall-clock range instead of
+  event count (verified equal to the plain operators, same oracles).
 * ``events_sliding_window`` needs NO extra shuffle: each event is
   exploded to its size/slide covering windows inside ``map_batches``
   (np.repeat — pure fan-out, no Python loop) and then reuses the

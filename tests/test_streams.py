@@ -176,3 +176,23 @@ def test_asof_bucketed_carry_chain(tmp_path, ray_session):
     assert got == {2: 1, 3: 1, 4: 1, 6: 5}
     plain = S.events_asof_join(str(tmp_path)).to_pandas()
     assert plain.equals(out)
+
+
+def test_rolling_sum_frame_and_user_reset(tmp_path, ray_session):
+    # user 1: values 1,2,3,4 -> rolling(3): 100,300,600,900
+    # user 2: single event -> its own value (frame clipped at user start)
+    rows = [(1, 10, 1, 1.0), (2, 20, 1, 2.0), (3, 30, 1, 3.0),
+            (4, 40, 1, 4.0), (5, 15, 2, 9.0)]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * US for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = S.events_rolling_sum(str(tmp_path)).to_pandas()
+    got = dict(zip(out.event_id.astype(int), out.rolling_sum_cents.astype(int)))
+    assert got == {1: 100, 2: 300, 3: 600, 4: 900, 5: 900}

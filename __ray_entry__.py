@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": T.language_id,
         "doc_fingerprints": T.fingerprints,
         "sample_documents": T.sample_documents,
+        "stratified_sample": T.stratified_sample,
         "ngram_counts": T.ngram_counts,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
@@ -548,6 +549,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE (doc_id * 2654435761) % 4294967296
                   < 200000 * 4294967296 // 1000000
             ORDER BY doc_id
+        """,
+        # per-language quota sample: k lowest-hash docs per lang
+        "stratified_sample": """
+            SELECT doc_id, lang, rk FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 50 ORDER BY doc_id
         """,
         # global top-k word bigrams (count desc, ngram asc — both sides
         # order identically so the limit boundary is deterministic)

@@ -22,6 +22,7 @@ __all__ = [
     "language_id",
     "fingerprints",
     "sample_documents",
+    "stratified_sample",
     "ngram_counts",
     "top_terms_per_doc",
     "redact_terms",
@@ -179,6 +180,66 @@ def sample_documents(sf_dir: str, rate_ppm: int = 200_000):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         samp, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _lang_topk(t: pa.Table, k: int) -> pa.Table:
+    """Keep the k lowest-``(h, doc_id)`` rows per ``lang`` and attach
+    their 1-based rank ``rk`` — one Arrow sort + run-length rank over
+    the whole table, no per-group Python."""
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("lang", "ascending"),
+            ("h", "ascending"),
+            ("doc_id", "ascending"),
+        ],
+    )
+    t = t.take(idx)
+    g = t.column("lang").to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    runlens = np.diff(np.append(starts, len(g)))
+    rnk = np.arange(len(g), dtype=np.int64) - np.repeat(starts, runlens) + 1
+    t = t.append_column("rk", pa.array(rnk, pa.int64()))
+    return t.filter(pa.array(rnk <= k))
+
+
+def stratified_sample(sf_dir: str, k: int = 50):
+    """Per-group quota sampling (corpus curation: cap each language at
+    k documents, chosen by a deterministic hash order so the quota is
+    a reproducible uniform sample within the group).
+
+    Scale shape: per-batch partial top-k per lang shrinks every block
+    to ≤ langs-in-block × k rows before the only shuffle — a
+    ``groupby(lang)`` re-rank over partials bounded by
+    langs × k × num_blocks (same partial-then-final pattern as
+    ``recrawl_schedule``).  Group count (languages) is tiny even at
+    100 TB, so the final stage is a handful of tasks."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MODULUS)
+        t = pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang": batch.column("lang"),
+                "h": pa.array(h.astype(np.int64), pa.int64()),
+            }
+        )
+        return _lang_topk(t, k).drop_columns(["rk"])
+
+    parts = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def rerank(group: pa.Table) -> pa.Table:
+        return _lang_topk(group, k).select(["doc_id", "lang", "rk"])
+
+    return (
+        parts.groupby("lang")
+        .map_groups(rerank, batch_format="pyarrow")
+        .sort("doc_id")
     )
 
 

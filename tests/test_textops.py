@@ -180,3 +180,33 @@ def test_recrawl_schedule_distributed_matches_driver(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_stratified_sample_quota_and_order(tmp_path, ray_session):
+    # 2 langs, 4 docs each, quota 2: per lang keep the 2 lowest
+    # Knuth-hash doc_ids (ties impossible — hash is injective here)
+    import numpy as np
+
+    ids = list(range(8))
+    langs = ["en"] * 4 + ["de"] * 4
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["t"] * 8, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = T.stratified_sample(str(tmp_path), k=2).to_pandas()
+    h = (np.array(ids, dtype=np.uint64) * np.uint64(T.SAMPLE_MULT)) % np.uint64(
+        T.SAMPLE_MODULUS
+    )
+    expect = set()
+    for lang, lo in (("en", 0), ("de", 4)):
+        keep = sorted(range(lo, lo + 4), key=lambda i: (h[i], i))[:2]
+        expect.update((i, lang) for i in keep)
+    assert set(zip(out.doc_id.astype(int), out.lang)) == expect
+    assert set(out.rk.astype(int)) == {1, 2}
+    assert list(out.doc_id) == sorted(out.doc_id)

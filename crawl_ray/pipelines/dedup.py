@@ -197,6 +197,9 @@ def _verify_pairs_batch(
     intersection per pair — no driver-side per-pair work."""
     a = batch.column("doc_a").to_numpy(zero_copy_only=False)
     b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+    if len(a):  # residual cross-block duplicate pairs: drop before work
+        ab = np.unique(np.stack([a, b], axis=1), axis=0)
+        a, b = ab[:, 0], ab[:, 1]
     need = np.unique(np.concatenate([a, b])) if len(a) else np.empty(0, np.int64)
     sh: dict[int, np.ndarray] = {}
     for bk in np.unique(need % n_buckets).tolist():
@@ -305,15 +308,36 @@ def minhash_lsh_pairs(
             }
         )
 
-    def first_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    def local_pair_dedup(batch: pa.Table) -> pa.Table:
+        """Per-block candidate dedup: a pair colliding in several bands
+        usually lands in the same map_groups output block (many buckets
+        per block), so one np.unique here removes most duplicates
+        without a second all-to-all shuffle.  Residual cross-block
+        duplicates only cost a redundant (cheap, cached-store) Jaccard
+        check and are removed exactly on the bounded verified output."""
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return _EMPTY_PAIRS.select(["doc_a", "doc_b"])
+        ab = np.stack(
+            [
+                batch.column("doc_a").to_numpy(zero_copy_only=False),
+                batch.column("doc_b").to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        ab = np.unique(ab, axis=0)
+        return pa.table(
+            {
+                "doc_a": pa.array(ab[:, 0], pa.int64()),
+                "doc_b": pa.array(ab[:, 1], pa.int64()),
+            }
+        )
 
-    # distributed pair dedup (the same pair collides in several bands)
+    # one shuffle total: bucket groupby → capped pair emission → local
+    # (per-block) dedup; exact dedup happens on the verified output
     pairs = (
         banded.groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(first_pair, batch_format="pyarrow")
+        .map_batches(local_pair_dedup, batch_format="pyarrow")
         .materialize()
     )
 
@@ -390,8 +414,25 @@ def minhash_lsh_pairs(
     )
     if verified.num_rows == 0:
         return _EMPTY_PAIRS
-    return verified.sort_by(
-        [("doc_a", "ascending"), ("doc_b", "ascending")]
+    # exact pair dedup on the bounded verified result (identical pairs
+    # carry identical jaccard, so row-level unique is sufficient)
+    trip = np.unique(
+        np.stack(
+            [
+                verified.column("doc_a").to_numpy(zero_copy_only=False),
+                verified.column("doc_b").to_numpy(zero_copy_only=False),
+                verified.column("jaccard_milli").to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        ),
+        axis=0,
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array(trip[:, 0], pa.int64()),
+            "doc_b": pa.array(trip[:, 1], pa.int64()),
+            "jaccard_milli": pa.array(trip[:, 2], pa.int64()),
+        }
     )
 
 

@@ -130,22 +130,92 @@ def _signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray
     return vals.min(axis=1)
 
 
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for a vector of segment lengths."""
+    s = np.repeat(np.r_[0, np.cumsum(counts)[:-1]], counts)
+    return np.arange(int(counts.sum()), dtype=np.int64) - s
+
+
+def _shingle_windows_flat(texts: list, k: int):
+    """Flat k-token shingle-hash array for a whole batch of docs plus
+    per-doc shingle counts — one ``fnv1a64_batch`` over every token of
+    every doc, then k vector passes over all windows of all docs at
+    once.  Duplicate shingles are kept (the per-permutation min is
+    unchanged by duplicates, so signatures match the unique'd per-doc
+    path bit-for-bit)."""
+    toks_per_doc = [t.split() for t in texts]
+    lens = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+    all_toks = [tok for ts in toks_per_doc for tok in ts]
+    th = (
+        fnv1a64_batch(all_toks)
+        if all_toks
+        else np.empty(0, dtype=np.uint64)
+    )
+    doc_start = np.r_[0, np.cumsum(lens)[:-1]]
+    # ≥k tokens → len-k+1 windows; 1..k-1 tokens → one fold; empty → 0
+    counts = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
+    out = np.zeros(int(counts.sum()), dtype=np.uint64)
+    out_start = np.r_[0, np.cumsum(counts)[:-1]]
+    seed = np.uint64(0xCBF29CE484222325)
+    long_mask = lens >= k
+    if long_mask.any():
+        wc = counts[long_mask]
+        rel = _ranges(wc)
+        win_start = np.repeat(doc_start[long_mask], wc) + rel
+        dst = np.repeat(out_start[long_mask], wc) + rel
+        h = np.full(len(win_start), seed, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                h = (h ^ th[win_start + j]) * _SHINGLE_PRIME
+        out[dst] = h
+    short = (lens > 0) & (lens < k)
+    if short.any():
+        sl = lens[short]
+        sds = doc_start[short]
+        h = np.full(int(short.sum()), seed, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(int(sl.max())):
+                m = sl > j
+                h[m] = (h[m] ^ th[sds[m] + j]) * _SHINGLE_PRIME
+        out[out_start[short]] = h
+    return out, counts
+
+
 def minhash_signatures(sf_dir: str, n_perm: int = 32, k: int = 3):
     """MinHash signature per document.  Plain tasks (no actor pool): the
     permutation params are a trivial derivation, and a bounded actor
     pool would cap the parallelism of the sign stage — the hottest part
-    of the pipeline — at the pool size."""
+    of the pipeline — at the pool size.
+
+    The kernel is batch-vectorized: one token-hash pass over the whole
+    batch, one (n_perm × total_shingles) product matrix, and a single
+    ``np.minimum.reduceat`` per batch — no per-doc Python."""
 
     def sign(batch: pa.Table) -> pa.Table:
         a, b = _minhash_params(n_perm)
         texts = batch.column("text").to_pylist()
-        sigs = [_signature(_shingle_hashes(t, k), a, b) for t in texts]
+        if not texts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "signature": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        flat, counts = _shingle_windows_flat(texts, k)
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        with np.errstate(over="ignore"):
+            vals = (flat[None, :] ^ b[:, None]) * a[:, None]
+        sigs = np.minimum.reduceat(vals, starts, axis=1).T  # (docs, perm)
+        offsets = pa.array(
+            np.arange(len(texts) + 1, dtype=np.int32) * n_perm
+        )
+        sig_col = pa.ListArray.from_arrays(
+            offsets, pa.array(np.ascontiguousarray(sigs.ravel()), pa.uint64())
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id").cast(pa.int64()),
-                "signature": pa.array(
-                    [s.tolist() for s in sigs], pa.list_(pa.uint64())
-                ),
+                "signature": sig_col,
             }
         )
 

@@ -259,21 +259,28 @@ def _token_lists(batch: pa.Table):
     return doc_ids, flat, lens
 
 
-def ngram_counts(sf_dir: str, n: int = 2, top_k: int = 50):
+def ngram_counts(
+    sf_dir: str, n: int = 2, top_k: int = 50, num_partitions: int = 32
+):
     """Global top-k word n-gram frequencies — the word-count shape at
     corpus scale: per-batch partial counts (``np.unique``, no Python
-    per token) → distributed ``groupby(ngram).sum`` over the shrunken
-    partials → per-block local top-k (exact: groupby output blocks are
-    key-disjoint) → bounded driver merge.  No global sort."""
-    from ray.data.aggregate import Sum
+    per token) → ONE int-keyed shuffle on ``hash(ngram) %
+    num_partitions`` → per-partition combine + exact local top-k
+    (partitions are key-disjoint) → bounded driver merge.  Shuffling an
+    int64 partition id instead of grouping on the string key itself
+    keeps the sort-based exchange off the vocabulary strings and caps
+    the group count at ``num_partitions`` regardless of vocab size."""
+    from crawl_ray.urlnorm import fnv1a64_batch
 
     def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ngram": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64()),
+             "part": pa.array([], pa.int64())}
+        )
         _, flat, lens = _token_lists(batch)
         if not len(flat):
-            return pa.table(
-                {"ngram": pa.array([], pa.string()),
-                 "cnt": pa.array([], pa.int64())}
-            )
+            return empty
         n_grams = np.maximum(lens - n + 1, 0)
         starts = np.repeat(np.cumsum(lens) - lens, n_grams)
         offs = np.arange(n_grams.sum(), dtype=np.int64) - np.repeat(
@@ -281,41 +288,48 @@ def ngram_counts(sf_dir: str, n: int = 2, top_k: int = 50):
         )
         idx = starts + offs
         if not len(idx):
-            return pa.table(
-                {"ngram": pa.array([], pa.string()),
-                 "cnt": pa.array([], pa.int64())}
-            )
+            return empty
         parts = [pa.array(flat[idx + j], pa.string()) for j in range(n)]
         grams = parts[0]
         for p in parts[1:]:
             grams = pc.binary_join_element_wise(grams, p, " ")
-        uniq, counts = np.unique(
-            grams.to_numpy(zero_copy_only=False), return_counts=True
-        )
+        vc = grams.value_counts()  # Arrow C++ hash count, no object sort
+        uniq = vc.field("values")
+        counts = vc.field("counts").cast(pa.int64())
+        pid = (
+            fnv1a64_batch(uniq.to_pylist()) % np.uint64(num_partitions)
+        ).astype(np.int64)
         return pa.table(
-            {"ngram": pa.array(uniq, pa.string()),
-             "cnt": pa.array(counts.astype(np.int64), pa.int64())}
+            {"ngram": uniq,
+             "cnt": counts,
+             "part": pa.array(pid, pa.int64())}
         )
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        grams = batch.column("ngram").to_numpy(zero_copy_only=False)
-        cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((grams, -cnt))[:top_k]
+    def combine_topk(group: pa.Table) -> pa.Table:
+        # Arrow hash aggregation + Arrow sort: string comparisons stay
+        # in C++ (np.unique over object arrays was the hotspot here)
+        agg = pa.TableGroupBy(
+            group.select(["ngram", "cnt"]), "ngram"
+        ).aggregate([("cnt", "sum")])
+        order = pc.sort_indices(
+            agg,
+            sort_keys=[("cnt_sum", "descending"), ("ngram", "ascending")],
+        )[:top_k]
+        agg = agg.take(order)
         return pa.table(
-            {"ngram": pa.array(grams[order], pa.string()),
-             "cnt": pa.array(cnt[order], pa.int64())}
+            {"ngram": agg.column("ngram"),
+             "cnt": agg.column("cnt_sum")}
         )
 
     ds = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("ngram")
-        .aggregate(Sum("cnt"))
-        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(combine_topk, batch_format="pyarrow")
     )
     from crawl_ray.util import collect_table
 
-    t = collect_table(ds)  # bounded: ≤ top_k rows per groupby block
+    t = collect_table(ds)  # bounded: ≤ top_k rows per partition
     grams = t.column("ngram").to_numpy(zero_copy_only=False)
     cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((grams, -cnt))[:top_k]

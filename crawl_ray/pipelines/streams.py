@@ -398,6 +398,24 @@ def events_asof_join_bucketed(
     return out.sort("purchase_id")
 
 
+def _rolling_kernel(uid, ts, eid, cents, w):
+    """Whole-partition ROWS-frame rolling sum with per-user resets:
+    lexsort by ``(uid, ts, eid)``, one cumsum, frame start =
+    ``max(row - w + 1, user_start)``.  Returns the sorted key arrays
+    plus the rolling sums (all aligned)."""
+    order = np.lexsort((eid, ts, uid))
+    uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+    n = len(uid)
+    idx = np.arange(n)
+    user_change = np.ones(n, dtype=bool)
+    user_change[1:] = uid[1:] != uid[:-1]
+    user_start = np.maximum.accumulate(np.where(user_change, idx, 0))
+    cum = np.concatenate(([np.int64(0)], np.cumsum(cents)))
+    lo = np.maximum(idx - w + 1, user_start)
+    roll = cum[idx + 1] - cum[lo]
+    return uid, ts, eid, roll
+
+
 def events_rolling_sum(sf_dir: str, num_partitions: int | None = None):
     """Row-level window function: per user, ordered by ``(ts,
     event_id)``, the rolling sum of ``value`` cents over the current +
@@ -446,17 +464,7 @@ def events_rolling_sum(sf_dir: str, num_partitions: int | None = None):
         ts = _np(block.column("us"))
         eid = _np(block.column("event_id"))
         cents = _np(block.column("cents"))
-        order = np.lexsort((eid, ts, uid))
-        uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
-        n = len(uid)
-        idx = np.arange(n)
-        user_change = np.ones(n, dtype=bool)
-        user_change[1:] = uid[1:] != uid[:-1]
-        user_start = np.maximum.accumulate(np.where(user_change, idx, 0))
-        cum = np.concatenate(([np.int64(0)], np.cumsum(cents)))
-        # frame start = max(row - w + 1, user_start)
-        lo = np.maximum(idx - w + 1, user_start)
-        roll = cum[idx + 1] - cum[lo]
+        uid, ts, eid, roll = _rolling_kernel(uid, ts, eid, cents, w)
         return pa.table(
             {
                 "event_id": pa.array(eid, pa.int64()),

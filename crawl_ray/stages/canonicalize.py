@@ -113,53 +113,170 @@ def canonicalize_batch(
 
     batch = _ensure_columns(batch)
     n = batch.num_rows
-    urls = batch.column("url").to_pylist()
-    # as-scheduled URL: preserved across spill/re-canonicalization so
-    # error rows always report the raw request URL (simulator parity)
-    prev_req = batch.column("req_url").to_pylist()
-    req_urls = [prev_req[i] or (urls[i] or "") for i in range(n)]
-    referers = batch.column("referer").to_pylist()
-    forms = batch.column("form").to_pylist()
-    queries = batch.column("query").to_pylist()
-    methods = batch.column("method").to_pylist()
     registry = _registry_for(spiders)
 
-    canon = [""] * n
-    hosts = [""] * n
-    paths = [""] * n
-    disposition = ["ok"] * n
-    eff_methods = list(methods)
-    for i in range(n):
-        u = urls[i] or ""
-        ref = referers[i] or ""
-        try:
-            if forms[i] or queries[i]:
-                # M1: effective fetch key (query re-encode, Form⇒POST)
-                u, m = effective_fetch_key(
-                    u, ref,
-                    methods[i] or "",
-                    json.loads(forms[i]) if forms[i] else None,
-                    json.loads(queries[i]) if queries[i] else None,
-                )
-                eff_methods[i] = m
-            else:
-                if ref:
-                    u = urljoin(ref, u)
-                frag = u.find("#")
-                if frag >= 0:
-                    u = u[:frag]
-            parts = urlsplit(u)
-            if not parts.netloc:
-                raise ValueError(f"no host in {u!r}")
-            canon[i] = u
-            hosts[i] = parts.netloc
-            paths[i] = parts.path or "/"
-        except ValueError as exc:
-            disposition[i] = "badurl"
-            canon[i] = u
-            paths[i] = str(exc)
+    # Vectorized fast paths — per-row urllib calls were ~70% of this
+    # kernel's time (21 µs/row).  Two exact-equivalence cases cover
+    # essentially every link row:
+    #   (a) absolute lowercase-scheme http(s) URL: ``urljoin(ref, u)
+    #       == u`` for every parseable ref, and ``urlsplit`` reduces
+    #       to one regex;
+    #   (b) absolute-path reference ("/p/1") against a safe absolute
+    #       referer: Python's urljoin is exactly prefix-concatenation
+    #       when the path has no "."/".."  segments (empty segments
+    #       are preserved, dots are the only rewriting).
+    # Guards that keep dispositions bit-identical to the per-row path:
+    # no fragment, no tab/CR/LF/"[" (urlsplit's strip/IPv6 cases), no
+    # trailing bare "?" (urlunsplit drops it), no ";" (urljoin goes
+    # through urlunparse, which drops a bare empty-params ";" from the
+    # last path segment), no form/query (M1), and the referer — which
+    # the old path parsed, ValueError → badurl — must itself be absent
+    # or safely parseable.
+    _SAFE_URL = r"^https?://(?P<netloc>[^/?#]+)(?P<path>[^?#]*)"
+    _UNSAFE_CH = r"[\t\n\r\[#;]"
+    u_col = batch.column("url")
+    ref_col = batch.column("referer")
 
-    hashes = fnv1a64_batch(canon)
+    def _absent(col):
+        return pc.or_kleene(pc.is_null(col), pc.equal(col, ""))
+
+    def _no(col, pattern):
+        return pc.fill_null(
+            pc.invert(pc.match_substring_regex(col, pattern)), False
+        )
+
+    extracted = pc.extract_regex(u_col, pattern=_SAFE_URL)
+    u_clean = pc.and_(
+        _no(u_col, _UNSAFE_CH),
+        pc.fill_null(pc.invert(pc.ends_with(u_col, "?")), False),
+    )
+    no_req_mods = pc.and_(
+        pc.fill_null(_absent(batch.column("form")), True),
+        pc.fill_null(_absent(batch.column("query")), True),
+    )
+    ref_parseable = pc.and_(
+        pc.fill_null(pc.match_substring_regex(ref_col, _SAFE_URL), False),
+        _no(ref_col, _UNSAFE_CH),
+    )
+    ref_safe = pc.or_(pc.fill_null(_absent(ref_col), True), ref_parseable)
+
+    abs_mask = pc.and_(
+        pc.and_(pc.is_valid(extracted), u_clean),
+        pc.and_(ref_safe, no_req_mods),
+    )
+    # (b): "/..." but not "//...", no dot segments, referer parseable
+    rel_shape = pc.and_(
+        pc.fill_null(pc.starts_with(u_col, "/"), False),
+        pc.fill_null(pc.invert(pc.starts_with(u_col, "//")), False),
+    )
+    no_dotseg = _no(u_col, r"(^|/)\.\.?(/|$)")
+    rel_mask = pc.and_(
+        pc.and_(rel_shape, pc.and_(u_clean, no_dotseg)),
+        pc.and_(ref_parseable, no_req_mods),
+    )
+    ref_prefix = pc.struct_field(
+        pc.extract_regex(ref_col, pattern=r"^(?P<prefix>https?://[^/?#]+)"),
+        "prefix",
+    )
+    ref_netloc = pc.struct_field(
+        pc.extract_regex(ref_col, pattern=_SAFE_URL), "netloc"
+    )
+    u_pathpart = pc.struct_field(
+        pc.extract_regex(u_col, pattern=r"^(?P<path>[^?#]*)"), "path"
+    )
+
+    # as-scheduled URL: preserved across spill/re-canonicalization so
+    # error rows always report the raw request URL (simulator parity)
+    prev_req = batch.column("req_url")
+    u_filled = pc.fill_null(u_col, "")
+    req_col = pc.if_else(_absent(prev_req), u_filled, prev_req)
+
+    # Columnar assembly: fast-path values are computed for the whole
+    # batch, then the (rare) slow rows are patched in via
+    # replace_with_mask — Python touches only the slow rows.
+    abs_np = pc.fill_null(abs_mask, False).to_numpy(zero_copy_only=False)
+    rel_np = pc.fill_null(rel_mask, False).to_numpy(zero_copy_only=False)
+    canon_col = pc.if_else(
+        abs_mask,
+        u_filled,
+        pc.binary_join_element_wise(
+            pc.fill_null(ref_prefix, ""), u_filled, ""
+        ),
+    )
+    host_col = pc.if_else(abs_mask, pc.struct_field(extracted, "netloc"), ref_netloc)
+    abs_path = pc.struct_field(extracted, "path")
+    path_col = pc.if_else(
+        abs_mask,
+        pc.if_else(pc.equal(pc.fill_null(abs_path, ""), ""), "/", abs_path),
+        u_pathpart,  # rel rows: starts with "/", never empty
+    )
+    disposition_col = pa.array(["ok"] * n, pa.string())
+    method_col = batch.column("method")
+    method_changed = False
+
+    slow_idx = np.flatnonzero(~(abs_np | rel_np))
+    if len(slow_idx):
+        idx = pa.array(slow_idx, pa.int64())
+        s_urls = u_col.take(idx).to_pylist()
+        s_refs = ref_col.take(idx).to_pylist()
+        s_forms = batch.column("form").take(idx).to_pylist()
+        s_queries = batch.column("query").take(idx).to_pylist()
+        s_methods = method_col.take(idx).to_pylist()
+        s_canon = [""] * len(slow_idx)
+        s_hosts = [""] * len(slow_idx)
+        s_paths = [""] * len(slow_idx)
+        s_disp = ["ok"] * len(slow_idx)
+        s_eff = list(s_methods)
+        for i in range(len(slow_idx)):
+            u = s_urls[i] or ""
+            ref = s_refs[i] or ""
+            try:
+                if s_forms[i] or s_queries[i]:
+                    # M1: effective fetch key (query re-encode, Form⇒POST)
+                    u, m = effective_fetch_key(
+                        u, ref,
+                        s_methods[i] or "",
+                        json.loads(s_forms[i]) if s_forms[i] else None,
+                        json.loads(s_queries[i]) if s_queries[i] else None,
+                    )
+                    s_eff[i] = m
+                else:
+                    if ref:
+                        u = urljoin(ref, u)
+                    frag = u.find("#")
+                    if frag >= 0:
+                        u = u[:frag]
+                parts = urlsplit(u)
+                if not parts.netloc:
+                    raise ValueError(f"no host in {u!r}")
+                s_canon[i] = u
+                s_hosts[i] = parts.netloc
+                s_paths[i] = parts.path or "/"
+            except ValueError as exc:
+                s_disp[i] = "badurl"
+                s_canon[i] = u
+                s_paths[i] = str(exc)
+        slow_mask = pa.array(~(abs_np | rel_np))
+        canon_col = pc.replace_with_mask(
+            canon_col, slow_mask, pa.array(s_canon, pa.string())
+        )
+        host_col = pc.replace_with_mask(
+            host_col, slow_mask, pa.array(s_hosts, pa.string())
+        )
+        path_col = pc.replace_with_mask(
+            path_col, slow_mask, pa.array(s_paths, pa.string())
+        )
+        disposition_col = pc.replace_with_mask(
+            disposition_col, slow_mask, pa.array(s_disp, pa.string())
+        )
+        if s_eff != s_methods:
+            method_changed = True
+            method_col = pc.replace_with_mask(
+                pc.fill_null(method_col, ""), slow_mask,
+                pa.array(s_eff, pa.string()),
+            )
+
+    hashes = fnv1a64_batch(canon_col.to_pylist())
 
     # deadline filter (nsq/nsqcrawl/queue.go:89-94: expired jobs dropped
     # at consume time; we surface them as error rows).  Runs BEFORE the
@@ -169,10 +286,12 @@ def canonicalize_batch(
     if deadline.null_count < n:
         expired = pc.and_(
             pc.is_valid(deadline), pc.less(deadline.cast(pa.int64()), now_us)
-        ).to_pylist()
-        for i in range(n):
-            if expired[i] and disposition[i] == "ok":
-                disposition[i] = "expired"
+        )
+        disposition_col = pc.if_else(
+            pc.and_(pc.fill_null(expired, False), pc.equal(disposition_col, "ok")),
+            "expired",
+            disposition_col,
+        )
 
     if registry is not None:
         # M3 pre-fetch middleware chain (crawler.go:153-158): first
@@ -185,6 +304,9 @@ def canonicalize_batch(
             name: batch.column(name).to_pylist()
             for name in FRONTIER_SCHEMA.names
         }
+        disposition = disposition_col.to_pylist()
+        paths = path_col.to_pylist()
+        eff_methods = pc.fill_null(method_col, "").to_pylist()
         for i in range(n):
             if disposition[i] != "ok":
                 continue
@@ -198,12 +320,13 @@ def canonicalize_batch(
             except Exception as exc:  # noqa: BLE001 - middleware abort path
                 disposition[i] = "middleware"
                 paths[i] = str(exc)
+        disposition_col = pa.array(disposition, pa.string())
+        path_col = pa.array(paths, pa.string())
 
     # error rows keep the ORIGINAL request url (matches the simulator,
     # which reports req.url in error records)
-    for i in range(n):
-        if disposition[i] != "ok":
-            canon[i] = req_urls[i]
+    err = pc.invert(pc.equal(disposition_col, "ok"))
+    canon_col = pc.if_else(err, req_col, canon_col)
 
     order_keys = order_key_batch(
         batch.column("priority").to_numpy(zero_copy_only=False),
@@ -212,24 +335,23 @@ def canonicalize_batch(
     )
 
     batch = batch.set_column(
-        batch.schema.get_field_index("url"), "url", pa.array(canon, pa.string())
+        batch.schema.get_field_index("url"), "url", canon_col
     )
     batch = batch.set_column(
-        batch.schema.get_field_index("req_url"), "req_url",
-        pa.array(req_urls, pa.string()),
+        batch.schema.get_field_index("req_url"), "req_url", req_col
     )
-    if eff_methods != methods:
+    if method_changed:
         batch = batch.set_column(
-            batch.schema.get_field_index("method"), "method",
-            pa.array(eff_methods, pa.string()),
+            batch.schema.get_field_index("method"), "method", method_col
         )
     batch = batch.set_column(
         batch.schema.get_field_index("url_hash"), "url_hash", pa.array(hashes, pa.uint64())
     )
     batch = batch.set_column(
-        batch.schema.get_field_index("host"), "host", pa.array(hosts, pa.string())
+        batch.schema.get_field_index("host"), "host",
+        pc.fill_null(host_col, ""),
     )
-    batch = batch.append_column("path", pa.array(paths, pa.string()))
+    batch = batch.append_column("path", pc.fill_null(path_col, ""))
     batch = batch.append_column("order_key", pa.array(order_keys, pa.binary()))
-    batch = batch.append_column("disposition", pa.array(disposition, pa.string()))
+    batch = batch.append_column("disposition", disposition_col)
     return batch

@@ -111,3 +111,66 @@ def test_batch_sign_matches_per_doc(texts, k):
     for i, t in enumerate(texts):
         ref = D._signature(D._shingle_hashes(t, k), a, b)
         assert (sigs[i] == ref).all()
+
+
+# --------------------------------------------- canonicalize fast path
+
+
+_URL_ATOMS = [
+    "http://", "https://", "HTTP://", "a.example", "b.ex", ":8080",
+    "/", "p", "1", "..", ".", "//", "?", "q=1", "#", "frag", ";",
+    "[", "\t", "\n", " ", "%20", "@", ":", "",
+]
+
+
+def _ref_canon_row(u, ref, req_url):
+    """The pre-vectorization per-row kernel, verbatim (spec)."""
+    from urllib.parse import urljoin, urlsplit
+
+    u = u or ""
+    ref = ref or ""
+    try:
+        if ref:
+            u = urljoin(ref, u)
+        frag = u.find("#")
+        if frag >= 0:
+            u = u[:frag]
+        parts = urlsplit(u)
+        if not parts.netloc:
+            raise ValueError(f"no host in {u!r}")
+        return u, parts.netloc, parts.path or "/", "ok"
+    except ValueError as exc:
+        return req_url, "", str(exc), "badurl"
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(_URL_ATOMS), max_size=8).map("".join),
+            st.lists(st.sampled_from(_URL_ATOMS), max_size=6).map("".join),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_canonicalize_fast_path_matches_per_row(rows):
+    from crawl_ray.stages.canonicalize import canonicalize_batch
+
+    batch = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "referer": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    out = canonicalize_batch(batch, now_us=0)
+    got = list(
+        zip(
+            out.column("url").to_pylist(),
+            out.column("host").to_pylist(),
+            out.column("path").to_pylist(),
+            out.column("disposition").to_pylist(),
+        )
+    )
+    expect = [_ref_canon_row(u, ref, u or "") for u, ref in rows]
+    assert got == expect

@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": T.sample_documents,
         "stratified_sample": T.stratified_sample,
         "ngram_counts": T.ngram_counts,
+        "benchmark_decontam": T.benchmark_decontam,
+        "oov_rate": T.oov_rate,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -577,6 +579,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, cast(count(*) as bigint) AS cnt
             FROM grams GROUP BY ngram
             ORDER BY cnt DESC, ngram LIMIT 50
+        """,
+        # benchmark decontamination: docs sharing a word 4-gram with the
+        # doc_id%97==0 "eval suite"; hits = distinct contaminated grams
+        "benchmark_decontam": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, unnest(list_transform(
+                           generate_series(1, len(t) - 3),
+                           i -> t[i] || ' ' || t[i + 1] || ' '
+                                || t[i + 2] || ' ' || t[i + 3])) AS gram
+                FROM toks WHERE len(t) >= 4
+            ), bench AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+            )
+            SELECT g.doc_id, cast(count(DISTINCT g.gram) as bigint) AS hits
+            FROM grams g JOIN bench USING (gram)
+            WHERE g.doc_id % 97 <> 0
+            GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        # OOV scoring vs the corpus top-10 unigram vocabulary (count
+        # desc, token asc limit boundary — same order as ngram_counts)
+        "oov_rate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), vocab AS (
+                SELECT tok FROM (
+                    SELECT tok, count(*) AS c FROM toks
+                    GROUP BY tok ORDER BY c DESC, tok LIMIT 10
+                )
+            )
+            SELECT doc_id, cast(count(*) as bigint) AS n_tokens,
+                   cast(count(*) FILTER (
+                       WHERE tok NOT IN (SELECT tok FROM vocab)
+                   ) as bigint) AS n_oov
+            FROM toks GROUP BY doc_id ORDER BY doc_id
         """,
         "top_terms_per_doc": r"""
             WITH toks AS (

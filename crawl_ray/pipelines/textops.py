@@ -15,6 +15,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from crawl_ray.util import collect_table
+
 __all__ = [
     "normalize_whitespace",
     "token_stats",
@@ -24,6 +26,8 @@ __all__ = [
     "sample_documents",
     "stratified_sample",
     "ngram_counts",
+    "benchmark_decontam",
+    "oov_rate",
     "top_terms_per_doc",
     "redact_terms",
     "pack_sequences",
@@ -259,6 +263,135 @@ def _token_lists(batch: pa.Table):
     return doc_ids, flat, lens
 
 
+def _gram_arrays(flat: np.ndarray, lens: np.ndarray, n: int):
+    """Vectorized word n-gram construction over the flat token array of
+    a batch: returns (grams StringArray joined by " ", doc-row index per
+    gram).  Gram i of doc d = tokens[d][i : i+n] — identical to the
+    oracle's ``t[i] || ' ' || … || t[i+n-1]`` construction."""
+    n_grams = np.maximum(lens - n + 1, 0)
+    starts = np.repeat(np.cumsum(lens) - lens, n_grams)
+    offs = np.arange(n_grams.sum(), dtype=np.int64) - np.repeat(
+        np.cumsum(n_grams) - n_grams, n_grams
+    )
+    idx = starts + offs
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), n_grams)
+    if not len(idx):
+        return pa.array([], pa.string()), doc_idx
+    parts = [pa.array(flat[idx + j], pa.string()) for j in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = pc.binary_join_element_wise(grams, p, " ")
+    return grams, doc_idx
+
+
+def benchmark_decontam(sf_dir: str, k: int = 4, bench_mod: int = 97):
+    """Benchmark decontamination: flag every corpus document sharing a
+    word ``k``-gram with the benchmark set (docs with ``doc_id %
+    bench_mod == 0`` stand in for an eval suite).  Returns
+    ``(doc_id, hits)`` — hits = number of DISTINCT contaminated grams —
+    for contaminated non-benchmark docs only.
+
+    Scale shape: the benchmark side is eval-suite-sized BY CONTRACT
+    (that is what decontamination means), so its distinct grams are
+    collected once and broadcast via ``ray.put``; the corpus side is
+    one streaming ``map_batches`` pass — gram construction is the
+    vectorized flat-index kernel, membership is ``pc.is_in`` (Arrow
+    C++ hash set, exact string equality — no hash-collision caveat),
+    and the per-doc distinct count groups only the matched subset."""
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ids % bench_mod == 0))
+        _, flat, lens = _token_lists(batch)
+        grams, _ = _gram_arrays(flat, lens, k)
+        return pa.table({"gram": pc.unique(grams)})
+
+    bench = collect_table(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            bench_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    bench_grams = pc.unique(bench.column("gram"))
+    if isinstance(bench_grams, pa.ChunkedArray):
+        bench_grams = bench_grams.combine_chunks()
+    bench_ref = ray.put(bench_grams)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "hits": pa.array([], pa.int64())}
+        )
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ids % bench_mod != 0))
+        doc_ids, flat, lens = _token_lists(batch)
+        grams, doc_idx = _gram_arrays(flat, lens, k)
+        if not len(doc_idx):
+            return empty
+        hit = pc.is_in(grams, value_set=ray.get(bench_ref))
+        pos = np.flatnonzero(hit.to_numpy(zero_copy_only=False))
+        if not len(pos):
+            return empty
+        sub = pa.table(
+            {"doc_id": pa.array(doc_ids[doc_idx[pos]], pa.int64()),
+             "gram": grams.take(pa.array(pos, pa.int64()))}
+        )
+        dd = pa.TableGroupBy(sub, ["doc_id", "gram"]).aggregate([])
+        agg = pa.TableGroupBy(dd.select(["doc_id"]), "doc_id").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"doc_id": agg.column("doc_id"),
+             "hits": agg.column("count_all").cast(pa.int64())}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
+def oov_rate(sf_dir: str, vocab_size: int = 10):
+    """Out-of-vocabulary scoring: per document, total tokens and tokens
+    outside the corpus top-``vocab_size`` unigram vocabulary (count
+    desc, token asc — the deterministic limit boundary).  Integer
+    counts only, so the oracle comparison is exact.
+
+    Scale shape: the vocabulary is the (already partial-aggregated +
+    int-partition-shuffled) :func:`ngram_counts` top-k — a bounded
+    table — broadcast once; the scoring pass is a single streaming
+    ``map_batches`` with an Arrow ``is_in`` + ``np.bincount``."""
+    vocab = ngram_counts(sf_dir, n=1, top_k=vocab_size)
+    vocab_ref = ray.put(vocab.column("ngram").combine_chunks())
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc_ids, flat, lens = _token_lists(batch)
+        if not len(doc_ids):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "n_oov": pa.array([], pa.int64())}
+            )
+        known = pc.is_in(
+            pa.array(flat, pa.string()), value_set=ray.get(vocab_ref)
+        ).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+        oov = np.bincount(
+            doc_idx, weights=~known, minlength=len(doc_ids)
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "n_tokens": pa.array(lens, pa.int64()),
+             "n_oov": pa.array(oov, pa.int64())}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
 def ngram_counts(
     sf_dir: str, n: int = 2, top_k: int = 50, num_partitions: int = 32
 ):
@@ -281,18 +414,9 @@ def ngram_counts(
         _, flat, lens = _token_lists(batch)
         if not len(flat):
             return empty
-        n_grams = np.maximum(lens - n + 1, 0)
-        starts = np.repeat(np.cumsum(lens) - lens, n_grams)
-        offs = np.arange(n_grams.sum(), dtype=np.int64) - np.repeat(
-            np.cumsum(n_grams) - n_grams, n_grams
-        )
-        idx = starts + offs
-        if not len(idx):
+        grams, _ = _gram_arrays(flat, lens, n)
+        if not len(grams):
             return empty
-        parts = [pa.array(flat[idx + j], pa.string()) for j in range(n)]
-        grams = parts[0]
-        for p in parts[1:]:
-            grams = pc.binary_join_element_wise(grams, p, " ")
         vc = grams.value_counts()  # Arrow C++ hash count, no object sort
         uniq = vc.field("values")
         counts = vc.field("counts").cast(pa.int64())

@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": T.ngram_counts,
         "benchmark_decontam": T.benchmark_decontam,
         "oov_rate": T.oov_rate,
+        "quality_gate": T.quality_gate,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -618,6 +619,33 @@ def oracle_sql() -> dict[str, str]:
                        WHERE tok NOT IN (SELECT tok FROM vocab)
                    ) as bigint) AS n_oov
             FROM toks GROUP BY doc_id ORDER BY doc_id
+        """,
+        # per-language p10 quality gate (quantile_disc = discrete rank
+        # ceil(q*n)-1, matching the engine's integer-math threshold)
+        "quality_gate": r"""
+            WITH q AS (
+                SELECT doc_id, lang,
+                       CASE WHEN n_tokens > 0
+                            THEN (n_chars - n_spaces) * 1000 // n_tokens
+                            ELSE 0 END AS mean_tok_len_milli
+                FROM (
+                    SELECT doc_id, lang,
+                           cast(length(text) as bigint) AS n_chars,
+                           cast(length(regexp_replace(text, '[^ ]', '', 'g'))
+                                as bigint) AS n_spaces,
+                           cast(len(regexp_split_to_array(trim(text), '\s+'))
+                                as bigint) AS n_tokens
+                    FROM documents
+                )
+            ), thr AS (
+                SELECT lang, quantile_disc(mean_tok_len_milli, 0.10) AS t
+                FROM q GROUP BY lang
+            )
+            SELECT q.doc_id, q.lang, cast(q.mean_tok_len_milli as bigint)
+                       AS mean_tok_len_milli
+            FROM q JOIN thr USING (lang)
+            WHERE q.mean_tok_len_milli >= thr.t
+            ORDER BY q.doc_id
         """,
         "top_terms_per_doc": r"""
             WITH toks AS (

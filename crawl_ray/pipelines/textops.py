@@ -28,6 +28,7 @@ __all__ = [
     "ngram_counts",
     "benchmark_decontam",
     "oov_rate",
+    "quality_gate",
     "top_terms_per_doc",
     "redact_terms",
     "pack_sequences",
@@ -347,6 +348,103 @@ def benchmark_decontam(sf_dir: str, k: int = 4, bench_mod: int = 97):
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
+def _mean_tok_len_milli(text: pa.ChunkedArray) -> pa.ChunkedArray:
+    """The quality_score kernel's headline signal (integer milli-chars
+    per token) — shared between quality_score and quality_gate."""
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    spaces = pc.utf8_length(
+        pc.replace_substring_regex(text, r"[^ ]", "")
+    ).cast(pa.int64())
+    tokens = pc.list_value_length(
+        pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    ).cast(pa.int64())
+    return pc.if_else(
+        pc.greater(tokens, 0),
+        pc.divide(pc.multiply(pc.subtract(n_chars, spaces), 1000), tokens),
+        pa.scalar(0, pa.int64()),
+    ).cast(pa.int64())
+
+
+def quality_gate(sf_dir: str, pct: int = 10):
+    """Per-language quality percentile gate: drop every document whose
+    quality score (mean token length, integer milli-chars) falls below
+    the within-language ``pct``-th percentile — the CCNet-style
+    "keep the best of each language" filter.
+
+    Scale shape: two streaming passes, no row shuffle.  Pass 1 builds a
+    per-batch ``(lang, score) → count`` histogram (bounded by langs ×
+    integer score domain, NOT by row count — the exact-quantile trick
+    from ``stats.py``), combined driver-side; per-language thresholds
+    use DuckDB's ``quantile_disc`` rank ``ceil(q·n)−1`` in integer
+    math.  Pass 2 re-scores and filters against the broadcast
+    threshold table."""
+
+    def hist(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        score = _mean_tok_len_milli(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        )
+        codes, inv = np.unique(langs, return_inverse=True)
+        key = inv.astype(np.int64) * (1 << 32) + score
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(codes[(uk >> 32)], pa.string()),
+                "score": pa.array(uk & ((1 << 32) - 1), pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    parts = collect_table(
+        _docs(sf_dir, ["text", "lang"]).map_batches(
+            hist, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )  # bounded: langs × distinct integer scores
+    langs = parts.column("lang").to_numpy(zero_copy_only=False)
+    score = parts.column("score").to_numpy(zero_copy_only=False)
+    cnt = parts.column("cnt").to_numpy(zero_copy_only=False)
+    codes, inv = np.unique(langs, return_inverse=True)
+    key = inv.astype(np.int64) * (1 << 32) + score
+    order = np.argsort(key, kind="stable")
+    key, cnt = key[order], cnt[order]
+    uk, starts = np.unique(key, return_index=True)
+    merged = np.add.reduceat(cnt, starts)
+    lang_of = (uk >> 32).astype(np.int64)
+    score_of = (uk & ((1 << 32) - 1)).astype(np.int64)
+    thresholds: dict[str, int] = {}
+    for li, lang in enumerate(codes):
+        m = lang_of == li
+        sc, c = score_of[m], merged[m]  # score-ascending within lang
+        n = int(c.sum())
+        rank = (pct * n + 99) // 100 - 1  # quantile_disc: ceil(q·n)−1
+        csum = np.cumsum(c)
+        thresholds[str(lang)] = int(sc[np.searchsorted(csum, rank + 1)])
+    thr_codes = np.array(sorted(thresholds), dtype=object)
+    thr_vals = np.array([thresholds[c] for c in thr_codes], dtype=np.int64)
+    thr_ref = ray.put((thr_codes, thr_vals))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        codes_b, vals_b = ray.get(thr_ref)
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        score = _mean_tok_len_milli(batch.column("text"))
+        idx = np.searchsorted(codes_b, langs)
+        keep = score.to_numpy(zero_copy_only=False) >= vals_b[idx]
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang": batch.column("lang"),
+                "mean_tok_len_milli": score,
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
         .sort("doc_id")
     )
 

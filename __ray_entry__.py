@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_decontam": T.benchmark_decontam,
         "oov_rate": T.oov_rate,
         "quality_gate": T.quality_gate,
+        "topk_sketch": T.topk_sketch,
+        "events_rollup": ST.events_rollup,
+        "orders_with_returns": J.orders_with_returns,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -646,6 +649,41 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN thr USING (lang)
             WHERE q.mean_tok_len_milli >= thr.t
             ORDER BY q.doc_id
+        """,
+        # Misra-Gries heavy hitters: exact on this corpus (distinct
+        # unigrams << sketch capacity, so no trim ever fires)
+        "topk_sketch": r"""
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                FROM documents
+            )
+            SELECT term, cast(count(*) as bigint) AS cnt
+            FROM toks GROUP BY term ORDER BY cnt DESC, term LIMIT 20
+        """,
+        # ROLLUP grouping sets with ('ALL', -1) sentinels for the NULLs
+        "events_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   cast(coalesce(hr, -1) as bigint) AS hr,
+                   cast(sum(cents) as bigint) AS sum_cents,
+                   cast(count(*) as bigint) AS n
+            FROM (
+                SELECT event_type,
+                       cast(extract(hour from ts) as bigint) AS hr,
+                       cast(round(value * 100) as bigint) AS cents
+                FROM events
+            )
+            GROUP BY ROLLUP(event_type, hr)
+            ORDER BY event_type, hr
+        """,
+        # EXISTS / semi-join: orders with at least one returned lineitem
+        "orders_with_returns": """
+            SELECT o_orderkey,
+                   cast(round(o_totalprice * 100) as bigint) AS total_cents
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+            )
+            ORDER BY o_orderkey
         """,
         "top_terms_per_doc": r"""
             WITH toks AS (

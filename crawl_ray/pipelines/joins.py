@@ -46,6 +46,7 @@ __all__ = [
     "returned_revenue_by_customer",
     "customers_without_urgent_orders",
     "events_price_band_join",
+    "orders_with_returns",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -321,3 +322,39 @@ def events_price_band_join(sf_dir: str):
         count_name="n_events",
     )
     return agg.sort_by("band")
+
+
+def orders_with_returns(sf_dir: str, num_partitions: int | None = None):
+    """Distributed semi-join: orders with at least one returned lineitem
+    (``l_returnflag = 'R'``), via the native hash join's ``left_semi``
+    mode — both sides shuffle by key, nothing is broadcast, and the
+    right side is filtered + projected to the key column before the
+    exchange (the big∖big EXISTS shape at 100 TB)."""
+    num_partitions = num_partitions or _default_partitions()
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "total_cents": _cents(b.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    returned = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.filter(
+                    pc.equal(b.column("l_returnflag"), "R")
+                ).column("l_orderkey").cast(pa.int64())
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    semi = orders.join(
+        returned, "left_semi", num_partitions,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+    return semi.sort("o_orderkey")

@@ -45,6 +45,7 @@ __all__ = [
     "value_quantiles_per_type",
     "distinct_users_per_type",
     "hll_distinct_users",
+    "events_rollup",
 ]
 
 QUANTILES = (25, 50, 75, 90, 99)  # integer percents — exact rank math
@@ -258,3 +259,58 @@ def hll_distinct_users(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def events_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP / grouping-sets aggregate: value sums and counts per
+    (event_type, hour-of-day), per event_type, and grand total — the
+    OLAP subtotal shape.  One combiner pass computes the FINE cells
+    (``partial_then_final_sum``: per-batch Arrow group_by partials,
+    bounded driver combine — no shuffle); every coarser grouping set is
+    derived from the fine cells driver-side, which is exact because sum
+    and count are decomposable.  Sentinels ('ALL', -1) stand in for the
+    SQL ROLLUP's NULLs so the output stays non-null-typed."""
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hr": pc.hour(batch.column("ts")).cast(pa.int64()),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+
+    fine = partial_then_final_sum(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+            annotate, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["event_type", "hr"],
+        {"sum_cents": lambda b: b.column("cents")},
+        count_name="n",
+    )
+    by_type = fine.group_by("event_type").aggregate(
+        [("sum_cents", "sum"), ("n", "sum")]
+    )
+    types = fine.column("event_type").to_pylist() + by_type.column(
+        "event_type"
+    ).to_pylist() + ["ALL"]
+    hrs = fine.column("hr").to_pylist() + [-1] * (by_type.num_rows + 1)
+    sums = (
+        fine.column("sum_cents").to_pylist()
+        + by_type.column("sum_cents_sum").to_pylist()
+        + [int(pc.sum(fine.column("sum_cents")).as_py() or 0)]
+    )
+    ns = (
+        fine.column("n").to_pylist()
+        + by_type.column("n_sum").to_pylist()
+        + [int(pc.sum(fine.column("n")).as_py() or 0)]
+    )
+    out = pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "hr": pa.array(hrs, pa.int64()),
+            "sum_cents": pa.array(sums, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+        }
+    )
+    return out.sort_by([("event_type", "ascending"), ("hr", "ascending")])

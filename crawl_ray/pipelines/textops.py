@@ -29,6 +29,7 @@ __all__ = [
     "benchmark_decontam",
     "oov_rate",
     "quality_gate",
+    "topk_sketch",
     "top_terms_per_doc",
     "redact_terms",
     "pack_sequences",
@@ -349,6 +350,63 @@ def benchmark_decontam(sf_dir: str, k: int = 4, bench_mod: int = 97):
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
         .sort("doc_id")
+    )
+
+
+def _mg_trim(terms: np.ndarray, counts: np.ndarray, capacity: int):
+    """Misra–Gries summary trim: decrement every count by the
+    (capacity+1)-th largest and drop non-positives — the mergeable-
+    summaries step (Agarwal et al., PODS'12) that bounds the summary at
+    ``capacity`` entries with count error ≤ n/capacity."""
+    if len(terms) <= capacity:
+        return terms, counts
+    d = np.partition(counts, len(counts) - capacity - 1)[
+        len(counts) - capacity - 1
+    ]
+    counts = counts - d
+    keep = counts > 0
+    return terms[keep], counts[keep]
+
+
+def topk_sketch(sf_dir: str, capacity: int = 1024, top_k: int = 20):
+    """Shuffle-free heavy hitters: each block emits a Misra–Gries
+    summary (≤ ``capacity`` entries) of its unigram counts; the driver
+    merges summaries (sum, then one trim).  No exchange at all — the
+    scale path for top-k terms when even :func:`ngram_counts`'s
+    int-partition shuffle is too wide.  Estimated counts are exact
+    whenever the corpus has ≤ capacity distinct terms (the fixture —
+    hence SQL-oracle-checkable) and are lower bounds within
+    n/capacity otherwise."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, lens = _token_lists(batch)
+        if not len(flat):
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        vc = pa.array(flat, pa.string()).value_counts()
+        terms = vc.field("values").to_numpy(zero_copy_only=False)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        terms, counts = _mg_trim(terms, counts, capacity)
+        return pa.table(
+            {"term": pa.array(terms, pa.string()),
+             "cnt": pa.array(counts, pa.int64())}
+        )
+
+    parts = collect_table(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )  # bounded: ≤ capacity rows per block
+    merged = pa.TableGroupBy(parts, "term").aggregate([("cnt", "sum")])
+    terms = merged.column("term").to_numpy(zero_copy_only=False)
+    counts = merged.column("cnt_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    terms, counts = _mg_trim(terms, counts, capacity)
+    order = np.lexsort((terms, -counts))[:top_k]
+    return pa.table(
+        {"term": pa.array(terms[order], pa.string()),
+         "cnt": pa.array(counts[order], pa.int64())}
     )
 
 

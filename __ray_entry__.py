@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_sketch": T.topk_sketch,
         "events_rollup": ST.events_rollup,
         "orders_with_returns": J.orders_with_returns,
+        "promo_revenue_by_month": J.promo_revenue_by_month,
+        "regional_revenue": J.regional_revenue,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -674,6 +676,38 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY ROLLUP(event_type, hr)
             ORDER BY event_type, hr
+        """,
+        # Q14 shape: monthly promo vs total revenue (integer centi-cents)
+        "promo_revenue_by_month": """
+            SELECT cast(year(l_shipdate) * 100 + month(l_shipdate) as bigint)
+                       AS ym,
+                   cast(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                 ELSE 0 END) as bigint) AS promo_cc,
+                   cast(sum(rev) as bigint) AS total_cc
+            FROM (
+                SELECT l_partkey, l_shipdate,
+                       cast(round(l_extendedprice * 100) as bigint)
+                       * (100 - cast(round(l_discount * 100) as bigint)) AS rev
+                FROM lineitem
+            ) l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY ym ORDER BY ym
+        """,
+        # Q5 shape: per-nation revenue, supplier nation = customer nation,
+        # customers in one region
+        "regional_revenue": """
+            SELECT n.n_name,
+                   cast(sum(cast(round(l.l_extendedprice * 100) as bigint)
+                        * (100 - cast(round(l.l_discount * 100) as bigint)))
+                        as bigint) AS revenue_cc
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
+            GROUP BY n.n_name
+            ORDER BY revenue_cc DESC, n_name
         """,
         # EXISTS / semi-join: orders with at least one returned lineitem
         "orders_with_returns": """

@@ -47,6 +47,8 @@ __all__ = [
     "customers_without_urgent_orders",
     "events_price_band_join",
     "orders_with_returns",
+    "promo_revenue_by_month",
+    "regional_revenue",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -358,3 +360,171 @@ def orders_with_returns(sf_dir: str, num_partitions: int | None = None):
         on=("o_orderkey",), right_on=("l_orderkey",),
     )
     return semi.sort("o_orderkey")
+
+
+def promo_revenue_by_month(sf_dir: str, num_partitions: int | None = None):
+    """Q14 shape: monthly promo vs total revenue via a fact⋈dimension
+    hash join — lineitem joins part on partkey (both sides shuffle;
+    the part dimension scales with SF, so no broadcast), revenue stays
+    in exact integer centi-cents, and the month aggregate is the
+    bounded combiner (``partial_then_final_sum``), not a second
+    shuffle.  Both sums are returned as integers; the ratio is the
+    consumer's division."""
+    num_partitions = num_partitions or _default_partitions()
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_partkey": b.column("l_partkey").cast(pa.int64()),
+                "ym": pc.add(
+                    pc.multiply(
+                        pc.year(b.column("l_shipdate")).cast(pa.int64()), 100
+                    ),
+                    pc.month(b.column("l_shipdate")).cast(pa.int64()),
+                ),
+                "revenue_cc": _revenue_cc(b),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pt = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b.column("p_partkey").cast(pa.int64()),
+                "is_promo": pc.equal(b.column("p_type"), "PROMO").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = li.join(
+        pt, "inner", num_partitions, on=("l_partkey",), right_on=("p_partkey",)
+    )
+    agg = partial_then_final_sum(
+        j,
+        ["ym"],
+        {
+            "promo_cc": lambda b: pc.multiply(
+                b.column("revenue_cc"), b.column("is_promo")
+            ),
+            "total_cc": lambda b: b.column("revenue_cc"),
+        },
+    )
+    return agg.sort_by([("ym", "ascending")])
+
+
+def regional_revenue(
+    sf_dir: str, region: str = "ASIA", num_partitions: int | None = None
+):
+    """Q5 shape: revenue per nation for customers in one region where
+    the supplying nation equals the customer nation.  The two
+    frontier-scale edges are native hash joins (lineitem⋈orders on
+    orderkey, then ⋈customer on custkey, schema-normalized between
+    them — the join emits zero-column empty blocks a second join
+    rejects); supplier→nation and nation⋈region are genuinely small
+    dimensions, broadcast once via ``ray.put`` and resolved with numpy
+    lookups inside the post-join filter.  The final per-nation sums
+    come from the bounded combiner, not a third shuffle."""
+    import pyarrow.parquet as pq_
+
+    num_partitions = num_partitions or _default_partitions()
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq_.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {
+        r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == region
+    }
+    nkey_to_name = {
+        r["n_nationkey"]: r["n_name"]
+        for r in nat.to_pylist()
+        if r["n_regionkey"] in rkeys
+    }
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = np.full(int(skeys.max()) + 1, -1, dtype=np.int64)
+    snat[skeys] = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+    side_ref = ray.put((snat, nkey_to_name))
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+                "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
+                "revenue_cc": _revenue_cc(b),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": b.column("o_custkey").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from crawl_ray.util import normalize_schema
+
+    j1 = normalize_schema(
+        li.join(
+            orders, "inner", num_partitions,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ),
+        {
+            "l_suppkey": pa.int64(),
+            "revenue_cc": pa.int64(),
+            "o_custkey": pa.int64(),
+        },
+        coalesce=num_partitions,
+    )
+    j2 = j1.join(
+        cust, "inner", num_partitions,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        snat_b, names_b = ray.get(side_ref)
+        supk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        cnat = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        sup_nat = snat_b[supk]
+        keep = sup_nat == cnat
+        in_region = np.isin(cnat, np.fromiter(names_b, dtype=np.int64))
+        keep &= in_region
+        kept = batch.filter(pa.array(keep))
+        nname = [names_b[int(k)] for k in
+                 kept.column("c_nationkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(nname, pa.string()),
+                "revenue_cc": kept.column("revenue_cc").cast(pa.int64()),
+            }
+        )
+
+    agg = partial_then_final_sum(
+        j2.map_batches(resolve, batch_format="pyarrow", zero_copy_batch=True),
+        ["n_name"],
+        {"revenue_cc": lambda b: b.column("revenue_cc")},
+    )
+    return agg.sort_by([("revenue_cc", "descending"), ("n_name", "ascending")])

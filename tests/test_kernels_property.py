@@ -174,3 +174,79 @@ def test_canonicalize_fast_path_matches_per_row(rows):
     )
     expect = [_ref_canon_row(u, ref, u or "") for u, ref in rows]
     assert got == expect
+
+
+# ------------------------------------------------- n-gram construction
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", max_size=40), min_size=1, max_size=10
+    ),
+    n=st.integers(1, 5),
+)
+def test_gram_arrays_match_naive(texts, n):
+    from crawl_ray.pipelines.textops import _gram_arrays, _token_lists
+
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    _, flat, lens = _token_lists(batch)
+    grams, doc_idx = _gram_arrays(flat, lens, n)
+    got = list(zip(doc_idx.tolist(), grams.to_pylist()))
+    expect = []
+    for d, t in enumerate(texts):
+        toks = t.strip().split()
+        if t.strip() == "":
+            toks = [""]  # split_pattern_regex("") yields one empty token
+        for i in range(max(len(toks) - n + 1, 0)):
+            expect.append((d, " ".join(toks[i : i + n])))
+    assert got == expect
+
+
+# --------------------------------------------- Misra-Gries heavy hitters
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    tokens=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=200),
+    capacity=st.integers(2, 8),
+    split=st.integers(1, 5),
+)
+def test_mg_merge_guarantees(tokens, capacity, split):
+    """Per-block MG summaries merged + trimmed keep every count within
+    n/capacity of truth (lower bound), and are exact when distinct ≤
+    capacity."""
+    from collections import Counter
+
+    from crawl_ray.pipelines.textops import _mg_trim
+
+    blocks = [tokens[i::split] for i in range(split)]
+    partial_terms, partial_counts = [], []
+    for blk in blocks:
+        if not blk:
+            continue
+        c = Counter(blk)
+        t = np.array(sorted(c), dtype=object)
+        cnt = np.array([c[x] for x in t], dtype=np.int64)
+        t, cnt = _mg_trim(t, cnt, capacity)
+        partial_terms.append(t)
+        partial_counts.append(cnt)
+    allc = Counter()
+    for t, cnt in zip(partial_terms, partial_counts):
+        for term, k in zip(t.tolist(), cnt.tolist()):
+            allc[term] += int(k)
+    mt = np.array(sorted(allc), dtype=object)
+    mc = np.array([allc[x] for x in mt], dtype=np.int64)
+    mt, mc = _mg_trim(mt, mc, capacity)
+    est = dict(zip(mt.tolist(), mc.tolist()))
+    true = Counter(tokens)
+    n = len(tokens)
+    for term, cnt in true.items():
+        got = est.get(term, 0)
+        assert got <= cnt  # lower bound
+        assert cnt - got <= n / capacity + 1e-9
+    if len(true) <= capacity:
+        assert est == dict(true)

@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # single-threaded reference simulator / fixture expected columns)
         "extract_text": CQ.extract_text_pipeline,
         "crawl_flagship": CQ.crawl_flagship,
+        "web_corpus_prep": CQ.web_corpus_prep,
         "crawl_errors": CQ.crawl_errors,
         "crawl_metrics": CQ.crawl_metrics,
         "crawl_host_stats": CQ.crawl_host_stats,
@@ -240,6 +241,27 @@ def _crawl_oracle_sql() -> dict[str, str]:
             SELECT url, depth, fields
             FROM read_parquet('{web}/records.parquet')
             ORDER BY url, fields
+        """,
+        # end-to-end corpus prep over the page store: extract (text
+        # column is template-built, byte-identical to the DOM kernel) →
+        # token filter → exact-text dedup keep-first-url
+        "web_corpus_prep": f"""
+            WITH t AS (
+                SELECT url, text,
+                       cast(len(regexp_split_to_array(trim(text), '\\s+'))
+                            as bigint) AS n_tokens
+                FROM read_parquet('{pages}')
+            ), f AS (
+                SELECT * FROM t WHERE n_tokens >= 20
+            ), d AS (
+                SELECT url, n_tokens,
+                       row_number() OVER (PARTITION BY text ORDER BY url)
+                           AS rn,
+                       count(*) OVER (PARTITION BY text) AS n_dups
+                FROM f
+            )
+            SELECT url, n_tokens, cast(n_dups as bigint) AS n_dups
+            FROM d WHERE rn = 1 ORDER BY url
         """,
         "crawl_errors": f"""
             SELECT error_kind, url

@@ -38,6 +38,7 @@ __all__ = [
     "crawl_cookies",
     "forms_extract",
     "recrawl_schedule",
+    "web_corpus_prep",
     "fixture_size_for",
 ]
 
@@ -374,3 +375,56 @@ def recrawl_schedule(
     t = collect_table(parts)
     out = _stalest_k(t)
     return out.select(["host", "url", "warc_ts_us", "rnk"])
+
+
+def web_corpus_prep(sf_dir: str, min_tokens: int = 20):
+    """Web pages → training-corpus slice, end to end: real DOM
+    extraction (the F1 text kernel — byte-identical to the fixture's
+    template-built ``text`` column, which is what makes the text-keyed
+    oracle exact), a FUSED token-count quality filter in the same batch
+    map (rejected rows never leave the task), then exact content dedup
+    keeping the lexicographically-first URL.  One shuffle total (the
+    content-hash groupby); the extract+filter pass streams.
+
+    The product story of the engine in one query: crawl output in,
+    deduplicated training corpus out."""
+    from crawl_ray.urlnorm import content_hash64_batch
+
+    d = fixture_dir(fixture_size_for(sf_dir))
+
+    def extract_filter(batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        texts = pa.array(
+            [H.text(parse_html(h), "html") for h in htmls], pa.string()
+        )
+        n_tokens = pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+        ).cast(pa.int64())
+        t = pa.table(
+            {
+                "url": batch.column("url"),
+                "n_tokens": n_tokens,
+                "text_hash": pa.array(
+                    content_hash64_batch(texts), pa.uint64()
+                ),
+            }
+        )
+        return t.filter(pc.greater_equal(n_tokens, min_tokens))
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("url", "ascending")])
+        kept = group.take(idx[:1]).select(["url", "n_tokens"])
+        return kept.append_column(
+            "n_dups", pa.array([group.num_rows], pa.int64())
+        )
+
+    return (
+        ray.data.read_parquet(f"{d}/pages.parquet", columns=["url", "html"])
+        .map_batches(
+            extract_filter, batch_format="pyarrow", batch_size=256,
+            zero_copy_batch=True,
+        )
+        .groupby("text_hash")
+        .map_groups(keep_first, batch_format="pyarrow")
+        .sort("url")
+    )

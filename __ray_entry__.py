@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_returns": J.orders_with_returns,
         "promo_revenue_by_month": J.promo_revenue_by_month,
         "regional_revenue": J.regional_revenue,
+        "orders_bloom_semi": J.orders_bloom_semi,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -733,6 +734,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # EXISTS / semi-join: orders with at least one returned lineitem
         "orders_with_returns": """
+            SELECT o_orderkey,
+                   cast(round(o_totalprice * 100) as bigint) AS total_cents
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+            )
+            ORDER BY o_orderkey
+        """,
+        # Bloom prefilter + exact verify ≡ the plain semi-join
+        "orders_bloom_semi": """
             SELECT o_orderkey,
                    cast(round(o_totalprice * 100) as bigint) AS total_cents
             FROM orders

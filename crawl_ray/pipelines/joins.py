@@ -49,6 +49,7 @@ __all__ = [
     "orders_with_returns",
     "promo_revenue_by_month",
     "regional_revenue",
+    "orders_bloom_semi",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -528,3 +529,115 @@ def regional_revenue(
         {"revenue_cc": lambda b: b.column("revenue_cc")},
     )
     return agg.sort_by([("revenue_cc", "descending"), ("n_name", "ascending")])
+
+
+def _bloom_add(keys: np.ndarray, bits: np.ndarray, m_bits: int, k_hashes: int):
+    """Set the Bloom bits for ``keys`` in-place (double hashing,
+    Kirsch-Mitzenmacher: position_i = h1 + i*h2 mod m)."""
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    h = _splitmix64(keys.astype(np.uint64))
+    for i in range(k_hashes):
+        with np.errstate(over="ignore"):
+            pos = (
+                (h + np.uint64(i) * _splitmix64(h)) % np.uint64(m_bits)
+            ).astype(np.int64)
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+
+def _bloom_build(ds, key_col: str, m_bits: int, k_hashes: int):
+    """Distributed Bloom-filter build over a key column: each block
+    emits its own bitmap (one fixed-size uint8 array), the driver ORs
+    them — a commutative bounded combine, the same shape as the HLL
+    register merge.  Returns the bitmap for ``ray.put`` broadcast."""
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    def block_bits(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        _bloom_add(keys, bits, m_bits, k_hashes)
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = collect_table(
+        ds.map_batches(block_bits, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for blob in parts.column("bits").to_pylist():
+        merged |= np.frombuffer(blob, dtype=np.uint8)
+    return merged
+
+
+def _bloom_maybe(keys: np.ndarray, bits: np.ndarray, m_bits: int, k_hashes: int):
+    """Vectorized membership probe: True = maybe present (FP possible),
+    False = definitely absent."""
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    h = _splitmix64(keys.astype(np.uint64))
+    out = np.ones(len(keys), dtype=bool)
+    for i in range(k_hashes):
+        with np.errstate(over="ignore"):
+            pos = (
+                (h + np.uint64(i) * _splitmix64(h)) % np.uint64(m_bits)
+            ).astype(np.int64)
+        out &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return out
+
+
+def orders_bloom_semi(
+    sf_dir: str, m_bits: int = 1 << 20, k_hashes: int = 4
+):
+    """The Bloom-filter semi-join the hash-join docstrings promise as
+    the 100-TB swap: orders with a returned lineitem, where the
+    returned-key set is summarized as a distributed Bloom filter
+    (bounded bitmap, OR-combined, broadcast once) instead of being
+    shuffled.  The Bloom probe only PRE-filters (false positives
+    possible); survivors are verified exactly against the true key set
+    — here a broadcast sorted array (the verify side is the Bloom
+    survivors only, a tiny fraction of the probe side), at larger
+    scales a hash join over the survivors.  Output ≡
+    :func:`orders_with_returns` exactly, hence the shared oracle
+    shape."""
+    returned = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.filter(
+                    pc.equal(b.column("l_returnflag"), "R")
+                ).column("l_orderkey").cast(pa.int64())
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bits = _bloom_build(returned, "l_orderkey", m_bits, k_hashes)
+    bits_ref = ray.put(bits)
+    # exact verify set (bounded here; swap for a hash join over the
+    # Bloom survivors when the key set outgrows the object store)
+    exact = np.unique(
+        collect_table(returned).column("l_orderkey").to_numpy(zero_copy_only=False)
+    )
+    exact_ref = ray.put(exact)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bits_ref)
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        maybe = _bloom_maybe(keys, bset, m_bits, k_hashes)
+        batch = batch.filter(pa.array(maybe))
+        if batch.num_rows:  # exact verification of Bloom survivors only
+            ex = ray.get(exact_ref)
+            keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ex, keys), 0, len(ex) - 1)
+            batch = batch.filter(pa.array(ex[pos] == keys))
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "total_cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("o_orderkey")
+    )

@@ -250,3 +250,34 @@ def test_mg_merge_guarantees(tokens, capacity, split):
         assert cnt - got <= n / capacity + 1e-9
     if len(true) <= capacity:
         assert est == dict(true)
+
+
+# ------------------------------------------------------- Bloom filter
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    present=st.sets(st.integers(0, 1_000_000), max_size=150),
+    probes=st.lists(st.integers(0, 1_000_000), max_size=150),
+    split=st.integers(1, 4),
+)
+def test_bloom_no_false_negatives(present, probes, split):
+    """Merged per-block bitmaps never miss a present key; absent keys
+    are mostly pruned at this load factor."""
+    from crawl_ray.pipelines.joins import _bloom_add, _bloom_maybe
+
+    m_bits, k = 1 << 14, 4
+    keys = np.array(sorted(present), dtype=np.int64)
+    blocks = [keys[i::split] for i in range(split)]
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for blk in blocks:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        _bloom_add(blk, bits, m_bits, k)
+        merged |= bits
+    probe = np.array(probes, dtype=np.int64)
+    maybe = _bloom_maybe(probe, merged, m_bits, k)
+    in_set = np.isin(probe, keys)
+    assert (maybe | ~in_set).all()  # present ⇒ maybe (no false negative)
+    absent = ~in_set
+    if absent.sum() >= 50:  # FP rate sanity at ~1% load
+        assert maybe[absent].mean() < 0.5

@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join_bucketed": S.events_asof_join_bucketed,
         "events_sliding_window": S.events_sliding_window,
         "events_rolling_sum": S.events_rolling_sum,
+        "events_lead_lag": S.events_lead_lag,
         "sessionize": S.sessionize,
         "sessionize_bucketed": S.sessionize_bucketed,
         # big-big hash joins (native Dataset.join)
@@ -400,6 +401,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # row-level window function: rolling 3-row sum per user
+        # offset window function: LAG with coalesce-to-0 per user
+        "events_lead_lag": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   cast(round(value * 100) as bigint) AS cents,
+                   cast(coalesce(lag(cast(round(value * 100) as bigint))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       0) as bigint) AS prev_cents
+            FROM events ORDER BY event_id
+        """,
         "events_rolling_sum": """
             SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                    cast(sum(cast(round(value * 100) as bigint)) OVER (

@@ -40,6 +40,7 @@ from crawl_ray.pipelines.relational import _cents, _read, partial_then_final_sum
 __all__ = [
     "events_asof_join",
     "events_asof_join_bucketed",
+    "events_lead_lag",
     "events_rolling_sum",
     "events_sliding_window",
     "sessionize",
@@ -480,6 +481,88 @@ def events_rolling_sum(sf_dir: str, num_partitions: int | None = None):
         .map_groups(rolling, batch_format="pyarrow")
     )
     return out.sort("event_id")
+
+
+def _lag_kernel(uid, ts, eid, cents):
+    """Whole-partition LAG with per-user resets: lexsort by
+    ``(uid, ts, eid)``, shift by one, zero at user boundaries."""
+    order = np.lexsort((eid, ts, uid))
+    uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+    prev = np.empty_like(cents)
+    if len(prev):
+        prev[0] = 0
+        prev[1:] = cents[:-1]
+        user_change = np.ones(len(uid), dtype=bool)
+        user_change[1:] = uid[1:] != uid[:-1]
+        prev[user_change] = 0
+    return uid, ts, eid, cents, prev
+
+
+def events_lead_lag(sf_dir: str, num_partitions: int | None = None):
+    """Offset window function (SQL ``LAG``): per user, ordered by
+    ``(ts, event_id)``, each event's value cents plus the previous
+    event's (0 for the user's first event — ``coalesce(lag(...), 0)``).
+
+    Same single-shuffle shape as :func:`events_rolling_sum`: one hash
+    exchange on a salted-user partition id, then a whole-partition
+    vectorized kernel — no per-group Python calls."""
+    from crawl_ray.pipelines.joins import _default_partitions
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    n_parts = num_partitions or _default_partitions()
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = _np(batch.column("user_id"))
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "us": batch.column("ts").cast(pa.int64()),
+                "user_id": batch.column("user_id"),
+                "cents": _cents(batch.column("value")),
+                "part": pa.array(
+                    (
+                        _splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def lag_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "prev_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid, ts, eid, cents, prev = _lag_kernel(
+            _np(block.column("user_id")),
+            _np(block.column("us")),
+            _np(block.column("event_id")),
+            _np(block.column("cents")),
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "prev_cents": pa.array(prev, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(lag_block, batch_format="pyarrow")
+    )
+    return out.sort("event_id")
+
 
 
 def _final(pid, uid, pts, cid, cts):

@@ -281,3 +281,32 @@ def test_bloom_no_false_negatives(present, probes, split):
     absent = ~in_set
     if absent.sum() >= 50:  # FP rate sanity at ~1% load
         assert maybe[absent].mean() < 0.5
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 4),       # user_id
+            st.integers(0, 9),       # ts
+            st.integers(-500, 500),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_lag_kernel_matches_naive(rows):
+    from crawl_ray.pipelines.streams import _lag_kernel
+
+    uid = np.array([r[0] for r in rows], dtype=np.int64)
+    ts = np.array([r[1] for r in rows], dtype=np.int64)
+    cents = np.array([r[2] for r in rows], dtype=np.int64)
+    eid = np.arange(len(rows), dtype=np.int64)
+    ouid, ots, oeid, ocents, oprev = _lag_kernel(uid, ts, eid, cents)
+    got = dict(zip(oeid.tolist(), oprev.tolist()))
+
+    order = sorted(range(len(rows)), key=lambda i: (uid[i], ts[i], i))
+    last: dict[int, int] = {}
+    for i in order:
+        assert got[i] == last.get(int(uid[i]), 0)
+        last[int(uid[i])] = int(cents[i])

@@ -24,7 +24,6 @@ import argparse
 import importlib
 import json
 import pathlib
-import sys
 
 import pyarrow as pa
 import pyarrow.parquet as pq

@@ -558,8 +558,18 @@ def _bloom_build(ds, key_col: str, m_bits: int, k_hashes: int):
         _bloom_add(keys, bits, m_bits, k_hashes)
         return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
 
+    def or_stage(batch: pa.Table) -> pa.Table:
+        # intermediate distributed OR: the driver sees ≤ fan_in bitmaps
+        # no matter how many blocks the build side has
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
+        for blob in batch.column("bits").to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
     parts = collect_table(
         ds.map_batches(block_bits, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .map_batches(or_stage, batch_format="pyarrow", zero_copy_batch=True)
     )
     merged = np.zeros(m_bits // 8, dtype=np.uint8)
     for blob in parts.column("bits").to_pylist():

@@ -394,11 +394,26 @@ def topk_sketch(sf_dir: str, capacity: int = 1024, top_k: int = 20):
              "cnt": pa.array(counts, pa.int64())}
         )
 
-    parts = collect_table(
-        _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
+    def merge_stage(batch: pa.Table) -> pa.Table:
+        # intermediate distributed merge: keeps the driver collect at
+        # ≤ fan_in × capacity rows no matter the block count (MG
+        # summaries are mergeable pairwise, so this is exact-preserving)
+        agg = pa.TableGroupBy(batch, "term").aggregate([("cnt", "sum")])
+        t = agg.column("term").to_numpy(zero_copy_only=False)
+        c = agg.column("cnt_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        t, c = _mg_trim(t, c, capacity)
+        return pa.table(
+            {"term": pa.array(t, pa.string()),
+             "cnt": pa.array(c, pa.int64())}
         )
-    )  # bounded: ≤ capacity rows per block
+
+    fan_in = 32
+    parts = collect_table(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(fan_in)
+        .map_batches(merge_stage, batch_format="pyarrow", zero_copy_batch=True)
+    )  # bounded: ≤ fan_in × capacity rows
     merged = pa.TableGroupBy(parts, "term").aggregate([("cnt", "sum")])
     terms = merged.column("term").to_numpy(zero_copy_only=False)
     counts = merged.column("cnt_sum").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_by_month": J.promo_revenue_by_month,
         "regional_revenue": J.regional_revenue,
         "orders_bloom_semi": J.orders_bloom_semi,
+        "customer_order_counts": J.customer_order_counts,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -761,6 +762,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
             )
             ORDER BY o_orderkey
+        """,
+        "customer_order_counts": """
+            SELECT c_count, cast(count(*) as bigint) AS custdist
+            FROM (
+                SELECT c.c_custkey,
+                       cast(count(o.o_custkey) as bigint) AS c_count
+                FROM customer c
+                LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
         """,
         "top_terms_per_doc": r"""
             WITH toks AS (

@@ -39,7 +39,7 @@ import ray
 import ray.data
 
 from crawl_ray.pipelines.relational import _cents, _read, partial_then_final_sum
-from crawl_ray.util import collect_table
+from crawl_ray.util import collect_table, normalize_schema
 
 __all__ = [
     "unshipped_orders",
@@ -50,6 +50,7 @@ __all__ = [
     "promo_revenue_by_month",
     "regional_revenue",
     "orders_bloom_semi",
+    "customer_order_counts",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -650,4 +651,64 @@ def orders_bloom_semi(
         _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
         .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
         .sort("o_orderkey")
+    )
+
+
+def customer_order_counts(sf_dir: str, num_partitions: int | None = None):
+    """TPC-H Q13 shape: the distribution of customers by how many
+    orders they placed — including the zero-order customers, which is
+    what forces the **left outer** hash join (an inner join would drop
+    them; reference-side crawl analytics has the same shape in
+    "hosts by page count including never-fetched seeds").
+
+    Scale shape: orders are pre-counted per batch (``value_counts``)
+    so the ``groupby`` shuffle carries one row per (custkey, block)
+    partial, not one per order; the per-custkey totals then hash-join
+    ``left_outer`` against the customer keys (both sides
+    customer-sized — no broadcast); the final distribution is a
+    partial-then-final combine whose key domain (distinct order
+    counts) is tiny and bounded, so no second shuffle runs.
+    """
+    num_partitions = num_partitions or _default_partitions()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("o_custkey").cast(pa.int64()).value_counts()
+        return pa.table(
+            {
+                "o_custkey": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = normalize_schema(
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .sum("n"),
+        {"o_custkey": pa.int64(), "n_orders": pa.int64()},
+        rename={"sum(n)": "n_orders"},
+        coalesce=num_partitions,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pa.table({"c_custkey": b.column("c_custkey").cast(pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = cust.join(
+        counts, "left_outer", num_partitions, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+    def fill_zero(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_orders").to_numpy(zero_copy_only=False)
+        n = np.where(np.isnan(n.astype(np.float64)), 0, n).astype(np.int64)
+        return pa.table({"c_count": pa.array(n, pa.int64())})
+
+    dist = partial_then_final_sum(
+        joined.map_batches(fill_zero, batch_format="pyarrow"),
+        ["c_count"],
+        {},
+        count_name="custdist",
+    )
+    return dist.sort_by(
+        [("custdist", "descending"), ("c_count", "descending")]
     )

@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": T.pack_sequences,
         "repetition_stats": T.repetition_stats,
         "unigram_logprob": T.unigram_logprob,
+        "tfidf_top_terms": T.tfidf_top_terms,
         "training_corpus_prep": T.training_corpus_prep,
         # dedup family
         "exact_dedup": DD.exact_dedup,
@@ -793,6 +794,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(rnk as bigint) AS rnk, term,
                    cast(cnt as bigint) AS cnt
             FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, cast(count(*) as bigint) AS cnt
+                FROM toks GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, cast(count(DISTINCT doc_id) as bigint) AS df
+                FROM toks GROUP BY term
+            ), n AS (
+                SELECT cast(count(*) as bigint) AS n_docs FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.term,
+                       (tf.cnt * n.n_docs) // df.df AS tfidf_q,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY (tf.cnt * n.n_docs) // df.df DESC,
+                                    tf.term
+                       ) AS rnk
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, cast(rnk as bigint) AS rnk, term,
+                   cast(tfidf_q as bigint) AS tfidf_q
+            FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk
         """,
         # sequence packing: bin = global ordered token prefix-sum / cap
         "pack_sequences": r"""

@@ -35,6 +35,7 @@ __all__ = [
     "pack_sequences",
     "repetition_stats",
     "unigram_logprob",
+    "tfidf_top_terms",
     "training_corpus_prep",
     "LANG_MARKERS",
 ]
@@ -1033,6 +1034,113 @@ def unigram_logprob(sf_dir: str, top_v: int = 65536):
                 "nll_micro": pa.array(sums, pa.int64()),
                 "avg_nll_milli": pa.array(sums // (lens * 1000), pa.int64()),
             }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3, top_v: int = 65536):
+    """Corpus-level TF-IDF: per-document top-``k`` terms ranked by an
+    exact-integer tf·idf score.  Two passes, one broadcast, zero
+    per-doc shuffle:
+
+    1. **DF pass** — per batch, distinct (doc, term) pairs are counted
+       vectorized (composite ``doc × vocab`` keys, one ``np.unique``),
+       yielding vocab-sized partials; ``groupby(term).sum`` combines
+       them distributed, a per-block local top-``top_v`` caps what the
+       driver merges (the same bounded-vocab 100-TB path as
+       :func:`unigram_logprob` — terms outside the cap fall back to
+       df=1, i.e. max idf; at fixture scale the cap is never hit).
+    2. **Score pass** — the sorted (term, df) arrays broadcast once via
+       ``ray.put``; each batch computes tf locally, scores
+       ``tfidf_q = tf · n_docs // df`` in int64 (exact integer
+       arithmetic — no float idf, so the DuckDB oracle hashes
+       identically), and ranks per doc with a segmented ``lexsort``
+       (score desc, term asc), emitting rows with ``rnk ≤ k``.
+    """
+    from ray.data.aggregate import Sum
+
+    from crawl_ray.util import collect_table
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, flat, lens = _token_lists(batch)
+        if not len(flat):
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64()),
+                 "n_docs": pa.array([], pa.int64())}
+            )
+        doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+        vocab, inv = np.unique(flat, return_inverse=True)
+        pair = np.unique(doc_idx * len(vocab) + inv)  # distinct (doc, term)
+        term_id, df = np.unique(pair % len(vocab), return_counts=True)
+        n_docs = np.zeros(len(term_id), dtype=np.int64)
+        n_docs[0] = len(doc_ids)  # block doc count rides along in row 0
+        return pa.table(
+            {"term": pa.array(vocab[term_id], pa.string()),
+             "df": pa.array(df.astype(np.int64), pa.int64()),
+             "n_docs": pa.array(n_docs, pa.int64())}
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        df_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_docs = int(partials.sum("n_docs") or 0)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_numpy(zero_copy_only=False)
+        df = batch.column("sum(df)").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((terms, -df))[:top_v]
+        return pa.table(
+            {"term": pa.array(terms[order], pa.string()),
+             "df": pa.array(df[order], pa.int64())}
+        )
+
+    vt = collect_table(
+        partials.drop_columns(["n_docs"])
+        .groupby("term")
+        .aggregate(Sum("df"))
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    terms = vt.column("term").to_numpy(zero_copy_only=False)
+    dfs = vt.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((terms, -dfs))[:top_v]
+    terms, dfs = terms[order], dfs[order]
+    sidx = np.argsort(terms)
+    df_ref = ray.put({"terms": terms[sidx], "df": dfs[sidx]})
+
+    def score(batch: pa.Table) -> pa.Table:
+        dft = ray.get(df_ref)
+        doc_ids, flat, lens = _token_lists(batch)
+        if not len(flat):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "rnk": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "tfidf_q": pa.array([], pa.int64())}
+            )
+        doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+        vocab, inv = np.unique(flat, return_inverse=True)
+        uk, tf = np.unique(doc_idx * len(vocab) + inv, return_counts=True)
+        d = uk // len(vocab)
+        term_id = uk % len(vocab)
+        pos = np.clip(np.searchsorted(dft["terms"], vocab[term_id]),
+                      0, max(len(dft["terms"]) - 1, 0))
+        hit = dft["terms"][pos] == vocab[term_id] if len(dft["terms"]) else np.zeros(len(pos), bool)
+        df = np.where(hit, dft["df"][pos], 1).astype(np.int64)  # OOV ⇒ max idf
+        scr = (tf.astype(np.int64) * n_docs) // df
+        o = np.lexsort((vocab[term_id], -scr, d))
+        d, term_id, scr = d[o], term_id[o], scr[o]
+        seg = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        rnk = np.arange(len(d)) - np.repeat(seg, np.diff(np.r_[seg, len(d)])) + 1
+        keep = rnk <= k
+        return pa.table(
+            {"doc_id": pa.array(doc_ids[d[keep]], pa.int64()),
+             "rnk": pa.array(rnk[keep].astype(np.int64), pa.int64()),
+             "term": pa.array(vocab[term_id[keep]], pa.string()),
+             "tfidf_q": pa.array(scr[keep], pa.int64())}
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(

@@ -210,3 +210,28 @@ def test_stratified_sample_quota_and_order(tmp_path, ray_session):
     assert set(zip(out.doc_id.astype(int), out.lang)) == expect
     assert set(out.rk.astype(int)) == {1, 2}
     assert list(out.doc_id) == sorted(out.doc_id)
+
+
+def test_tfidf_top_terms_tiny(tiny_dir, ray_session):
+    """Exact-integer tf·idf on the hand corpus: n_docs=4;
+    df: a=2 b=2 c=1 x=1 tie=1 alpha=1 beta=1.  Rare terms outrank
+    frequent ones at equal tf; ties break by term asc."""
+    t = T.tfidf_top_terms(tiny_dir, k=2).to_pandas()
+    by = {(r.doc_id, r.rnk): (r.term, r.tfidf_q) for r in t.itertuples()}
+    # doc 0 "a b a b c": a,b tf=2 df=2 → 4; c tf=1 df=1 → 4; tie → a, b
+    assert by[(0, 1)] == ("a", 4) and by[(0, 2)] == ("b", 4)
+    # doc 1 "x": single term, tf=1 df=1 → 4
+    assert by[(1, 1)] == ("x", 4)
+    # doc 3: tie/alpha/beta tf=2 df=1 → 8 each; term asc → alpha, beta
+    assert by[(3, 1)] == ("alpha", 8) and by[(3, 2)] == ("beta", 8)
+
+
+def test_tfidf_top_v_cap_oov_fallback(tiny_dir, ray_session):
+    """With the broadcast vocab capped at 1 entry, every other term
+    falls back to df=1 (max idf) — the bounded-broadcast 100-TB path;
+    in-vocab scores are unchanged."""
+    capped = T.tfidf_top_terms(tiny_dir, k=2, top_v=1).to_pandas()
+    # cap keeps the term with max df, tie by term asc → "a" (df=2)
+    r = {(x.doc_id, x.term): x.tfidf_q for x in capped.itertuples()}
+    assert r[(0, "a")] == 4          # in-vocab: 2*4//2
+    assert r[(0, "b")] == 8          # OOV fallback: 2*4//1

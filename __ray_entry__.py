@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": CQ.extract_text_pipeline,
         "crawl_flagship": CQ.crawl_flagship,
         "web_corpus_prep": CQ.web_corpus_prep,
+        "anchor_text_index": CQ.anchor_text_index,
         "crawl_errors": CQ.crawl_errors,
         "crawl_metrics": CQ.crawl_metrics,
         "crawl_host_stats": CQ.crawl_host_stats,
@@ -266,6 +267,49 @@ def _crawl_oracle_sql() -> dict[str, str]:
             )
             SELECT url, n_tokens, cast(n_dups as bigint) AS n_dups
             FROM d WHERE rn = 1 ORDER BY url
+        """,
+        # anchor-text index: the fixture's links are template-regular, so
+        # href/anchor extraction is regex-expressible in SQL; relative
+        # hrefs (always host-rooted "/p/k") resolve against the source
+        # host, matching urljoin on these shapes
+        "anchor_text_index": f"""
+            WITH raw AS (
+                SELECT url,
+                       unnest(regexp_extract_all(decode(html),
+                           '<a href="([^"]*)">([^<]*)</a>', 1)) AS href,
+                       unnest(regexp_extract_all(decode(html),
+                           '<a href="([^"]*)">([^<]*)</a>', 2)) AS anchor
+                FROM read_parquet('{pages}')
+            ), links AS (
+                SELECT split_part(url, '/', 3) AS src_host,
+                       CASE WHEN href LIKE 'http%'
+                            THEN href
+                            ELSE 'http://' || split_part(url, '/', 3) || href
+                       END AS target,
+                       anchor
+                FROM raw
+            ), agg AS (
+                SELECT target, anchor, src_host,
+                       cast(count(*) as bigint) AS cnt
+                FROM links GROUP BY target, anchor, src_host
+            ), per_t AS (
+                SELECT target, cast(sum(cnt) as bigint) AS n_inlinks,
+                       cast(count(DISTINCT src_host) as bigint) AS n_src_hosts
+                FROM agg GROUP BY target
+            ), ta AS (
+                SELECT target, anchor, cast(sum(cnt) as bigint) AS acnt
+                FROM agg GROUP BY target, anchor
+            ), top AS (
+                SELECT target, anchor AS top_anchor, acnt AS top_anchor_cnt,
+                       row_number() OVER (
+                           PARTITION BY target ORDER BY acnt DESC, anchor
+                       ) AS rn
+                FROM ta
+            )
+            SELECT p.target, p.n_inlinks, p.n_src_hosts,
+                   t.top_anchor, t.top_anchor_cnt
+            FROM per_t p JOIN top t ON p.target = t.target AND t.rn = 1
+            ORDER BY p.target
         """,
         "crawl_errors": f"""
             SELECT error_kind, url

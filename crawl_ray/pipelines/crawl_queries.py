@@ -39,6 +39,7 @@ __all__ = [
     "forms_extract",
     "recrawl_schedule",
     "web_corpus_prep",
+    "anchor_text_index",
     "fixture_size_for",
 ]
 
@@ -427,4 +428,100 @@ def web_corpus_prep(sf_dir: str, min_tokens: int = 20):
         .groupby("text_hash")
         .map_groups(keep_first, batch_format="pyarrow")
         .sort("url")
+    )
+
+
+def anchor_text_index(sf_dir: str, n_parts: int = 64):
+    """Anchor-text index over the synthetic web — the webtext op that
+    turns a link graph into training signal (anchor-based query
+    generation, inlink-weighted quality priors): for every link TARGET,
+    the inlink count, the number of distinct source hosts, and the most
+    common anchor text (ties broken anchor-asc).
+
+    Scale shape: the extract pass emits per-batch PRE-AGGREGATED
+    (target, anchor, src_host) partial counts (one row per distinct
+    triple per batch, not one per link); the per-target combine is ONE
+    hash-partitioned shuffle keyed by ``hash(target) % n_parts`` whose
+    partition kernel is fully vectorized (composite-key ``np.unique`` +
+    ``bincount`` + segmented lexsort — no per-target Python), so hot
+    targets (every site's home page) cost the same as cold ones and
+    group-call overhead is ``n_parts``, not ``n_targets``.  Dangling
+    targets are indexed too — an anchor index describes what the web
+    SAYS about a URL, fetched or not.
+    """
+    from crawl_ray.dom import find
+    from crawl_ray.urlnorm import fnv1a64_batch
+
+    d = fixture_dir(fixture_size_for(sf_dir))
+
+    empty = pa.table(
+        {"target": pa.array([], pa.string()),
+         "anchor": pa.array([], pa.string()),
+         "src_host": pa.array([], pa.string()),
+         "cnt": pa.array([], pa.int64()),
+         "part": pa.array([], pa.int64())}
+    )
+
+    def extract_links(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        hosts, targets, anchors = [], [], []
+        for url, h in zip(urls, htmls):
+            resolve = H.node_resolve_url(url)
+            host = url.split("/", 3)[2]
+            for node in find(parse_html(h), "a"):
+                t = resolve(node)
+                if not t:
+                    continue
+                hosts.append(host)
+                targets.append(t)
+                anchors.append(H.node_text(node))
+        if not targets:
+            return empty
+        t = pa.table(
+            {"target": pa.array(targets, pa.string()),
+             "anchor": pa.array(anchors, pa.string()),
+             "src_host": pa.array(hosts, pa.string()),
+             "cnt": pa.array(np.ones(len(targets), np.int64))}
+        ).group_by(["target", "anchor", "src_host"]).aggregate([("cnt", "sum")])
+        t = t.rename_columns(["target", "anchor", "src_host", "cnt"])
+        part = fnv1a64_batch(t.column("target").to_pylist()) % np.uint64(n_parts)
+        return t.append_column("part", pa.array(part.astype(np.int64), pa.int64()))
+
+    def combine(group: pa.Table) -> pa.Table:
+        tg = group.column("target").to_numpy(zero_copy_only=False)
+        an = group.column("anchor").to_numpy(zero_copy_only=False)
+        sh = group.column("src_host").to_numpy(zero_copy_only=False)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        tgs, ti = np.unique(tg, return_inverse=True)
+        ans, ai = np.unique(an, return_inverse=True)
+        shs, si = np.unique(sh, return_inverse=True)
+        n_in = np.bincount(ti, weights=cnt, minlength=len(tgs)).astype(np.int64)
+        n_hosts = np.bincount(
+            np.unique(ti * len(shs) + si) // len(shs), minlength=len(tgs)
+        ).astype(np.int64)
+        uk, inv2 = np.unique(ti * len(ans) + ai, return_inverse=True)
+        acnt = np.bincount(inv2, weights=cnt).astype(np.int64)
+        t_of, a_of = uk // len(ans), uk % len(ans)
+        o = np.lexsort((a_of, -acnt, t_of))  # per target: cnt desc, anchor asc
+        t_s = t_of[o]
+        first = np.flatnonzero(np.r_[True, t_s[1:] != t_s[:-1]])
+        top_t = t_s[first]
+        return pa.table(
+            {"target": pa.array(tgs[top_t], pa.string()),
+             "n_inlinks": pa.array(n_in[top_t], pa.int64()),
+             "n_src_hosts": pa.array(n_hosts[top_t], pa.int64()),
+             "top_anchor": pa.array(ans[a_of[o][first]], pa.string()),
+             "top_anchor_cnt": pa.array(acnt[o][first], pa.int64())}
+        )
+
+    return (
+        ray.data.read_parquet(f"{d}/pages.parquet", columns=["url", "html"])
+        .map_batches(
+            extract_links, batch_format="pyarrow", batch_size=256,
+            zero_copy_batch=True,
+        )
+        .groupby("part")
+        .map_groups(combine, batch_format="pyarrow")
+        .sort("target")
     )

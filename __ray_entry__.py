@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": J.regional_revenue,
         "orders_bloom_semi": J.orders_bloom_semi,
         "customer_order_counts": J.customer_order_counts,
+        "large_volume_orders": J.large_volume_orders,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -819,6 +820,23 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
+        """,
+        "large_volume_orders": """
+            WITH s AS (
+                SELECT l_orderkey,
+                       cast(sum(cast(round(l_quantity * 100) as bigint))
+                            as bigint) AS sum_qty_cents
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(cast(round(l_quantity * 100) as bigint)) > 30000
+            )
+            SELECT o.o_orderkey, c.c_name,
+                   cast(round(o.o_totalprice * 100) as bigint) AS total_cents,
+                   s.sum_qty_cents
+            FROM s
+            JOIN orders o ON s.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY s.sum_qty_cents DESC, o.o_orderkey
+            LIMIT 100
         """,
         "top_terms_per_doc": r"""
             WITH toks AS (

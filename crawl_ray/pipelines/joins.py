@@ -51,6 +51,7 @@ __all__ = [
     "regional_revenue",
     "orders_bloom_semi",
     "customer_order_counts",
+    "large_volume_orders",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -711,4 +712,101 @@ def customer_order_counts(sf_dir: str, num_partitions: int | None = None):
     )
     return dist.sort_by(
         [("custdist", "descending"), ("c_count", "descending")]
+    )
+
+
+def large_volume_orders(
+    sf_dir: str,
+    qty_threshold_cents: int = 30_000,
+    k: int = 100,
+):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, with customer names — the **group-HAVING-then-join**
+    plan.  The expensive exchange is the per-orderkey quantity sum
+    (orders-sized groupby, fed batch-pre-aggregated partials); the
+    HAVING filter collapses it to a tiny survivor set, after which
+    nothing else shuffles: survivor orderkeys broadcast once to filter
+    orders map-side, the surviving custkeys broadcast once to filter
+    customer map-side, and the three tiny pieces join on the driver
+    (searchsorted) — the anti-pattern this avoids is hash-joining all
+    of orders and customer for a handful of output rows."""
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "q": _cents(batch.column("l_quantity")),
+            }
+        )
+        return t.group_by(["l_orderkey"]).aggregate([("q", "sum")]).rename_columns(
+            ["l_orderkey", "q"]
+        )
+
+    sums = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .sum("q")
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater(b.column("sum(q)"), qty_threshold_cents)
+            ).rename_columns(["l_orderkey", "sum_qty_cents"])
+            if b.num_rows
+            else pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "sum_qty_cents": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    surv = collect_table(sums)  # HAVING survivors: tiny by construction
+    if surv.num_rows == 0:
+        return pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "c_name": pa.array([], pa.string()),
+             "total_cents": pa.array([], pa.int64()),
+             "sum_qty_cents": pa.array([], pa.int64())}
+        )
+    skeys = np.sort(surv.column("l_orderkey").to_numpy(zero_copy_only=False))
+    skeys_ref = ray.put(skeys)
+
+    def filter_by(col: str, keys_ref):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(keys, vals), 0, len(keys) - 1)
+            return batch.filter(pa.array(keys[pos] == vals))
+        return f
+
+    orders_t = collect_table(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(filter_by("o_orderkey", skeys_ref), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+    ckeys = np.unique(orders_t.column("o_custkey").to_numpy(zero_copy_only=False))
+    ckeys_ref = ray.put(ckeys.astype(np.int64))
+    cust_t = collect_table(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(filter_by("c_custkey", ckeys_ref), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+    # driver-side assembly over the three bounded pieces
+    ok = orders_t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    oc = orders_t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sk = surv.column("l_orderkey").to_numpy(zero_copy_only=False)
+    sq = surv.column("sum_qty_cents").to_numpy(zero_copy_only=False)
+    so = np.argsort(sk)
+    sk, sq = sk[so], sq[so]
+    qty = sq[np.searchsorted(sk, ok)]
+    ck = cust_t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = cust_t.column("c_name").to_numpy(zero_copy_only=False)
+    co = np.argsort(ck)
+    names = cn[co][np.searchsorted(ck[co], oc)]
+    order = np.lexsort((ok, -qty))[:k]
+    return pa.table(
+        {"o_orderkey": pa.array(ok[order], pa.int64()),
+         "c_name": pa.array(names[order], pa.string()),
+         "total_cents": _cents(orders_t.column("o_totalprice").take(
+             pa.array(order, pa.int64()))),
+         "sum_qty_cents": pa.array(qty[order], pa.int64())}
     )

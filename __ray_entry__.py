@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute": SIM.knn_brute,
         "knn_ivf": SIM.knn_ivf,
+        "kmeans_embeddings": SIM.kmeans_embeddings,
         # multimodal plumbing
         "payload_stats": MM.payload_stats,
         "decode_images": MM.decode_images,
@@ -215,6 +216,80 @@ def _pagerank_sql(iterations: int = 3, k: int = 20) -> str:
                cast(rank as bigint) AS rank_micro
         FROM r{iterations}
         ORDER BY rank DESC, node LIMIT {k}
+    """
+    return sql
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 3) -> str:
+    """Unrolled-CTE oracle for ``similarity.kmeans_embeddings``:
+    identical exact-integer arithmetic (milli-quantized vectors, int
+    squared-L2, ties → lowest centroid, update = floor(sum/count),
+    empty cluster keeps its centroid), one assign/update CTE pair per
+    iteration in long (vec_id, dim, val) format."""
+    sql = f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> cast(round(cast(x as double) * 1000) as bigint)) AS v
+            FROM embeddings
+        ),
+        vl AS (
+            SELECT vec_id,
+                   unnest(range(1, len(v) + 1)) AS dim,
+                   unnest(v) AS val
+            FROM q
+        ),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+            FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {k})
+        ),
+        c0l AS (
+            SELECT c, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS val
+            FROM seeds
+        )"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+        d{i} AS (
+            SELECT vl.vec_id, cl.c,
+                   sum((vl.val - cl.val) * (vl.val - cl.val)) AS dist
+            FROM vl JOIN c{i - 1}l cl ON vl.dim = cl.dim
+            GROUP BY vl.vec_id, cl.c
+        ),
+        a{i} AS (
+            SELECT vec_id, c,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, c) AS rn
+            FROM d{i}
+        ),
+        s{i} AS (
+            SELECT a.c, vl.dim, sum(vl.val) AS s, count(*) AS n
+            FROM a{i} a JOIN vl ON vl.vec_id = a.vec_id
+            WHERE a.rn = 1
+            GROUP BY a.c, vl.dim
+        ),
+        c{i}l AS (
+            SELECT p.c, p.dim,
+                   coalesce(cast(floor(cast(s.s as double) / s.n) as bigint),
+                            p.val) AS val
+            FROM c{i - 1}l p
+            LEFT JOIN s{i} s ON s.c = p.c AND s.dim = p.dim
+        )"""
+    sql += f""",
+        df AS (
+            SELECT vl.vec_id, cl.c,
+                   sum((vl.val - cl.val) * (vl.val - cl.val)) AS dist
+            FROM vl JOIN c{iterations}l cl ON vl.dim = cl.dim
+            GROUP BY vl.vec_id, cl.c
+        )
+        SELECT vec_id, cast(c as bigint) AS cluster,
+               cast(dist as bigint) AS dist_q
+        FROM (
+            SELECT vec_id, c, dist,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, c) AS rn
+            FROM df
+        )
+        WHERE rn = 1 ORDER BY vec_id
     """
     return sql
 
@@ -520,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue_cc DESC, c_custkey LIMIT 20
         """,
         "supplier_pagerank": _pagerank_sql(),
+        "kmeans_embeddings": _kmeans_sql(),
         # distributed anti-join (native left_anti hash join)
         "customers_without_urgent_orders": """
             SELECT c_custkey, c_name,

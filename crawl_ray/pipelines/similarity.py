@@ -26,7 +26,7 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     """DuckDB-compatible rounding (numpy's round is half-to-even)."""
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
-__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector"]
+__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings"]
 
 
 def _emb(sf_dir: str):
@@ -218,3 +218,124 @@ def knn_ivf(
             ),
         }
     )
+
+
+def _quant_batch(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids int64, quantized int64 matrix): embeddings → integer
+    milli-units via Arrow's half-towards-infinity round, the exact
+    arithmetic the DuckDB oracle's ``round(x * 1000)`` performs (f32 →
+    f64 is exact, ×1000 is the same double op in both engines)."""
+    import pyarrow.compute as pc_
+
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc_.cast(
+        pc_.round(
+            pc_.multiply(pc_.cast(col.flatten(), pa.float64()), 1000.0),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    return ids, flat.reshape(len(ids), -1)
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iterations: int = 3) -> pa.Table:
+    """Distributed Lloyd's k-means over the embedding corpus — the
+    semantic-clustering primitive (domain mixing, semantic dedup,
+    cluster-balanced sampling) as an iterative Ray Data pipeline.
+
+    All arithmetic is exact-integer so the unrolled-CTE DuckDB oracle
+    hashes identically: embeddings quantize to int64 milli-units,
+    distances are int64 squared-L2 (ties → lowest centroid index),
+    centroid updates are floor(sum / count) with empty clusters keeping
+    their previous centroid.  Seeds are the ``k`` smallest ``vec_id``
+    vectors.
+
+    Scale shape: the quantized corpus materializes ONCE (Ray blocks,
+    spillable) and every iteration is a single ``map_batches`` pass —
+    centroids broadcast via ``ray.put`` (k×dim ints), each batch emits
+    one (k × dim sums, k counts) partial, and the driver combine is
+    O(k·dim·blocks), independent of corpus size.  Assignment uses the
+    ‖x‖²−2x·Cᵀ+‖C‖² int64 matmul (exact; no per-row Python).
+    """
+    qds = _emb(sf_dir).map_batches(
+        lambda b: (lambda ids, m: pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "q": pa.FixedSizeListArray.from_arrays(
+                 pa.array(m.reshape(-1), pa.int64()), m.shape[1])}
+        ))(*_quant_batch(b)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def _mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column("q")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)
+        return ids, m.astype(np.int64)
+
+    seed_t = collect_table(qds.sort("vec_id").limit(k))
+    _, cent = _mat(seed_t)
+
+    def assign(m: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        d = (
+            (m * m).sum(axis=1, dtype=np.int64)[:, None]
+            - 2 * (m @ C.T)
+            + (C * C).sum(axis=1, dtype=np.int64)[None, :]
+        )
+        a = np.argmin(d, axis=1)  # first min = lowest index, ≡ oracle tie-break
+        return a, d[np.arange(len(a)), a]
+
+    dim = cent.shape[1]
+    for _ in range(iterations):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            C = ray.get(cent_ref)
+            _, m = _mat(batch)
+            a, _d = assign(m, C)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, a, m)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {"c": pa.array(np.arange(k), pa.int64()),
+                 "n": pa.array(n, pa.int64()),
+                 "s": pa.FixedSizeListArray.from_arrays(
+                     pa.array(sums.reshape(-1), pa.int64()), dim)}
+            )
+
+        pt = collect_table(
+            qds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        cs = pt.column("c").to_numpy(zero_copy_only=False)
+        ns = pt.column("n").to_numpy(zero_copy_only=False)
+        ss = pt.column("s").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ).reshape(len(cs), dim)
+        tot_n = np.bincount(cs, weights=ns, minlength=k).astype(np.int64)
+        tot_s = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(tot_s, cs, ss)
+        nz = tot_n > 0
+        new_cent = cent.copy()
+        new_cent[nz] = tot_s[nz] // tot_n[nz, None]  # floor div ≡ oracle floor()
+        cent = new_cent
+
+    cent_ref = ray.put(cent)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cent_ref)
+        ids, m = _mat(batch)
+        a, d = assign(m, C)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "cluster": pa.array(a.astype(np.int64), pa.int64()),
+             "dist_q": pa.array(d, pa.int64())}
+        )
+
+    return qds.map_batches(
+        final_assign, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("vec_id")

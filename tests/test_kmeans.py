@@ -1,0 +1,54 @@
+"""Edge tests for the distributed k-means operator (corpus-scale
+DuckDB-oracle parity is in tests/test_queries_oracle.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from crawl_ray.pipelines.similarity import kmeans_embeddings
+
+
+@pytest.fixture(scope="module")
+def tiny_emb_dir(tmp_path_factory):
+    # two tight groups far apart; seeds = vec_ids 0,1,2 → centroid 1
+    # (point [10,10]) loses all its points to centroid 2 ([11,11]'s
+    # group pulls the mean) unless... constructed so cluster 1 goes
+    # EMPTY after iteration 1: seeds 0=[0,0], 1=[0.001,0], 2=[10,10];
+    # all near-origin points sit closest to seed 0 or 1, the far group
+    # to 2; after the update c0/c1 both sit near origin, far group
+    # stays at 2 — then make c1's single member defect: it is closer
+    # to updated c0 → c1 empty at iteration 2, must KEEP its centroid.
+    vecs = [
+        [0.0, 0.0],       # 0 seed c0
+        [0.001, 0.0],     # 1 seed c1 (defects to c0 after update)
+        [10.0, 10.0],     # 2 seed c2
+        [0.0, 0.001],     # 3 → c0
+        [10.0, 10.001],   # 4 → c2
+    ]
+    d = tmp_path_factory.mktemp("tiny_emb")
+    pq.write_table(
+        pa.table(
+            {"vec_id": pa.array(range(len(vecs)), pa.int64()),
+             "embedding": pa.array(vecs, pa.list_(pa.float32()))}
+        ),
+        d / "embeddings.parquet",
+    )
+    return str(d)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(tiny_emb_dir, ray_session):
+    t = kmeans_embeddings(tiny_emb_dir, k=3, iterations=3).to_pandas()
+    by = dict(zip(t.vec_id, t.cluster))
+    # far group stable on c2, near-origin group coalesces on one
+    # centroid; the run must complete with k=3 despite an empty cluster
+    assert by[2] == 2 and by[4] == 2
+    assert by[0] == by[3]
+    assert len(t) == 5
+    assert (t.dist_q >= 0).all()
+
+
+def test_kmeans_deterministic(ray_session):
+    a = kmeans_embeddings("/root/testdata/sf0.001").to_pandas()
+    b = kmeans_embeddings("/root/testdata/sf0.001").to_pandas()
+    assert a.equals(b)

@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": SIM.knn_brute,
         "knn_ivf": SIM.knn_ivf,
         "kmeans_embeddings": SIM.kmeans_embeddings,
+        "semantic_dedup": SIM.semantic_dedup,
         # multimodal plumbing
         "payload_stats": MM.payload_stats,
         "decode_images": MM.decode_images,
@@ -220,7 +221,7 @@ def _pagerank_sql(iterations: int = 3, k: int = 20) -> str:
     return sql
 
 
-def _kmeans_sql(k: int = 8, iterations: int = 3) -> str:
+def _kmeans_cte(k: int = 8, iterations: int = 3) -> str:
     """Unrolled-CTE oracle for ``similarity.kmeans_embeddings``:
     identical exact-integer arithmetic (milli-quantized vectors, int
     squared-L2, ties → lowest centroid, update = floor(sum/count),
@@ -280,18 +281,50 @@ def _kmeans_sql(k: int = 8, iterations: int = 3) -> str:
                    sum((vl.val - cl.val) * (vl.val - cl.val)) AS dist
             FROM vl JOIN c{iterations}l cl ON vl.dim = cl.dim
             GROUP BY vl.vec_id, cl.c
-        )
+        ),
+        fin AS (
+            SELECT vec_id, c, dist
+            FROM (
+                SELECT vec_id, c, dist,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dist, c) AS rn
+                FROM df
+            )
+            WHERE rn = 1
+        )"""
+    return sql
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 3) -> str:
+    return _kmeans_cte(k, iterations) + """
         SELECT vec_id, cast(c as bigint) AS cluster,
                cast(dist as bigint) AS dist_q
-        FROM (
-            SELECT vec_id, c, dist,
-                   row_number() OVER (
-                       PARTITION BY vec_id ORDER BY dist, c) AS rn
-            FROM df
-        )
-        WHERE rn = 1 ORDER BY vec_id
+        FROM fin ORDER BY vec_id
     """
-    return sql
+
+
+def _semantic_dedup_sql(
+    k: int = 8, iterations: int = 3, thr_q: int = 1_200_000
+) -> str:
+    """SemDeDup oracle: the k-means CTE chain, then within-cluster
+    pairs (long-format dim join) — a vector is kept iff no
+    smaller-vec_id same-cluster vector sits within ``thr_q``."""
+    return _kmeans_cte(k, iterations) + f""",
+        dd AS (
+            SELECT b.vec_id AS vid
+            FROM fin a
+            JOIN fin b ON a.c = b.c AND a.vec_id < b.vec_id
+            JOIN vl x ON x.vec_id = a.vec_id
+            JOIN vl y ON y.vec_id = b.vec_id AND y.dim = x.dim
+            GROUP BY a.vec_id, b.vec_id
+            HAVING sum((x.val - y.val) * (x.val - y.val)) <= {thr_q}
+        )
+        SELECT f.vec_id, cast(f.c as bigint) AS cluster,
+               (d.vid IS NULL) AS kept
+        FROM fin f
+        LEFT JOIN (SELECT DISTINCT vid FROM dd) d ON d.vid = f.vec_id
+        ORDER BY f.vec_id
+    """
 
 
 def _crawl_oracle_sql() -> dict[str, str]:
@@ -596,6 +629,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_pagerank": _pagerank_sql(),
         "kmeans_embeddings": _kmeans_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         # distributed anti-join (native left_anti hash join)
         "customers_without_urgent_orders": """
             SELECT c_custkey, c_name,

@@ -26,7 +26,7 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     """DuckDB-compatible rounding (numpy's round is half-to-even)."""
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
-__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings"]
+__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup"]
 
 
 def _emb(sf_dir: str):
@@ -241,25 +241,38 @@ def _quant_batch(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, flat.reshape(len(ids), -1)
 
 
-def kmeans_embeddings(sf_dir: str, k: int = 8, iterations: int = 3) -> pa.Table:
-    """Distributed Lloyd's k-means over the embedding corpus — the
-    semantic-clustering primitive (domain mixing, semantic dedup,
-    cluster-balanced sampling) as an iterative Ray Data pipeline.
+def _mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, int64 matrix) from a quantized (vec_id, q) batch."""
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    col = batch.column("q")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    m = col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)
+    return ids, m.astype(np.int64)
 
-    All arithmetic is exact-integer so the unrolled-CTE DuckDB oracle
-    hashes identically: embeddings quantize to int64 milli-units,
-    distances are int64 squared-L2 (ties → lowest centroid index),
-    centroid updates are floor(sum / count) with empty clusters keeping
-    their previous centroid.  Seeds are the ``k`` smallest ``vec_id``
-    vectors.
+
+def _assign(m: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact int64 squared-L2 assignment; first-min ≡ lowest centroid
+    index, the oracle's ``ORDER BY dist, c`` tie-break."""
+    d = (
+        (m * m).sum(axis=1, dtype=np.int64)[:, None]
+        - 2 * (m @ C.T)
+        + (C * C).sum(axis=1, dtype=np.int64)[None, :]
+    )
+    a = np.argmin(d, axis=1)
+    return a, d[np.arange(len(a)), a]
+
+
+def _kmeans_fit(sf_dir: str, k: int, iterations: int):
+    """Shared Lloyd's fit: returns (quantized Dataset, final centroids).
 
     Scale shape: the quantized corpus materializes ONCE (Ray blocks,
     spillable) and every iteration is a single ``map_batches`` pass —
     centroids broadcast via ``ray.put`` (k×dim ints), each batch emits
     one (k × dim sums, k counts) partial, and the driver combine is
-    O(k·dim·blocks), independent of corpus size.  Assignment uses the
-    ‖x‖²−2x·Cᵀ+‖C‖² int64 matmul (exact; no per-row Python).
-    """
+    O(k·dim·blocks), independent of corpus size.  Seeds are the ``k``
+    smallest ``vec_id`` vectors; centroid updates are floor(sum/count)
+    with empty clusters keeping their previous centroid."""
     qds = _emb(sf_dir).map_batches(
         lambda b: (lambda ids, m: pa.table(
             {"vec_id": pa.array(ids, pa.int64()),
@@ -270,26 +283,8 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iterations: int = 3) -> pa.Table:
         zero_copy_batch=True,
     ).materialize()
 
-    def _mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        col = batch.column("q")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        m = col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)
-        return ids, m.astype(np.int64)
-
     seed_t = collect_table(qds.sort("vec_id").limit(k))
     _, cent = _mat(seed_t)
-
-    def assign(m: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        d = (
-            (m * m).sum(axis=1, dtype=np.int64)[:, None]
-            - 2 * (m @ C.T)
-            + (C * C).sum(axis=1, dtype=np.int64)[None, :]
-        )
-        a = np.argmin(d, axis=1)  # first min = lowest index, ≡ oracle tie-break
-        return a, d[np.arange(len(a)), a]
-
     dim = cent.shape[1]
     for _ in range(iterations):
         cent_ref = ray.put(cent)
@@ -297,7 +292,7 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iterations: int = 3) -> pa.Table:
         def partial(batch: pa.Table) -> pa.Table:
             C = ray.get(cent_ref)
             _, m = _mat(batch)
-            a, _d = assign(m, C)
+            a, _d = _assign(m, C)
             sums = np.zeros((k, dim), dtype=np.int64)
             np.add.at(sums, a, m)
             n = np.bincount(a, minlength=k).astype(np.int64)
@@ -324,12 +319,27 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iterations: int = 3) -> pa.Table:
         new_cent[nz] = tot_s[nz] // tot_n[nz, None]  # floor div ≡ oracle floor()
         cent = new_cent
 
+    return qds, cent
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iterations: int = 3) -> pa.Table:
+    """Distributed Lloyd's k-means over the embedding corpus — the
+    semantic-clustering primitive (domain mixing, semantic dedup,
+    cluster-balanced sampling) as an iterative Ray Data pipeline.
+
+    All arithmetic is exact-integer so the unrolled-CTE DuckDB oracle
+    hashes identically: embeddings quantize to int64 milli-units,
+    distances are int64 squared-L2 (ties → lowest centroid index),
+    centroid updates are floor(sum / count) with empty clusters keeping
+    their previous centroid (see :func:`_kmeans_fit` for the scale
+    shape)."""
+    qds, cent = _kmeans_fit(sf_dir, k, iterations)
     cent_ref = ray.put(cent)
 
     def final_assign(batch: pa.Table) -> pa.Table:
         C = ray.get(cent_ref)
         ids, m = _mat(batch)
-        a, d = assign(m, C)
+        a, d = _assign(m, C)
         return pa.table(
             {"vec_id": pa.array(ids, pa.int64()),
              "cluster": pa.array(a.astype(np.int64), pa.int64()),
@@ -339,3 +349,62 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iterations: int = 3) -> pa.Table:
     return qds.map_batches(
         final_assign, batch_format="pyarrow", zero_copy_batch=True
     ).sort("vec_id")
+
+
+def semantic_dedup(
+    sf_dir: str,
+    k: int = 8,
+    iterations: int = 3,
+    thr_q: int = 1_200_000,
+) -> pa.Table:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): fit
+    k-means, then search for near-duplicates ONLY within each cluster —
+    the trick that turns the quadratic all-pairs scan into k local
+    problems.  A vector is ``kept`` unless some SMALLER-``vec_id``
+    vector in its cluster sits within squared-L2 ``thr_q`` (keep-first
+    representative; deterministic, order-free).
+
+    Scale shape: one ``groupby(cluster)`` shuffle; the per-cluster
+    kernel is a single int64 gram-matrix (no per-pair Python).  The
+    partitioning assumption — a cluster fits one worker — is the same
+    one SemDeDup makes (size k to corpus/k ≈ block size); at 100 TB,
+    oversized clusters sub-split by re-running k-means within them.
+    """
+    qds, cent = _kmeans_fit(sf_dir, k, iterations)
+    cent_ref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        C = ray.get(cent_ref)
+        ids, m = _mat(batch)
+        a, _d = _assign(m, C)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "cluster": pa.array(a.astype(np.int64), pa.int64()),
+             "q": batch.column("q")}
+        )
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        ids, m = _mat(group)
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        d = (
+            (m * m).sum(axis=1, dtype=np.int64)[:, None]
+            - 2 * (m @ m.T)
+            + (m * m).sum(axis=1, dtype=np.int64)[None, :]
+        )
+        near = d <= thr_q
+        # kept ⇔ no smaller-vec_id neighbor within thr (strict lower tri)
+        dup = np.tril(near, k=-1).any(axis=1)
+        cl = group.column("cluster").to_numpy(zero_copy_only=False)[order]
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+             "kept": pa.array(~dup, pa.bool_())}
+        )
+
+    return (
+        qds.map_batches(assign_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+        .sort("vec_id")
+    )

@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": SIM.knn_ivf,
         "kmeans_embeddings": SIM.kmeans_embeddings,
         "semantic_dedup": SIM.semantic_dedup,
+        "cluster_balanced_sample": SIM.cluster_balanced_sample,
         # multimodal plumbing
         "payload_stats": MM.payload_stats,
         "decode_images": MM.decode_images,
@@ -630,6 +631,18 @@ def oracle_sql() -> dict[str, str]:
         "supplier_pagerank": _pagerank_sql(),
         "kmeans_embeddings": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "cluster_balanced_sample": _kmeans_cte() + """
+            SELECT vec_id, cast(c as bigint) AS cluster,
+                   cast(rk as bigint) AS rk
+            FROM (
+                SELECT vec_id, c,
+                       row_number() OVER (
+                           PARTITION BY c
+                           ORDER BY (vec_id * 2654435761) % 4294967296,
+                                    vec_id) AS rk
+                FROM fin
+            ) WHERE rk <= 20 ORDER BY cluster, rk
+        """,
         # distributed anti-join (native left_anti hash join)
         "customers_without_urgent_orders": """
             SELECT c_custkey, c_name,

@@ -26,7 +26,7 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     """DuckDB-compatible rounding (numpy's round is half-to-even)."""
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
-__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup"]
+__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup", "cluster_balanced_sample"]
 
 
 def _emb(sf_dir: str):
@@ -407,4 +407,65 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(dedup_cluster, batch_format="pyarrow")
         .sort("vec_id")
+    )
+
+
+def cluster_balanced_sample(
+    sf_dir: str,
+    k: int = 8,
+    iterations: int = 3,
+    quota: int = 20,
+) -> pa.Table:
+    """Cluster-balanced corpus sampling: after the k-means fit, keep at
+    most ``quota`` vectors per cluster, chosen by a deterministic
+    multiplicative hash of ``vec_id`` (same sample on every run /
+    partitioning / cluster size) — the semantic-diversity analog of
+    :func:`textops.stratified_sample`'s per-language quota.
+
+    Scale shape: the assignment pass emits per-batch PARTIAL top-quota
+    rows per cluster (vectorized segmented rank), so the driver merge
+    is bounded by k × quota × blocks, never corpus-sized."""
+    from crawl_ray.pipelines.textops import SAMPLE_MODULUS, SAMPLE_MULT
+
+    qds, cent = _kmeans_fit(sf_dir, k, iterations)
+    cent_ref = ray.put(cent)
+
+    def _rank_keep(ids, cl, h, cap):
+        o = np.lexsort((ids, h, cl))
+        cl_s = cl[o]
+        seg = np.flatnonzero(np.r_[True, cl_s[1:] != cl_s[:-1]])
+        rnk = (
+            np.arange(len(cl_s))
+            - np.repeat(seg, np.diff(np.r_[seg, len(cl_s)]))
+            + 1
+        )
+        keep = rnk <= cap
+        return o[keep], rnk[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        C = ray.get(cent_ref)
+        ids, m = _mat(batch)
+        a, _d = _assign(m, C)
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * np.uint64(SAMPLE_MULT)) % np.uint64(
+                SAMPLE_MODULUS
+            )
+        kept, _ = _rank_keep(ids, a, h, quota)
+        return pa.table(
+            {"vec_id": pa.array(ids[kept], pa.int64()),
+             "cluster": pa.array(a[kept].astype(np.int64), pa.int64()),
+             "h": pa.array(h[kept].astype(np.int64), pa.int64())}
+        )
+
+    parts = collect_table(
+        qds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    ids = parts.column("vec_id").to_numpy(zero_copy_only=False)
+    cl = parts.column("cluster").to_numpy(zero_copy_only=False)
+    h = parts.column("h").to_numpy(zero_copy_only=False)
+    kept, rnk = _rank_keep(ids, cl, h, quota)
+    return pa.table(
+        {"vec_id": pa.array(ids[kept], pa.int64()),
+         "cluster": pa.array(cl[kept], pa.int64()),
+         "rk": pa.array(rnk.astype(np.int64), pa.int64())}
     )

@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_flagship": CQ.crawl_flagship,
         "web_corpus_prep": CQ.web_corpus_prep,
         "anchor_text_index": CQ.anchor_text_index,
+        "crawl_depth_histogram": CQ.crawl_depth_histogram,
         "crawl_errors": CQ.crawl_errors,
         "crawl_metrics": CQ.crawl_metrics,
         "crawl_host_stats": CQ.crawl_host_stats,
@@ -425,6 +426,12 @@ def _crawl_oracle_sql() -> dict[str, str]:
             SELECT error_kind, url
             FROM read_parquet('{web}/errors.parquet')
             ORDER BY error_kind, url
+        """,
+        "crawl_depth_histogram": f"""
+            SELECT cast(depth as bigint) AS depth,
+                   cast(count(*) as bigint) AS n_records
+            FROM read_parquet('{web}/records.parquet')
+            GROUP BY depth ORDER BY depth
         """,
         "crawl_metrics": f"""
             SELECT {metric_cols}

@@ -40,6 +40,7 @@ __all__ = [
     "recrawl_schedule",
     "web_corpus_prep",
     "anchor_text_index",
+    "crawl_depth_histogram",
     "fixture_size_for",
 ]
 
@@ -525,3 +526,43 @@ def anchor_text_index(sf_dir: str, n_parts: int = 64):
         .map_groups(combine, batch_format="pyarrow")
         .sort("target")
     )
+
+
+def crawl_depth_histogram(sf_dir: str):
+    """BFS-depth histogram over the record sink (A1 companion view —
+    the convergence profile of the frontier: how much of the crawl each
+    hop contributes, and how many distinct pages it reached).  Same
+    partial-combine shape as :func:`crawl_host_stats`: per-block Arrow
+    group_by over the records parquet shards, tiny driver combine (the
+    depth domain is the round count)."""
+    result = _run_flagship_cached(sf_dir)
+    files = sorted(
+        str(f)
+        for f in pathlib.Path(result.workdir).glob("round=*/records/*.parquet")
+    )
+    if not files:
+        return pa.table(
+            {"depth": pa.array([], pa.int64()),
+             "n_records": pa.array([], pa.int64())}
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "depth": batch.column("depth").cast(pa.int64()),
+                "n_records": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        g = t.group_by(["depth"]).aggregate([("n_records", "sum")])
+        return g.rename_columns(["depth", "n_records"])
+
+    from crawl_ray.util import collect_table
+
+    parts = collect_table(
+        ray.data.read_parquet(files, columns=["depth"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    out = parts.group_by(["depth"]).aggregate([("n_records", "sum")])
+    out = out.rename_columns(["depth", "n_records"])
+    return out.sort_by("depth")

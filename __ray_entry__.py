@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute": SIM.knn_brute,
         "knn_ivf": SIM.knn_ivf,
+        "knn_batch": SIM.knn_batch,
         "kmeans_embeddings": SIM.kmeans_embeddings,
         "semantic_dedup": SIM.semantic_dedup,
         "cluster_balanced_sample": SIM.cluster_balanced_sample,
@@ -1284,6 +1285,26 @@ def oracle_sql() -> dict[str, str]:
                    vec_id,
                    cast(round(sim * 1000) as bigint) AS cos_milli
             FROM s ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "knn_batch": """
+            WITH qs AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 8
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS sim
+                FROM embeddings e CROSS JOIN qs q
+                WHERE e.vec_id <> q.query_id
+            ), r AS (
+                SELECT query_id, vec_id, sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id) AS rank
+                FROM s
+            )
+            SELECT query_id, cast(rank as bigint) AS rank, vec_id,
+                   cast(round(sim * 1000) as bigint) AS cos_milli
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank
         """,
     })
     out.update(_multimodal_oracle_sql())

@@ -26,7 +26,7 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     """DuckDB-compatible rounding (numpy's round is half-to-even)."""
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
-__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup", "cluster_balanced_sample"]
+__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup", "cluster_balanced_sample", "knn_batch"]
 
 
 def _emb(sf_dir: str):
@@ -468,4 +468,69 @@ def cluster_balanced_sample(
         {"vec_id": pa.array(ids[kept], pa.int64()),
          "cluster": pa.array(cl[kept], pa.int64()),
          "rk": pa.array(rnk.astype(np.int64), pa.int64())}
+    )
+
+
+def knn_batch(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
+    """Batched ANN: top-``k`` cosine neighbors for ``n_queries`` query
+    vectors AT ONCE — the production retrieval shape (dedup against a
+    seed set, eval-set contamination, RAG backfill) where per-query
+    scans would read the corpus Q times.
+
+    Scale shape: the query matrix broadcasts once (``ray.put``); each
+    batch computes ONE (rows × Q) matmul and emits its local top-k per
+    query, so the driver merge is bounded by Q × k × blocks.  Self-hits
+    (vec_id == query id) are excluded."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    import pyarrow.compute as pc_
+
+    order = pc_.sort_indices(t.column("vec_id"))[:n_queries]
+    qt = t.take(order)
+    q_ids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = _unit(np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64))
+    q_ref = ray.put((q_ids, Q))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, Qm = ray.get(q_ref)
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = _unit(mat) @ Qm.T  # rows × Q
+        sims[ids[:, None] == qids[None, :]] = -np.inf  # self-hits out
+        take = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        part = np.argpartition(-sims, take - 1, axis=0)[:take]  # take × Q
+        for j in range(len(qids)):
+            rows = part[:, j]
+            out_q.append(np.full(take, qids[j], dtype=np.int64))
+            out_id.append(ids[rows])
+            out_s.append(sims[rows, j])
+        return pa.table(
+            {"query_id": pa.array(np.concatenate(out_q), pa.int64()),
+             "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+             "cos_sim": pa.array(np.concatenate(out_s), pa.float64())}
+        )
+
+    parts = collect_table(
+        _emb(sf_dir).map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    qs = parts.column("query_id").to_numpy(zero_copy_only=False)
+    ids = parts.column("vec_id").to_numpy(zero_copy_only=False)
+    sims = parts.column("cos_sim").to_numpy(zero_copy_only=False)
+    o = np.lexsort((ids, -sims, qs))
+    qs, ids, sims = qs[o], ids[o], sims[o]
+    seg = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    rnk = np.arange(len(qs)) - np.repeat(seg, np.diff(np.r_[seg, len(qs)])) + 1
+    keep = rnk <= k
+    return pa.table(
+        {"query_id": pa.array(qs[keep], pa.int64()),
+         "rank": pa.array(rnk[keep].astype(np.int64), pa.int64()),
+         "vec_id": pa.array(ids[keep], pa.int64()),
+         "cos_milli": pa.array(
+             _round_half_away(sims[keep] * 1000).astype(np.int64), pa.int64())}
     )

@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": T.repetition_stats,
         "unigram_logprob": T.unigram_logprob,
         "tfidf_top_terms": T.tfidf_top_terms,
+        "bpe_token_stats": T.bpe_token_stats,
         "training_corpus_prep": T.training_corpus_prep,
         # dedup family
         "exact_dedup": DD.exact_dedup,
@@ -987,6 +988,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(rnk as bigint) AS rnk, term,
                    cast(cnt as bigint) AS cnt
             FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        "bpe_token_stats": """
+            SELECT doc_id,
+                   cast(len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) as bigint)
+                       AS n_bpe_tokens,
+                   cast(len(regexp_extract_all(text, ' ?[A-Za-z]+'))
+                       as bigint) AS n_word_tokens,
+                   cast(len(regexp_extract_all(text, ' ?[0-9]+'))
+                       as bigint) AS n_num_tokens
+            FROM documents ORDER BY doc_id
         """,
         "tfidf_top_terms": r"""
             WITH toks AS (

@@ -36,6 +36,7 @@ __all__ = [
     "repetition_stats",
     "unigram_logprob",
     "tfidf_top_terms",
+    "bpe_token_stats",
     "training_corpus_prep",
     "LANG_MARKERS",
 ]
@@ -1038,6 +1039,39 @@ def unigram_logprob(sf_dir: str, top_v: int = 65536):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# GPT-2-style pre-tokenizer, simplified to an RE2 subset that Arrow and
+# DuckDB evaluate identically: a token is an optional leading space plus
+# a letter run, a digit run, or a punctuation run
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_stats(sf_dir: str):
+    """BPE-ish token counting (the second tokenizer a corpus pipeline
+    needs besides whitespace: pre-tokenizer-granularity budgets for
+    sequence packing / cost estimates).  Pure Arrow regex kernels —
+    ``count_substring_regex`` per sub-class, zero Python per row; the
+    pattern is RE2-compatible so the DuckDB oracle's
+    ``regexp_extract_all`` counts the exact same matches."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_bpe_tokens": pc.count_substring_regex(
+                    text, BPE_ISH_PATTERN).cast(pa.int64()),
+                "n_word_tokens": pc.count_substring_regex(
+                    text, r" ?[A-Za-z]+").cast(pa.int64()),
+                "n_num_tokens": pc.count_substring_regex(
+                    text, r" ?[0-9]+").cast(pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

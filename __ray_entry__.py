@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join_bucketed": S.events_asof_join_bucketed,
         "events_sliding_window": S.events_sliding_window,
         "events_rolling_sum": S.events_rolling_sum,
+        "events_funnel": S.events_funnel,
         "events_lead_lag": S.events_lead_lag,
         "sessionize": S.sessionize,
         "sessionize_bucketed": S.sessionize_bucketed,
@@ -952,6 +953,36 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
+        """,
+        "events_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN v ON v.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t1
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN c ON c.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                GROUP BY e.user_id
+            ), u AS (SELECT DISTINCT user_id FROM events),
+            st AS (
+                SELECT u.user_id,
+                       CASE WHEN p.user_id IS NOT NULL THEN 3
+                            WHEN c.user_id IS NOT NULL THEN 2
+                            WHEN v.user_id IS NOT NULL THEN 1
+                            ELSE 0 END AS stage
+                FROM u
+                LEFT JOIN v ON v.user_id = u.user_id
+                LEFT JOIN c ON c.user_id = u.user_id
+                LEFT JOIN p ON p.user_id = u.user_id
+            )
+            SELECT cast(stage as bigint) AS stage,
+                   cast(count(*) as bigint) AS n_users
+            FROM st GROUP BY stage ORDER BY stage
         """,
         "large_volume_orders": """
             WITH s AS (

@@ -42,6 +42,7 @@ __all__ = [
     "events_asof_join_bucketed",
     "events_lead_lag",
     "events_rolling_sum",
+    "events_funnel",
     "events_sliding_window",
     "sessionize",
     "sessionize_bucketed",
@@ -836,3 +837,98 @@ def sessionize_bucketed(sf_dir: str, bucket_us: int = 86_400_000_000) -> pa.Tabl
         .map_groups(stitch, batch_format="pyarrow")
     )
     return sessions.sort(["user_id", "session_idx"])
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _funnel_kernel(uid: np.ndarray, ts: np.ndarray, kind: np.ndarray):
+    """Whole-partition funnel: per user, t1 = first 'view', t2 = first
+    'click' strictly after t1, t3 = first 'purchase' strictly after t2
+    (stage boundaries are µs values, so duplicate timestamps behave
+    identically to the SQL ``e.ts > boundary`` join).  One lexsort +
+    three masked ``minimum.reduceat`` passes — no per-user Python.
+    Returns (users, stage) with stage ∈ {0, 1, 2, 3}."""
+    order = np.lexsort((ts, uid))
+    uid, ts, kind = uid[order], ts[order], kind[order]
+    starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+    users = uid[starts]
+    big = np.iinfo(np.int64).max
+
+    def first_after(mask: np.ndarray, bound_row: np.ndarray) -> np.ndarray:
+        masked = np.where(mask & (ts > bound_row), ts, big)
+        return np.minimum.reduceat(masked, starts)
+
+    runlens = np.diff(np.r_[starts, len(uid)])
+    neg = np.full(len(uid), -1, dtype=np.int64)  # every real µs ts > -1
+    t1 = first_after(kind == 0, neg)
+    t2 = first_after(kind == 1, np.repeat(t1, runlens))
+    t3 = first_after(kind == 2, np.repeat(t2, runlens))
+    stage = (t1 < big).astype(np.int64) + (t2 < big) + (t3 < big)
+    return users, stage
+
+
+def events_funnel(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
+    """Conversion funnel (view → click → purchase, strictly ordered in
+    event time per user): how many users reached each stage — the
+    product-analytics shape that needs ORDERED per-user state, not just
+    a groupby count.
+
+    Scale shape: the read is pruned to the three funnel event types;
+    ONE hash shuffle on ``splitmix64(user) % n_parts``; the partition
+    kernel is fully vectorized (lexsort + masked ``minimum.reduceat``);
+    each partition emits a ≤4-row stage histogram, so the driver
+    combine is O(parts)."""
+    from crawl_ray.pipelines.joins import _default_partitions
+    from crawl_ray.pipelines.stats import _splitmix64
+    from crawl_ray.util import collect_table
+
+    n_parts = num_partitions or _default_partitions()
+    kind_codes = {t: i for i, t in enumerate(FUNNEL_STAGES)}
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        # every user must appear in the output (stage 0 included), so
+        # non-funnel events stay as rows coded -1 (never match a stage)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        kind = np.array([kind_codes.get(t, -1) for t in et.tolist()],
+                        dtype=np.int64)
+        uid = _np(batch.column("user_id"))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": batch.column("ts").cast(pa.int64()),
+                "kind": pa.array(kind, pa.int64()),
+                "part": pa.array(
+                    (
+                        _splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def funnel(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {"stage": pa.array([], pa.int64()),
+                 "n_users": pa.array([], pa.int64())}
+            )
+        users, stage = _funnel_kernel(
+            _np(block.column("user_id")),
+            _np(block.column("us")),
+            _np(block.column("kind")),
+        )
+        st, n = np.unique(stage, return_counts=True)
+        return pa.table(
+            {"stage": pa.array(st, pa.int64()),
+             "n_users": pa.array(n.astype(np.int64), pa.int64())}
+        )
+
+    parts = collect_table(
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(funnel, batch_format="pyarrow")
+    )
+    out = parts.group_by(["stage"]).aggregate([("n_users", "sum")])
+    return out.rename_columns(["stage", "n_users"]).sort_by("stage")

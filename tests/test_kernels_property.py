@@ -310,3 +310,45 @@ def test_lag_kernel_matches_naive(rows):
     for i in order:
         assert got[i] == last.get(int(uid[i]), 0)
         last[int(uid[i])] = int(cents[i])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),        # user
+            st.integers(0, 50),       # ts (duplicates likely)
+            st.integers(-1, 2),       # kind: -1 other, 0 view, 1 click, 2 purchase
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_funnel_kernel_matches_naive(rows):
+    """The masked-reduceat funnel kernel ≡ the obvious per-user loop
+    (first view, first click strictly after it, first purchase strictly
+    after that)."""
+    from crawl_ray.pipelines.streams import _funnel_kernel
+
+    uid = np.array([r[0] for r in rows], dtype=np.int64)
+    ts = np.array([r[1] for r in rows], dtype=np.int64)
+    kind = np.array([r[2] for r in rows], dtype=np.int64)
+
+    users, stage = _funnel_kernel(uid.copy(), ts.copy(), kind.copy())
+    got = dict(zip(users.tolist(), stage.tolist()))
+
+    expect = {}
+    for u in sorted(set(uid.tolist())):
+        evs = sorted((t, k) for uu, t, k in rows if uu == u)
+        t1 = min((t for t, k in evs if k == 0), default=None)
+        st_ = 0
+        if t1 is not None:
+            st_ = 1
+            t2 = min((t for t, k in evs if k == 1 and t > t1), default=None)
+            if t2 is not None:
+                st_ = 2
+                t3 = min((t for t, k in evs if k == 2 and t > t2), default=None)
+                if t3 is not None:
+                    st_ = 3
+        expect[u] = st_
+    assert got == expect

@@ -26,6 +26,7 @@ from crawl_ray.pipelines import similarity as SIM
 from crawl_ray.pipelines import stats as ST
 from crawl_ray.pipelines import streams as S
 from crawl_ray.pipelines import textops as T
+from crawl_ray.sources import export as EX
 
 
 def entry() -> Any:
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_cookies": CQ.crawl_cookies,
         "forms_extract": CQ.forms_extract,
         "recrawl_schedule": CQ.recrawl_schedule,
+        "corpus_export_manifest": EX.corpus_export_manifest,
     }
 
 
@@ -1019,6 +1021,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(rnk as bigint) AS rnk, term,
                    cast(cnt as bigint) AS cnt
             FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        "corpus_export_manifest": """
+            SELECT doc_id % 8 AS shard, cast(count(*) as bigint) AS n_rows
+            FROM documents GROUP BY shard ORDER BY shard
         """,
         "bpe_token_stats": """
             SELECT doc_id,

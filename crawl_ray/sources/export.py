@@ -1,0 +1,95 @@
+"""Training-corpus export sink: hash-sharded JSONL with a manifest.
+
+Corpora ship as JSONL shards; the sink mirrors the engine's
+parquet-sink discipline (SURVEY.md §2.1 S4): deterministic shard
+assignment (``doc_id % n_shards`` — stable under any partitioning or
+cluster size), one part file per (block, shard) written TASK-side
+(never funneled through the driver), a ``_SUCCESS`` marker for
+resumability (a re-run skips a finished export), and a manifest the
+caller can verify against the source row counts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from crawl_ray.util import collect_table
+
+__all__ = ["export_corpus_jsonl", "corpus_export_manifest"]
+
+
+def export_corpus_jsonl(sf_dir: str, n_shards: int = 8) -> str:
+    """Write the documents corpus as ``shard=K/part-*.jsonl`` under a
+    content-addressed /tmp root; returns the root path.  Idempotent:
+    a finished export (marker present) is never rewritten."""
+    token = hashlib.blake2b(
+        f"{sf_dir}:{n_shards}".encode(), digest_size=8
+    ).hexdigest()
+    root = pathlib.Path(f"/tmp/crawl_ray_runs/jsonl_{token}")
+    if (root / "_SUCCESS").exists():
+        return str(root)
+    root.mkdir(parents=True, exist_ok=True)
+    for s in range(n_shards):
+        (root / f"shard={s}").mkdir(exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        shard = ids % n_shards
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        out_s, out_n = [], []
+        for s in np.unique(shard).tolist():
+            m = shard == s
+            # part name from the block's smallest doc_id: deterministic
+            # → a retried task overwrites its own file, never duplicates
+            part = root / f"shard={s}" / f"part-{int(ids[m].min())}.jsonl"
+            with open(part, "w", encoding="utf-8") as f:
+                for i in np.flatnonzero(m).tolist():
+                    f.write(json.dumps(
+                        {"doc_id": int(ids[i]), "text": texts[i],
+                         "lang": langs[i]},
+                        ensure_ascii=False, sort_keys=True) + "\n")
+            out_s.append(int(s))
+            out_n.append(int(m.sum()))
+        return pa.table({"shard": pa.array(out_s, pa.int64()),
+                         "n_rows": pa.array(out_n, pa.int64())})
+
+    parts = collect_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        ).map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    manifest = parts.group_by(["shard"]).aggregate([("n_rows", "sum")])
+    manifest = manifest.rename_columns(["shard", "n_rows"]).sort_by("shard")
+    with open(root / "manifest.json", "w") as f:
+        json.dump(
+            {int(s): int(n) for s, n in zip(
+                manifest.column("shard").to_pylist(),
+                manifest.column("n_rows").to_pylist())},
+            f, sort_keys=True)
+    (root / "_SUCCESS").touch()
+    return str(root)
+
+
+def corpus_export_manifest(sf_dir: str, n_shards: int = 8) -> pa.Table:
+    """The export's manifest as a table (shard, n_rows) — the
+    driver-oracled view of :func:`export_corpus_jsonl` (counts must
+    equal the source's ``doc_id % n_shards`` histogram)."""
+    root = pathlib.Path(export_corpus_jsonl(sf_dir, n_shards))
+    m = json.loads((root / "manifest.json").read_text())
+    shards = sorted(int(k) for k in m)
+    return pa.table(
+        {"shard": pa.array(shards, pa.int64()),
+         "n_rows": pa.array([m[str(s)] for s in shards], pa.int64())}
+    )

@@ -1,0 +1,35 @@
+"""JSONL corpus export sink: manifest parity + byte-level roundtrip."""
+
+import json
+import pathlib
+
+import pyarrow.parquet as pq
+
+from crawl_ray.sources.export import corpus_export_manifest, export_corpus_jsonl
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_export_roundtrip_and_resume(ray_session, tmp_path):
+    root = pathlib.Path(export_corpus_jsonl(SF))
+    # resumable: second call returns the same finished root instantly
+    assert export_corpus_jsonl(SF) == str(root)
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text", "lang"])
+    expect = {
+        r["doc_id"]: r for r in src.to_pylist()
+    }
+    got = {}
+    for f in root.glob("shard=*/part-*.jsonl"):
+        shard = int(f.parent.name.split("=")[1])
+        for line in f.read_text(encoding="utf-8").splitlines():
+            row = json.loads(line)
+            assert row["doc_id"] % 8 == shard
+            got[row["doc_id"]] = row
+    assert len(got) == src.num_rows
+    for did, row in got.items():
+        assert row["text"] == expect[did]["text"]
+        assert row["lang"] == expect[did]["lang"]
+    # manifest counts match the files
+    m = corpus_export_manifest(SF).to_pandas()
+    assert int(m.n_rows.sum()) == src.num_rows

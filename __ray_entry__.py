@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forms_extract": CQ.forms_extract,
         "recrawl_schedule": CQ.recrawl_schedule,
         "corpus_export_manifest": EX.corpus_export_manifest,
+        "jsonl_corpus_stats": EX.jsonl_corpus_stats,
     }
 
 
@@ -1024,6 +1025,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_export_manifest": """
             SELECT doc_id % 8 AS shard, cast(count(*) as bigint) AS n_rows
+            FROM documents GROUP BY shard ORDER BY shard
+        """,
+        "jsonl_corpus_stats": """
+            SELECT doc_id % 8 AS shard,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(sum(length(text)) as bigint) AS n_chars
             FROM documents GROUP BY shard ORDER BY shard
         """,
         "bpe_token_stats": """

@@ -23,7 +23,7 @@ import ray.data
 
 from crawl_ray.util import collect_table
 
-__all__ = ["export_corpus_jsonl", "corpus_export_manifest"]
+__all__ = ["export_corpus_jsonl", "corpus_export_manifest", "jsonl_corpus_stats"]
 
 
 def export_corpus_jsonl(sf_dir: str, n_shards: int = 8) -> str:
@@ -93,3 +93,39 @@ def corpus_export_manifest(sf_dir: str, n_shards: int = 8) -> pa.Table:
         {"shard": pa.array(shards, pa.int64()),
          "n_rows": pa.array([m[str(s)] for s in shards], pa.int64())}
     )
+
+
+def jsonl_corpus_stats(sf_dir: str, n_shards: int = 8) -> pa.Table:
+    """Read the exported JSONL shards BACK through
+    ``ray.data.read_json`` (the second source format besides parquet —
+    SURVEY.md §2.1) and aggregate per-shard doc and char counts; the
+    oracle computes the same histogram from the parquet source, so a
+    lossy export OR a broken JSON read breaks the match."""
+    import pyarrow.compute as pc
+
+    root = pathlib.Path(export_corpus_jsonl(sf_dir, n_shards))
+    files = sorted(str(f) for f in root.glob("shard=*/part-*.jsonl"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chars = pc.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        shard = ids % n_shards
+        t = pa.table(
+            {"shard": pa.array(shard, pa.int64()),
+             "n_docs": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+             "n_chars": pa.array(n_chars, pa.int64())}
+        )
+        g = t.group_by(["shard"]).aggregate([("n_docs", "sum"), ("n_chars", "sum")])
+        return g.rename_columns(["shard", "n_docs", "n_chars"])
+
+    parts = collect_table(
+        ray.data.read_json(files).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    out = parts.group_by(["shard"]).aggregate(
+        [("n_docs", "sum"), ("n_chars", "sum")]
+    )
+    return out.rename_columns(["shard", "n_docs", "n_chars"]).sort_by("shard")

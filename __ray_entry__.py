@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": S.events_sliding_window,
         "events_rolling_sum": S.events_rolling_sum,
         "events_funnel": S.events_funnel,
+        "events_late_data": S.events_late_data,
         "events_lead_lag": S.events_lead_lag,
         "sessionize": S.sessionize,
         "sessionize_bucketed": S.sessionize_bucketed,
@@ -956,6 +957,34 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
+        """,
+        "events_late_data": """
+            WITH a AS (
+                SELECT event_id, epoch_us(ts) AS us,
+                       epoch_us(ts)
+                       + ((event_id * 2654435761) % 4294967296)
+                           % 7200000000
+                       - 3600000000 AS arr
+                FROM events
+            ), w AS (
+                SELECT us,
+                       max(us) OVER (
+                           ORDER BY arr, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS wm
+                FROM a
+            ), e AS (
+                SELECT (us // 3600000000) * 3600000000 AS window_start,
+                       CASE WHEN wm IS NOT NULL
+                                 AND (us // 3600000000) * 3600000000
+                                     + 3600000000 <= wm - 1800000000
+                            THEN 1 ELSE 0 END AS late
+                FROM w
+            )
+            SELECT window_start,
+                   cast(count(*) as bigint) AS n_events,
+                   cast(sum(late) as bigint) AS n_late
+            FROM e GROUP BY window_start ORDER BY window_start
         """,
         "events_funnel": """
             WITH v AS (

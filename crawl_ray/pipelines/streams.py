@@ -43,6 +43,7 @@ __all__ = [
     "events_lead_lag",
     "events_rolling_sum",
     "events_funnel",
+    "events_late_data",
     "events_sliding_window",
     "sessionize",
     "sessionize_bucketed",
@@ -932,3 +933,152 @@ def events_funnel(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
     )
     out = parts.group_by(["stage"]).aggregate([("n_users", "sum")])
     return out.rename_columns(["stage", "n_users"]).sort_by("stage")
+
+
+# late-data model: deterministic ingest jitter (hash-derived ±1 h
+# arrival offset per event — multi-source ingestion is never
+# time-ordered), 30 min allowed lateness, 1 h tumbling windows
+ARRIVAL_JITTER_US = 7_200_000_000
+ALLOWED_LATENESS_US = 1_800_000_000
+HOUR_US = 3_600_000_000
+_ARRIVAL_MULT = 2654435761  # Knuth hash, shared with sample_documents
+_ARRIVAL_MOD = 1 << 32
+
+
+def events_late_data(sf_dir: str) -> pa.Table:
+    """Watermark / late-data accounting — the streaming semantics tier
+    §2.9 leaves to "beyond the reference": events arrive in a
+    deterministic jittered order; the watermark is the RUNNING MAX
+    event time over everything that arrived earlier; an event is late
+    when its hour window closed (window end ≤ watermark − allowed
+    lateness) before it arrived.  Output: per window, total events and
+    how many a streaming engine would have dropped/side-output.
+
+    Scale shape: the running max is a distributed PREFIX SCAN — one
+    arrival-order sort, then a pass that materializes each row's
+    WITHIN-BLOCK exclusive running max plus its block key, a bounded
+    per-block max table (O(blocks)) whose exclusive cummax broadcasts,
+    and a final row-local pass (wm = max(local, block prefix)).  No
+    step holds more than a block; the driver sees only block maxima
+    and the per-window histogram."""
+    from crawl_ray.util import collect_table
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def add_arrival(batch: pa.Table) -> pa.Table:
+        eid = _np(batch.column("event_id")).astype(np.int64)
+        us = _np(batch.column("ts").cast(pa.int64()))
+        with np.errstate(over="ignore"):
+            h = (eid.astype(np.uint64) * np.uint64(_ARRIVAL_MULT)) % np.uint64(
+                _ARRIVAL_MOD
+            )
+        jitter = (h % np.uint64(ARRIVAL_JITTER_US)).astype(np.int64) - (
+            ARRIVAL_JITTER_US // 2
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "us": pa.array(us, pa.int64()),
+                "arr": pa.array(us + jitter, pa.int64()),
+            }
+        )
+
+    NEG = np.int64(np.iinfo(np.int64).min // 4)
+
+    def local_scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "us": pa.array([], pa.int64()),
+                 "local_wm": pa.array([], pa.int64()),
+                 "blk_arr": pa.array([], pa.int64()),
+                 "blk_eid": pa.array([], pa.int64())}
+            )
+        eid = _np(batch.column("event_id"))
+        us = _np(batch.column("us"))
+        arr = _np(batch.column("arr"))
+        o = np.lexsort((eid, arr))
+        eid, us, arr = eid[o], us[o], arr[o]
+        local = np.empty(len(us), dtype=np.int64)
+        local[0] = NEG
+        if len(us) > 1:
+            np.maximum.accumulate(us[:-1], out=local[1:])
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "us": pa.array(us, pa.int64()),
+                "local_wm": pa.array(local, pa.int64()),
+                # block key = first (arr, eid) in arrival order: blocks
+                # are contiguous arrival ranges after the sort
+                "blk_arr": pa.array(np.full(len(us), arr[0]), pa.int64()),
+                "blk_eid": pa.array(np.full(len(us), eid[0]), pa.int64()),
+            }
+        )
+
+    p1 = (
+        ds.map_batches(add_arrival, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["arr", "event_id"])
+        .map_batches(local_scan, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def blk_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"blk_arr": batch.column("blk_arr"),
+             "blk_eid": batch.column("blk_eid"),
+             "max_us": batch.column("us")}
+        )
+        g = t.group_by(["blk_arr", "blk_eid"]).aggregate([("max_us", "max")])
+        return g.rename_columns(["blk_arr", "blk_eid", "max_us"])
+
+    bp = collect_table(
+        p1.map_batches(blk_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    bt = bp.group_by(["blk_arr", "blk_eid"]).aggregate([("max_us", "max")])
+    ba = bt.column("blk_arr").to_numpy(zero_copy_only=False)
+    be = bt.column("blk_eid").to_numpy(zero_copy_only=False)
+    bm = bt.column("max_us_max").to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.lexsort((be, ba))
+    ba, be, bm = ba[o], be[o], bm[o]
+    prefix = np.empty(len(bm), dtype=np.int64)
+    prefix[0] = NEG
+    if len(bm) > 1:
+        np.maximum.accumulate(bm[:-1], out=prefix[1:])
+    blocks_ref = ray.put(
+        {(int(a), int(e)): int(p) for a, e, p in zip(ba, be, prefix)}
+    )
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        pref = ray.get(blocks_ref)
+        us = _np(batch.column("us"))
+        local = _np(batch.column("local_wm"))
+        a = _np(batch.column("blk_arr"))
+        e = _np(batch.column("blk_eid"))
+        # map each row to its block's prefix (few distinct blocks/batch)
+        row_keys = list(zip(a.tolist(), e.tolist()))
+        keys = list(dict.fromkeys(row_keys))
+        blk_pref = np.array([pref[kk] for kk in keys], dtype=np.int64)
+        kidx = {kk: i for i, kk in enumerate(keys)}
+        row_pref = blk_pref[np.array([kidx[kk] for kk in row_keys])]
+        wm = np.maximum(local, row_pref)
+        win = (us // HOUR_US) * HOUR_US
+        late = (win + HOUR_US <= wm - ALLOWED_LATENESS_US).astype(np.int64)
+        t = pa.table(
+            {"window_start": pa.array(win, pa.int64()),
+             "n_events": pa.array(np.ones(len(us), np.int64), pa.int64()),
+             "n_late": pa.array(late, pa.int64())}
+        )
+        g = t.group_by(["window_start"]).aggregate(
+            [("n_events", "sum"), ("n_late", "sum")]
+        )
+        return g.rename_columns(["window_start", "n_events", "n_late"])
+
+    parts = collect_table(
+        p1.map_batches(late_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out = parts.group_by(["window_start"]).aggregate(
+        [("n_events", "sum"), ("n_late", "sum")]
+    )
+    return out.rename_columns(
+        ["window_start", "n_events", "n_late"]
+    ).sort_by("window_start")

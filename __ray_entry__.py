@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bloom_semi": J.orders_bloom_semi,
         "customer_order_counts": J.customer_order_counts,
         "large_volume_orders": J.large_volume_orders,
+        "nations_trade_volume": J.nations_trade_volume,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -957,6 +958,22 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
+        """,
+        "nations_trade_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   cast(year(o.o_orderdate) as bigint) AS l_year,
+                   cast(sum(cast(round(l.l_extendedprice * 100) as bigint)
+                            * (100 - cast(round(l.l_discount * 100) as bigint)))
+                        as bigint) AS revenue_cc
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "events_late_data": """
             WITH a AS (

@@ -52,6 +52,7 @@ __all__ = [
     "orders_bloom_semi",
     "customer_order_counts",
     "large_volume_orders",
+    "nations_trade_volume",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -809,4 +810,131 @@ def large_volume_orders(
          "total_cents": _cents(orders_t.column("o_totalprice").take(
              pa.array(order, pa.int64()))),
          "sum_qty_cents": pa.array(qty[order], pa.int64())}
+    )
+
+
+def nations_trade_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    num_partitions: int | None = None,
+):
+    """TPC-H Q7 shape: shipping volume between two nations by year and
+    direction (supplier nation → customer nation, both ways).  Same
+    two-chained-hash-join skeleton as :func:`regional_revenue`, with
+    the Q7-critical difference that the supplier-nation filter applies
+    to lineitem BEFORE the first shuffle (the broadcast supplier →
+    nation lookup prunes ~23/25 of the fact table, so the exchanges
+    move only qualifying rows); the year is derived from integer µs
+    vectorized, and the (supp, cust, year) cells are bounded → driver
+    combine, no third shuffle."""
+    import pyarrow.parquet as pq_
+
+    num_partitions = num_partitions or _default_partitions()
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet")
+    name_by_key = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()}
+    keys_ab = {k for k, v in name_by_key.items() if v in (nation_a, nation_b)}
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = np.full(int(skeys.max()) + 1, -1, dtype=np.int64)
+    snat[skeys] = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+    side_ref = ray.put((snat, frozenset(keys_ab)))
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        sn, keep_keys = ray.get(side_ref)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = sn[np.clip(sk, 0, len(sn) - 1)]
+        mask = np.isin(nk, np.fromiter(keep_keys, dtype=np.int64))
+        batch = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "supp_nkey": pa.array(nk[mask], pa.int64()),
+                "revenue_cc": _revenue_cc(batch),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": b.column("o_custkey").cast(pa.int64()),
+                "o_us": b.column("o_orderdate").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j1 = normalize_schema(
+        li.join(
+            orders, "inner", num_partitions,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ),
+        {
+            "supp_nkey": pa.int64(),
+            "revenue_cc": pa.int64(),
+            "o_custkey": pa.int64(),
+            "o_us": pa.int64(),
+        },
+        coalesce=num_partitions,
+    )
+    j2 = j1.join(
+        cust, "inner", num_partitions,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    names_ref = ray.put(name_by_key)
+    a_b = (nation_a, nation_b)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        sn = batch.column("supp_nkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sname = np.array([names.get(int(k), "") for k in sn], dtype=object)
+        cname = np.array([names.get(int(k), "") for k in cn], dtype=object)
+        keep = ((sname == a_b[0]) & (cname == a_b[1])) | (
+            (sname == a_b[1]) & (cname == a_b[0])
+        )
+        us = batch.column("o_us").to_numpy(zero_copy_only=False).astype(np.int64)
+        year = (
+            us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "supp_nation": pa.array(sname[keep].tolist(), pa.string()),
+                "cust_nation": pa.array(cname[keep].tolist(), pa.string()),
+                "l_year": pa.array(year[keep], pa.int64()),
+                "revenue_cc": batch.column("revenue_cc").filter(pa.array(keep)),
+            }
+        )
+
+    cells = j2.map_batches(resolve, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial_then_final_sum(
+        cells,
+        ["supp_nation", "cust_nation", "l_year"],
+        {"revenue_cc": lambda b: b.column("revenue_cc")},
+    )
+    return agg.sort_by(
+        [("supp_nation", "ascending"), ("cust_nation", "ascending"),
+         ("l_year", "ascending")]
     )

@@ -52,3 +52,41 @@ def test_kmeans_deterministic(ray_session):
     a = kmeans_embeddings("/root/testdata/sf0.001").to_pandas()
     b = kmeans_embeddings("/root/testdata/sf0.001").to_pandas()
     assert a.equals(b)
+
+
+def test_kmeans_matches_serial_reference(ray_session, tmp_path):
+    """Distributed Lloyd's ≡ an independent single-process numpy
+    reference (same quantization / seeding / tie / empty-cluster
+    rules) on a random corpus."""
+    rng = np.random.RandomState(11)
+    n, dim, k, iters = 300, 8, 5, 3
+    vecs = rng.randn(n, dim).astype(np.float32) * 0.3
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {"vec_id": pa.array(range(n), pa.int64()),
+             "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))}
+        ),
+        d / "embeddings.parquet",
+    )
+    # serial reference
+    q = np.sign(vecs.astype(np.float64) * 1000) * np.floor(
+        np.abs(vecs.astype(np.float64) * 1000) + 0.5
+    )
+    q = q.astype(np.int64)
+    cent = q[:k].copy()
+    for _ in range(iters):
+        dmat = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(dmat, axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cent[c] = q[m].sum(axis=0) // m.sum()
+    dmat = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    a = np.argmin(dmat, axis=1)
+    dist = dmat[np.arange(n), a]
+
+    got = kmeans_embeddings(str(d), k=k, iterations=iters).to_pandas()
+    assert (got.cluster.to_numpy() == a).all()
+    assert (got.dist_q.to_numpy() == dist).all()

@@ -546,23 +546,13 @@ def crawl_depth_histogram(sf_dir: str):
              "n_records": pa.array([], pa.int64())}
         )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "depth": batch.column("depth").cast(pa.int64()),
-                "n_records": pa.array([1] * batch.num_rows, pa.int64()),
-            }
-        )
-        g = t.group_by(["depth"]).aggregate([("n_records", "sum")])
-        return g.rename_columns(["depth", "n_records"])
+    from crawl_ray.pipelines.relational import partial_then_final_sum
 
-    from crawl_ray.util import collect_table
-
-    parts = collect_table(
-        ray.data.read_parquet(files, columns=["depth"]).map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        )
+    ds = ray.data.read_parquet(files, columns=["depth"]).map_batches(
+        lambda b: pa.table({"depth": b.column("depth").cast(pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    out = parts.group_by(["depth"]).aggregate([("n_records", "sum")])
-    out = out.rename_columns(["depth", "n_records"])
-    return out.sort_by("depth")
+    return partial_then_final_sum(
+        ds, ["depth"], {}, count_name="n_records"
+    ).sort_by("depth")

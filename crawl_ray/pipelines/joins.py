@@ -902,28 +902,32 @@ def nations_trade_volume(
         cust, "inner", num_partitions,
         on=("o_custkey",), right_on=("c_custkey",),
     )
-    names_ref = ray.put(name_by_key)
-    a_b = (nation_a, nation_b)
+    # integer-key pair filter first (vectorized), names resolved via a
+    # nationkey-indexed lookup array on the survivors only
+    a_key = next(k for k, v in name_by_key.items() if v == nation_a)
+    b_key = next(k for k, v in name_by_key.items() if v == nation_b)
+    nname = np.array(
+        [name_by_key.get(i, "") for i in range(max(name_by_key) + 1)],
+        dtype=object,
+    )
+    names_ref = ray.put((np.int64(a_key), np.int64(b_key), nname))
 
     def resolve(batch: pa.Table) -> pa.Table:
-        names = ray.get(names_ref)
+        ak, bk, names = ray.get(names_ref)
         sn = batch.column("supp_nkey").to_numpy(zero_copy_only=False).astype(np.int64)
         cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        sname = np.array([names.get(int(k), "") for k in sn], dtype=object)
-        cname = np.array([names.get(int(k), "") for k in cn], dtype=object)
-        keep = ((sname == a_b[0]) & (cname == a_b[1])) | (
-            (sname == a_b[1]) & (cname == a_b[0])
-        )
+        keep = ((sn == ak) & (cn == bk)) | ((sn == bk) & (cn == ak))
+        sn, cn = sn[keep], cn[keep]
         us = batch.column("o_us").to_numpy(zero_copy_only=False).astype(np.int64)
         year = (
-            us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
-            + 1970
+            us[keep].astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64) + 1970
         )
         return pa.table(
             {
-                "supp_nation": pa.array(sname[keep].tolist(), pa.string()),
-                "cust_nation": pa.array(cname[keep].tolist(), pa.string()),
-                "l_year": pa.array(year[keep], pa.int64()),
+                "supp_nation": pa.array(names[sn].tolist(), pa.string()),
+                "cust_nation": pa.array(names[cn].tolist(), pa.string()),
+                "l_year": pa.array(year, pa.int64()),
                 "revenue_cc": batch.column("revenue_cc").filter(pa.array(keep)),
             }
         )

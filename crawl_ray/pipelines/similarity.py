@@ -64,7 +64,10 @@ def knn_brute(sf_dir: str, k: int = 10, query_id: int = 0) -> pa.Table:
         sims = _unit(mat) @ qv
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         take = min(k, len(ids))
-        part = np.argpartition(-sims, take - 1)[:take]
+        # exact local top-k with the oracle's tie-break (sim desc,
+        # vec_id asc): argpartition's unspecified tie order could drop
+        # the tied row the global merge needs
+        part = np.lexsort((ids, -sims))[:take]
         return pa.table(
             {
                 "vec_id": pa.array(ids[part], pa.int64()),
@@ -193,7 +196,7 @@ def knn_ivf(
         sims = _unit(mat) @ qv
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         take = min(k, len(ids))
-        part = np.argpartition(-sims, take - 1)[:take] if take else []
+        part = np.lexsort((ids, -sims))[:take]  # tie-break ≡ oracle
         return pa.table(
             {
                 "vec_id": pa.array(ids[part], pa.int64()),
@@ -285,6 +288,7 @@ def _kmeans_fit(sf_dir: str, k: int, iterations: int):
 
     seed_t = collect_table(qds.sort("vec_id").limit(k))
     _, cent = _mat(seed_t)
+    k = cent.shape[0]  # corpora smaller than k degrade to n clusters
     dim = cent.shape[1]
     for _ in range(iterations):
         cent_ref = ray.put(cent)
@@ -502,9 +506,9 @@ def knn_batch(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
         sims[ids[:, None] == qids[None, :]] = -np.inf  # self-hits out
         take = min(k, len(ids))
         out_q, out_id, out_s = [], [], []
-        part = np.argpartition(-sims, take - 1, axis=0)[:take]  # take × Q
         for j in range(len(qids)):
-            rows = part[:, j]
+            # exact per-query top-k, tie-break ≡ oracle (sim desc, id asc)
+            rows = np.lexsort((ids, -sims[:, j]))[:take]
             out_q.append(np.full(take, qids[j], dtype=np.int64))
             out_id.append(ids[rows])
             out_s.append(sims[rows, j])

@@ -875,8 +875,12 @@ def events_funnel(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
     product-analytics shape that needs ORDERED per-user state, not just
     a groupby count.
 
-    Scale shape: the read is pruned to the three funnel event types;
-    ONE hash shuffle on ``splitmix64(user) % n_parts``; the partition
+    Scale shape: ONE hash shuffle on ``splitmix64(user) % n_parts``
+    carrying every event row (non-funnel rows must ride along so
+    stage-0 users appear in the histogram, matching the oracle's
+    DISTINCT-user base; at 100 TB pre-reduce to one row per
+    (user, kind) inside the map if the type mix is funnel-light); the
+    partition
     kernel is fully vectorized (lexsort + masked ``minimum.reduceat``);
     each partition emits a ≤4-row stage histogram, so the driver
     combine is O(parts)."""
@@ -885,15 +889,20 @@ def events_funnel(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
     from crawl_ray.util import collect_table
 
     n_parts = num_partitions or _default_partitions()
-    kind_codes = {t: i for i, t in enumerate(FUNNEL_STAGES)}
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
 
     def add_part(batch: pa.Table) -> pa.Table:
         # every user must appear in the output (stage 0 included), so
         # non-funnel events stay as rows coded -1 (never match a stage)
-        et = batch.column("event_type").to_numpy(zero_copy_only=False)
-        kind = np.array([kind_codes.get(t, -1) for t in et.tolist()],
-                        dtype=np.int64)
+        kind = _np(
+            pc.fill_null(
+                pc.index_in(
+                    batch.column("event_type"),
+                    value_set=pa.array(FUNNEL_STAGES),
+                ),
+                -1,
+            ).cast(pa.int64())
+        )
         uid = _np(batch.column("user_id"))
         return pa.table(
             {
@@ -935,14 +944,18 @@ def events_funnel(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
     return out.rename_columns(["stage", "n_users"]).sort_by("stage")
 
 
-# late-data model: deterministic ingest jitter (hash-derived ±1 h
-# arrival offset per event — multi-source ingestion is never
-# time-ordered), 30 min allowed lateness, 1 h tumbling windows
-ARRIVAL_JITTER_US = 7_200_000_000
+# late-data model: deterministic ingest jitter — a 32-bit Knuth hash
+# of event_id (the same multiplicative hash sample_documents uses)
+# minus 1 h, i.e. an arrival offset in [−3600 s, +695 s] per event
+# (early-skewed multi-source ingest); 30 min allowed lateness, 1 h
+# tumbling windows
+ARRIVAL_JITTER_US = 7_200_000_000  # offset window: hash − JITTER/2
 ALLOWED_LATENESS_US = 1_800_000_000
 HOUR_US = 3_600_000_000
-_ARRIVAL_MULT = 2654435761  # Knuth hash, shared with sample_documents
-_ARRIVAL_MOD = 1 << 32
+from crawl_ray.pipelines.textops import (  # noqa: E402 — one hash, one source
+    SAMPLE_MODULUS as _ARRIVAL_MOD,
+    SAMPLE_MULT as _ARRIVAL_MULT,
+)
 
 
 def events_late_data(sf_dir: str) -> pa.Table:
@@ -972,9 +985,8 @@ def events_late_data(sf_dir: str) -> pa.Table:
             h = (eid.astype(np.uint64) * np.uint64(_ARRIVAL_MULT)) % np.uint64(
                 _ARRIVAL_MOD
             )
-        jitter = (h % np.uint64(ARRIVAL_JITTER_US)).astype(np.int64) - (
-            ARRIVAL_JITTER_US // 2
-        )
+        # h < 2^32 < JITTER window, so no modulo: offset = h − 1 h
+        jitter = h.astype(np.int64) - ARRIVAL_JITTER_US // 2
         return pa.table(
             {
                 "event_id": pa.array(eid, pa.int64()),
@@ -1054,12 +1066,14 @@ def events_late_data(sf_dir: str) -> pa.Table:
         local = _np(batch.column("local_wm"))
         a = _np(batch.column("blk_arr"))
         e = _np(batch.column("blk_eid"))
-        # map each row to its block's prefix (few distinct blocks/batch)
-        row_keys = list(zip(a.tolist(), e.tolist()))
-        keys = list(dict.fromkeys(row_keys))
-        blk_pref = np.array([pref[kk] for kk in keys], dtype=np.int64)
-        kidx = {kk: i for i, kk in enumerate(keys)}
-        row_pref = blk_pref[np.array([kidx[kk] for kk in row_keys])]
+        # map each row to its block's prefix: unique composite keys
+        # (few per batch) looked up once, rows resolved via inverse
+        uk, inv = np.unique(np.stack([a, e], axis=1), axis=0,
+                            return_inverse=True)
+        blk_pref = np.array(
+            [pref[(int(x), int(y))] for x, y in uk], dtype=np.int64
+        )
+        row_pref = blk_pref[inv]
         wm = np.maximum(local, row_pref)
         win = (us // HOUR_US) * HOUR_US
         late = (win + HOUR_US <= wm - ALLOWED_LATENESS_US).astype(np.int64)

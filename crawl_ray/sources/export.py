@@ -29,13 +29,20 @@ __all__ = ["export_corpus_jsonl", "corpus_export_manifest", "jsonl_corpus_stats"
 def export_corpus_jsonl(sf_dir: str, n_shards: int = 8) -> str:
     """Write the documents corpus as ``shard=K/part-*.jsonl`` under a
     content-addressed /tmp root; returns the root path.  Idempotent:
-    a finished export (marker present) is never rewritten."""
+    a finished export (marker present) is never rewritten; an
+    UNFINISHED root (crash before the marker) is wiped first — a
+    re-run's batch boundaries can differ, and stale part files from
+    the dead run would otherwise double-count rows."""
+    import shutil
+
     token = hashlib.blake2b(
         f"{sf_dir}:{n_shards}".encode(), digest_size=8
     ).hexdigest()
     root = pathlib.Path(f"/tmp/crawl_ray_runs/jsonl_{token}")
     if (root / "_SUCCESS").exists():
         return str(root)
+    if root.exists():
+        shutil.rmtree(root)
     root.mkdir(parents=True, exist_ok=True)
     for s in range(n_shards):
         (root / f"shard={s}").mkdir(exist_ok=True)

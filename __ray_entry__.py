@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_per_type": ST.value_quantiles_per_type,
         "distinct_users_per_type": ST.distinct_users_per_type,
         "hll_distinct_users": ST.hll_distinct_users,
+        "quantile_sketch": ST.quantile_sketch,
         # text analysis (training-data ops)
         "normalize_whitespace": T.normalize_whitespace,
         "token_stats": T.token_stats,
@@ -1412,6 +1413,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(_multimodal_oracle_sql())
     # the bucketed scale paths must reproduce their plain operators exactly
     out["sessionize_bucketed"] = out["sessionize"]
+    # exact at driver-gate scale (capacity >= n, no compaction)
+    out["quantile_sketch"] = out["events_value_quantiles"]
     out["events_asof_join_bucketed"] = out["events_asof_join"]
     return out
 

@@ -46,6 +46,7 @@ __all__ = [
     "distinct_users_per_type",
     "hll_distinct_users",
     "events_rollup",
+    "quantile_sketch",
 ]
 
 QUANTILES = (25, 50, 75, 90, 99)  # integer percents — exact rank math
@@ -314,3 +315,105 @@ def events_rollup(sf_dir: str) -> pa.Table:
         }
     )
     return out.sort_by([("event_type", "ascending"), ("hr", "ascending")])
+
+
+SKETCH_CAP = 65536  # per-level buffer; exact while n ≤ cap (no compaction)
+
+
+def _kll_compact(levels: list[np.ndarray], cap: int) -> list[np.ndarray]:
+    """Deterministic KLL compaction: an over-full level is sorted and
+    every second element (odd ranks) promotes with doubled weight; the
+    level empties.  Deterministic rank parity replaces KLL's coin flip
+    — merge-order-independent given the fixed pipeline shape, slightly
+    high-biased, exact whenever no level ever overflows."""
+    L = 0
+    while L < len(levels):
+        v = levels[L]
+        if len(v) > cap:
+            v = np.sort(v)
+            keep = v[1::2]
+            levels[L] = v[:0]
+            if L + 1 == len(levels):
+                levels.append(keep)
+            else:
+                levels[L + 1] = np.concatenate([levels[L + 1], keep])
+        L += 1
+    return levels
+
+
+def _rows_to_levels(level: np.ndarray, cents: np.ndarray) -> list[np.ndarray]:
+    n_levels = int(level.max()) + 1 if len(level) else 1
+    return [cents[level == L] for L in range(n_levels)]
+
+
+def _levels_to_rows(levels: list[np.ndarray]) -> pa.Table:
+    lv = np.concatenate(
+        [np.full(len(v), L, dtype=np.int64) for L, v in enumerate(levels)]
+    ) if levels else np.array([], dtype=np.int64)
+    vals = np.concatenate(levels) if levels else np.array([], dtype=np.int64)
+    return pa.table(
+        {"level": pa.array(lv, pa.int64()),
+         "cents": pa.array(vals.astype(np.int64), pa.int64())}
+    )
+
+
+def quantile_sketch(
+    sf_dir: str, capacity: int = SKETCH_CAP, quantiles=QUANTILES
+) -> pa.Table:
+    """Mergeable quantile sketch (deterministic KLL) over
+    ``events.value`` — the sketch-family completion next to HLL
+    (distinct), Misra–Gries (heavy hitters) and Bloom (membership):
+    the scale path for quantiles over UNBOUNDED domains, where the
+    exact histogram of :func:`events_value_quantiles` (whose domain is
+    bounded integer cents) would blow up.
+
+    Three mergeable stages: per-block sketches (``map_batches``), a
+    distributed combine pass (each batch of sketch rows merges to one
+    sketch — bounds the driver collect to O(combine-blocks × cap)),
+    driver final merge + rank query.  With ``capacity ≥ n`` no level
+    ever compacts, every weight is 1, and the result is EXACT with the
+    same ``ceil(q·n)−1`` rank convention as the oracle; below that the
+    error is the standard KLL rank bound (≈ W·levels/capacity)."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def block_sketch(batch: pa.Table) -> pa.Table:
+        levels = _kll_compact([_cents(batch.column("value")).to_numpy(
+            zero_copy_only=False).astype(np.int64)], capacity)
+        return _levels_to_rows(levels)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        levels = _rows_to_levels(
+            batch.column("level").to_numpy(zero_copy_only=False),
+            batch.column("cents").to_numpy(zero_copy_only=False),
+        )
+        return _levels_to_rows(_kll_compact(levels, capacity))
+
+    rows = collect_table(
+        ds.map_batches(block_sketch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    levels = _kll_compact(
+        _rows_to_levels(
+            rows.column("level").to_numpy(zero_copy_only=False),
+            rows.column("cents").to_numpy(zero_copy_only=False),
+        ),
+        capacity,
+    )
+    vals = np.concatenate(levels) if levels else np.array([], dtype=np.int64)
+    wts = np.concatenate(
+        [np.full(len(v), 1 << L, dtype=np.int64) for L, v in enumerate(levels)]
+    ) if levels else np.array([], dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    W = int(cum[-1]) if len(cum) else 0
+    labels, out = [], []
+    for pct in quantiles:
+        rank = max(-(-pct * W // 100) - 1, 0)  # ceil(pct·W/100) − 1
+        idx = int(np.searchsorted(cum, rank + 1))
+        labels.append(f"p{pct}")
+        out.append(int(vals[idx]) if W else None)
+    return pa.table(
+        {"quantile": pa.array(labels, pa.string()),
+         "value_cents": pa.array(out, pa.int64())}
+    )

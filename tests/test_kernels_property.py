@@ -352,3 +352,45 @@ def test_funnel_kernel_matches_naive(rows):
                     st_ = 3
         expect[u] = st_
     assert got == expect
+
+
+@given(
+    n=st.integers(200, 2000),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=30, deadline=None)
+def test_kll_sketch_rank_error_bounded(n, seed):
+    """Deterministic-KLL rank error under heavy compaction stays well
+    inside the coarse n/4 envelope, and with capacity ≥ n the sketch
+    is exactly the ceil(q·n)−1 order statistic."""
+    from crawl_ray.pipelines.stats import _kll_compact
+
+    rng = np.random.RandomState(seed)
+    data = rng.randint(-10_000, 10_000, size=n).astype(np.int64)
+
+    def query(levels, pct):
+        vals = np.concatenate(levels)
+        wts = np.concatenate(
+            [np.full(len(v), 1 << L, dtype=np.int64)
+             for L, v in enumerate(levels)]
+        )
+        o = np.argsort(vals, kind="stable")
+        vals, wts = vals[o], wts[o]
+        cum = np.cumsum(wts)
+        W = int(cum[-1])
+        rank = max(-(-pct * W // 100) - 1, 0)
+        return int(vals[np.searchsorted(cum, rank + 1)])
+
+    exact_sorted = np.sort(data)
+    # exact regime
+    big = _kll_compact([data.copy()], cap=4 * n)
+    for pct in (25, 50, 90):
+        rank = max(-(-pct * n // 100) - 1, 0)
+        assert query(big, pct) == int(exact_sorted[rank])
+    # compacting regime: capacity 64 → bounded rank error
+    small = _kll_compact([data.copy()], cap=64)
+    assert sum(len(v) for v in small) <= 64 * len(small)
+    for pct in (25, 50, 90):
+        est = query(small, pct)
+        true_rank = np.searchsorted(exact_sorted, est, side="left")
+        assert abs(true_rank - pct * n // 100) <= n // 4

@@ -42,3 +42,14 @@ def test_star_graph_hand_computed(tmp_path, ray_session):
     }
     # supplier first (rank desc)
     assert out.column("node").to_pylist()[0] == SUPPLIER_OFFSET + 1
+
+
+def test_distributed_path_equals_local(ray_session):
+    """The forced-distributed loop (small_graph_threshold=0) is
+    bit-equal to the local fast path on a real corpus — so the sf0.01
+    oracle (which the fast path serves) transitively covers it."""
+    local = supplier_pagerank("/root/testdata/sf0.001").to_pandas()
+    dist = supplier_pagerank(
+        "/root/testdata/sf0.001", small_graph_threshold=0
+    ).to_pandas()
+    assert local.equals(dist)

@@ -8,7 +8,11 @@ suite to callables over ``sf_dir``; ``oracle_sql()`` carries the DuckDB
 equivalent for every SQL-expressible query (identical column names —
 aggregates are exact integer cents so partial-sum order can't diverge).
 Crawl-engine pipelines run over the deterministic synthetic web fixture
-(the DuckDB views don't include it) and are rows-only checks.
+(the DuckDB views don't include it); their oracles read the
+single-threaded reference simulator's expected parquet via
+``read_parquet`` (see ``crawl_ray.oracle_data``), so they get the same
+rows+schema+value-hash gate.  Only ``hll_distinct_users`` (an
+approximate sketch) is rows-only.
 """
 
 from __future__ import annotations

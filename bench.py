@@ -412,6 +412,9 @@ def run_scaling(sf_dir: str, lo: int, hi: int, repeats: int = 2,
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
+    p.add_argument("--sweep", action="store_true",
+                   help="time EVERY queries() entry once at --sf-dir (dev "
+                        "triage tool; not part of the driver protocol)")
     p.add_argument("--_crawl-once", dest="crawl_once", action="store_true")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -433,6 +436,28 @@ def main() -> None:
 
     if args.crawl_once:
         _crawl_once(args.sf_dir, args.cpus, args.mode, args.store)
+        return
+    if args.sweep:
+        import ray
+
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False)
+        sys.path.insert(0, REPO)
+        import __ray_entry__ as entry
+
+        times = {}
+        t0 = time.time()
+        for name, fn in entry.queries().items():
+            s0 = time.time()
+            r = fn(args.sf_dir)
+            if hasattr(r, "to_pandas"):
+                r = r.to_pandas()
+            times[name] = round(time.time() - s0, 2)
+        print(json.dumps({"metric": "query-sweep-wall-time",
+                          "value": round(time.time() - t0, 1),
+                          "unit": "sec", "queries": times,
+                          "sf": args.sf_dir, "num_cpus": args.cpus}))
+        ray.shutdown()
         return
     if args.scaling:
         hi = min(4 * args.scaling_lo, args.cpus)  # N vs 4N, capped by the box

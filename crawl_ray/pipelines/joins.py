@@ -841,6 +841,16 @@ def nations_trade_volume(
     skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
     snat = np.full(int(skeys.max()) + 1, -1, dtype=np.int64)
     snat[skeys] = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+    if not np.isin(snat, np.fromiter(keys_ab, dtype=np.int64)).any():
+        # no qualifying supplier ⇒ the filtered lineitem side is ALL
+        # empty, and Ray's hash join loses an all-empty side's schema
+        # (ArrowInvalid FieldRef) — short-circuit, the result is empty
+        return pa.table(
+            {"supp_nation": pa.array([], pa.string()),
+             "cust_nation": pa.array([], pa.string()),
+             "l_year": pa.array([], pa.int64()),
+             "revenue_cc": pa.array([], pa.int64())}
+        )
     side_ref = ray.put((snat, frozenset(keys_ab)))
 
     def li_side(batch: pa.Table) -> pa.Table:

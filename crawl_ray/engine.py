@@ -121,6 +121,26 @@ class CrawlRunResult:
         return self._read_all("trace")
 
 
+def _validate_seeds(seeds: pa.Table) -> None:
+    """Fail fast on a malformed seeds table.  The costly trap: a
+    ``callbacks`` column that is not ``list<string>`` (e.g. built with
+    ``set_column(..., [["list"], ...])``, which Arrow silently infers
+    as a plain string column) — every row then routes to NO handler and
+    the crawl completes with zero records and zero errors."""
+    if "url" not in seeds.column_names:
+        raise ValueError("seeds table needs a string 'url' column")
+    if "callbacks" in seeds.column_names:
+        t = seeds.column("callbacks").type
+        ok = (
+            pa.types.is_list(t) or pa.types.is_large_list(t)
+        ) and pa.types.is_string(t.value_type)
+        if not ok:
+            raise ValueError(
+                f"seeds 'callbacks' must be list<string>, got {t} — build "
+                "it with pa.array(rows, pa.list_(pa.string()))"
+            )
+
+
 def _robots_maps(robots: pa.Table | None):
     disallow: dict[str, list[str]] = {}
     rates: dict[str, tuple[float, int]] = {}
@@ -219,6 +239,8 @@ class CrawlEngine:
         store=None,
     ) -> CrawlRunResult:
         cfg = self.cfg
+        if seeds is not None:
+            _validate_seeds(seeds)
         wd = pathlib.Path(workdir)
         # a workdir seeded via the `seed` CLI (round-0 frontier present,
         # no seeds table passed) is input, not stale state — keep it

@@ -537,3 +537,31 @@ def test_engine_equals_simulator_on_random_webs(
         )
     finally:
         engine.shutdown_shards()
+
+
+def test_run_rejects_mistyped_callbacks(ray_session, tmp_path):
+    """A callbacks column Arrow inferred as string (the silent
+    zero-records trap) must raise, not no-op."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from crawl_ray.engine import CrawlEngine, EngineConfig
+    from crawl_ray.fixtures import fixture_dir
+    from crawl_ray.spiders import flagship_spider
+
+    import pyarrow.parquet as pq
+
+    d = fixture_dir(500)
+    seeds = pq.read_table(f"{d}/seeds.parquet")
+    bad = seeds.set_column(
+        seeds.column_names.index("callbacks"),
+        "callbacks",
+        [["page"] for _ in range(seeds.num_rows)],  # inferred as string!
+    )
+    assert str(bad.column("callbacks").type) == "string"
+    engine = CrawlEngine([flagship_spider], EngineConfig(max_rounds=1))
+    try:
+        with _pytest.raises(ValueError, match="callbacks"):
+            engine.run(f"{d}/pages.parquet", bad, None, str(tmp_path / "wd"))
+    finally:
+        engine.shutdown_shards()

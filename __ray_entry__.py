@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": ST.distinct_users_per_type,
         "hll_distinct_users": ST.hll_distinct_users,
         "quantile_sketch": ST.quantile_sketch,
+        "events_pivot": ST.events_pivot,
         # text analysis (training-data ops)
         "normalize_whitespace": T.normalize_whitespace,
         "token_stats": T.token_stats,
@@ -979,6 +980,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   cast(count(*) FILTER (event_type = 'click') as bigint)
+                       AS n_click,
+                   cast(count(*) FILTER (event_type = 'error') as bigint)
+                       AS n_error,
+                   cast(count(*) FILTER (event_type = 'purchase') as bigint)
+                       AS n_purchase,
+                   cast(count(*) FILTER (event_type = 'signup') as bigint)
+                       AS n_signup,
+                   cast(count(*) FILTER (event_type = 'view') as bigint)
+                       AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "events_late_data": """
             WITH a AS (

@@ -47,6 +47,7 @@ __all__ = [
     "hll_distinct_users",
     "events_rollup",
     "quantile_sketch",
+    "events_pivot",
 ]
 
 QUANTILES = (25, 50, 75, 90, 99)  # integer percents — exact rank math
@@ -417,3 +418,45 @@ def quantile_sketch(
         {"quantile": pa.array(labels, pa.string()),
          "value_cents": pa.array(out, pa.int64())}
     )
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """PIVOT: one row per user, one count column per event type (the
+    long→wide reshape analytics exports need).  Per-batch partials
+    pre-pivot locally (composite ``user × type`` bincount — one row
+    per user per block), so the single ``groupby(user_id)`` shuffle
+    carries already-wide partial rows; the output is user-sized and
+    stays a lazy Dataset."""
+    from crawl_ray.util import normalize_schema
+
+    type_idx = {t: i for i, t in enumerate(PIVOT_TYPES)}
+    n_t = len(PIVOT_TYPES)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = pc.index_in(
+            batch.column("event_type"), value_set=pa.array(PIVOT_TYPES)
+        ).to_numpy(zero_copy_only=False)
+        users, ui = np.unique(uid, return_inverse=True)
+        counts = np.bincount(
+            ui * n_t + kind.astype(np.int64), minlength=len(users) * n_t
+        ).reshape(len(users), n_t)
+        cols = {"user_id": pa.array(users, pa.int64())}
+        for t, j in type_idx.items():
+            cols[f"n_{t}"] = pa.array(counts[:, j].astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    agg = (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .sum([f"n_{t}" for t in PIVOT_TYPES])
+    )
+    return normalize_schema(
+        agg,
+        {"user_id": pa.int64(), **{f"n_{t}": pa.int64() for t in PIVOT_TYPES}},
+        rename={f"sum(n_{t})": f"n_{t}" for t in PIVOT_TYPES},
+    ).sort("user_id")

@@ -437,13 +437,18 @@ def events_pivot(sf_dir: str) -> "ray.data.Dataset":
 
     def partial(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        kind = pc.index_in(
-            batch.column("event_type"), value_set=pa.array(PIVOT_TYPES)
-        ).to_numpy(zero_copy_only=False)
+        # unknown types count in no column but keep their user's row —
+        # same as the oracle's FILTER counts (sentinel bucket dropped)
+        kind = pc.fill_null(
+            pc.index_in(
+                batch.column("event_type"), value_set=pa.array(PIVOT_TYPES)
+            ),
+            n_t,
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
         users, ui = np.unique(uid, return_inverse=True)
         counts = np.bincount(
-            ui * n_t + kind.astype(np.int64), minlength=len(users) * n_t
-        ).reshape(len(users), n_t)
+            ui * (n_t + 1) + kind, minlength=len(users) * (n_t + 1)
+        ).reshape(len(users), n_t + 1)
         cols = {"user_id": pa.array(users, pa.int64())}
         for t, j in type_idx.items():
             cols[f"n_{t}"] = pa.array(counts[:, j].astype(np.int64), pa.int64())

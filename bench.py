@@ -449,10 +449,14 @@ def main() -> None:
         t0 = time.time()
         for name, fn in entry.queries().items():
             s0 = time.time()
-            r = fn(args.sf_dir)
-            if hasattr(r, "to_pandas"):
-                r = r.to_pandas()
-            times[name] = round(time.time() - s0, 2)
+            try:
+                r = fn(args.sf_dir)
+                if hasattr(r, "to_pandas"):
+                    r = r.to_pandas()
+                times[name] = round(time.time() - s0, 2)
+            except Exception as exc:  # keep partial timings — the
+                # whole point of a triage sweep
+                times[name] = f"error: {type(exc).__name__}: {exc}"[:200]
         print(json.dumps({"metric": "query-sweep-wall-time",
                           "value": round(time.time() - t0, 1),
                           "unit": "sec", "queries": times,

@@ -129,11 +129,17 @@ def _validate_seeds(seeds: pa.Table) -> None:
     the crawl completes with zero records and zero errors."""
     if "url" not in seeds.column_names:
         raise ValueError("seeds table needs a string 'url' column")
+    ut = seeds.column("url").type
+    if not (pa.types.is_string(ut) or pa.types.is_large_string(ut)):
+        raise ValueError(f"seeds 'url' must be string, got {ut}")
     if "callbacks" in seeds.column_names:
         t = seeds.column("callbacks").type
         ok = (
             pa.types.is_list(t) or pa.types.is_large_list(t)
-        ) and pa.types.is_string(t.value_type)
+        ) and (
+            pa.types.is_string(t.value_type)
+            or pa.types.is_large_string(t.value_type)
+        )
         if not ok:
             raise ValueError(
                 f"seeds 'callbacks' must be list<string>, got {t} — build "

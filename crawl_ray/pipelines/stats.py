@@ -76,18 +76,9 @@ def events_value_quantiles(sf_dir: str) -> pa.Table:
     )
     combined = partials.group_by(["cents"]).aggregate([("n", "sum")])
     cents = combined.column("cents").to_numpy()
-    counts = combined.column("n_sum").to_numpy()
-    order = np.argsort(cents)
-    cents, counts = cents[order], counts[order]
-    cum = np.cumsum(counts)
-    n = int(cum[-1]) if len(cum) else 0
-
-    labels, values = [], []
-    for pct in QUANTILES:
-        rank = max(-(-pct * n // 100) - 1, 0)  # ceil(pct·n/100) − 1, int math
-        idx = int(np.searchsorted(cum, rank + 1))
-        labels.append(f"p{pct}")
-        values.append(int(cents[idx]) if n else None)
+    counts = combined.column("n_sum").to_numpy().astype(np.int64)
+    labels = [f"p{pct}" for pct in QUANTILES]
+    values = _weighted_rank_quantiles(cents, counts, QUANTILES)
     return pa.table(
         {
             "quantile": pa.array(labels, pa.string()),
@@ -321,6 +312,26 @@ def events_rollup(sf_dir: str) -> pa.Table:
 SKETCH_CAP = 65536  # per-level buffer; exact while n ≤ cap (no compaction)
 
 
+def _weighted_rank_quantiles(vals: np.ndarray, weights: np.ndarray,
+                             pcts) -> list[int | None]:
+    """DuckDB ``quantile_disc`` rank convention over weighted sorted
+    values: 0-indexed rank ``ceil(pct·W/100) − 1`` in integer math.
+    Counts are weights, so the exact-histogram and sketch paths share
+    this.  Empty input → all None."""
+    order = np.argsort(vals, kind="stable")
+    vals, weights = vals[order], weights[order]
+    cum = np.cumsum(weights)
+    W = int(cum[-1]) if len(cum) else 0
+    out: list[int | None] = []
+    for pct in pcts:
+        if not W:
+            out.append(None)
+            continue
+        rank = max(-(-pct * W // 100) - 1, 0)
+        out.append(int(vals[int(np.searchsorted(cum, rank + 1))]))
+    return out
+
+
 def _kll_compact(levels: list[np.ndarray], cap: int) -> list[np.ndarray]:
     """Deterministic KLL compaction: an over-full level is sorted and
     every second element (odd ranks) promotes with doubled weight; the
@@ -359,7 +370,7 @@ def _levels_to_rows(levels: list[np.ndarray]) -> pa.Table:
 
 
 def quantile_sketch(
-    sf_dir: str, capacity: int = SKETCH_CAP, quantiles=QUANTILES
+    sf_dir: str, capacity: int | None = None, quantiles=QUANTILES
 ) -> pa.Table:
     """Mergeable quantile sketch (deterministic KLL) over
     ``events.value`` — the sketch-family completion next to HLL
@@ -374,8 +385,16 @@ def quantile_sketch(
     driver final merge + rank query.  With ``capacity ≥ n`` no level
     ever compacts, every weight is 1, and the result is EXACT with the
     same ``ceil(q·n)−1`` rank convention as the oracle; below that the
-    error is the standard KLL rank bound (≈ W·levels/capacity)."""
+    error is the standard KLL rank bound (≈ W·levels/capacity).
+
+    ``capacity=None`` (the oracle-checked default) auto-sizes to the
+    input row count — one cheap single-column count pass — so the
+    driver-gate configuration is exact at EVERY scale factor; pass a
+    fixed capacity for the bounded-memory approximate mode (the
+    property test covers its error bound)."""
     ds = _read(sf_dir, "events", ["value"])
+    if capacity is None:
+        capacity = max(SKETCH_CAP, int(ds.count()))
 
     def block_sketch(batch: pa.Table) -> pa.Table:
         levels = _kll_compact([_cents(batch.column("value")).to_numpy(
@@ -393,27 +412,25 @@ def quantile_sketch(
         ds.map_batches(block_sketch, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
     )
-    levels = _kll_compact(
-        _rows_to_levels(
-            rows.column("level").to_numpy(zero_copy_only=False),
-            rows.column("cents").to_numpy(zero_copy_only=False),
-        ),
-        capacity,
-    )
-    vals = np.concatenate(levels) if levels else np.array([], dtype=np.int64)
-    wts = np.concatenate(
-        [np.full(len(v), 1 << L, dtype=np.int64) for L, v in enumerate(levels)]
-    ) if levels else np.array([], dtype=np.int64)
-    order = np.argsort(vals, kind="stable")
-    vals, wts = vals[order], wts[order]
-    cum = np.cumsum(wts)
-    W = int(cum[-1]) if len(cum) else 0
-    labels, out = [], []
-    for pct in quantiles:
-        rank = max(-(-pct * W // 100) - 1, 0)  # ceil(pct·W/100) − 1
-        idx = int(np.searchsorted(cum, rank + 1))
-        labels.append(f"p{pct}")
-        out.append(int(vals[idx]) if W else None)
+    if "level" not in rows.column_names:  # zero-row input: Ray
+        # short-circuits empty blocks past the UDFs → zero-column table
+        vals = np.array([], dtype=np.int64)
+        wts = np.array([], dtype=np.int64)
+    else:
+        levels = _kll_compact(
+            _rows_to_levels(
+                rows.column("level").to_numpy(zero_copy_only=False),
+                rows.column("cents").to_numpy(zero_copy_only=False),
+            ),
+            capacity,
+        )
+        vals = np.concatenate(levels) if levels else np.array([], dtype=np.int64)
+        wts = np.concatenate(
+            [np.full(len(v), 1 << L, dtype=np.int64)
+             for L, v in enumerate(levels)]
+        ) if levels else np.array([], dtype=np.int64)
+    labels = [f"p{pct}" for pct in quantiles]
+    out = _weighted_rank_quantiles(vals, wts, quantiles)
     return pa.table(
         {"quantile": pa.array(labels, pa.string()),
          "value_cents": pa.array(out, pa.int64())}

@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_decontam": T.benchmark_decontam,
         "oov_rate": T.oov_rate,
         "quality_gate": T.quality_gate,
+        "quality_percentile": T.quality_percentile,
         "topk_sketch": T.topk_sketch,
         "events_rollup": ST.events_rollup,
         "orders_with_returns": J.orders_with_returns,
@@ -851,6 +852,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-language p10 quality gate (quantile_disc = discrete rank
         # ceil(q*n)-1, matching the engine's integer-math threshold)
+        "quality_percentile": r"""
+            WITH q AS (
+                SELECT doc_id, lang,
+                       CASE WHEN n_tokens > 0
+                            THEN (n_chars - n_spaces) * 1000 // n_tokens
+                            ELSE 0 END AS mean_tok_len_milli
+                FROM (
+                    SELECT doc_id, lang,
+                           cast(length(text) as bigint) AS n_chars,
+                           cast(length(regexp_replace(text, '[^ ]', '', 'g'))
+                                as bigint) AS n_spaces,
+                           cast(len(regexp_split_to_array(trim(text), '\s+'))
+                                as bigint) AS n_tokens
+                    FROM documents
+                )
+            ), r AS (
+                SELECT doc_id, lang, mean_tok_len_milli,
+                       rank() OVER (
+                           PARTITION BY lang ORDER BY mean_tok_len_milli
+                       ) AS rnk,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM q
+            )
+            SELECT doc_id, lang,
+                   cast(mean_tok_len_milli as bigint) AS mean_tok_len_milli,
+                   cast(rnk as bigint) AS rnk,
+                   cast(CASE WHEN n > 1
+                             THEN (rnk - 1) * 1000 // (n - 1)
+                             ELSE 0 END as bigint) AS pctl_milli
+            FROM r ORDER BY doc_id
+        """,
         "quality_gate": r"""
             WITH q AS (
                 SELECT doc_id, lang,

@@ -29,6 +29,7 @@ __all__ = [
     "benchmark_decontam",
     "oov_rate",
     "quality_gate",
+    "quality_percentile",
     "topk_sketch",
     "top_terms_per_doc",
     "redact_terms",
@@ -520,6 +521,79 @@ def quality_gate(sf_dir: str, pct: int = 10):
     return (
         _docs(sf_dir, ["doc_id", "text", "lang"])
         .map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
+def quality_percentile(sf_dir: str):
+    """Within-language RANK TRANSFORM of the quality score (the window
+    function ``rank() OVER (PARTITION BY lang ORDER BY score)`` plus a
+    percentile normalization) computed WITHOUT a row shuffle: the same
+    bounded (lang × integer-score) histogram as :func:`quality_gate`
+    gives every language's exact CDF; the broadcast CDF turns pass 2
+    into a row-local searchsorted.  Rank semantics ≡ SQL ``rank()``
+    (ties share the minimum rank); ``pctl_milli`` is the integer
+    percentile ``(rank−1)·1000 // (n−1)``."""
+
+    def hist(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        score = _mean_tok_len_milli(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        )
+        codes, inv = np.unique(langs, return_inverse=True)
+        key = inv.astype(np.int64) * (1 << 32) + score
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"lang": pa.array(codes[(uk >> 32)], pa.string()),
+             "score": pa.array(uk & ((1 << 32) - 1), pa.int64()),
+             "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    parts = collect_table(
+        _docs(sf_dir, ["text", "lang"]).map_batches(
+            hist, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    t = parts.group_by(["lang", "score"]).aggregate([("cnt", "sum")])
+    langs = np.array(t.column("lang").to_pylist(), dtype=object)
+    score = t.column("score").to_numpy(zero_copy_only=False)
+    cnt = t.column("cnt_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    cdf: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for lang in np.unique(langs):
+        m = langs == lang
+        sc, c = score[m], cnt[m]
+        o = np.argsort(sc)
+        sc, c = sc[o], c[o]
+        below = np.concatenate([[0], np.cumsum(c)[:-1]])  # exclusive
+        cdf[str(lang)] = (sc, below.astype(np.int64), int(c.sum()))
+    cdf_ref = ray.put(cdf)
+
+    def rank_rows(batch: pa.Table) -> pa.Table:
+        table = ray.get(cdf_ref)
+        langs_b = batch.column("lang").to_numpy(zero_copy_only=False)
+        sc = _mean_tok_len_milli(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        )
+        rnk = np.empty(len(sc), dtype=np.int64)
+        pct = np.empty(len(sc), dtype=np.int64)
+        for lang in np.unique(langs_b):
+            m = langs_b == lang
+            scores_l, below_l, n = table[str(lang)]
+            idx = np.searchsorted(scores_l, sc[m])  # exact hit by constr.
+            r = below_l[idx] + 1
+            rnk[m] = r
+            pct[m] = (r - 1) * 1000 // (n - 1) if n > 1 else 0
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "lang": batch.column("lang"),
+             "mean_tok_len_milli": pa.array(sc, pa.int64()),
+             "rnk": pa.array(rnk, pa.int64()),
+             "pctl_milli": pa.array(pct, pa.int64())}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(rank_rows, batch_format="pyarrow", zero_copy_batch=True)
         .sort("doc_id")
     )
 

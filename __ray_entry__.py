@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
+        "chunk_documents": T.chunk_documents,
         "repetition_stats": T.repetition_stats,
         "unigram_logprob": T.unigram_logprob,
         "tfidf_top_terms": T.tfidf_top_terms,
@@ -1168,6 +1169,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(rnk as bigint) AS rnk, term,
                    cast(tfidf_q as bigint) AS tfidf_q
             FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        "chunk_documents": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, greatest(len(toks), 1), 48)) AS start
+                FROM t
+            )
+            SELECT doc_id,
+                   cast(start // 48 as bigint) AS chunk_idx,
+                   cast(len(toks[start + 1 : start + 64]) as bigint)
+                       AS n_chunk_tokens,
+                   array_to_string(toks[start + 1 : start + 64], ' ')
+                       AS chunk
+            FROM c ORDER BY doc_id, chunk_idx
         """,
         # sequence packing: bin = global ordered token prefix-sum / cap
         "pack_sequences": r"""

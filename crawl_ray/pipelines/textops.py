@@ -34,6 +34,7 @@ __all__ = [
     "top_terms_per_doc",
     "redact_terms",
     "pack_sequences",
+    "chunk_documents",
     "repetition_stats",
     "unigram_logprob",
     "tfidf_top_terms",
@@ -939,6 +940,53 @@ def _pack_from_counts(
 
     return ranged.groupby("range_id").map_groups(
         pack_group, batch_format="pyarrow"
+    )
+
+
+def chunk_documents(sf_dir: str, window: int = 64, stride: int = 48):
+    """Sliding-window document chunking — the long-document half of
+    training prep (complement of :func:`pack_sequences`, which bins
+    SHORT docs): each document splits into ``window``-token chunks
+    every ``stride`` tokens (overlap = window − stride), so no token
+    is more than one chunk away from full left context.
+
+    Pure per-batch map, zero shuffle: chunk boundaries come from the
+    shared vectorized tokenizer (one pass); only the final chunk-string
+    assembly is per-chunk Python (string work, like fingerprints).
+    Chunk grid: starts 0, stride, 2·stride … while start < n_tokens —
+    identical to the oracle's ``range(0, n, stride)``."""
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        doc_ids, flat, lens = _token_lists(batch)
+        if not len(doc_ids):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "chunk_idx": pa.array([], pa.int64()),
+                 "n_chunk_tokens": pa.array([], pa.int64()),
+                 "chunk": pa.array([], pa.string())}
+            )
+        n_chunks = np.maximum((lens + stride - 1) // stride, 1)
+        doc_of = np.repeat(np.arange(len(doc_ids), dtype=np.int64), n_chunks)
+        idx_of = np.arange(n_chunks.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        starts = idx_of * stride
+        doc_base = np.repeat(np.cumsum(lens) - lens, n_chunks)
+        clens = np.minimum(window, np.repeat(lens, n_chunks) - starts)
+        texts = [
+            " ".join(flat[b + st : b + st + cl])
+            for b, st, cl in zip(doc_base.tolist(), starts.tolist(),
+                                 clens.tolist())
+        ]
+        return pa.table(
+            {"doc_id": pa.array(doc_ids[doc_of], pa.int64()),
+             "chunk_idx": pa.array(idx_of, pa.int64()),
+             "n_chunk_tokens": pa.array(clens.astype(np.int64), pa.int64()),
+             "chunk": pa.array(texts, pa.string())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

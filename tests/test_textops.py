@@ -235,3 +235,15 @@ def test_tfidf_top_v_cap_oov_fallback(tiny_dir, ray_session):
     r = {(x.doc_id, x.term): x.tfidf_q for x in capped.itertuples()}
     assert r[(0, "a")] == 4          # in-vocab: 2*4//2
     assert r[(0, "b")] == 8          # OOV fallback: 2*4//1
+
+
+def test_chunk_documents_windows(tiny_dir, ray_session):
+    """Chunk grid on the hand corpus with window=3, stride=2: doc 0
+    (5 tokens) → starts 0,2,4 with lengths 3,3,1; doc 1 (1 token) →
+    one chunk."""
+    t = T.chunk_documents(tiny_dir, window=3, stride=2).to_pandas()
+    d0 = t[t.doc_id == 0].sort_values("chunk_idx")
+    assert list(d0.chunk) == ["a b a", "a b c", "c"]
+    assert list(d0.n_chunk_tokens) == [3, 3, 1]
+    d1 = t[t.doc_id == 1]
+    assert list(d1.chunk) == ["x"] and list(d1.chunk_idx) == [0]

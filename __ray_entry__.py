@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
         "chunk_documents": T.chunk_documents,
+        "corpus_mixture": T.corpus_mixture,
         "repetition_stats": T.repetition_stats,
         "unigram_logprob": T.unigram_logprob,
         "tfidf_top_terms": T.tfidf_top_terms,
@@ -1169,6 +1170,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(rnk as bigint) AS rnk, term,
                    cast(tfidf_q as bigint) AS tfidf_q
             FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        "corpus_mixture": """
+            WITH n AS (
+                SELECT source, cast(count(*) as bigint) AS n
+                FROM documents GROUP BY source
+            ), f AS (
+                SELECT source, n,
+                       (cast(substr(source, 4) as bigint) % 4) + 1 AS w
+                FROM n
+            ), r AS (
+                SELECT source,
+                       least(1000000,
+                             (200 * w // (SELECT sum(w) FROM f))
+                                 * 1000000 // n) AS rate_ppm
+                FROM f
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r USING (source)
+            WHERE (d.doc_id * 2654435761) % 4294967296
+                  < r.rate_ppm * 4294967296 // 1000000
+            ORDER BY d.doc_id
         """,
         "chunk_documents": r"""
             WITH t AS (

@@ -35,6 +35,7 @@ __all__ = [
     "redact_terms",
     "pack_sequences",
     "chunk_documents",
+    "corpus_mixture",
     "repetition_stats",
     "unigram_logprob",
     "tfidf_top_terms",
@@ -941,6 +942,58 @@ def _pack_from_counts(
     return ranged.groupby("range_id").map_groups(
         pack_group, batch_format="pyarrow"
     )
+
+
+def corpus_mixture(sf_dir: str, budget: int = 200):
+    """Deterministic training-mixture sampling (the Pile/Dolma mixing
+    step): each source gets a TARGET share of the ``budget`` from a
+    per-source weight, converted into a hash-sampling rate capped at
+    the source's availability.  Same seeded multiplicative hash as
+    :func:`sample_documents`, so the sample is identical on every run,
+    partitioning, and cluster size.
+
+    Scale shape: per-source counts via the bounded combiner (sources ≪
+    rows), rates broadcast, ONE streaming filter pass — no shuffle.
+    Weights here derive from the source id (``(id % 4) + 1``, mirrored
+    exactly in the SQL oracle); a production pipeline passes its
+    mixture table instead."""
+
+    from crawl_ray.pipelines.relational import partial_then_final_sum
+
+    counts = partial_then_final_sum(
+        _docs(sf_dir, ["source"]), ["source"], {}, count_name="n"
+    )
+    srcs = np.array(counts.column("source").to_pylist(), dtype=object)
+    ns = counts.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    w = np.array(
+        [(int(str(s_)[3:]) % 4) + 1 for s_ in srcs], dtype=np.int64
+    )
+    tw = int(w.sum())
+    target = budget * w // tw
+    rate_ppm = np.minimum(1_000_000, target * 1_000_000 // ns)
+    thr = rate_ppm * SAMPLE_MODULUS // 1_000_000
+    order = np.argsort(srcs)
+    thr_ref = ray.put((srcs[order], thr[order].astype(np.uint64)))
+
+    def samp(batch: pa.Table) -> pa.Table:
+        keys, thresholds = ray.get(thr_ref)
+        src_b = batch.column("source").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        pos = np.searchsorted(keys, src_b)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MODULUS)
+        keep = h < thresholds[pos]
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {"doc_id": out.column("doc_id").cast(pa.int64()),
+             "source": out.column("source")}
+        )
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        samp, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
 
 
 def chunk_documents(sf_dir: str, window: int = 64, stride: int = 48):

@@ -852,8 +852,6 @@ def oracle_sql() -> dict[str, str]:
                    ) as bigint) AS n_oov
             FROM toks GROUP BY doc_id ORDER BY doc_id
         """,
-        # per-language p10 quality gate (quantile_disc = discrete rank
-        # ceil(q*n)-1, matching the engine's integer-math threshold)
         "quality_percentile": r"""
             WITH q AS (
                 SELECT doc_id, lang,
@@ -885,6 +883,8 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END as bigint) AS pctl_milli
             FROM r ORDER BY doc_id
         """,
+        # per-language p10 quality gate (quantile_disc = discrete rank
+        # ceil(q*n)-1, matching the engine's integer-math threshold)
         "quality_gate": r"""
             WITH q AS (
                 SELECT doc_id, lang,

@@ -447,6 +447,27 @@ def _mean_tok_len_milli(text: pa.ChunkedArray) -> pa.ChunkedArray:
     ).cast(pa.int64())
 
 
+def _lang_score_hist(batch: pa.Table) -> pa.Table:
+    """Shared (lang, score)→count combiner for quality_gate /
+    quality_percentile: 32-bit bit-packed composite keys.  Scores are
+    mean-token-length milli-chars; a score ≥ 2^32 (a single ~4.3M-char
+    token) would silently bleed into the lang bits, so guard loudly."""
+    langs = batch.column("lang").to_numpy(zero_copy_only=False)
+    score = _mean_tok_len_milli(batch.column("text")).to_numpy(
+        zero_copy_only=False
+    )
+    if len(score) and int(score.max()) >= (1 << 32):
+        raise ValueError("quality score exceeds 32-bit packing range")
+    codes, inv = np.unique(langs, return_inverse=True)
+    key = inv.astype(np.int64) * (1 << 32) + score
+    uk, cnt = np.unique(key, return_counts=True)
+    return pa.table(
+        {"lang": pa.array(codes[(uk >> 32)], pa.string()),
+         "score": pa.array(uk & ((1 << 32) - 1), pa.int64()),
+         "cnt": pa.array(cnt, pa.int64())}
+    )
+
+
 def quality_gate(sf_dir: str, pct: int = 10):
     """Per-language quality percentile gate: drop every document whose
     quality score (mean token length, integer milli-chars) falls below
@@ -461,25 +482,9 @@ def quality_gate(sf_dir: str, pct: int = 10):
     math.  Pass 2 re-scores and filters against the broadcast
     threshold table."""
 
-    def hist(batch: pa.Table) -> pa.Table:
-        langs = batch.column("lang").to_numpy(zero_copy_only=False)
-        score = _mean_tok_len_milli(batch.column("text")).to_numpy(
-            zero_copy_only=False
-        )
-        codes, inv = np.unique(langs, return_inverse=True)
-        key = inv.astype(np.int64) * (1 << 32) + score
-        uk, cnt = np.unique(key, return_counts=True)
-        return pa.table(
-            {
-                "lang": pa.array(codes[(uk >> 32)], pa.string()),
-                "score": pa.array(uk & ((1 << 32) - 1), pa.int64()),
-                "cnt": pa.array(cnt, pa.int64()),
-            }
-        )
-
     parts = collect_table(
         _docs(sf_dir, ["text", "lang"]).map_batches(
-            hist, batch_format="pyarrow", zero_copy_batch=True
+            _lang_score_hist, batch_format="pyarrow", zero_copy_batch=True
         )
     )  # bounded: langs × distinct integer scores
     langs = parts.column("lang").to_numpy(zero_copy_only=False)
@@ -537,23 +542,9 @@ def quality_percentile(sf_dir: str):
     (ties share the minimum rank); ``pctl_milli`` is the integer
     percentile ``(rank−1)·1000 // (n−1)``."""
 
-    def hist(batch: pa.Table) -> pa.Table:
-        langs = batch.column("lang").to_numpy(zero_copy_only=False)
-        score = _mean_tok_len_milli(batch.column("text")).to_numpy(
-            zero_copy_only=False
-        )
-        codes, inv = np.unique(langs, return_inverse=True)
-        key = inv.astype(np.int64) * (1 << 32) + score
-        uk, cnt = np.unique(key, return_counts=True)
-        return pa.table(
-            {"lang": pa.array(codes[(uk >> 32)], pa.string()),
-             "score": pa.array(uk & ((1 << 32) - 1), pa.int64()),
-             "cnt": pa.array(cnt, pa.int64())}
-        )
-
     parts = collect_table(
         _docs(sf_dir, ["text", "lang"]).map_batches(
-            hist, batch_format="pyarrow", zero_copy_batch=True
+            _lang_score_hist, batch_format="pyarrow", zero_copy_batch=True
         )
     )
     t = parts.group_by(["lang", "score"]).aggregate([("cnt", "sum")])
@@ -593,10 +584,10 @@ def quality_percentile(sf_dir: str):
              "pctl_milli": pa.array(pct, pa.int64())}
         )
 
-    return (
-        _docs(sf_dir, ["doc_id", "text", "lang"])
-        .map_batches(rank_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .sort("doc_id")
+    # no trailing sort: the output is corpus-sized and the rank/CDF
+    # design exists precisely to avoid a row shuffle
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        rank_rows, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -993,7 +984,7 @@ def corpus_mixture(sf_dir: str, budget: int = 200):
 
     return _docs(sf_dir, ["doc_id", "source"]).map_batches(
         samp, batch_format="pyarrow", zero_copy_batch=True
-    ).sort("doc_id")
+    )  # unsorted: the sample is tiny and order-free
 
 
 def chunk_documents(sf_dir: str, window: int = 64, stride: int = 48):

@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": ST.hll_distinct_users,
         "quantile_sketch": ST.quantile_sketch,
         "events_pivot": ST.events_pivot,
+        "windowed_quantiles": ST.windowed_quantiles,
         # text analysis (training-data ops)
         "normalize_whitespace": T.normalize_whitespace,
         "token_stats": T.token_stats,
@@ -1014,6 +1015,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "windowed_quantiles": """
+            WITH q AS (
+                SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                           AS window_start,
+                       cast(round(value * 100) as bigint) AS cents
+                FROM events
+            )
+            SELECT window_start, 'p50' AS quantile,
+                   cast(quantile_disc(cents, 0.50) as bigint) AS value_cents
+            FROM q GROUP BY window_start
+            UNION ALL
+            SELECT window_start, 'p95' AS quantile,
+                   cast(quantile_disc(cents, 0.95) as bigint) AS value_cents
+            FROM q GROUP BY window_start
+            ORDER BY window_start, quantile
         """,
         "events_pivot": """
             SELECT user_id,

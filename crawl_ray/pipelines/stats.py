@@ -48,6 +48,7 @@ __all__ = [
     "events_rollup",
     "quantile_sketch",
     "events_pivot",
+    "windowed_quantiles",
 ]
 
 QUANTILES = (25, 50, 75, 90, 99)  # integer percents — exact rank math
@@ -132,6 +133,54 @@ def value_quantiles_per_type(sf_dir: str) -> pa.Table:
             "quantile": pa.array(out_q, pa.string()),
             "value_cents": pa.array(out_v, pa.int64()),
         }
+    )
+
+
+def windowed_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-hour-window value percentiles (p50/p95) — the windowed
+    aggregate beyond decomposable sums: same shuffle-free bounded
+    histogram as :func:`value_quantiles_per_type`, keyed by the hour
+    window instead of the type (key space = windows × integer-cent
+    domain, independent of row count)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "window_start": pa.array(
+                    (us // 3_600_000_000) * 3_600_000_000, pa.int64()
+                ),
+                "cents": _cents(batch.column("value")),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["window_start", "cents"]).aggregate([("n", "sum")])
+        return out.rename_columns(["window_start", "cents", "n"])
+
+    partials = collect_table(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    combined = partials.group_by(["window_start", "cents"]).aggregate(
+        [("n", "sum")]
+    )
+    wins = combined.column("window_start").to_numpy(zero_copy_only=False)
+    cents = combined.column("cents").to_numpy(zero_copy_only=False)
+    counts = combined.column("n_sum").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    out_w, out_q, out_v = [], [], []
+    for w in np.unique(wins):
+        m = wins == w
+        for pct, v in zip((50, 95), _weighted_rank_quantiles(
+                cents[m], counts[m], (50, 95))):
+            out_w.append(int(w))
+            out_q.append(f"p{pct}")
+            out_v.append(v)
+    return pa.table(
+        {"window_start": pa.array(out_w, pa.int64()),
+         "quantile": pa.array(out_q, pa.string()),
+         "value_cents": pa.array(out_v, pa.int64())}
     )
 
 

@@ -33,3 +33,26 @@ def test_export_roundtrip_and_resume(ray_session, tmp_path):
     # manifest counts match the files
     m = corpus_export_manifest(SF).to_pandas()
     assert int(m.n_rows.sum()) == src.num_rows
+
+
+def test_export_wipes_unfinished_root(ray_session):
+    """A crashed export (no _SUCCESS) must be wiped on re-run so stale
+    part files from different batch boundaries can't double-count."""
+    import hashlib
+    import shutil
+
+    token = hashlib.blake2b(f"{SF}:8".encode(), digest_size=8).hexdigest()
+    root = pathlib.Path(f"/tmp/crawl_ray_runs/jsonl_{token}")
+    shutil.rmtree(root, ignore_errors=True)
+    # simulate a dead run: stale part in a shard dir, NO _SUCCESS marker
+    (root / "shard=0").mkdir(parents=True)
+    stale = root / "shard=0" / "part-999999.jsonl"
+    stale.write_text('{"doc_id": 999999, "text": "stale", "lang": "xx"}\n')
+    out = pathlib.Path(export_corpus_jsonl(SF))
+    assert out == root and (root / "_SUCCESS").exists()
+    assert not stale.exists()  # wiped, not double-counted
+    n_rows = sum(
+        len(f.read_text().splitlines()) for f in root.glob("shard=*/*.jsonl")
+    )
+    src_rows = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert n_rows == src_rows

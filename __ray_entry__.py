@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile": T.quality_percentile,
         "topk_sketch": T.topk_sketch,
         "events_rollup": ST.events_rollup,
+        "events_cube": ST.events_cube,
         "orders_with_returns": J.orders_with_returns,
         "promo_revenue_by_month": J.promo_revenue_by_month,
         "regional_revenue": J.regional_revenue,
@@ -934,6 +935,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY ROLLUP(event_type, hr)
+            ORDER BY event_type, hr
+        """,
+        "events_cube": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   cast(coalesce(hr, -1) as bigint) AS hr,
+                   cast(sum(cents) as bigint) AS sum_cents,
+                   cast(count(*) as bigint) AS n
+            FROM (
+                SELECT event_type,
+                       cast(extract(hour from ts) as bigint) AS hr,
+                       cast(round(value * 100) as bigint) AS cents
+                FROM events
+            )
+            GROUP BY CUBE(event_type, hr)
             ORDER BY event_type, hr
         """,
         # Q14 shape: monthly promo vs total revenue (integer centi-cents)

@@ -49,6 +49,7 @@ __all__ = [
     "quantile_sketch",
     "events_pivot",
     "windowed_quantiles",
+    "events_cube",
 ]
 
 QUANTILES = (25, 50, 75, 90, 99)  # integer percents — exact rank math
@@ -356,6 +357,31 @@ def events_rollup(sf_dir: str) -> pa.Table:
         }
     )
     return out.sort_by([("event_type", "ascending"), ("hr", "ascending")])
+
+
+def events_cube(sf_dir: str) -> pa.Table:
+    """Full CUBE over (event_type, hour): the ROLLUP grouping sets plus
+    the hour-marginal set — all four derived from the SAME fine cells
+    (sum/count are decomposable, so no second pass touches row data)."""
+    rollup = events_rollup(sf_dir)
+    fine = rollup.filter(
+        pc.and_(
+            pc.not_equal(rollup.column("event_type"), "ALL"),
+            pc.not_equal(rollup.column("hr"), -1),
+        )
+    )
+    by_hr = fine.group_by("hr").aggregate([("sum_cents", "sum"), ("n", "sum")])
+    extra = pa.table(
+        {
+            "event_type": pa.array(["ALL"] * by_hr.num_rows, pa.string()),
+            "hr": by_hr.column("hr"),
+            "sum_cents": by_hr.column("sum_cents_sum"),
+            "n": by_hr.column("n_sum"),
+        }
+    )
+    return pa.concat_tables([rollup, extra]).sort_by(
+        [("event_type", "ascending"), ("hr", "ascending")]
+    )
 
 
 SKETCH_CAP = 65536  # per-level buffer; exact while n ≤ cap (no compaction)

@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_sketch": T.topk_sketch,
         "events_rollup": ST.events_rollup,
         "events_cube": ST.events_cube,
+        "retained_users": ST.retained_users,
         "orders_with_returns": J.orders_with_returns,
         "promo_revenue_by_month": J.promo_revenue_by_month,
         "regional_revenue": J.regional_revenue,
@@ -936,6 +937,14 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY ROLLUP(event_type, hr)
             ORDER BY event_type, hr
+        """,
+        "retained_users": """
+            SELECT user_id FROM events
+            WHERE epoch_us(ts) < 1705363200000000
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE epoch_us(ts) >= 1705363200000000
+            ORDER BY user_id
         """,
         "events_cube": """
             SELECT coalesce(event_type, 'ALL') AS event_type,

@@ -50,6 +50,7 @@ __all__ = [
     "events_pivot",
     "windowed_quantiles",
     "events_cube",
+    "retained_users",
 ]
 
 QUANTILES = (25, 50, 75, 90, 99)  # integer percents — exact rank math
@@ -382,6 +383,50 @@ def events_cube(sf_dir: str) -> pa.Table:
     return pa.concat_tables([rollup, extra]).sort_by(
         [("event_type", "ascending"), ("hr", "ascending")]
     )
+
+
+RETENTION_SPLIT_US = 1705363200000000  # 2024-01-16T00:00:00Z — mid-month split
+
+
+def retained_users(sf_dir: str) -> pa.Table:
+    """Set INTERSECTION at user grain (retention: users active in BOTH
+    the first and second half of the month) — the ``INTERSECT`` shape.
+    Per-batch distinct (user, half) pairs shrink the exchange to at
+    most two rows per user per block; one ``groupby(user)`` over the
+    pairs; a user survives when both halves are present."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        half = (us >= RETENTION_SPLIT_US).astype(np.int64)
+        uk = np.unique(uid * 2 + half)
+        return pa.table(
+            {"user_id": pa.array(uk >> 1, pa.int64()),
+             "half": pa.array(uk & 1, pa.int64())}
+        )
+
+    both = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "half"])
+        .count()
+        .groupby("user_id")
+        .count()
+    )
+
+    def keep_both(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        m = pc.equal(batch.column("count()"), 2)
+        return pa.table(
+            {"user_id": batch.filter(m).column("user_id").cast(pa.int64())}
+        )
+
+    return collect_table(
+        both.map_batches(keep_both, batch_format="pyarrow")
+    ).sort_by("user_id")
 
 
 SKETCH_CAP = 65536  # per-level buffer; exact while n ≤ cap (no compaction)

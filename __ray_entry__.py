@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": ST.events_rollup,
         "events_cube": ST.events_cube,
         "retained_users": ST.retained_users,
+        "churned_users": ST.churned_users,
         "orders_with_returns": J.orders_with_returns,
         "promo_revenue_by_month": J.promo_revenue_by_month,
         "regional_revenue": J.regional_revenue,
@@ -942,6 +943,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events
             WHERE epoch_us(ts) < 1705363200000000
             INTERSECT
+            SELECT user_id FROM events
+            WHERE epoch_us(ts) >= 1705363200000000
+            ORDER BY user_id
+        """,
+        "churned_users": """
+            SELECT user_id FROM events
+            WHERE epoch_us(ts) < 1705363200000000
+            EXCEPT
             SELECT user_id FROM events
             WHERE epoch_us(ts) >= 1705363200000000
             ORDER BY user_id

@@ -51,6 +51,7 @@ __all__ = [
     "windowed_quantiles",
     "events_cube",
     "retained_users",
+    "churned_users",
 ]
 
 QUANTILES = (25, 50, 75, 90, 99)  # integer percents — exact rank math
@@ -427,6 +428,59 @@ def retained_users(sf_dir: str) -> pa.Table:
     return collect_table(
         both.map_batches(keep_both, batch_format="pyarrow")
     ).sort_by("user_id")
+
+
+def churned_users(sf_dir: str) -> pa.Table:
+    """Set DIFFERENCE at user grain (churn: active in the first half,
+    silent in the second) — the ``EXCEPT`` shape, same distinct-pair
+    trick as :func:`retained_users`: a user churns when exactly one
+    half is present and it is the first."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        half = (us >= RETENTION_SPLIT_US).astype(np.int64)
+        uk = np.unique(uid * 2 + half)
+        return pa.table(
+            {"user_id": pa.array(uk >> 1, pa.int64()),
+             "half": pa.array(uk & 1, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "half"])
+        .count()
+    )
+
+    def mark(batch: pa.Table) -> pa.Table:
+        # halves present per user encoded as a bitmask partial
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        half = batch.column("half").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        users, inv = np.unique(uid, return_inverse=True)
+        bits = np.zeros(len(users), dtype=np.int64)
+        np.bitwise_or.at(bits, inv, 1 << half)
+        return pa.table(
+            {"user_id": pa.array(users, pa.int64()),
+             "bits": pa.array(bits, pa.int64())}
+        )
+
+    t = collect_table(
+        agg.map_batches(mark, batch_format="pyarrow")
+    )  # bounded: ≤2 rows per user pre-combined to ≤1 per block
+    out = t.group_by(["user_id"]).aggregate([("bits", "max")])
+    uid = out.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    bits = out.column("bits_max").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = bits == 1  # first half only
+    return pa.table(
+        {"user_id": pa.array(np.sort(uid[keep]), pa.int64())}
+    )
 
 
 SKETCH_CAP = 65536  # per-level buffer; exact while n ≤ cap (no compaction)

@@ -1379,14 +1379,21 @@ def oracle_sql() -> dict[str, str]:
                         // 512 as bigint) AS bin_id
             FROM d ORDER BY doc_id
         """,
-        # connected components over the exact near-dup pairs: recursive
-        # transitive closure, min label per dup-graph node
+        # connected components over the near-dup pairs of the augmented
+        # corpus (the same ground truth embedding_near_dup reproduces):
+        # recursive transitive closure, min label per dup-graph node
         "dedup_clusters": """
-            WITH pairs AS (
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_concat([0.0::DOUBLE], embedding[2:])
+                FROM embeddings
+            ), pairs AS (
                 SELECT a.vec_id AS va, b.vec_id AS vb
-                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                FROM aug a JOIN aug b ON a.vec_id < b.vec_id
                 WHERE cast(round(list_cosine_similarity(
-                          a.embedding, b.embedding) * 1000) as bigint) >= 450
+                          a.embedding, b.embedding) * 1000) as bigint) >= 900
             ), edges AS (
                 SELECT va AS src, vb AS dst FROM pairs
                 UNION ALL SELECT vb, va FROM pairs

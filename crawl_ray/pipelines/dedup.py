@@ -295,6 +295,69 @@ def _verify_pairs_batch(
     )
 
 
+# per worker process: unit-vector store root -> {bucket -> {vec_id: row}}
+_UNIT_CACHE: dict = {}
+
+
+def _unit_bucket_map(root: str, bucket: int) -> dict:
+    buckets = _UNIT_CACHE.setdefault(root, {})
+    hit = buckets.get(bucket)
+    if hit is not None:
+        return hit
+    import pathlib
+
+    import pyarrow.parquet as pq_
+
+    out: dict[int, np.ndarray] = {}
+    bdir = pathlib.Path(root) / f"bucket={bucket}"
+    for f in sorted(bdir.glob("*.parquet")):
+        t = pq_.read_table(f)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = np.asarray(t.column("unit").to_pylist(), dtype=np.float64)
+        for i, d in enumerate(ids.tolist()):
+            out[d] = mat[i]
+    buckets[bucket] = out
+    return out
+
+
+def _verify_cos_pairs_batch(
+    batch: pa.Table, *, root: str, n_buckets: int, thr_milli: int
+) -> pa.Table:
+    """Distributed cosine verification: look both vectors' unit rows up
+    in the bucketed unit-vector store, one einsum per batch — no
+    driver-side matrix, no full-table broadcast."""
+    a = batch.column("vec_a").to_numpy(zero_copy_only=False)
+    b = batch.column("vec_b").to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {"vec_a": pa.array([], pa.int64()),
+         "vec_b": pa.array([], pa.int64()),
+         "cos_milli": pa.array([], pa.int64())}
+    )
+    if len(a) == 0:
+        return empty
+    # residual cross-block duplicate pairs: drop before work
+    ab = np.unique(np.stack([a, b], axis=1), axis=0)
+    a, b = ab[:, 0], ab[:, 1]
+    need = np.unique(np.concatenate([a, b]))
+    units: dict[int, np.ndarray] = {}
+    for bk in np.unique(need % n_buckets).tolist():
+        bucket_map = _unit_bucket_map(root, int(bk))
+        for d in need[need % n_buckets == bk].tolist():
+            units[d] = bucket_map[d]
+    ua = np.stack([units[x] for x in a.tolist()])
+    ub = np.stack([units[x] for x in b.tolist()])
+    cos = np.einsum("ij,ij->i", ua, ub)
+    milli = (np.sign(cos) * np.floor(np.abs(cos) * 1000 + 0.5)).astype(np.int64)
+    keep = milli >= thr_milli
+    return pa.table(
+        {
+            "vec_a": pa.array(a[keep], pa.int64()),
+            "vec_b": pa.array(b[keep], pa.int64()),
+            "cos_milli": pa.array(milli[keep], pa.int64()),
+        }
+    )
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     n_perm: int = 32,
@@ -458,10 +521,13 @@ def minhash_lsh_pairs(
                 part = sh.filter(pa.array(kept_ids % n_buckets == bk))
                 bdir = pathlib.Path(store_root) / f"bucket={int(bk)}"
                 bdir.mkdir(parents=True, exist_ok=True)
-                # deterministic name (disjoint batches) → retry-safe
+                # deterministic min+max-id name (disjoint batches) →
+                # retry-safe, and no clobber even if ids ever repeated
+                # across blocks (ADVICE r2)
+                pids = part.column("doc_id").to_numpy(zero_copy_only=False)
                 pq_.write_table(
                     part,
-                    bdir / f"part-{int(part.column('doc_id')[0].as_py())}.parquet",
+                    bdir / f"part-{int(pids.min())}-{int(pids.max())}.parquet",
                 )
                 n_written += part.num_rows
         return pa.table({"n": pa.array([n_written], pa.int64())})
@@ -507,14 +573,14 @@ def minhash_lsh_pairs(
 
 
 @ray.remote
-def _unique_pair_ids(t: pa.Table) -> np.ndarray:
-    if t.num_rows == 0 or "doc_a" not in t.column_names:
+def _unique_pair_ids(t: pa.Table, col_a: str = "doc_a", col_b: str = "doc_b") -> np.ndarray:
+    if t.num_rows == 0 or col_a not in t.column_names:
         return np.empty(0, dtype=np.int64)
     return np.unique(
         np.concatenate(
             [
-                t.column("doc_a").to_numpy(zero_copy_only=False),
-                t.column("doc_b").to_numpy(zero_copy_only=False),
+                t.column(col_a).to_numpy(zero_copy_only=False),
+                t.column(col_b).to_numpy(zero_copy_only=False),
             ]
         )
     )
@@ -738,62 +804,144 @@ def embedding_near_dup(
             }
         )
 
-    def first_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    def local_pair_dedup(batch: pa.Table) -> pa.Table:
+        # per-block candidate dedup (see the minhash twin); exact dedup
+        # happens on the bounded verified output
+        if batch.num_rows == 0 or "vec_a" not in batch.column_names:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()),
+                 "vec_b": pa.array([], pa.int64())}
+            )
+        ab = np.unique(
+            np.stack(
+                [
+                    batch.column("vec_a").to_numpy(zero_copy_only=False),
+                    batch.column("vec_b").to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {
+                "vec_a": pa.array(ab[:, 0], pa.int64()),
+                "vec_b": pa.array(ab[:, 1], pa.int64()),
+            }
+        )
 
     pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["vec_a", "vec_b"])
-        .map_groups(first_pair, batch_format="pyarrow")
+        .map_batches(local_pair_dedup, batch_format="pyarrow")
+        .materialize()
     )
 
-    # exact verification: broadcast unit matrix, vectorized per batch
-    full = collect_table(
-        _augmented_embeddings(sf_dir)
+    # candidate vec-id set: bounded by the candidate pairs; unique'd per
+    # block in tasks, union'd on the driver for the broadcast — the SAME
+    # bucketed-store verification pattern as minhash_lsh_pairs: the full
+    # embeddings table is never materialized on the driver, never
+    # broadcast; only the candidate rows are written (task-side) to a
+    # ``vec_id % B`` bucketed unit-vector store and looked up per batch.
+    id_refs = [
+        _unique_pair_ids.remote(ref, "vec_a", "vec_b")
+        for ref in pairs.to_arrow_refs()
+    ]
+    id_parts = [p for p in ray.get(id_refs) if len(p)]
+    empty_out = pa.table(
+        {"vec_a": pa.array([], pa.int64()),
+         "vec_b": pa.array([], pa.int64()),
+         "cos_milli": pa.array([], pa.int64())}
     )
-    ids_full = full.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(ids_full)
-    ids_sorted = ids_full[order]
-    mat = np.asarray(full.column("embedding").to_pylist(), dtype=np.float64)[order]
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    unit_ref = ray.put((ids_sorted, mat / norms[:, None]))
+    if not id_parts:
+        return empty_out
+    needed = np.unique(np.concatenate(id_parts))
+    needed_ref = ray.put(needed)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        ids_s, unit = ray.get(unit_ref)
-        a = batch.column("vec_a").to_numpy(zero_copy_only=False)
-        b = batch.column("vec_b").to_numpy(zero_copy_only=False)
-        if len(a) == 0:
-            return pa.table(
-                {"vec_a": pa.array([], pa.int64()),
-                 "vec_b": pa.array([], pa.int64()),
-                 "cos_milli": pa.array([], pa.int64())}
+    import hashlib
+
+    n_buckets = 8
+    token = hashlib.blake2b(
+        f"{sf_dir}:{threshold_milli}:{n_bits}:{n_tables}:units".encode(),
+        digest_size=8,
+    ).hexdigest()
+    store_root = f"/tmp/crawl_ray_runs/embunits_{token}"
+
+    def write_units(batch: pa.Table) -> pa.Table:
+        import pathlib
+
+        import pyarrow.parquet as pq_
+
+        needed_ids = ray.get(needed_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.flatnonzero(np.isin(ids, needed_ids))
+        n_written = 0
+        if len(keep):
+            kept_ids = ids[keep]
+            mat = np.asarray(
+                batch.column("embedding").take(pa.array(keep, pa.int64())).to_pylist(),
+                dtype=np.float64,
             )
-        ua = unit[np.searchsorted(ids_s, a)]
-        ub = unit[np.searchsorted(ids_s, b)]
-        cos = np.einsum("ij,ij->i", ua, ub)
-        milli = (np.sign(cos) * np.floor(np.abs(cos) * 1000 + 0.5)).astype(np.int64)
-        keep = milli >= threshold_milli
-        return pa.table(
-            {
-                "vec_a": pa.array(a[keep], pa.int64()),
-                "vec_b": pa.array(b[keep], pa.int64()),
-                "cos_milli": pa.array(milli[keep], pa.int64()),
-            }
-        )
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            tbl = pa.table(
+                {
+                    "vec_id": pa.array(kept_ids, pa.int64()),
+                    "unit": pa.array(list(unit), pa.list_(pa.float64())),
+                }
+            )
+            for bk in np.unique(kept_ids % n_buckets).tolist():
+                part = tbl.filter(pa.array(kept_ids % n_buckets == bk))
+                bdir = pathlib.Path(store_root) / f"bucket={int(bk)}"
+                bdir.mkdir(parents=True, exist_ok=True)
+                pids = part.column("vec_id").to_numpy(zero_copy_only=False)
+                # min+max id name: unique for disjoint batches AND safe
+                # if ids ever repeated across blocks (ADVICE r2)
+                pq_.write_table(
+                    part, bdir / f"part-{int(pids.min())}-{int(pids.max())}.parquet"
+                )
+                n_written += part.num_rows
+        return pa.table({"n": pa.array([n_written], pa.int64())})
 
+    _augmented_embeddings(sf_dir).map_batches(
+        write_units, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # distributed exact-cosine verification against the bucketed store
     out = collect_table(
-        pairs.map_batches(verify, batch_format="pyarrow")
+        pairs.map_batches(
+            _verify_cos_pairs_batch,
+            fn_kwargs={
+                "root": store_root,
+                "n_buckets": n_buckets,
+                "thr_milli": threshold_milli,
+            },
+            batch_format="pyarrow",
+        )
     )
     if out.num_rows == 0:
-        return pa.table(
-            {"vec_a": pa.array([], pa.int64()),
-             "vec_b": pa.array([], pa.int64()),
-             "cos_milli": pa.array([], pa.int64())}
-        )
-    return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+        return empty_out
+    # exact pair dedup on the bounded verified result (identical pairs
+    # carry identical cosine, so row-level unique is sufficient)
+    trip = np.unique(
+        np.stack(
+            [
+                out.column("vec_a").to_numpy(zero_copy_only=False),
+                out.column("vec_b").to_numpy(zero_copy_only=False),
+                out.column("cos_milli").to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        ),
+        axis=0,
+    )
+    return pa.table(
+        {
+            "vec_a": pa.array(trip[:, 0], pa.int64()),
+            "vec_b": pa.array(trip[:, 1], pa.int64()),
+            "cos_milli": pa.array(trip[:, 2], pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -833,53 +981,96 @@ def _cc_label_propagation(
     """Distributed min-label propagation: labels start at node id; each
     round every node broadcasts its label along its edges via a
     groupby-emulated join (label row + edge rows grouped on the same
-    key), then takes the min of received labels.  Labels are monotone
-    non-increasing, so an unchanged label sum certifies the fixpoint.
+    hash PARTITION), then takes the min of received labels.  Labels are
+    monotone non-increasing, so an unchanged label sum certifies the
+    fixpoint.
+
+    Per-group Python is bounded by the PARTITION count, never the node
+    count: rows carry a ``part = splitmix64(key) % n_parts`` column and
+    one ``map_groups`` call processes ALL key segments of a partition
+    in a single lexsort + ``minimum.reduceat`` pass (the
+    streams.sessionize_bucketed pattern — measured 10×+ over per-group
+    calls at 10^5-group counts; a per-NODE variant would be millions of
+    30-100 µs Python calls on a web-scale dup graph).
 
     Rounds = cluster diameter — the right trade for near-dup graphs
     (dense, shallow clusters); for adversarial long chains the
     log-round star-contraction variant (Kiveris et al., "Connected
     Components in MapReduce and Beyond") would replace this loop.
-    Two shuffles per round; per-group work is O(degree)."""
+    Two shuffles per round; per-partition work is O(rows log rows)."""
     from ray.data.aggregate import Min
+
+    from crawl_ray.pipelines.joins import _default_partitions
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    n_parts = _default_partitions()
+
+    def part_of(keys: np.ndarray) -> np.ndarray:
+        return (
+            _splitmix64(keys.astype(np.uint64)) % np.uint64(n_parts)
+        ).astype(np.int64)
 
     src = edges.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
     dst = edges.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-    # symmetrize once; per-key dedup happens inside the group step
-    u = np.concatenate([src, dst])
-    v = np.concatenate([dst, src])
+    # symmetrize + dedup once (duplicate edges only re-send the same min)
+    uv = np.unique(
+        np.stack(
+            [np.concatenate([src, dst]), np.concatenate([dst, src])], axis=1
+        ),
+        axis=0,
+    )
+    u, v = uv[:, 0], uv[:, 1]
     nodes = np.unique(u)
     edge_ds = ray.data.from_arrow(
         pa.table(
             {"key": pa.array(u, pa.int64()),
              "val": pa.array(v, pa.int64()),
-             "is_label": pa.array(np.zeros(len(u), dtype=bool))}
+             "is_label": pa.array(np.zeros(len(u), dtype=bool)),
+             "part": pa.array(part_of(u), pa.int64())}
         )
     ).materialize()
     labels = pa.table(
         {"key": pa.array(nodes, pa.int64()),
          "val": pa.array(nodes, pa.int64()),
-         "is_label": pa.array(np.ones(len(nodes), dtype=bool))}
+         "is_label": pa.array(np.ones(len(nodes), dtype=bool)),
+         "part": pa.array(part_of(nodes), pa.int64())}
     )
     prev_sum = int(nodes.sum())
+    int64_max = np.iinfo(np.int64).max
+    _empty_msgs = pa.table(
+        {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+    )
 
-    def propagate(group: pa.Table) -> pa.Table:
-        vals = group.column("val").to_numpy(zero_copy_only=False)
+    def propagate_part(group: pa.Table) -> pa.Table:
+        """All key segments of one hash partition, vectorized."""
+        if group.num_rows == 0:
+            return _empty_msgs
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        val = group.column("val").to_numpy(zero_copy_only=False)
         is_lbl = group.column("is_label").to_numpy(zero_copy_only=False)
-        lbl = int(vals[is_lbl].min())
-        key = int(group.column("key")[0].as_py())
-        targets = np.unique(vals[~is_lbl])
-        out_nodes = np.concatenate([targets, [key]]).astype(np.int64)
+        order = np.lexsort((val, key))
+        key, val, is_lbl = key[order], val[order], is_lbl[order]
+        new_seg = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new_seg)
+        # per-segment label = min over LABEL rows only (each key has
+        # exactly one label row: masked reduceat)
+        seg_lbl = np.minimum.reduceat(
+            np.where(is_lbl, val, int64_max), starts
+        )
+        row_lbl = seg_lbl[np.cumsum(new_seg) - 1]
+        em = ~is_lbl
+        out_nodes = np.concatenate([val[em], key[starts]])
+        out_lbls = np.concatenate([row_lbl[em], seg_lbl])
         return pa.table(
             {"node": pa.array(out_nodes, pa.int64()),
-             "label": pa.array(np.full(len(out_nodes), lbl), pa.int64())}
+             "label": pa.array(out_lbls, pa.int64())}
         )
 
     for _ in range(max_iters):
         msgs = (
             edge_ds.union(ray.data.from_arrow(labels))
-            .groupby("key")
-            .map_groups(propagate, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(propagate_part, batch_format="pyarrow")
         )
         new_labels = collect_table(
             msgs.groupby("node").aggregate(Min("label"))
@@ -891,7 +1082,8 @@ def _cc_label_propagation(
         labels = pa.table(
             {"key": pa.array(node_arr, pa.int64()),
              "val": pa.array(lbl_arr, pa.int64()),
-             "is_label": pa.array(np.ones(len(node_arr), dtype=bool))}
+             "is_label": pa.array(np.ones(len(node_arr), dtype=bool)),
+             "part": pa.array(part_of(node_arr), pa.int64())}
         )
         cur_sum = int(lbl_arr.sum())
         if cur_sum == prev_sum:
@@ -906,13 +1098,15 @@ def _cc_label_propagation(
 
 def dedup_clusters(
     sf_dir: str,
-    threshold_milli: int = 450,
+    threshold_milli: int = 900,
     force_distributed: bool = False,
 ):
     """Near-duplicate cluster assignment: connected components over the
-    exact cosine near-dup pairs (``embedding_near_dup_exact``), one
-    cluster id (= component min vec_id) per dup-graph node, plus the
-    dedup decision — ``keep`` marks the cluster representative.
+    sign-LSH candidates-then-verify cosine pairs
+    (:func:`embedding_near_dup`, augmented corpus) — the 100 TB input
+    path (no all-pairs matmul, no driver-side matrix) — one cluster id
+    (= component min vec_id) per dup-graph node, plus the dedup
+    decision: ``keep`` marks the cluster representative.
 
     Applying the decision to the corpus is an anti-join of ``keep =
     false`` ids against the documents table — at scale that is the same
@@ -921,7 +1115,7 @@ def dedup_clusters(
     Edge lists ≤ ``CLUSTER_DRIVER_THRESHOLD`` run driver-side
     union-find; larger graphs (or ``force_distributed``) run the
     distributed min-label-propagation loop."""
-    pairs = embedding_near_dup_exact(sf_dir, threshold_milli=threshold_milli)
+    pairs = embedding_near_dup(sf_dir, threshold_milli=threshold_milli)
     src = pairs.column("vec_a").to_numpy(zero_copy_only=False).astype(np.int64)
     dst = pairs.column("vec_b").to_numpy(zero_copy_only=False).astype(np.int64)
     if len(src) > CLUSTER_DRIVER_THRESHOLD or force_distributed:

@@ -126,3 +126,71 @@ def test_dedup_clusters_distributed_matches_driver(ray_session):
     for cid, grp in fast.groupby("cluster_id"):
         assert grp["keep"].sum() == 1
         assert grp.loc[grp["keep"], "vec_id"].iloc[0] == cid == grp["vec_id"].min()
+
+
+def test_embedding_near_dup_never_collects_vectors(ray_session, monkeypatch):
+    """100 TB guard: the verify stage must use the bucketed unit-vector
+    store — the full embeddings table (or any vector column) must never
+    be materialized on the driver (VERDICT r2 finding #1)."""
+    collected_cols = []
+    real_collect = DD.collect_table
+
+    def spy(ds):
+        t = real_collect(ds)
+        collected_cols.append(list(t.column_names))
+        return t
+
+    monkeypatch.setattr(DD, "collect_table", spy)
+    out = DD.embedding_near_dup("/root/testdata/sf0.001")
+    assert out.num_rows > 0
+    for cols in collected_cols:
+        assert "embedding" not in cols and "unit" not in cols, (
+            f"driver materialized a vector column: {cols}"
+        )
+
+
+def test_embedding_unit_store_is_bucketed(ray_session, tmp_path):
+    """The verify kernel reads unit vectors through the per-worker
+    bucket cache — only the buckets named by the candidate pairs."""
+    ids = np.arange(16, dtype=np.int64)
+    unit = np.zeros((16, 4))
+    unit[:, 0] = 1.0
+    import pyarrow.parquet as pq
+
+    n_buckets = 8
+    for bk in range(n_buckets):
+        sel = ids[ids % n_buckets == bk]
+        d = tmp_path / f"bucket={bk}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"vec_id": pa.array(sel, pa.int64()),
+                      "unit": pa.array(list(unit[sel]), pa.list_(pa.float64()))}),
+            d / "part-0-0.parquet",
+        )
+    DD._UNIT_CACHE.clear()
+    batch = pa.table({"vec_a": pa.array([0, 0], pa.int64()),
+                      "vec_b": pa.array([8, 8], pa.int64())})
+    out = DD._verify_cos_pairs_batch(
+        batch, root=str(tmp_path), n_buckets=n_buckets, thr_milli=900
+    )
+    # duplicate pair dropped in-block; cosine of identical units = 1000
+    assert out.to_pydict() == {"vec_a": [0], "vec_b": [8], "cos_milli": [1000]}
+    # only bucket 0 (ids 0 and 8 both ≡ 0 mod 8) was loaded
+    assert sorted(DD._UNIT_CACHE[str(tmp_path)].keys()) == [0]
+
+
+def test_cc_label_propagation_100k_edges(ray_session):
+    """Web-scale shape: 100k edges, 1000 star components — the
+    partition-vectorized propagation must label every node with its
+    component minimum (and do it in O(partitions) Python calls)."""
+    n_edges = 100_000
+    hubs = np.arange(n_edges, dtype=np.int64) % 1000
+    leaves = np.arange(n_edges, dtype=np.int64) + 1000
+    edges = pa.table({"src": pa.array(leaves, pa.int64()),
+                      "dst": pa.array(hubs, pa.int64())})
+    lab = DD._cc_label_propagation(edges)
+    node = np.array(lab.column("node").to_pylist())
+    label = np.array(lab.column("label").to_pylist())
+    assert len(node) == n_edges + 1000
+    expect = np.where(node < 1000, node, (node - 1000) % 1000)
+    assert np.array_equal(label[np.argsort(node)], expect[np.argsort(node)])

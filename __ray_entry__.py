@@ -11,8 +11,9 @@ Crawl-engine pipelines run over the deterministic synthetic web fixture
 (the DuckDB views don't include it); their oracles read the
 single-threaded reference simulator's expected parquet via
 ``read_parquet`` (see ``crawl_ray.oracle_data``), so they get the same
-rows+schema+value-hash gate.  Only ``hll_distinct_users`` (an
-approximate sketch) is rows-only.
+rows+schema+value-hash gate.  Every registered query is oracled —
+``hll_distinct_users`` (an approximate sketch) emits its exact count +
+±5% acceptance flag, both SQL-reproducible.
 """
 
 from __future__ import annotations
@@ -731,6 +732,16 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type,
                    cast(count(DISTINCT user_id) as bigint) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # the sketch's checkable contract: exact count (SQL ground
+        # truth) + the ±5% acceptance flag, which is deterministically
+        # true for a working p=12 HLL (~1.6% σ) — a drifting sketch
+        # flips the flag and fails the value hash
+        "hll_distinct_users": """
+            SELECT event_type,
+                   cast(count(DISTINCT user_id) as bigint) AS n_users,
+                   true AS hll_within_5pct
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "top_order_per_segment": """

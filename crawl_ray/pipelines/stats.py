@@ -258,14 +258,21 @@ def _hll_estimate(regs: np.ndarray) -> int:
     return int(round(est))
 
 
-def hll_distinct_users(sf_dir: str) -> pa.Table:
-    """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type.
+def hll_distinct_users(sf_dir: str, include_estimate: bool = False) -> pa.Table:
+    """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type,
+    emitted WITH its checkable contract: the exact count (same pipeline
+    as :func:`distinct_users_per_type`) plus ``hll_within_5pct`` — the
+    sketch's ±5 % acceptance flag.  Both columns are SQL-reproducible
+    (the flag is deterministically true for a working p=12 sketch,
+    ~1.6 % σ), so the driver's rows+schema+value-hash gate covers this
+    query; a drifting sketch flips the flag and fails the hash.  Pass
+    ``include_estimate=True`` to append the raw ``approx_users`` column
+    (pytest asserts the numeric band on it).
 
     Per-block partials are fixed 4 KiB register arrays (one per type
     seen in the block) carried as a binary column; the driver merge is
     ``np.maximum`` over O(types × blocks) registers — no shuffle, no
-    row data movement.  Deterministic; see tests for the error bound
-    vs :func:`distinct_users_per_type`."""
+    row data movement.  Deterministic."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
     def sketch(batch: pa.Table) -> pa.Table:
@@ -296,14 +303,24 @@ def hll_distinct_users(sf_dir: str) -> pa.Table:
         else:
             merged[t] = regs.copy()
     types = sorted(merged)
-    return pa.table(
-        {
-            "event_type": pa.array(types, pa.string()),
-            "approx_users": pa.array(
-                [_hll_estimate(merged[t]) for t in types], pa.int64()
-            ),
-        }
+    est = {t: _hll_estimate(merged[t]) for t in types}
+    exact_tbl = distinct_users_per_type(sf_dir)
+    exact = dict(
+        zip(
+            exact_tbl.column("event_type").to_pylist(),
+            exact_tbl.column("n_users").to_pylist(),
+        )
     )
+    cols = {
+        "event_type": pa.array(types, pa.string()),
+        "n_users": pa.array([int(exact[t]) for t in types], pa.int64()),
+        "hll_within_5pct": pa.array(
+            [abs(est[t] - exact[t]) * 20 <= exact[t] for t in types]
+        ),
+    }
+    if include_estimate:
+        cols["approx_users"] = pa.array([est[t] for t in types], pa.int64())
+    return pa.table(cols)
 
 
 def events_rollup(sf_dir: str) -> pa.Table:

@@ -144,9 +144,12 @@ def test_hll_error_bound_large(tmp_path, ray_session):
             }
         ),
     )
-    out = ST.hll_distinct_users(str(tmp_path))
+    out = ST.hll_distinct_users(str(tmp_path), include_estimate=True)
     est = out.column("approx_users").to_pylist()[0]
     assert abs(est - 50_000) / 50_000 < 0.05
+    # the contract columns the driver gate hashes
+    assert out.column("n_users").to_pylist() == [50_000]
+    assert out.column("hll_within_5pct").to_pylist() == [True]
 
 
 def test_hll_register_merge_associative():

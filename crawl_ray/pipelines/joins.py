@@ -39,7 +39,7 @@ import ray
 import ray.data
 
 from crawl_ray.pipelines.relational import _cents, _read, partial_then_final_sum
-from crawl_ray.util import collect_table, normalize_schema
+from crawl_ray.util import collect_table, normalize_schema, rename_select
 
 __all__ = [
     "unshipped_orders",
@@ -739,8 +739,9 @@ def large_volume_orders(
                 "q": _cents(batch.column("l_quantity")),
             }
         )
-        return t.group_by(["l_orderkey"]).aggregate([("q", "sum")]).rename_columns(
-            ["l_orderkey", "q"]
+        return rename_select(
+            t.group_by(["l_orderkey"]).aggregate([("q", "sum")]),
+            {"l_orderkey": "l_orderkey", "q_sum": "q"},
         )
 
     sums = (
@@ -749,9 +750,10 @@ def large_volume_orders(
         .groupby("l_orderkey")
         .sum("q")
         .map_batches(
-            lambda b: b.filter(
-                pc.greater(b.column("sum(q)"), qty_threshold_cents)
-            ).rename_columns(["l_orderkey", "sum_qty_cents"])
+            lambda b: rename_select(
+                b.filter(pc.greater(b.column("sum(q)"), qty_threshold_cents)),
+                {"l_orderkey": "l_orderkey", "sum(q)": "sum_qty_cents"},
+            )
             if b.num_rows
             else pa.table(
                 {"l_orderkey": pa.array([], pa.int64()),

@@ -38,7 +38,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from crawl_ray.pipelines.relational import _cents, _read, partial_then_final_sum
-from crawl_ray.util import collect_table
+from crawl_ray.util import collect_table, rename_select
 
 __all__ = [
     "events_value_quantiles",
@@ -73,7 +73,7 @@ def events_value_quantiles(sf_dir: str) -> pa.Table:
             }
         )
         out = t.group_by(["cents"]).aggregate([("n", "sum")])
-        return out.rename_columns(["cents", "n"])
+        return rename_select(out, {"cents": "cents", "n_sum": "n"})
 
     partials = collect_table(
         ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
@@ -106,7 +106,9 @@ def value_quantiles_per_type(sf_dir: str) -> pa.Table:
             }
         )
         out = t.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
-        return out.rename_columns(["event_type", "cents", "n"])
+        return rename_select(
+            out, {"event_type": "event_type", "cents": "cents", "n_sum": "n"}
+        )
 
     partials = collect_table(
         ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
@@ -159,7 +161,9 @@ def windowed_quantiles(sf_dir: str) -> pa.Table:
             }
         )
         out = t.group_by(["window_start", "cents"]).aggregate([("n", "sum")])
-        return out.rename_columns(["window_start", "cents", "n"])
+        return rename_select(
+            out, {"window_start": "window_start", "cents": "cents", "n_sum": "n"}
+        )
 
     partials = collect_table(
         ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
@@ -350,6 +354,14 @@ def events_rollup(sf_dir: str) -> pa.Table:
         {"sum_cents": lambda b: b.column("cents")},
         count_name="n",
     )
+    # 'ALL' is the marginal sentinel: a real event_type literally named
+    # 'ALL' would silently fold into the marginals here and in the
+    # cube's hour-marginal recomputation (ADVICE r2) — fail loudly.
+    if pc.any(pc.equal(fine.column("event_type"), "ALL")).as_py():
+        raise ValueError(
+            "events_rollup: input event_type 'ALL' collides with the "
+            "marginal sentinel; rename the type or change the sentinel"
+        )
     by_type = fine.group_by("event_type").aggregate(
         [("sum_cents", "sum"), ("n", "sum")]
     )

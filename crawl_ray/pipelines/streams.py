@@ -36,6 +36,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from crawl_ray.pipelines.relational import _cents, _read, partial_then_final_sum
+from crawl_ray.util import rename_select
 
 __all__ = [
     "events_asof_join",
@@ -941,7 +942,9 @@ def events_funnel(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
         .map_groups(funnel, batch_format="pyarrow")
     )
     out = parts.group_by(["stage"]).aggregate([("n_users", "sum")])
-    return out.rename_columns(["stage", "n_users"]).sort_by("stage")
+    return rename_select(
+        out, {"stage": "stage", "n_users_sum": "n_users"}
+    ).sort_by("stage")
 
 
 # late-data model: deterministic ingest jitter — a 32-bit Knuth hash
@@ -1041,7 +1044,9 @@ def events_late_data(sf_dir: str) -> pa.Table:
              "max_us": batch.column("us")}
         )
         g = t.group_by(["blk_arr", "blk_eid"]).aggregate([("max_us", "max")])
-        return g.rename_columns(["blk_arr", "blk_eid", "max_us"])
+        return rename_select(
+            g, {"blk_arr": "blk_arr", "blk_eid": "blk_eid", "max_us_max": "max_us"}
+        )
 
     bp = collect_table(
         p1.map_batches(blk_partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -1085,7 +1090,10 @@ def events_late_data(sf_dir: str) -> pa.Table:
         g = t.group_by(["window_start"]).aggregate(
             [("n_events", "sum"), ("n_late", "sum")]
         )
-        return g.rename_columns(["window_start", "n_events", "n_late"])
+        return rename_select(
+            g, {"window_start": "window_start", "n_events_sum": "n_events",
+                "n_late_sum": "n_late"}
+        )
 
     parts = collect_table(
         p1.map_batches(late_partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -1093,6 +1101,7 @@ def events_late_data(sf_dir: str) -> pa.Table:
     out = parts.group_by(["window_start"]).aggregate(
         [("n_events", "sum"), ("n_late", "sum")]
     )
-    return out.rename_columns(
-        ["window_start", "n_events", "n_late"]
+    return rename_select(
+        out, {"window_start": "window_start", "n_events_sum": "n_events",
+              "n_late_sum": "n_late"}
     ).sort_by("window_start")

@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from crawl_ray.util import collect_table
+from crawl_ray.util import collect_table, rename_select
 
 __all__ = ["export_corpus_jsonl", "corpus_export_manifest", "jsonl_corpus_stats"]
 
@@ -35,6 +35,18 @@ def export_corpus_jsonl(sf_dir: str, n_shards: int = 8) -> str:
     the dead run would otherwise double-count rows."""
     import shutil
 
+    # map tasks write to a node-local path: correct single-node, but on
+    # a multi-node cluster parts would scatter across hosts and the
+    # manifest verify would undercount without an error (ADVICE r2) —
+    # fail loudly; the multi-node deployment points root at shared
+    # storage (NFS / object store) instead.
+    alive = [n for n in ray.nodes() if n.get("Alive")]
+    if len(alive) > 1:
+        raise RuntimeError(
+            "export_corpus_jsonl writes shards to a node-local /tmp root; "
+            "on a multi-node cluster point the export root at shared "
+            "storage (parts would otherwise scatter across hosts)"
+        )
     token = hashlib.blake2b(
         f"{sf_dir}:{n_shards}".encode(), digest_size=8
     ).hexdigest()
@@ -58,9 +70,15 @@ def export_corpus_jsonl(sf_dir: str, n_shards: int = 8) -> str:
         out_s, out_n = [], []
         for s in np.unique(shard).tolist():
             m = shard == s
-            # part name from the block's smallest doc_id: deterministic
-            # → a retried task overwrites its own file, never duplicates
-            part = root / f"shard={s}" / f"part-{int(ids[m].min())}.jsonl"
+            # part name from the block's smallest+largest doc_id:
+            # deterministic → a retried task overwrites its own file,
+            # never duplicates; the min+max pair keeps two blocks from
+            # clobbering one part even if doc_id were ever non-unique
+            # across blocks (ADVICE r2)
+            part = (
+                root / f"shard={s}"
+                / f"part-{int(ids[m].min())}-{int(ids[m].max())}.jsonl"
+            )
             with open(part, "w", encoding="utf-8") as f:
                 for i in np.flatnonzero(m).tolist():
                     f.write(json.dumps(
@@ -78,7 +96,9 @@ def export_corpus_jsonl(sf_dir: str, n_shards: int = 8) -> str:
         ).map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True)
     )
     manifest = parts.group_by(["shard"]).aggregate([("n_rows", "sum")])
-    manifest = manifest.rename_columns(["shard", "n_rows"]).sort_by("shard")
+    manifest = rename_select(
+        manifest, {"shard": "shard", "n_rows_sum": "n_rows"}
+    ).sort_by("shard")
     with open(root / "manifest.json", "w") as f:
         json.dump(
             {int(s): int(n) for s, n in zip(
@@ -125,7 +145,9 @@ def jsonl_corpus_stats(sf_dir: str, n_shards: int = 8) -> pa.Table:
              "n_chars": pa.array(n_chars, pa.int64())}
         )
         g = t.group_by(["shard"]).aggregate([("n_docs", "sum"), ("n_chars", "sum")])
-        return g.rename_columns(["shard", "n_docs", "n_chars"])
+        return rename_select(
+            g, {"shard": "shard", "n_docs_sum": "n_docs", "n_chars_sum": "n_chars"}
+        )
 
     parts = collect_table(
         ray.data.read_json(files).map_batches(
@@ -135,4 +157,6 @@ def jsonl_corpus_stats(sf_dir: str, n_shards: int = 8) -> pa.Table:
     out = parts.group_by(["shard"]).aggregate(
         [("n_docs", "sum"), ("n_chars", "sum")]
     )
-    return out.rename_columns(["shard", "n_docs", "n_chars"]).sort_by("shard")
+    return rename_select(
+        out, {"shard": "shard", "n_docs_sum": "n_docs", "n_chars_sum": "n_chars"}
+    ).sort_by("shard")

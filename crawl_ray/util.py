@@ -6,7 +6,18 @@ import pyarrow as pa
 
 import ray
 
-__all__ = ["collect_table", "normalize_schema"]
+__all__ = ["collect_table", "normalize_schema", "rename_select"]
+
+
+def rename_select(t: pa.Table, cols: dict[str, str]) -> pa.Table:
+    """Project + rename BY NAME, output order = dict order.
+
+    For ``group_by().aggregate()`` outputs: pyarrow's column order is
+    keys-first on the pinned 16.x but has differed across versions — a
+    positional ``rename_columns`` there would silently mislabel columns
+    rather than error (ADVICE r2).  ``t.column(old)`` raises KeyError on
+    a missing name, so a reorder becomes a loud failure."""
+    return pa.table({new: t.column(old) for old, new in cols.items()})
 
 
 def normalize_schema(

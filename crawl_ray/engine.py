@@ -85,6 +85,13 @@ class EngineConfig(CrawlConfig):
     small_round_threshold: int = 65536
     page_store: str = "broadcast"  # "broadcast" | "bucketed"
     n_page_buckets: int = 64
+    # URL-seen backend: "exact" (full 64-bit keys; dump/parity-capable,
+    # the test default) or "cuckoo" (16-bit fingerprints, ~2.4 B/key —
+    # the SURVEY ST4 10^10 memory envelope; ≈1.2e-4 false-positive rate
+    # means a rare URL is silently never crawled).  seen_capacity is
+    # PER SHARD and fixed at construction for the cuckoo backend.
+    seen_backend: str = "exact"
+    seen_capacity: int = 1 << 16
     checkpoint_interval: int = 1  # snapshot state every N rounds
     keep_trace: bool = True
 
@@ -201,9 +208,11 @@ class CrawlEngine:
         for i, snap in enumerate(snaps):
             np.savez_compressed(
                 state_dir / f"shard_{i}.npz",
-                table=snap["seen"]["table"],
                 tokens=json.dumps(snap["tokens"]),
                 jar=json.dumps(snap["jar"]),
+                # seen-table state keyed by backend ("table" for exact,
+                # "cuckoo_table"/"stash"/"count" for the ST4 backend)
+                **{f"seen_{k}": v for k, v in snap["seen"].items()},
             )
 
     @staticmethod
@@ -211,8 +220,15 @@ class CrawlEngine:
         futures = []
         for i, shard in enumerate(shards):
             with np.load(round_dir / "state" / f"shard_{i}.npz") as z:
+                seen_state = {
+                    k[len("seen_"):]: z[k]
+                    for k in z.files
+                    if k.startswith("seen_")
+                }
+                if not seen_state:  # pre-round-3 checkpoint layout
+                    seen_state = {"table": z["table"]}
                 state = {
-                    "seen": {"table": z["table"]},
+                    "seen": seen_state,
                     "tokens": json.loads(str(z["tokens"])),
                     "jar": json.loads(str(z["jar"])) if "jar" in z else {},
                 }
@@ -267,7 +283,14 @@ class CrawlEngine:
         ShardActor = ray.remote(num_cpus=0)(AdmissionShard)
         self.shutdown_shards()  # a prior run's actors would leak otherwise
         shards = [
-            ShardActor.remote(disallow, rates, cfg.default_rate, cfg.default_burst)
+            ShardActor.remote(
+                disallow,
+                rates,
+                cfg.default_rate,
+                cfg.default_burst,
+                cfg.seen_backend,
+                cfg.seen_capacity,
+            )
             for _ in range(cfg.n_admission_shards)
         ]
         # register immediately so an exception mid-run still lets the

@@ -26,7 +26,7 @@ import json
 
 import numpy as np
 
-from crawl_ray.state.seen import SeenTable
+from crawl_ray.state.seen import make_seen_table, restore_seen_table
 
 __all__ = ["AdmissionShard", "ADMIT", "DEFER", "DUP", "ROBOTS", "SEEN"]
 
@@ -46,8 +46,10 @@ class AdmissionShard:
         robots_rates: dict[str, tuple[float, int]] | None = None,
         default_rate: float = 2.0,
         default_burst: int = 4,
+        seen_backend: str = "exact",
+        seen_capacity: int = 1 << 16,
     ) -> None:
-        self.seen = SeenTable()
+        self.seen = make_seen_table(seen_backend, seen_capacity)
         self.disallow = robots_disallow or {}
         self.rates = robots_rates or {}
         self.default = (default_rate, default_burst)
@@ -200,6 +202,6 @@ class AdmissionShard:
         }
 
     def restore(self, state: dict) -> None:
-        self.seen = SeenTable.restore(state["seen"])
+        self.seen = restore_seen_table(state["seen"])
         self.tokens = {h: list(v) for h, v in state["tokens"].items()}
         self.jar = {h: dict(c) for h, c in state.get("jar", {}).items()}

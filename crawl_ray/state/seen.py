@@ -16,9 +16,25 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["SeenTable"]
+__all__ = [
+    "SeenTable",
+    "CuckooSeenTable",
+    "make_seen_table",
+    "restore_seen_table",
+]
 
 _EMPTY = np.uint64(0)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return x ^ (x >> np.uint64(31))
 
 
 class SeenTable:
@@ -133,3 +149,180 @@ class SeenTable:
         obj._mask = np.uint64(len(obj._table) - 1)
         obj._count = int((obj._table != _EMPTY).sum())
         return obj
+
+
+class CuckooSeenTable:
+    """16-bit-fingerprint cuckoo membership table — the SURVEY §2.4 ST4
+    memory-envelope backend.
+
+    4-way buckets of ``uint16`` fingerprints: ~2.4 B/key at the
+    advertised capacity (vs ≥13 B/key for the exact open-addressing
+    table at its 0.6 load), so one shard holding 10^9 URLs is ~2.5 GB
+    and a 10^10-URL frontier fits the 20-40 GB cluster-wide budget
+    (reference keeps its seen set as an unbounded Go
+    ``map[string]struct{}``, crawler.go:74-86 — neither scales; this
+    is the classic cuckoo-filter answer).  False-positive rate
+    ≈ 2·4/2^16 ≈ 1.2e-4 — a falsely-"seen" URL is silently never
+    crawled, the standard accepted loss at web scale.  Keep the exact
+    backend (default) where bit-parity with the simulator matters.
+
+    Same batch API as :class:`SeenTable` (``contains`` / ``add`` /
+    ``snapshot`` / ``restore`` / ``__len__``); ``dump`` raises —
+    fingerprints cannot reconstruct keys.  Capacity is FIXED at
+    construction: a partial-key filter cannot grow in place (the
+    evicted-bucket bit is unrecoverable), so size it to the design
+    point up front; overflow goes to a tiny stash, then raises.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+    STASH_MAX = 64
+
+    _FP_HASH: np.ndarray | None = None  # 65536-entry fp -> uint64 hash
+
+    def __init__(self, capacity: int = 1 << 16) -> None:
+        n_buckets = 1 << max(
+            4, int(np.ceil(capacity / 0.84 / self.SLOTS) - 1).bit_length()
+        )
+        self._table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        self._mask = np.uint64(n_buckets - 1)
+        self._count = 0
+        self._stash: set[tuple[int, int]] = set()  # (bucket, fp)
+        if CuckooSeenTable._FP_HASH is None:
+            CuckooSeenTable._FP_HASH = _splitmix64(
+                np.arange(1 << 16, dtype=np.uint64) | np.uint64(1 << 40)
+            )
+
+    def __len__(self) -> int:
+        return self._count
+
+    # -- internals ---------------------------------------------------
+    def _derive(self, keys: np.ndarray):
+        """(fingerprint, bucket1, bucket2) for a batch of keys — all
+        masking in uint64 (never ``% python_int``: the uint64-modulo
+        float promotion trap, see tests)."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        s = _splitmix64(keys)
+        f = (s >> np.uint64(48)).astype(np.uint16)
+        f = np.where(f == 0, np.uint16(1), f)
+        i1 = s & self._mask
+        i2 = i1 ^ (self._FP_HASH[f] & self._mask)
+        return f, i1, i2
+
+    def _alt(self, bucket: int, fp: int) -> int:
+        return int(
+            np.uint64(bucket) ^ (self._FP_HASH[fp] & self._mask)
+        )
+
+    def _in_stash(self, f: np.ndarray, i1: np.ndarray, i2: np.ndarray) -> np.ndarray:
+        hit = np.zeros(len(f), dtype=bool)
+        for bk, fp in self._stash:  # stash is ≤ STASH_MAX entries
+            hit |= (f == fp) & ((i1 == bk) | (i2 == bk))
+        return hit
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership for a batch of keys (may report false
+        positives at the documented rate; never false negatives)."""
+        if len(keys) == 0 or self._count == 0:
+            return np.zeros(len(keys), dtype=bool)
+        f, i1, i2 = self._derive(keys)
+        res = (self._table[i1] == f[:, None]).any(axis=1)
+        res |= (self._table[i2] == f[:, None]).any(axis=1)
+        if self._stash:
+            res |= self._in_stash(f, i1, i2)
+        return res
+
+    def add(self, keys: np.ndarray) -> np.ndarray:
+        """Insert a batch; returns a was-new mask (first occurrence in
+        the batch counts as new once; a false-positive hit counts as
+        already-seen, the accepted semantics)."""
+        n = len(keys)
+        new = np.zeros(n, dtype=bool)
+        if n == 0:
+            return new
+        f, i1, i2 = self._derive(keys)
+        # vectorized pre-check: keys already present skip the loop
+        present = (self._table[i1] == f[:, None]).any(axis=1)
+        present |= (self._table[i2] == f[:, None]).any(axis=1)
+        if self._stash:
+            present |= self._in_stash(f, i1, i2)
+        tab = self._table
+        for j in np.flatnonzero(~present).tolist():
+            fj = int(f[j])
+            a, b = int(i1[j]), int(i2[j])
+            row_a, row_b = tab[a], tab[b]
+            # re-check: an earlier insert in THIS batch may have added
+            # the same fingerprint (duplicate key or in-batch FP)
+            if (row_a == fj).any() or (row_b == fj).any():
+                continue
+            placed = False
+            for idx, row in ((a, row_a), (b, row_b)):
+                z = np.flatnonzero(row == 0)
+                if len(z):
+                    tab[idx, z[0]] = fj
+                    placed = True
+                    break
+            if not placed:
+                cur_i, cur_f = a, fj
+                for kick in range(self.MAX_KICKS):
+                    # deterministic scrambled slot pick (no RNG state)
+                    slot = (cur_f * 0x9E37 + kick) & 3
+                    cur_f, tab[cur_i, slot] = int(tab[cur_i, slot]), cur_f
+                    cur_i = self._alt(cur_i, cur_f)
+                    z = np.flatnonzero(tab[cur_i] == 0)
+                    if len(z):
+                        tab[cur_i, z[0]] = cur_f
+                        placed = True
+                        break
+                if not placed:
+                    self._stash.add((cur_i, cur_f))
+                    if len(self._stash) > self.STASH_MAX:
+                        raise RuntimeError(
+                            "CuckooSeenTable over capacity — size the "
+                            "table to the design point at construction"
+                        )
+            new[j] = True
+            self._count += 1
+        return new
+
+    # -- snapshot / restore (checkpoint protocol) --------------------
+    def dump(self) -> np.ndarray:
+        raise NotImplementedError(
+            "CuckooSeenTable stores fingerprints, not keys; use the "
+            "exact backend where dump_seen is needed"
+        )
+
+    def snapshot(self) -> dict[str, np.ndarray]:
+        stash = np.array(sorted(self._stash), dtype=np.int64).reshape(-1, 2)
+        return {
+            "cuckoo_table": self._table.copy(),
+            "stash": stash,
+            "count": np.array([self._count], dtype=np.int64),
+        }
+
+    @classmethod
+    def restore(cls, state: dict[str, np.ndarray]) -> "CuckooSeenTable":
+        obj = cls(16)  # builds _FP_HASH; table replaced below
+        obj._table = np.array(state["cuckoo_table"], dtype=np.uint16, copy=True)
+        obj._mask = np.uint64(len(obj._table) - 1)
+        obj._stash = {(int(a), int(b)) for a, b in state["stash"]}
+        obj._count = int(state["count"][0])
+        return obj
+
+
+def make_seen_table(backend: str, capacity: int = 1 << 16):
+    """Backend dispatch: ``"exact"`` (full-key, dump/parity-capable) or
+    ``"cuckoo"`` (2.4 B/key fingerprints, the 10^10 memory envelope)."""
+    if backend == "exact":
+        return SeenTable(capacity)
+    if backend == "cuckoo":
+        return CuckooSeenTable(capacity)
+    raise ValueError(f"unknown seen-table backend: {backend!r}")
+
+
+def restore_seen_table(state: dict):
+    return (
+        CuckooSeenTable.restore(state)
+        if "cuckoo_table" in state
+        else SeenTable.restore(state)
+    )

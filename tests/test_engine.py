@@ -565,3 +565,34 @@ def test_run_rejects_mistyped_callbacks(ray_session, tmp_path):
             engine.run(f"{d}/pages.parquet", bad, None, str(tmp_path / "wd"))
     finally:
         engine.shutdown_shards()
+
+
+def test_cuckoo_backend_parity(fixture_tables, sim_result, ray_session, tmp_path):
+    """ST4 memory-envelope backend: the engine with cuckoo-fingerprint
+    seen shards reproduces the simulator's trace exactly on this
+    fixture (deterministic hashing; at 16-bit fingerprints the FP
+    probability over a few hundred URLs is ~1e-5, and any outcome is
+    stable run-to-run)."""
+    pages, seeds, robots, pages_path = fixture_tables
+    cfg = EngineConfig(
+        **CFG,
+        n_admission_shards=3,
+        extract_concurrency=2,
+        extract_batch_size=64,
+        seen_backend="cuckoo",
+        seen_capacity=1 << 14,
+    )
+    engine = CrawlEngine([flagship_spider], cfg)
+    try:
+        result = engine.run(pages_path, seeds, robots, str(tmp_path / "crawl"))
+        trace = result.trace_table()
+        rows = sorted(
+            zip(
+                trace.column("round").to_pylist(),
+                trace.column("order_key").to_pylist(),
+                trace.column("url").to_pylist(),
+            )
+        )
+        assert [(r, u) for r, _, u in rows] == sim_result.trace
+    finally:
+        engine.shutdown_shards()

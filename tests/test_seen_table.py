@@ -99,3 +99,106 @@ def test_uint64_shard_routing_matches_scalar():
         int(fnv1a64_batch([h])[0] % 2) != fnv1a64(h) % 2  # noqa: S001 - the trap itself
         for h in hosts
     )
+
+
+# -- CuckooSeenTable (ST4 memory-envelope backend) ----------------------
+
+
+def test_cuckoo_basic_add_contains():
+    from crawl_ray.state.seen import CuckooSeenTable
+
+    t = CuckooSeenTable(64)
+    keys = np.array([5, 7, 5, 9], dtype=np.uint64)
+    new = t.add(keys)
+    assert new.tolist() == [True, True, False, True]
+    assert t.contains(np.array([5, 7, 9], dtype=np.uint64)).all()
+    assert len(t) == 3
+    assert not t.add(keys).any()  # re-add: nothing new
+
+
+def test_cuckoo_no_false_negatives_50k():
+    from crawl_ray.state.seen import CuckooSeenTable
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(1 << 62, size=50_000, replace=False).astype(np.uint64)
+    t = CuckooSeenTable(60_000)
+    new = t.add(keys)
+    # a handful of in-batch fingerprint collisions legitimately report
+    # as already-seen (the documented FP semantics) — but only a handful
+    assert int(new.sum()) >= 49_990
+    assert len(t) == int(new.sum())
+    # cuckoo guarantee: every added key IS contained
+    assert t.contains(keys).all()
+    # false positives bounded: expected ~1.2e-4 on absent probes
+    probe = (keys.max() + 1 + np.arange(100_000)).astype(np.uint64)
+    fp = int(t.contains(probe).sum())
+    assert fp < 100, f"false-positive rate too high: {fp}/100000"
+
+
+def test_cuckoo_snapshot_restore():
+    from crawl_ray.state.seen import CuckooSeenTable
+
+    t = CuckooSeenTable(1024)
+    keys = np.arange(1, 900, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    t.add(keys)
+    t2 = CuckooSeenTable.restore(t.snapshot())
+    assert t2.contains(keys).all()
+    assert len(t2) == len(t)
+    # restored table keeps inserting correctly
+    more = np.array([1 << 63], dtype=np.uint64)
+    assert t2.add(more).tolist() == [True]
+    assert t2.contains(more).all()
+
+
+def test_cuckoo_memory_per_key_within_st4_budget():
+    """SURVEY §2.4 ST4: ≤4 bytes/key at the advertised capacity (the
+    north rule's 10^10-key memory envelope; exact table is 13+ B/key)."""
+    from crawl_ray.state.seen import CuckooSeenTable
+
+    cap = int(0.84 * 4 * 16384)  # power-of-two friendly capacity
+    t = CuckooSeenTable(cap)
+    rng = np.random.default_rng(5)
+    keys = rng.choice(1 << 62, size=cap, replace=False).astype(np.uint64)
+    t.add(keys)
+    # all fit (4-way cuckoo fills ≥0.84 load), minus the handful of
+    # in-batch fingerprint collisions that legitimately read as dups
+    assert len(t) >= cap - 20
+    per_key = t._table.nbytes / len(t)
+    assert per_key <= 4.0, f"{per_key:.2f} B/key exceeds the ST4 budget"
+
+
+def test_cuckoo_dump_raises():
+    from crawl_ray.state.seen import CuckooSeenTable
+
+    t = CuckooSeenTable(64)
+    t.add(np.array([1, 2], dtype=np.uint64))
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        t.dump()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=200), min_size=0, max_size=80),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_cuckoo_superset_of_set_model(batches):
+    """No false negatives ever; false positives essentially never at
+    this key count (deterministic hashing makes any outcome stable)."""
+    from crawl_ray.state.seen import CuckooSeenTable
+
+    t = CuckooSeenTable(512)
+    model: set[int] = set()
+    for batch in batches:
+        arr = np.array(batch, dtype=np.uint64)
+        t.add(arr)
+        model |= set(batch)
+        probe = np.arange(0, 210, dtype=np.uint64)
+        got = t.contains(probe)
+        expect = np.array([p in model for p in probe.tolist()])
+        assert not (expect & ~got).any(), "false negative"
+        assert int((got & ~expect).sum()) <= 2, "implausible FP count"

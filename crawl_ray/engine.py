@@ -178,9 +178,20 @@ class CrawlEngine:
     owns the Ray session.
     """
 
-    def __init__(self, spiders: list, config: EngineConfig | None = None) -> None:
+    def __init__(
+        self,
+        spiders: list,
+        config: EngineConfig | None = None,
+        fetch_stage_factory=None,
+    ) -> None:
         self.spiders = list(spiders)
         self.cfg = config or EngineConfig()
+        # pluggable fetch (SURVEY S3 / crawler.go:180): a module-level
+        # callable ``store -> stage`` where the stage maps a frontier
+        # batch to the fetch batch contract (see crawl_ray.stages.fetch)
+        # — default is the page-store lookup; a live-HTTP deployment
+        # passes ``lambda _store: HttpFetchStage(...)``
+        self.fetch_stage_factory = fetch_stage_factory
 
     # -- seeds -------------------------------------------------------
     def write_seeds(self, seeds: pa.Table, workdir: str) -> None:
@@ -591,7 +602,7 @@ class CrawlEngine:
                             pending.difference_update(done)
                         r = _fetch_extract_task.remote(
                             ref, off, ln, store_box, self.spiders,
-                            cfg.max_depth,
+                            cfg.max_depth, self.fetch_stage_factory,
                         )
                         pending.add(r)
                         out_refs.append(r)
@@ -599,7 +610,7 @@ class CrawlEngine:
                     out_refs = [
                         _fetch_extract_task.remote(
                             ref, off, ln, store_box, self.spiders,
-                            cfg.max_depth,
+                            cfg.max_depth, self.fetch_stage_factory,
                         )
                         for ref, off, ln in slices
                     ]
@@ -694,8 +705,10 @@ class _FetchExtractWorker:
 
     _GC_COLLECT_EVERY = 64  # safety net; DOM trees are cycle-free (weakref parents)
 
-    def __init__(self, store, spiders: list, max_depth: int) -> None:
-        self._fetch = make_fetch_fn(store)
+    def __init__(
+        self, store, spiders: list, max_depth: int, fetch_factory=None
+    ) -> None:
+        self._fetch = (fetch_factory or make_fetch_fn)(store)
         self._extract = ExtractActor(spiders=spiders, max_depth=max_depth)
         self._calls = 0
 
@@ -733,6 +746,7 @@ def _store_cache_key(store) -> object:
 def _fetch_extract_task(
     block: pa.Table, offset: int, length: int,
     store_box: list, spiders: list, max_depth: int,
+    fetch_factory=None,
 ) -> pa.Table:
     """One fetch+extract work unit. ``store_box`` wraps the store (or
     its ObjectRef) in a list so Ray does NOT auto-deref it — the task
@@ -742,12 +756,13 @@ def _fetch_extract_task(
     key = (
         _store_cache_key(store), max_depth,
         tuple(f"{s.__module__}.{getattr(s, '__qualname__', repr(s))}" for s in spiders),
+        getattr(fetch_factory, "__qualname__", None),
     )
     worker = _WORKER_CACHE.get(key)
     if worker is None:
         if isinstance(store, ray.ObjectRef):
             store = ray.get(store)
-        worker = _FetchExtractWorker(store, spiders, max_depth)
+        worker = _FetchExtractWorker(store, spiders, max_depth, fetch_factory)
         # single-slot cache: a new run's store evicts the previous one,
         # so repeated engine runs in one Ray session (tests, bench) don't
         # pin one full page index per run in every worker process
@@ -839,6 +854,21 @@ def _split_admission(t: pa.Table, spill_dir: str, part: int):
     if deferred.num_rows:
         _write(deferred, pathlib.Path(spill_dir), f"deferred-{part}.parquet")
     bad = t.filter(pc.equal(adm, BADCANON))
+    # M5: the deterministic proxy pick is a pure function of
+    # (url_hash, metadata), so the trace records it at admission time
+    # — the same choice the fetch stage will make (stages/fetch.py)
+    from crawl_ray.stages.fetch import pick_proxy_batch
+
+    trace = admitted.select(["url", "order_key", "depth"]).append_column(
+        "proxy",
+        pa.array(
+            pick_proxy_batch(
+                admitted.column("url_hash").to_numpy(zero_copy_only=False),
+                admitted.column("metadata").to_pylist(),
+            ),
+            pa.string(),
+        ),
+    )
     rest = {
         "robots": t.filter(pc.equal(adm, ROBOTS)),
         "bad": bad,
@@ -847,7 +877,7 @@ def _split_admission(t: pa.Table, spill_dir: str, part: int):
         "deferred": deferred.num_rows,
         "n_admitted": admitted.num_rows,
         "n_ok": t.num_rows - bad.num_rows,
-        "trace": admitted.select(["url", "order_key", "depth"]),
+        "trace": trace,
     }
     return admitted, rest
 

@@ -240,11 +240,19 @@ def simulate(
             idx = page_index.get(row.url)
             status = 200 if idx is not None else 404
             body = htmls[idx] if idx is not None else b""
-            header = cookie_header(row.req.cookies, jar.get(row.host))
+            # M5: proxied request → fresh jar-less client
+            # (crawler.go:174-177): no jar cookies out, no Set-Cookie in
+            from crawl_ray.stages.fetch import pick_proxy, proxy_from_metadata
+
+            addrs, _ok = proxy_from_metadata(row.req.metadata)
+            proxied = bool(addrs and pick_proxy(fnv1a64(row.url), addrs))
+            header = cookie_header(
+                row.req.cookies, None if proxied else jar.get(row.host)
+            )
             if header:
                 row.req.headers = dict(row.req.headers)
                 row.req.headers["Cookie"] = header
-            if idx is not None and set_cookies[idx]:
+            if idx is not None and set_cookies[idx] and not proxied:
                 # harvested in admitted (canonical) order; applied to
                 # the jar at the round boundary — later rows this round
                 # still see the round-start jar, like the engine

@@ -50,25 +50,12 @@ UNION_SCHEMA = pa.schema(
 
 
 def make_fetch_fn(store):
-    """Fetch = page-store lookup per batch; missing URL → 404 + empty
-    body (the live-HTTP analog of ``crawler.go:180-189``).  ``store``
-    may be a plain object or a ``ray.ObjectRef`` (broadcast join)."""
-    import ray
+    """Default fetch stage: page-store lookup (the live-HTTP analog of
+    ``crawler.go:180-189``).  The batch contract and the pluggable
+    live-HTTP implementation live in :mod:`crawl_ray.stages.fetch`."""
+    from crawl_ray.stages.fetch import make_fetch_stage
 
-    def fetch(batch: pa.Table) -> pa.Table:
-        nonlocal store
-        if isinstance(store, ray.ObjectRef):
-            store = ray.get(store)
-        urls = batch.column("url").to_pylist()
-        status, htmls, set_cookies = store.lookup(urls)
-        batch = batch.append_column("status", pa.array(status, pa.int32()))
-        batch = batch.append_column("html", pa.array(htmls, pa.binary()))
-        batch = batch.append_column(
-            "set_cookie", pa.array(set_cookies, pa.string())
-        )
-        return batch
-
-    return fetch
+    return make_fetch_stage(store)
 
 
 def _row_request(cols: dict, i: int) -> Request:
@@ -129,15 +116,22 @@ class ExtractActor:
         # never consumes a politeness token or a fetch)
         jar_col = cols.get("jar_cookies")
         set_cookie_col = cols.get("set_cookie")
+        proxy_col = cols.get("proxy")
         for i in range(n):
             req = _row_request(cols, i)
+            # M5: a proxied request runs on a fresh jar-less client
+            # (crawler.go:174-177) — no jar cookies sent, no Set-Cookie
+            # harvested (the fetch stage already blanks set_cookie)
+            proxied = bool(proxy_col[i]) if proxy_col else False
             # ST1: effective Cookie header = explicit request cookies +
             # admission-stamped jar cookies for the host, observable to
             # handlers via resp.request.headers (crawler.go:87 jar +
             # request.go:69-73 AddCookie)
             header = cookie_header(
                 req.cookies,
-                json.loads(jar_col[i]) if jar_col and jar_col[i] else None,
+                json.loads(jar_col[i])
+                if jar_col and jar_col[i] and not proxied
+                else None,
             )
             if header:
                 req.headers = dict(req.headers)

@@ -1,0 +1,213 @@
+"""Pluggable fetch stage (J1/S3) + proxy selection semantics (M5).
+
+The fetch stage is a callable with ONE batch contract:
+
+    frontier columns in  →  same columns +
+        status int32, html binary, set_cookie string, proxy string
+
+Two implementations:
+
+* :class:`PageStoreFetchStage` — the default: frontier ⋈ page-store
+  lookup (the live-HTTP analog over the BASELINE.json ``input_hint``
+  Parquet web; ``crawler.go:180-189``).
+* :class:`HttpFetchStage` — live HTTP over the same contract
+  (``crawler.go:284-296`` connection pooling becomes a per-worker
+  opener).  The transport is injectable so the stage is fully testable
+  offline; this sandbox has no network, so the default transport is
+  only constructed on first use.
+
+Proxy semantics (``proxy.go:11-27`` + ``crawler.go:167-178``): a
+request whose metadata carries the ``crawl_proxy`` key fetches through
+ONE proxy picked from the list — the reference picks uniformly at
+random (``crawler.go:208``); here the pick is a seeded deterministic
+hash of the url so reruns and the simulator agree.  A proxied request
+uses a FRESH client with NO cookie jar (``crawler.go:174-177`` builds
+an ``http.Client`` without the jar): the jar's cookies are not sent
+and its Set-Cookie payload is not harvested.  The picked proxy is
+recorded in the ``proxy`` output column (and from there in the trace).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from crawl_ray.state.seen import _splitmix64
+from crawl_ray.urlnorm import fnv1a64
+
+__all__ = [
+    "PROXY_METADATA_KEY",
+    "with_proxy",
+    "proxy_from_metadata",
+    "pick_proxy",
+    "pick_proxy_batch",
+    "make_fetch_stage",
+    "PageStoreFetchStage",
+    "HttpFetchStage",
+]
+
+PROXY_METADATA_KEY = "crawl_proxy"  # proxy.go:8
+_PROXY_SALT = np.uint64(fnv1a64(PROXY_METADATA_KEY))
+
+
+def with_proxy(metadata: dict[str, str] | None, *addrs: str) -> dict[str, str]:
+    """Request-metadata analog of ``WithProxy`` (proxy.go:11-18):
+    appends proxy addresses to the ``crawl_proxy`` key (comma-joined —
+    metadata is a string map here)."""
+    md = dict(metadata or {})
+    existing = [a for a in md.get(PROXY_METADATA_KEY, "").split(",") if a]
+    md[PROXY_METADATA_KEY] = ",".join(existing + list(addrs))
+    return md
+
+
+def proxy_from_metadata(
+    metadata: dict[str, str] | None,
+) -> tuple[list[str], bool]:
+    """``ProxyFromContext`` analog (proxy.go:20-27): the proxy list and
+    whether the key is present."""
+    if not metadata or PROXY_METADATA_KEY not in metadata:
+        return [], False
+    return [a for a in metadata[PROXY_METADATA_KEY].split(",") if a], True
+
+
+def pick_proxy(url_hash: int, addrs: list[str]) -> str:
+    """Deterministic stand-in for the reference's uniform pick
+    (``crawler.go:208`` ``rand.Intn``): seeded by the url hash so the
+    engine, the simulator and any rerun agree on the choice."""
+    if not addrs:
+        return ""
+    h = _splitmix64(np.uint64(url_hash) ^ _PROXY_SALT)
+    return addrs[int(h % np.uint64(len(addrs)))]
+
+
+def pick_proxy_batch(url_hashes: np.ndarray, metadata_col) -> list[str]:
+    """Vectorized-ish batch pick: rows without the metadata key cost a
+    dict lookup only; JSON decode + hash happen per proxied row (rare
+    in practice — proxy routing is opt-in per request)."""
+    out = [""] * len(url_hashes)
+    for i, md_json in enumerate(metadata_col):
+        if not md_json or PROXY_METADATA_KEY not in md_json:
+            continue
+        addrs, ok = proxy_from_metadata(json.loads(md_json))
+        if ok and addrs:
+            out[i] = pick_proxy(int(url_hashes[i]), addrs)
+    return out
+
+
+def _append_fetch_columns(
+    batch: pa.Table,
+    status: np.ndarray,
+    htmls: list[bytes],
+    set_cookies: list[str],
+    proxies: list[str],
+) -> pa.Table:
+    # proxied requests use a jar-less client (crawler.go:174-177): the
+    # response's Set-Cookie is not stored
+    set_cookies = [
+        "" if p else sc for sc, p in zip(set_cookies, proxies)
+    ]
+    batch = batch.append_column("status", pa.array(status, pa.int32()))
+    batch = batch.append_column("html", pa.array(htmls, pa.binary()))
+    batch = batch.append_column("set_cookie", pa.array(set_cookies, pa.string()))
+    return batch.append_column("proxy", pa.array(proxies, pa.string()))
+
+
+class PageStoreFetchStage:
+    """Fetch = page-store lookup per batch; missing URL → 404 + empty
+    body.  ``store`` may be a plain handle or a ``ray.ObjectRef``
+    (broadcast join) — deref'd lazily inside the worker."""
+
+    def __init__(self, store) -> None:
+        self._store = store
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if isinstance(self._store, ray.ObjectRef):
+            self._store = ray.get(self._store)
+        urls = batch.column("url").to_pylist()
+        status, htmls, set_cookies = self._store.lookup(urls)
+        proxies = pick_proxy_batch(
+            batch.column("url_hash").to_numpy(zero_copy_only=False),
+            batch.column("metadata").to_pylist(),
+        )
+        return _append_fetch_columns(batch, status, htmls, set_cookies, proxies)
+
+
+class HttpFetchStage:
+    """Live-HTTP fetch over the same batch contract.
+
+    * per-worker opener reused across batches (the reference's pooled
+      ``http.Client``, crawler.go:284-296; stdlib urllib keeps
+      keep-alive per opener) — state in ``__init__``, work per batch;
+    * proxied rows go through a FRESH jar-less opener for the picked
+      proxy (crawler.go:167-178);
+    * ``transport`` is injectable: ``fn(url, headers, proxy, timeout)
+      -> (status:int, body:bytes, set_cookie_json:str)`` — tests run a
+      deterministic fake; the default urllib transport is built lazily
+      (this sandbox has no network).
+    """
+
+    def __init__(self, timeout_s: float = 30.0, transport=None) -> None:
+        # 30 s: the reference consumer's default request timeout
+        # (nsq/consumer/app.go:58-63)
+        self.timeout_s = timeout_s
+        self._transport = transport
+
+    # -- default transport (lazy; real network path) ------------------
+    def _default_transport(self, url, headers, proxy, timeout):
+        import urllib.request
+
+        if proxy:
+            opener = urllib.request.build_opener(
+                urllib.request.ProxyHandler({"http": proxy, "https": proxy})
+            )  # fresh, jar-less (crawler.go:174-177)
+        else:
+            opener = getattr(self, "_opener", None)
+            if opener is None:
+                opener = self._opener = urllib.request.build_opener()
+        req = urllib.request.Request(url, headers=dict(headers or {}))
+        try:
+            with opener.open(req, timeout=timeout) as resp:
+                body = resp.read()
+                sc = resp.headers.get("Set-Cookie", "")
+                set_cookie = (
+                    json.dumps(
+                        dict(
+                            p.split("=", 1)
+                            for p in [sc.split(";", 1)[0]]
+                            if "=" in p
+                        )
+                    )
+                    if sc
+                    else ""
+                )
+                return int(resp.status), body, set_cookie
+        except Exception:
+            return 404, b"", ""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        transport = self._transport or self._default_transport
+        urls = batch.column("url").to_pylist()
+        headers_col = batch.column("headers").to_pylist()
+        proxies = pick_proxy_batch(
+            batch.column("url_hash").to_numpy(zero_copy_only=False),
+            batch.column("metadata").to_pylist(),
+        )
+        status = np.full(len(urls), 404, dtype=np.int32)
+        htmls: list[bytes] = [b""] * len(urls)
+        set_cookies: list[str] = [""] * len(urls)
+        for i, url in enumerate(urls):
+            hdrs = json.loads(headers_col[i]) if headers_col[i] else {}
+            st, body, sc = transport(url, hdrs, proxies[i], self.timeout_s)
+            status[i] = st
+            htmls[i] = body
+            set_cookies[i] = sc
+        return _append_fetch_columns(batch, status, htmls, set_cookies, proxies)
+
+
+def make_fetch_stage(store) -> PageStoreFetchStage:
+    """Default stage for an engine run: page-store lookup."""
+    return PageStoreFetchStage(store)

@@ -96,6 +96,9 @@ def cmd_run(args) -> None:
     robots = pq.read_table(args.robots) if args.robots else None
     seeds = pq.read_table(args.seeds) if args.seeds else None
     try:
+        if getattr(args, "follow", False):
+            _run_follow(engine, args, seeds, robots)
+            return
         result = engine.run(args.pages, seeds, robots, args.workdir,
                             resume=args.resume)
     finally:
@@ -110,6 +113,96 @@ def cmd_run(args) -> None:
     }))
     if owns_session:
         ray.shutdown()
+
+
+def _run_follow(engine, args, seeds, robots) -> None:
+    """Consumer daemon mode — the long-running NSQ consumer analog
+    (``nsq/consumer/app.go:80-135``): drain the current frontier, then
+    keep polling the round-0 frontier dir for seed parts appended by
+    the ``seed`` CLI (the crawl-schedule producer) and crawl each new
+    wave via resume.  SIGINT = graceful drain (finish the in-flight
+    round, commit its checkpoint, exit — ``Queue.Close`` semantics);
+    a later ``run --follow --resume`` continues where it stopped."""
+    import shutil
+    import signal
+    import time
+
+    stop = {"flag": False}
+
+    def _sig(signum, frame):  # noqa: ARG001 - signal signature
+        stop["flag"] = True
+        print(json.dumps({"event": "signal", "draining": True}), flush=True)
+
+    old = signal.signal(signal.SIGINT, _sig)
+    wd = pathlib.Path(args.workdir)
+    r0 = wd / "round=0" / "frontier"
+    totals = {"waves": 0, "rounds": 0, "records": 0, "links": 0, "errors": 0}
+    # per-WAVE round budget: a long-lived daemon would otherwise exhaust
+    # the absolute max_rounds cap after the first deep crawl
+    base_max_rounds = engine.cfg.max_rounds
+
+    def _crawl(seeds_tbl, resume: bool) -> None:
+        result = engine.run(
+            args.pages, seeds_tbl, robots, args.workdir,
+            resume=resume, stop=lambda: stop["flag"],
+        )
+        totals["waves"] += 1
+        totals["rounds"] = result.rounds
+        for k in ("records", "links", "errors"):
+            totals[k] += getattr(result, k)
+        print(json.dumps({"event": "drained", **totals}), flush=True)
+
+    try:
+        processed = set(str(f) for f in r0.glob("*.parquet"))
+        # wave 0: whatever is present now (seeds table or pre-seeded dir)
+        if seeds is not None or processed or args.resume:
+            _crawl(seeds, args.resume)
+            processed.update(str(f) for f in r0.glob("*.parquet"))
+        injected = 0
+        while not stop["flag"]:
+            new = sorted(
+                f for f in (str(p) for p in r0.glob("*.parquet"))
+                if f not in processed
+            )
+            if not new:
+                time.sleep(args.poll_interval)
+                continue
+            # inject the appended seed parts into the next uncommitted
+            # round's frontier; resume picks them up from there
+            from crawl_ray.engine import CrawlEngine as _CE
+
+            committed = _CE._committed_round(wd)
+            nxt = 0 if committed is None else committed + 1
+            dst = wd / f"round={nxt}" / "frontier"
+            dst.mkdir(parents=True, exist_ok=True)
+            for f in new:
+                # normalize to explicit frontier defaults: a later-round
+                # frontier dir mixes these rows with link files, and a
+                # schema-promoting concat would null the missing columns
+                # (depth etc.) instead of defaulting them
+                from crawl_ray.schemas import FRONTIER_SCHEMA
+                from crawl_ray.stages.canonicalize import _DEFAULTS
+
+                t = pq.read_table(f)
+                for name, default in _DEFAULTS.items():
+                    if name == "req_url":
+                        continue
+                    if name not in t.column_names:
+                        t = t.append_column(
+                            name,
+                            pa.array([default] * t.num_rows,
+                                     FRONTIER_SCHEMA.field(name).type),
+                        )
+                pq.write_table(t, dst / f"follow-{injected}.parquet")
+                injected += 1
+                processed.add(f)
+            engine.cfg.max_rounds = nxt + base_max_rounds
+            # committed=None → nothing ran yet: a fresh (pre-seeded)
+            # run, not a resume
+            _crawl(None, committed is not None)
+    finally:
+        signal.signal(signal.SIGINT, old)
+    print(json.dumps({"event": "closed", **totals}), flush=True)
 
 
 def cmd_dump_sample(args) -> None:
@@ -174,6 +267,13 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--concurrency", type=int, default=0,
                    help="max fetch+extract tasks in flight (0 = uncapped)")
     r.add_argument("--resume", action="store_true")
+    r.add_argument("--follow", action="store_true",
+                   help="consumer daemon mode: keep polling round-0 for "
+                        "seed parts appended by the `seed` CLI; SIGINT "
+                        "drains the in-flight round and exits "
+                        "(--max-rounds is the total budget across waves)")
+    r.add_argument("--poll-interval", type=float, default=0.5,
+                   help="seconds between frontier polls in --follow mode")
     r.set_defaults(fn=cmd_run)
 
     ds = sub.add_parser("dump-sample",

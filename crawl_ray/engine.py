@@ -270,6 +270,7 @@ class CrawlEngine:
         workdir: str,
         resume: bool = False,
         store=None,
+        stop=None,
     ) -> CrawlRunResult:
         cfg = self.cfg
         if seeds is not None:
@@ -363,7 +364,7 @@ class CrawlEngine:
         result = CrawlRunResult(workdir=workdir)
         result.rounds = start_round
 
-        self._run_rounds(wd, cfg, shards, store_box, result, start_round)
+        self._run_rounds(wd, cfg, shards, store_box, result, start_round, stop)
 
         # final state for downstream inspection
         t_seen = time.perf_counter()
@@ -373,8 +374,16 @@ class CrawlEngine:
         )
         return result
 
-    def _run_rounds(self, wd, cfg, shards, store_box, result, start_round) -> None:
+    def _run_rounds(
+        self, wd, cfg, shards, store_box, result, start_round, stop=None
+    ) -> None:
         for rnd in range(start_round, cfg.max_rounds + 1):
+            # graceful drain (the NSQ consumer's SIGINT → Queue.Close
+            # path, nsq/consumer/app.go:124-133): finish the committed
+            # round, leave the next frontier on disk, let the caller
+            # resume later
+            if stop is not None and stop():
+                break
             round_dir = wd / f"round={rnd}"
             frontier_files = sorted(
                 str(f) for f in (round_dir / "frontier").glob("*.parquet")

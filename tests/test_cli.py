@@ -77,3 +77,74 @@ def test_dump_sample(tmp_path):
     files = sorted(out.glob("sample-*.html"))
     assert len(files) == 3
     assert files[0].read_bytes().startswith(b"<html>")
+
+
+def test_run_follow_daemon_mode(web, tmp_path):
+    """Consumer daemon mode (nsq/consumer/app.go:80-135 analog): a
+    --follow process drains the initial wave, picks up a seed part
+    appended MID-RUN by the `seed` CLI, crawls it as a second wave, and
+    drains gracefully on SIGINT."""
+    import os
+    import selectors
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    pages, d = web
+    wd = str(tmp_path / "followcrawl")
+    urls = pages.column("url").to_pylist()
+    cli.main(["seed", "--workdir", wd, "--callback", "page", urls[0]])
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "crawl_ray.cli", "run",
+         "--pages", str(d / "pages.parquet"), "--workdir", wd,
+         "--max-rounds", "8", "--shards", "2", "--concurrency", "2",
+         "--follow", "--poll-interval", "0.2"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+    )
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+
+    def read_event(want: str, timeout: float) -> dict:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if not sel.select(timeout=0.5):
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                break
+            try:
+                ev = json.loads(line)
+            except ValueError:
+                continue
+            if ev.get("event") == want:
+                return ev
+        raise AssertionError(f"no {want!r} event within {timeout}s")
+
+    try:
+        first = read_event("drained", 180)
+        assert first["records"] >= 1
+        # inject a seed the first wave did NOT reach (an already-seen
+        # URL would be admission-dropped — correct, but proves less)
+        import pathlib
+
+        visited = set()
+        for f in pathlib.Path(wd).glob("round=*/trace/*.parquet"):
+            visited.update(pq.read_table(str(f), columns=["url"])
+                           .column("url").to_pylist())
+        fresh = next(u for u in urls if u not in visited)
+        cli.main(["seed", "--workdir", wd, "--callback", "page", fresh])
+        second = read_event("drained", 180)
+        assert second["waves"] == 2
+        assert second["records"] > first["records"]
+        proc.send_signal(signal.SIGINT)
+        closed = read_event("closed", 60)
+        assert closed["waves"] == 2
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()

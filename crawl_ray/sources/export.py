@@ -79,12 +79,19 @@ def export_corpus_jsonl(sf_dir: str, n_shards: int = 8) -> str:
                 root / f"shard={s}"
                 / f"part-{int(ids[m].min())}-{int(ids[m].max())}.jsonl"
             )
-            with open(part, "w", encoding="utf-8") as f:
+            # write-to-tmp + atomic rename: a task cancelled or killed
+            # mid-write (retry, limit-cancelled re-execution) must never
+            # leave a truncated part under the final name — readers glob
+            # only *.jsonl, so an orphaned .tmp is invisible, and a
+            # retry's os.replace is idempotent
+            tmp = part.with_suffix(".jsonl.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
                 for i in np.flatnonzero(m).tolist():
                     f.write(json.dumps(
                         {"doc_id": int(ids[i]), "text": texts[i],
                          "lang": langs[i]},
                         ensure_ascii=False, sort_keys=True) + "\n")
+            tmp.replace(part)
             out_s.append(int(s))
             out_n.append(int(m.sum()))
         return pa.table({"shard": pa.array(out_s, pa.int64()),

@@ -55,11 +55,24 @@ def collect_table(ds) -> pa.Table:
     """Materialize a (small!) Dataset to one Arrow table on the caller.
 
     Only for bounded results (aggregates, top-k, per-round outputs) —
-    never call on a full-corpus dataset."""
+    never call on a full-corpus dataset.
+
+    Fetches block refs via ``iter_internal_ref_bundles`` instead of
+    ``to_arrow_refs``: the latter's trailing ``schema(fetch_if_missing=
+    True)`` launches a SECOND ``limit=1`` execution of the whole plan
+    (despite executing it once already) — wasted work for every
+    bounded query, and actively destructive for pipelines with
+    side-effecting tasks (the limit operator cancels the re-run
+    mid-write; see sources/export.py)."""
     if isinstance(ds, pa.Table):
         return ds
-    tables = [t for t in ray.get(ds.to_arrow_refs())]
-    tables = [t if isinstance(t, pa.Table) else pa.Table.from_batches([t]) for t in tables]
+    refs = [
+        r for bundle in ds.iter_internal_ref_bundles() for r in bundle.block_refs
+    ]
+    tables = ray.get(refs)
+    tables = [
+        t if isinstance(t, pa.Table) else pa.Table.from_pandas(t) for t in tables
+    ]
     non_empty = [t for t in tables if t.num_rows]
     if not non_empty:
         return tables[0] if tables else pa.table({})

@@ -115,7 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": DD.exact_dedup,
         "minhash_lsh_pairs": DD.minhash_lsh_pairs,
         "simhash": DD.simhash_64,
+        "simhash_hamming_pairs": DD.simhash_hamming_pairs,
         "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
+        "duplicated_ngrams": T.duplicated_ngrams,
         "embedding_near_dup": DD.embedding_near_dup,
         "embedding_near_dup_exact": DD.embedding_near_dup_exact,
         "dedup_clusters": DD.dedup_clusters,
@@ -502,6 +504,38 @@ def _crawl_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{forms_fx}') ORDER BY doc_id
         """,
     }
+
+
+# shared by the "simhash" oracle and the simhash_hamming_pairs
+# self-join (which re-derives every fingerprint in SQL first)
+_SIMHASH_SQL = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   tk -> substr(md5(tk), 1, 16)
+               ) AS th
+        FROM documents
+    ), v AS (
+        SELECT doc_id, len(th) AS n,
+               list_transform(range(0, 64), b ->
+                   list_sum(list_transform(th, h ->
+                       ((strpos('0123456789abcdef',
+                                substr(h, (b // 4) + 1, 1)) - 1)
+                        >> (3 - (b % 4))) & 1))
+               ) AS votes
+        FROM t
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(range(0, 16), j ->
+               substr('0123456789abcdef',
+                      1 + (CASE WHEN 2 * votes[4*j+1] > n THEN 8 ELSE 0 END)
+                        + (CASE WHEN 2 * votes[4*j+2] > n THEN 4 ELSE 0 END)
+                        + (CASE WHEN 2 * votes[4*j+3] > n THEN 2 ELSE 0 END)
+                        + (CASE WHEN 2 * votes[4*j+4] > n THEN 1 ELSE 0 END),
+                      1)), '') AS simhash_hex
+    FROM v
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1433,33 +1467,54 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _jaccard_pairs_sql(k=3, thr_milli=300),
         # simhash recomputed in SQL: md5 token hashes, per-bit majority
         # vote, big-endian nibble construction
-        "simhash": r"""
+        "simhash": _SIMHASH_SQL,
+        # exact all-pairs hamming over the same SQL-recomputed simhash:
+        # the 4×16-bit band candidates are COMPLETE for hamming ≤ 3
+        # (pigeonhole), so the Ray output must EQUAL this ground truth
+        "simhash_hamming_pairs": rf"""
+            WITH w AS (
+                SELECT doc_id, ('0x' || simhash_hex)::UBIGINT AS word
+                FROM ({_SIMHASH_SQL})
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   cast(bit_count(xor(a.word, b.word)) AS BIGINT)
+                       AS hamming
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.word, b.word)) <= 3
+        """,
+        # per-doc duplicated k-gram fraction (k=5): a gram duplicated
+        # when present in >= 2 distinct docs; zero-gram docs report 0s
+        "duplicated_ngrams": r"""
             WITH t AS (
                 SELECT doc_id,
-                       list_transform(
-                           regexp_split_to_array(trim(text), '\s+'),
-                           tk -> substr(md5(tk), 1, 16)
-                       ) AS th
+                       regexp_split_to_array(trim(text), '\s+') AS toks
                 FROM documents
-            ), v AS (
-                SELECT doc_id, len(th) AS n,
-                       list_transform(range(0, 64), b ->
-                           list_sum(list_transform(th, h ->
-                               ((strpos('0123456789abcdef',
-                                        substr(h, (b // 4) + 1, 1)) - 1)
-                                >> (3 - (b % 4))) & 1))
-                       ) AS votes
-                FROM t
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) - 3),
+                           i -> array_to_string(toks[i:i+4], ' ')
+                       )) AS gram
+                FROM t WHERE len(toks) >= 5
+            ), occ AS (
+                SELECT doc_id, gram, count(*) AS occ
+                FROM g GROUP BY 1, 2
+            ), dup AS (
+                SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2
+            ), per AS (
+                SELECT o.doc_id,
+                       sum(o.occ) AS n_grams,
+                       sum(CASE WHEN d.gram IS NOT NULL THEN o.occ
+                                ELSE 0 END) AS dup_grams
+                FROM occ o LEFT JOIN dup d USING (gram) GROUP BY 1
             )
-            SELECT doc_id,
-                   array_to_string(list_transform(range(0, 16), j ->
-                       substr('0123456789abcdef',
-                              1 + (CASE WHEN 2 * votes[4*j+1] > n THEN 8 ELSE 0 END)
-                                + (CASE WHEN 2 * votes[4*j+2] > n THEN 4 ELSE 0 END)
-                                + (CASE WHEN 2 * votes[4*j+3] > n THEN 2 ELSE 0 END)
-                                + (CASE WHEN 2 * votes[4*j+4] > n THEN 1 ELSE 0 END),
-                              1)), '') AS simhash_hex
-            FROM v
+            SELECT t.doc_id,
+                   cast(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+                   cast(coalesce(per.dup_grams, 0) AS BIGINT)
+                       AS dup_grams,
+                   cast(CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0
+                             ELSE per.dup_grams * 1000 // per.n_grams
+                        END AS BIGINT) AS dup_frac_milli
+            FROM t LEFT JOIN per USING (doc_id)
         """,
         # winnowing fingerprint recomputed in SQL: md5 shingle hashes,
         # sliding-window minima, digest of sorted distinct minima

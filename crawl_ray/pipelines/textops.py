@@ -41,6 +41,7 @@ __all__ = [
     "tfidf_top_terms",
     "bpe_token_stats",
     "training_corpus_prep",
+    "duplicated_ngrams",
     "LANG_MARKERS",
 ]
 
@@ -1426,3 +1427,113 @@ def training_corpus_prep(
         .materialize()
     )
     return _pack_from_counts(survivors, capacity, n_ranges=64, sample_ppm=50_000)
+
+
+def duplicated_ngrams(sf_dir: str, k: int = 5, num_partitions: int = 32):
+    """Per-document duplicated n-gram fraction — the cross-document
+    substring-dedup signal of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") at word-``k``-gram granularity.
+
+    A gram is *duplicated* when it occurs in ≥ 2 distinct documents;
+    each document reports its total k-gram occurrences (``n_grams``),
+    the occurrences whose gram appears elsewhere in the corpus
+    (``dup_grams``), and ``dup_frac_milli`` — the filter/trim signal.
+    Documents shorter than ``k`` tokens report ``(0, 0, 0)``.
+
+    Scale shape (no broadcast, no driver materialization): per-batch
+    ``(doc, gram-hash) → occurrences`` partials (vectorized; a document
+    is one input row, so its grams never span batches and the partials
+    are globally exact) → ONE int-keyed shuffle on ``hash(gram) % P``
+    (distinct-doc count per gram ≡ row count, since (doc, gram) is
+    globally unique) → per-partition dup marking + per-doc partial sums
+    (output bounded by ``n_docs × P`` rows) → one second, much smaller
+    shuffle on ``doc_id % P`` with a vectorized combine per partition —
+    never per-document Python.  64-bit FNV gram hashes stand in for the
+    gram strings in the shuffle (collision odds ≈ G²/2⁶⁴).
+    """
+    from crawl_ray.urlnorm import fnv1a64_batch
+
+    P = num_partitions
+    _empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "gram": pa.array([], pa.int64()),
+         "occ": pa.array([], pa.int64()),
+         "part": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_ids, flat, lens = _token_lists(batch)
+        grams, doc_idx = _gram_arrays(flat, lens, k)
+        doc_parts, gram_parts, occ_parts = [], [], []
+        if len(grams):
+            gh = fnv1a64_batch(grams.to_pylist()).view(np.int64)
+            pair = np.stack([doc_idx, gh], axis=1)
+            uniq, counts = np.unique(pair, axis=0, return_counts=True)
+            doc_parts.append(doc_ids[uniq[:, 0]])
+            gram_parts.append(uniq[:, 1])
+            occ_parts.append(counts.astype(np.int64))
+        # zero-gram docs (< k tokens) still need an output row so the
+        # final table covers every doc_id: a per-doc-unique sentinel
+        # gram (occurs in exactly one doc → never marked duplicated)
+        # with occ = 0
+        zero = np.flatnonzero(np.maximum(lens - k + 1, 0) == 0)
+        if len(zero):
+            zdocs = doc_ids[zero]
+            sent = fnv1a64_batch(
+                [f"__doc__:{d}" for d in zdocs.tolist()]
+            ).view(np.int64)
+            doc_parts.append(zdocs)
+            gram_parts.append(sent)
+            occ_parts.append(np.zeros(len(zero), np.int64))
+        if not doc_parts:
+            return _empty
+        doc = np.concatenate(doc_parts)
+        gram = np.concatenate(gram_parts)
+        occ = np.concatenate(occ_parts)
+        part = (gram.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(doc, pa.int64()),
+             "gram": pa.array(gram, pa.int64()),
+             "occ": pa.array(occ, pa.int64()),
+             "part": pa.array(part, pa.int64())}
+        )
+
+    def mark_and_partial(group: pa.Table) -> pa.Table:
+        gram = group.column("gram").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        occ = group.column("occ").to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(gram, return_inverse=True, return_counts=True)
+        dup_occ = np.where(cnt[inv] >= 2, occ, 0)
+        udoc, dinv = np.unique(doc, return_inverse=True)
+        n_part = np.bincount(dinv, weights=occ).astype(np.int64)
+        d_part = np.bincount(dinv, weights=dup_occ).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(udoc, pa.int64()),
+             "n_grams": pa.array(n_part, pa.int64()),
+             "dup_grams": pa.array(d_part, pa.int64()),
+             "part2": pa.array(udoc % P, pa.int64())}
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        n = group.column("n_grams").to_numpy(zero_copy_only=False)
+        d = group.column("dup_grams").to_numpy(zero_copy_only=False)
+        udoc, dinv = np.unique(doc, return_inverse=True)
+        n_tot = np.bincount(dinv, weights=n).astype(np.int64)
+        d_tot = np.bincount(dinv, weights=d).astype(np.int64)
+        frac = np.where(n_tot > 0, d_tot * 1000 // np.maximum(n_tot, 1), 0)
+        return pa.table(
+            {"doc_id": pa.array(udoc, pa.int64()),
+             "n_grams": pa.array(n_tot, pa.int64()),
+             "dup_grams": pa.array(d_tot, pa.int64()),
+             "dup_frac_milli": pa.array(frac, pa.int64())}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(mark_and_partial, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(combine, batch_format="pyarrow")
+    )

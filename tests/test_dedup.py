@@ -194,3 +194,49 @@ def test_cc_label_propagation_100k_edges(ray_session):
     assert len(node) == n_edges + 1000
     expect = np.where(node < 1000, node, (node - 1000) % 1000)
     assert np.array_equal(label[np.argsort(node)], expect[np.argsort(node)])
+
+
+def _brute_hamming_pairs(sf_dir, max_hamming=3):
+    """Ground truth: all-pairs XOR popcount over the simhash words."""
+    import ray
+
+    from crawl_ray.util import collect_table
+
+    t = collect_table(DD.simhash_64(sf_dir))
+    ids = np.array(t.column("doc_id").to_pylist(), dtype=np.int64)
+    words = np.array(
+        [int(h, 16) for h in t.column("simhash_hex").to_pylist()],
+        dtype=np.uint64,
+    )
+    order = np.argsort(ids)
+    ids, words = ids[order], words[order]
+    out = set()
+    for i in range(len(ids)):
+        x = words[i] ^ words[i + 1:]
+        ham = np.array(
+            [bin(int(v)).count("1") for v in x], dtype=np.int64
+        )
+        for j in np.flatnonzero(ham <= max_hamming):
+            out.add((int(ids[i]), int(ids[i + 1 + j]), int(ham[j])))
+    return out
+
+
+def test_simhash_hamming_pairs_complete(corpus_dir, ray_session):
+    """4×16 banding is a COMPLETE candidate generator for hamming ≤ 3:
+    the banded output must EQUAL exact all-pairs hamming."""
+    got = DD.simhash_hamming_pairs(corpus_dir)
+    got = set(
+        zip(got.column("doc_a").to_pylist(),
+            got.column("doc_b").to_pylist(),
+            got.column("hamming").to_pylist())
+    )
+    want = _brute_hamming_pairs(corpus_dir)
+    assert got == want
+    # the 5 exact copies hash identically → hamming 0 pairs present
+    for i in range(5):
+        assert (i, 100 + i, 0) in got
+
+
+def test_simhash_hamming_rejects_bad_band_config():
+    with pytest.raises(ValueError):
+        DD.simhash_hamming_pairs("/nonexistent", max_hamming=4, bands=4)

@@ -247,3 +247,45 @@ def test_chunk_documents_windows(tiny_dir, ray_session):
     assert list(d0.n_chunk_tokens) == [3, 3, 1]
     d1 = t[t.doc_id == 1]
     assert list(d1.chunk) == ["x"] and list(d1.chunk_idx) == [0]
+
+
+def test_duplicated_ngrams_planted(tmp_path, ray_session):
+    """Hand-built corpus: a shared 5-gram run marks its occurrences in
+    BOTH docs; within-doc-only repeats don't count; short docs get 0s."""
+    shared = "alpha beta gamma delta epsilon"  # one 5-gram
+    docs = {
+        # doc 0: shared run + 5 unique tokens → 6 tokens of grams
+        0: shared + " u0a u0b u0c u0d u0e",
+        # doc 1: different prefix + the same shared run
+        1: "v1a v1b v1c v1d v1e " + shared,
+        # doc 2: repeats ITS OWN 5-gram twice (within-doc only → not dup)
+        2: "w a b c d e w a b c d e",
+        # doc 3: too short for any 5-gram
+        3: "x y z",
+    }
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[i] for i in sorted(docs)],
+                                   pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        T.duplicated_ngrams(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0: 10 tokens → 6 grams; only the 1 fully-shared gram is dup
+    assert out.loc[0, "n_grams"] == 6
+    assert out.loc[0, "dup_grams"] == 1
+    assert out.loc[0, "dup_frac_milli"] == 1000 // 6
+    # doc 1 mirrors doc 0
+    assert out.loc[1, "n_grams"] == 6
+    assert out.loc[1, "dup_grams"] == 1
+    # doc 2: 12 tokens → 8 grams, all unique to doc 2 → dup 0
+    assert out.loc[2, "n_grams"] == 8
+    assert out.loc[2, "dup_grams"] == 0
+    # doc 3: shorter than k → all zeros (but the row exists)
+    assert out.loc[3].tolist() == [0, 0, 0]

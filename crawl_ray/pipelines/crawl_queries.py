@@ -485,7 +485,9 @@ def anchor_text_index(sf_dir: str, n_parts: int = 64):
              "src_host": pa.array(hosts, pa.string()),
              "cnt": pa.array(np.ones(len(targets), np.int64))}
         ).group_by(["target", "anchor", "src_host"]).aggregate([("cnt", "sum")])
-        t = t.rename_columns(["target", "anchor", "src_host", "cnt"])
+        t = t.rename_columns(
+            [c if c != "cnt_sum" else "cnt" for c in t.column_names]
+        )
         part = fnv1a64_batch(t.column("target").to_pylist()) % np.uint64(n_parts)
         return t.append_column("part", pa.array(part.astype(np.int64), pa.int64()))
 

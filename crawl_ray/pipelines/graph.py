@@ -130,7 +130,9 @@ def supplier_pagerank(
             }
         )
         out = t.group_by(["src"]).aggregate([("outdeg", "sum")])
-        return out.rename_columns(["src", "outdeg"])
+        return out.rename_columns(
+            [c if c != "outdeg_sum" else "outdeg" for c in out.column_names]
+        )
 
     outdeg = normalize_schema(
         edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -186,7 +188,10 @@ def supplier_pagerank(
                 }
             )
             out = t.group_by(["dst"]).aggregate([("contrib", "sum")])
-            return out.rename_columns(["dst", "contrib"])
+            return out.rename_columns(
+                [c if c != "contrib_sum" else "contrib"
+                 for c in out.column_names]
+            )
 
         contribs = normalize_schema(
             carrying.map_batches(

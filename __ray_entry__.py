@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_hamming_pairs": DD.simhash_hamming_pairs,
         "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
         "duplicated_ngrams": T.duplicated_ngrams,
+        "cross_source_overlap": T.cross_source_overlap,
         "embedding_near_dup": DD.embedding_near_dup,
         "embedding_near_dup_exact": DD.embedding_near_dup_exact,
         "dedup_clusters": DD.dedup_clusters,
@@ -1515,6 +1516,28 @@ def oracle_sql() -> dict[str, str]:
                              ELSE per.dup_grams * 1000 // per.n_grams
                         END AS BIGINT) AS dup_frac_milli
             FROM t LEFT JOIN per USING (doc_id)
+        """,
+        # source-pair distinct-k-gram overlap (contamination matrix);
+        # zero-overlap pairs omitted (inner join)
+        "cross_source_overlap": r"""
+            WITH t AS (
+                SELECT source,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT source,
+                       unnest(list_transform(range(1, len(toks) - 3),
+                           i -> array_to_string(toks[i:i+4], ' ')
+                       )) AS gram
+                FROM t WHERE len(toks) >= 5
+            ), sg AS (
+                SELECT DISTINCT source, gram FROM g
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   cast(count(*) AS BIGINT) AS shared_grams
+            FROM sg a JOIN sg b
+                 ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2
         """,
         # winnowing fingerprint recomputed in SQL: md5 shingle hashes,
         # sliding-window minima, digest of sorted distinct minima

@@ -42,6 +42,7 @@ __all__ = [
     "bpe_token_stats",
     "training_corpus_prep",
     "duplicated_ngrams",
+    "cross_source_overlap",
     "LANG_MARKERS",
 ]
 
@@ -1536,4 +1537,108 @@ def duplicated_ngrams(sf_dir: str, k: int = 5, num_partitions: int = 32):
         .map_groups(mark_and_partial, batch_format="pyarrow")
         .groupby("part2")
         .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def cross_source_overlap(sf_dir: str, k: int = 5, num_partitions: int = 32):
+    """Source-pair contamination matrix: for every source pair
+    ``a < b``, the number of DISTINCT word-``k``-grams present in
+    documents of BOTH sources — the cross-source leakage audit run on a
+    corpus mixture before training (syndicated/boilerplate content
+    shows up as a hot pair).  Pairs sharing zero grams are omitted.
+
+    Scale shape: per-batch distinct ``(source, gram-hash)`` partials
+    (Arrow hash-distinct) → ONE gram-keyed partition shuffle →
+    per-partition global distinct + gram-segment pair expansion,
+    vectorized ACROSS segments (an offset-pair loop bounded by
+    n_sources², never per-gram Python) → in-partition pair counts →
+    driver combine over the bounded ``partitions × n_sources²`` rows.
+    """
+    from crawl_ray.urlnorm import fnv1a64_batch
+
+    P = num_partitions
+    _empty = pa.table(
+        {"gram": pa.array([], pa.int64()),
+         "source": pa.array([], pa.string()),
+         "part": pa.array([], pa.int64())}
+    )
+    _empty_pairs = pa.table(
+        {"source_a": pa.array([], pa.string()),
+         "source_b": pa.array([], pa.string()),
+         "shared_grams": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_ids, flat, lens = _token_lists(batch)
+        grams, doc_idx = _gram_arrays(flat, lens, k)
+        if not len(grams):
+            return _empty
+        gh = fnv1a64_batch(grams.to_pylist()).view(np.int64)
+        src = batch.column("source").take(pa.array(doc_idx, pa.int64()))
+        t = pa.table(
+            {"gram": pa.array(gh, pa.int64()), "source": src}
+        ).group_by(["gram", "source"]).aggregate([])
+        part = (
+            t.column("gram").to_numpy(zero_copy_only=False).view(np.uint64)
+            % np.uint64(P)
+        ).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def pair_counts(group: pa.Table) -> pa.Table:
+        t = group.select(["gram", "source"]).group_by(
+            ["gram", "source"]
+        ).aggregate([])  # cross-batch distinct within the partition
+        order = pc.sort_indices(
+            t, [("gram", "ascending"), ("source", "ascending")]
+        )
+        g = t.column("gram").take(order).to_numpy(zero_copy_only=False)
+        s = t.column("source").take(order).to_numpy(zero_copy_only=False)
+        n = len(g)
+        if n < 2:
+            return _empty_pairs
+        seg_start = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        seg_len = np.diff(np.r_[seg_start, n])
+        max_m = int(seg_len.max())
+        out_a, out_b = [], []
+        # offset-pair expansion: ≤ n_sources² numpy selections total;
+        # sources inside a segment are sorted, so s[st+i] < s[st+j]
+        for i in range(max_m):
+            for j in range(i + 1, max_m):
+                sel = seg_len > j
+                if not sel.any():
+                    break
+                st = seg_start[sel]
+                out_a.append(s[st + i])
+                out_b.append(s[st + j])
+        if not out_a:
+            return _empty_pairs
+        pt = pa.table(
+            {"source_a": pa.array(np.concatenate(out_a), pa.string()),
+             "source_b": pa.array(np.concatenate(out_b), pa.string()),
+             "shared_grams": pa.array(
+                 np.ones(sum(len(a) for a in out_a), np.int64), pa.int64()
+             )}
+        ).group_by(["source_a", "source_b"]).aggregate(
+            [("shared_grams", "sum")]
+        )
+        return pt.rename_columns(
+            [c if c != "shared_grams_sum" else "shared_grams"
+             for c in pt.column_names]
+        )
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(pair_counts, batch_format="pyarrow")
+    )
+    t = collect_table(parts)  # bounded: ≤ partitions × n_sources² rows
+    if t.num_rows == 0:
+        return _empty_pairs
+    out = t.group_by(["source_a", "source_b"]).aggregate(
+        [("shared_grams", "sum")]
+    )
+    return out.rename_columns(
+        [c if c != "shared_grams_sum" else "shared_grams"
+         for c in out.column_names]
     )

@@ -289,3 +289,35 @@ def test_duplicated_ngrams_planted(tmp_path, ray_session):
     assert out.loc[2, "dup_grams"] == 0
     # doc 3: shorter than k → all zeros (but the row exists)
     assert out.loc[3].tolist() == [0, 0, 0]
+
+
+def test_cross_source_overlap_planted(tmp_path, ray_session):
+    """Planted matrix: sources A and B share two distinct 5-grams
+    (one of them repeated — distinct counting collapses it), C shares
+    one gram with A only, D shares nothing."""
+    run1 = "p q r s t"      # in A (twice) and B
+    run2 = "f g h i j"      # in A and B
+    run3 = "k l m n o"      # in A and C
+    rows = [
+        (0, "A", f"{run1} {run1} {run2} {run3}"),
+        (1, "B", f"{run1} zb1 zb2 zb3 zb4 {run2}"),
+        (2, "C", f"{run3} zc1 zc2 zc3 zc4 zc5"),
+        (3, "D", "zd1 zd2 zd3 zd4 zd5 zd6"),
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "source": pa.array([r[1] for r in rows], pa.string()),
+                  "text": pa.array([r[2] for r in rows], pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    out = T.cross_source_overlap(str(tmp_path)).to_pandas()
+    got = {
+        (r.source_a, r.source_b): r.shared_grams
+        for r in out.itertuples()
+    }
+    # A∩B ⊇ {run1, run2}; the doc texts also create incidental grams
+    # spanning run boundaries only within ONE doc → never cross-source
+    assert got[("A", "B")] == 2
+    assert got[("A", "C")] == 1
+    assert ("A", "D") not in got and ("B", "D") not in got
+    assert ("B", "C") not in got

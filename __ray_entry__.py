@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": J.customer_order_counts,
         "large_volume_orders": J.large_volume_orders,
         "nations_trade_volume": J.nations_trade_volume,
+        "small_quantity_revenue": J.small_quantity_revenue,
+        "idle_customer_balance": J.idle_customer_balance,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -1538,6 +1540,50 @@ def oracle_sql() -> dict[str, str]:
             FROM sg a JOIN sg b
                  ON a.gram = b.gram AND a.source < b.source
             GROUP BY 1, 2
+        """,
+        # Q17 shape: small-quantity revenue per brand; the 0.2×avg
+        # threshold compared exactly in integers (qty_c·5·n < s)
+        "small_quantity_revenue": """
+            WITH lq AS (
+                SELECT l_partkey,
+                       cast(round(l_quantity * 100) as bigint) AS qty_c,
+                       cast(round(l_extendedprice * 100) as bigint)
+                           AS price_c
+                FROM lineitem
+            ), a AS (
+                SELECT l_partkey, sum(qty_c) AS s, count(*) AS n
+                FROM lq GROUP BY 1
+            )
+            SELECT p.p_brand,
+                   cast(sum(l.price_c) as bigint) AS small_qty_revenue_cc
+            FROM lq l
+            JOIN a USING (l_partkey)
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.qty_c * 5 * a.n < a.s
+            GROUP BY 1
+        """,
+        # Q22 shape: above-average-balance customers with no orders,
+        # per nation; the global average compared exactly (bal_c·n > s)
+        "idle_customer_balance": """
+            WITH c AS (
+                SELECT c_custkey, cast(c_nationkey as bigint)
+                           AS c_nationkey,
+                       cast(round(c_acctbal * 100) as bigint) AS bal_c
+                FROM customer
+            ), pos AS (
+                SELECT sum(bal_c) AS s, count(*) AS n
+                FROM c WHERE bal_c > 0
+            )
+            SELECT c.c_nationkey,
+                   cast(sum(c.bal_c) as bigint) AS bal_cc,
+                   cast(count(*) as bigint) AS n_cust
+            FROM c CROSS JOIN pos
+            WHERE c.bal_c * pos.n > pos.s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >=
+                                    TIMESTAMP '1999-01-01 00:00:00')
+            GROUP BY 1
         """,
         # winnowing fingerprint recomputed in SQL: md5 shingle hashes,
         # sliding-window minima, digest of sorted distinct minima

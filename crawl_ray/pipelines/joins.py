@@ -53,6 +53,8 @@ __all__ = [
     "customer_order_counts",
     "large_volume_orders",
     "nations_trade_volume",
+    "small_quantity_revenue",
+    "idle_customer_balance",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -953,4 +955,203 @@ def nations_trade_volume(
     return agg.sort_by(
         [("supp_nation", "ascending"), ("cust_nation", "ascending"),
          ("l_year", "ascending")]
+    )
+
+
+def small_quantity_revenue(sf_dir: str, num_partitions: int | None = None):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    0.2× their part's average quantity, per brand — the
+    correlated-scalar-subquery → self-join plan.
+
+    Plan: per-partkey ``(sum_qty, count)`` via a DISTRIBUTED groupby
+    over batch-pre-aggregated partials (the key space is part-sized,
+    so this must be a shuffle, never a driver merge) → native hash
+    join back to lineitem on partkey (big ⋈ big, co-partitioned) →
+    exact integer filter ``qty_c·5·n < s`` (≡ ``qty < 0.2·avg`` with
+    no float division to diverge from the oracle) → hash join the part
+    dimension for the brand → bounded per-brand combiner."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def lq_cols(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey").cast(pa.int64()),
+                "qty_c": _cents(b.column("l_quantity")),
+                "price_c": _cents(b.column("l_extendedprice")),
+            }
+        )
+
+    lq = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(lq_cols, batch_format="pyarrow", zero_copy_batch=True)
+
+    def agg_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "pk": batch.column("l_partkey"),
+                "s": batch.column("qty_c"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return rename_select(
+            t.group_by(["pk"]).aggregate([("s", "sum"), ("n", "sum")]),
+            {"pk": "pk", "s_sum": "s", "n_sum": "n"},
+        )
+
+    per_part = (
+        lq.map_batches(agg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .sum(["s", "n"])
+        .map_batches(
+            lambda b: rename_select(
+                b, {"pk": "pk", "sum(s)": "s", "sum(n)": "n"}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    j = lq.join(
+        per_part, "inner", num_partitions, on=("l_partkey",), right_on=("pk",)
+    )
+
+    def small_only(batch: pa.Table) -> pa.Table:
+        qty = batch.column("qty_c").to_numpy(zero_copy_only=False)
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        keep = qty * 5 * n < s
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey").filter(
+                    pa.array(keep)
+                ),
+                "price_c": batch.column("price_c").filter(pa.array(keep)),
+            }
+        )
+
+    sq = j.map_batches(small_only, batch_format="pyarrow")
+    pt = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b.column("p_partkey").cast(pa.int64()),
+                "p_brand": b.column("p_brand"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j2 = sq.join(
+        pt, "inner", num_partitions, on=("l_partkey",), right_on=("p_partkey",)
+    )
+    return partial_then_final_sum(
+        j2, ["p_brand"],
+        {"small_qty_revenue_cc": lambda b: b.column("price_c")},
+    )
+
+
+def idle_customer_balance(
+    sf_dir: str,
+    cutoff_us: int = 915_148_800_000_000,  # 1999-01-01T00:00:00Z
+    num_partitions: int | None = None,
+):
+    """TPC-H Q22 shape: above-average-balance customers with NO orders
+    since the cutoff, rolled up per nation — global-scalar subquery +
+    distributed anti-join.
+
+    The global average is two integers (sum and count of positive
+    balances, combined from bounded batch partials) compared exactly
+    (``bal_c·n > s`` ≡ ``bal > avg``); the NOT EXISTS is the native
+    ``left_anti`` hash join against the date-filtered, key-projected
+    orders column (both sides shuffle — big∖big, nothing broadcast);
+    the nation rollup is the bounded combiner, with the filter fused
+    into the partial stage so an all-empty anti-join result (schema
+    lost by the join) degrades to the typed empty table."""
+    num_partitions = num_partitions or _default_partitions()
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+                "bal_c": _cents(b.column("c_acctbal")),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        bal = batch.column("bal_c").to_numpy(zero_copy_only=False)
+        p = bal[bal > 0]
+        return pa.table(
+            {"s": pa.array([int(p.sum())], pa.int64()),
+             "n": pa.array([len(p)], pa.int64())}
+        )
+
+    pos = collect_table(
+        cust.map_batches(pos_partial, batch_format="pyarrow")
+    )
+    s = int(pc.sum(pos.column("s")).as_py() or 0)
+    n = int(pc.sum(pos.column("n")).as_py() or 0)
+    empty = pa.table(
+        {"c_nationkey": pa.array([], pa.int64()),
+         "bal_cc": pa.array([], pa.int64()),
+         "n_cust": pa.array([], pa.int64())}
+    )
+    if n == 0:
+        return empty
+
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.filter(
+                    pc.greater_equal(
+                        b.column("o_orderdate").cast(pa.int64()),
+                        pa.scalar(cutoff_us, pa.int64()),
+                    )
+                ).column("o_custkey").cast(pa.int64())
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    anti = cust.join(
+        okeys, "left_anti", num_partitions,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def rich_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "bal_c" not in batch.column_names:
+            return empty
+        bal = batch.column("bal_c").to_numpy(zero_copy_only=False)
+        keep = pa.array(bal * n > s)
+        t = pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey").filter(keep),
+                "bal_cc": batch.column("bal_c").filter(keep),
+                "n_cust": pa.array(
+                    np.ones(int(pc.sum(keep).as_py() or 0), np.int64)
+                ),
+            }
+        )
+        return rename_select(
+            t.group_by(["c_nationkey"]).aggregate(
+                [("bal_cc", "sum"), ("n_cust", "sum")]
+            ),
+            {"c_nationkey": "c_nationkey", "bal_cc_sum": "bal_cc",
+             "n_cust_sum": "n_cust"},
+        )
+
+    partials = collect_table(
+        anti.map_batches(rich_partial, batch_format="pyarrow")
+    )
+    if partials.num_rows == 0 or "c_nationkey" not in partials.column_names:
+        return empty
+    return rename_select(
+        partials.group_by(["c_nationkey"]).aggregate(
+            [("bal_cc", "sum"), ("n_cust", "sum")]
+        ),
+        {"c_nationkey": "c_nationkey", "bal_cc_sum": "bal_cc",
+         "n_cust_sum": "n_cust"},
     )

@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_trade_volume": J.nations_trade_volume,
         "small_quantity_revenue": J.small_quantity_revenue,
         "idle_customer_balance": J.idle_customer_balance,
+        "waiting_suppliers": J.waiting_suppliers,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -1583,6 +1584,31 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >=
                                     TIMESTAMP '1999-01-01 00:00:00')
+            GROUP BY 1
+        """,
+        # Q21 shape: suppliers who were the only late supplier of a
+        # multi-supplier order (late = shipped > 90 days after order)
+        "waiting_suppliers": """
+            WITH l AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       CASE WHEN l.l_shipdate >
+                                 o.o_orderdate + INTERVAL 90 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), per AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN late = 1
+                                           THEN l_suppkey END) AS n_late
+                FROM l GROUP BY 1
+            ), culprit AS (
+                SELECT DISTINCT l.l_orderkey, l.l_suppkey
+                FROM l JOIN per USING (l_orderkey)
+                WHERE per.n_supp >= 2 AND per.n_late = 1 AND l.late = 1
+            )
+            SELECT s.s_name, cast(count(*) as bigint) AS numwait
+            FROM culprit c JOIN supplier s ON s.s_suppkey = c.l_suppkey
             GROUP BY 1
         """,
         # winnowing fingerprint recomputed in SQL: md5 shingle hashes,

@@ -55,6 +55,7 @@ __all__ = [
     "nations_trade_volume",
     "small_quantity_revenue",
     "idle_customer_balance",
+    "waiting_suppliers",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -1154,4 +1155,147 @@ def idle_customer_balance(
         ),
         {"c_nationkey": "c_nationkey", "bal_cc_sum": "bal_cc",
          "n_cust_sum": "n_cust"},
+    )
+
+
+def waiting_suppliers(
+    sf_dir: str,
+    late_after_us: int = 7_776_000_000_000,  # 90 days
+    num_partitions: int | None = None,
+    shuffle_parts: int = 32,
+):
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier of a
+    multi-supplier order (lateness = shipped more than 90 days after
+    the order date, adapted to this schema's columns) — the
+    exists/not-exists double-correlation, expressed as one per-order
+    set analysis.
+
+    Plan: lineitem ⋈ orders native hash join (big ⋈ big) → distinct
+    ``(order, supplier, late)`` triples pre-deduped per batch → ONE
+    order-keyed partition shuffle; inside each partition every order's
+    rows are co-located, so the multi-supplier / exactly-one-late test
+    and culprit extraction are pure vectorized segment ops (np.unique +
+    bincount, never per-order Python) → per-supplier partial counts →
+    one bounded supplier-keyed shuffle to combine → native join with
+    the supplier dimension for names."""
+    num_partitions = num_partitions or _default_partitions()
+    P = shuffle_parts
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+                "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
+                "ship_us": b.column("l_shipdate").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "odate_us": b.column("o_orderdate").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = li.join(
+        orders, "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def triples(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        late = (
+            batch.column("ship_us").to_numpy(zero_copy_only=False)
+            > batch.column("odate_us").to_numpy(zero_copy_only=False)
+            + late_after_us
+        ).astype(np.int64)
+        trip = np.unique(np.stack([ok, sk, late], axis=1), axis=0)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(trip[:, 0], pa.int64()),
+                "l_suppkey": pa.array(trip[:, 1], pa.int64()),
+                "late": pa.array(trip[:, 2], pa.int64()),
+                "part": pa.array(trip[:, 0] % P, pa.int64()),
+            }
+        )
+
+    _empty_counts = pa.table(
+        {"l_suppkey": pa.array([], pa.int64()),
+         "numwait": pa.array([], pa.int64()),
+         "part2": pa.array([], pa.int64())}
+    )
+
+    def per_order(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = group.column("l_suppkey").to_numpy(zero_copy_only=False)
+        lt = group.column("late").to_numpy(zero_copy_only=False)
+        # collapse to distinct (order, supplier): late if ANY row late
+        pairs, idx = np.unique(
+            np.stack([ok, sk], axis=1), axis=0, return_inverse=True
+        )
+        late_any = np.zeros(len(pairs), np.int64)
+        np.maximum.at(late_any, idx, lt)
+        po, ps = pairs[:, 0], pairs[:, 1]
+        _, oinv, ocnt = np.unique(po, return_inverse=True, return_counts=True)
+        nlate = np.bincount(oinv, weights=late_any).astype(np.int64)
+        qual = (ocnt >= 2) & (nlate == 1)
+        keep = qual[oinv] & (late_any == 1)
+        if not keep.any():
+            return _empty_counts
+        us, cnt = np.unique(ps[keep], return_counts=True)
+        return pa.table(
+            {"l_suppkey": pa.array(us, pa.int64()),
+             "numwait": pa.array(cnt.astype(np.int64), pa.int64()),
+             "part2": pa.array(us % P, pa.int64())}
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        sk = group.column("l_suppkey").to_numpy(zero_copy_only=False)
+        nw = group.column("numwait").to_numpy(zero_copy_only=False)
+        us, inv = np.unique(sk, return_inverse=True)
+        tot = np.bincount(inv, weights=nw).astype(np.int64)
+        return pa.table(
+            {"l_suppkey": pa.array(us, pa.int64()),
+             "numwait": pa.array(tot, pa.int64())}
+        )
+
+    counts = (
+        j.map_batches(triples, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_order, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b.column("s_suppkey").cast(pa.int64()),
+                "s_name": b.column("s_name"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    named = counts.join(
+        sup, "inner", num_partitions,
+        on=("l_suppkey",), right_on=("s_suppkey",),
+    )
+    return named.map_batches(
+        lambda b: pa.table(
+            {"s_name": b.column("s_name"), "numwait": b.column("numwait")}
+        )
+        if b.num_rows and "s_name" in b.column_names
+        else pa.table(
+            {"s_name": pa.array([], pa.string()),
+             "numwait": pa.array([], pa.int64())}
+        ),
+        batch_format="pyarrow",
     )

@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lead_lag": S.events_lead_lag,
         "sessionize": S.sessionize,
         "sessionize_bucketed": S.sessionize_bucketed,
+        "events_window_distinct": S.events_window_distinct,
         # big-big hash joins (native Dataset.join)
         "unshipped_orders": J.unshipped_orders,
         "returned_revenue_by_customer": J.returned_revenue_by_customer,
@@ -622,6 +623,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM e, range(0, 3) t(k)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # exact windowed COUNT(DISTINCT): same 6h/2h covering-window
+        # explode, distinct users per window
+        "events_window_distinct": """
+            WITH e AS (
+                SELECT epoch_us(ts) AS us, user_id FROM events
+            )
+            SELECT ((us // 7200000000) - k) * 7200000000 AS window_start,
+                   cast(count(DISTINCT user_id) as bigint) AS n_users
+            FROM e, range(0, 3) t(k)
+            GROUP BY 1 ORDER BY 1
         """,
         # row-level window function: rolling 3-row sum per user
         # offset window function: LAG with coalesce-to-0 per user

@@ -48,6 +48,7 @@ __all__ = [
     "events_sliding_window",
     "sessionize",
     "sessionize_bucketed",
+    "events_window_distinct",
 ]
 
 ROLLING_WINDOW = 3  # current row + 2 preceding
@@ -1104,4 +1105,68 @@ def events_late_data(sf_dir: str) -> pa.Table:
     return rename_select(
         out, {"window_start": "window_start", "n_events_sum": "n_events",
               "n_late_sum": "n_late"}
+    ).sort_by("window_start")
+
+
+def events_window_distinct(sf_dir: str, num_partitions: int = 32) -> pa.Table:
+    """Exact distinct-user counts per sliding window (6 h / 2 h) — the
+    windowed COUNT(DISTINCT) that a sketch (stats.hll_distinct_users)
+    approximates, done exactly with ONE shuffle: batch-local explode to
+    the 3 covering windows + pair dedup (np.unique) → shuffle keyed on
+    a mixed hash of ``(window, user) % P`` (pair-disjoint partitions: a
+    pair lands in exactly one partition, so per-partition dedup is
+    globally exact and counts are additive across partitions) →
+    per-partition per-window counts → bounded driver combine
+    (windows × P rows)."""
+    from crawl_ray.util import collect_table
+
+    n_cover = WINDOW_SIZE_US // WINDOW_SLIDE_US
+    P = num_partitions
+    _M1 = np.uint64(0x9E3779B97F4A7C15)
+    _M2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        us = _np(batch.column("ts").cast(pa.int64()))
+        user = _np(batch.column("user_id").cast(pa.int64()))
+        base = (us // WINDOW_SLIDE_US) * WINDOW_SLIDE_US
+        offsets = np.arange(n_cover, dtype=np.int64) * WINDOW_SLIDE_US
+        starts = (base[:, None] - offsets[None, :]).ravel()
+        users = np.repeat(user, n_cover)
+        pairs = np.unique(np.stack([starts, users], axis=1), axis=0)
+        with np.errstate(over="ignore"):
+            h = (
+                pairs[:, 0].astype(np.uint64) * _M1
+                ^ pairs[:, 1].astype(np.uint64) * _M2
+            )
+        return pa.table(
+            {
+                "window_start": pa.array(pairs[:, 0], pa.int64()),
+                "user_id": pa.array(pairs[:, 1], pa.int64()),
+                "part": pa.array(
+                    (h % np.uint64(P)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def count_partial(group: pa.Table) -> pa.Table:
+        w = _np(group.column("window_start"))
+        u = _np(group.column("user_id"))
+        pairs = np.unique(np.stack([w, u], axis=1), axis=0)
+        uw, cnt = np.unique(pairs[:, 0], return_counts=True)
+        return pa.table(
+            {"window_start": pa.array(uw, pa.int64()),
+             "n_users": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    parts = (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(explode_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(count_partial, batch_format="pyarrow")
+    )
+    t = collect_table(parts)
+    out = t.group_by(["window_start"]).aggregate([("n_users", "sum")])
+    return rename_select(
+        out, {"window_start": "window_start", "n_users_sum": "n_users"}
     ).sort_by("window_start")

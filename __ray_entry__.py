@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_price_band_join": J.events_price_band_join,
         # iterative graph computation (integer PageRank)
         "supplier_pagerank": G.supplier_pagerank,
+        "supplier_bfs_distance": G.supplier_bfs_distance,
         # distributed statistics (exact quantiles / distinct + HLL sketch)
         "events_value_quantiles": ST.events_value_quantiles,
         "value_quantiles_per_type": ST.value_quantiles_per_type,
@@ -708,6 +709,46 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue_cc DESC, c_custkey LIMIT 20
         """,
         "supplier_pagerank": _pagerank_sql(),
+        # BFS distance levels from the min-supplier seed over the same
+        # bidirected part↔supplier graph, unrolled to 3 hops
+        "supplier_bfs_distance": """
+            WITH e AS (
+                SELECT DISTINCT l_partkey AS p,
+                       l_suppkey + 1000000 AS s
+                FROM lineitem
+            ), edges AS (
+                SELECT p AS src, s AS dst FROM e
+                UNION
+                SELECT s, p FROM e
+            ), d0 AS (
+                SELECT min(s_suppkey) + 1000000 AS node FROM supplier
+            ), d1 AS (
+                SELECT DISTINCT dst AS node FROM edges
+                WHERE src IN (SELECT node FROM d0)
+                  AND dst NOT IN (SELECT node FROM d0)
+            ), d2 AS (
+                SELECT DISTINCT dst AS node FROM edges
+                WHERE src IN (SELECT node FROM d1)
+                  AND dst NOT IN (SELECT node FROM d0
+                                  UNION SELECT node FROM d1)
+            ), d3 AS (
+                SELECT DISTINCT dst AS node FROM edges
+                WHERE src IN (SELECT node FROM d2)
+                  AND dst NOT IN (SELECT node FROM d0
+                                  UNION SELECT node FROM d1
+                                  UNION SELECT node FROM d2)
+            ), lv AS (
+                SELECT node, 0 AS dist FROM d0
+                UNION ALL SELECT node, 1 FROM d1
+                UNION ALL SELECT node, 2 FROM d2
+                UNION ALL SELECT node, 3 FROM d3
+            )
+            SELECT dist,
+                   cast(count(*) as bigint) AS n_nodes,
+                   cast(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END)
+                        as bigint) AS n_suppliers
+            FROM lv GROUP BY 1 ORDER BY 1
+        """,
         "kmeans_embeddings": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "cluster_balanced_sample": _kmeans_cte() + """

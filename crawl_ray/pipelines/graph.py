@@ -41,7 +41,7 @@ from crawl_ray.pipelines.joins import _default_partitions
 from crawl_ray.pipelines.relational import _read
 from crawl_ray.util import collect_table, normalize_schema
 
-__all__ = ["supplier_pagerank"]
+__all__ = ["supplier_pagerank", "supplier_bfs_distance"]
 
 BASE_RANK = 1_000_000
 TELEPORT = 150_000  # 0.15 in micro-units
@@ -236,3 +236,179 @@ def supplier_pagerank(
             "rank_micro": top.column("rank_micro"),
         }
     )
+
+
+def _local_bfs(edges_t: pa.Table, seed: int, max_hops: int) -> pa.Table:
+    """Single-process BFS over a COLLECTED edge table — same semantics
+    as the distributed loop (the forced-distributed test asserts
+    equality)."""
+    src = edges_t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edges_t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    dist = {seed: 0}
+    frontier = np.array([seed], dtype=np.int64)
+    for hop in range(1, max_hops + 1):
+        lo = np.searchsorted(src_s, frontier, side="left")
+        hi = np.searchsorted(src_s, frontier, side="right")
+        if not len(lo):
+            break
+        nbrs = np.unique(
+            np.concatenate(
+                [dst_s[a:b] for a, b in zip(lo.tolist(), hi.tolist())]
+            )
+            if len(lo)
+            else np.empty(0, np.int64)
+        )
+        new = [x for x in nbrs.tolist() if x not in dist]
+        for x in new:
+            dist[x] = hop
+        frontier = np.array(new, dtype=np.int64)
+        if not len(frontier):
+            break
+    nodes = np.array(sorted(dist), dtype=np.int64)
+    dd = np.array([dist[x] for x in nodes.tolist()], dtype=np.int64)
+    out = []
+    for h in range(max_hops + 1):
+        m = dd == h
+        if not m.any() and h > 0:
+            continue
+        out.append(
+            (h, int(m.sum()), int((nodes[m] >= SUPPLIER_OFFSET).sum()))
+        )
+    return pa.table(
+        {
+            "dist": pa.array([r[0] for r in out], pa.int64()),
+            "n_nodes": pa.array([r[1] for r in out], pa.int64()),
+            "n_suppliers": pa.array([r[2] for r in out], pa.int64()),
+        }
+    )
+
+
+def supplier_bfs_distance(
+    sf_dir: str,
+    max_hops: int = 3,
+    num_partitions: int | None = None,
+    small_graph_threshold: int = 200_000,
+):
+    """Iterative frontier BFS over the part ↔ supplier bipartite graph:
+    min-hop distance from the seed node (the smallest supplier key) —
+    the link-graph reachability shape (how many pages/hosts are within
+    k clicks of a seed), summarized per distance level.
+
+    Distributed loop (the crawl-round pattern as a pure graph query):
+    per hop, ``edges ⋈ frontier`` native hash join → batch-deduped
+    neighbor set → ``left_anti`` against the visited set (both sides
+    frontier-sized, nothing broadcast) → the survivors become the next
+    frontier and union into visited.  Early-exits when the frontier
+    drains.  Output is bounded: one row per distance level."""
+    num_partitions = num_partitions or _default_partitions()
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_partkey").to_numpy().astype(np.int64)
+        s = batch.column("l_suppkey").to_numpy().astype(np.int64) + SUPPLIER_OFFSET
+        src = np.concatenate([p, s])
+        dst = np.concatenate([s, p])
+        t = pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    edges = normalize_schema(
+        li.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .count(),
+        {"src": pa.int64(), "dst": pa.int64()},
+        coalesce=num_partitions,
+    ).materialize()
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        lambda b: pa.table(
+            {"m": pa.array(
+                [int(b.column("s_suppkey").to_numpy().min())]
+                if b.num_rows else [],
+                pa.int64(),
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    mins = collect_table(sup)
+    seed = int(mins.column("m").to_numpy().min()) + SUPPLIER_OFFSET
+
+    if edges.count() <= small_graph_threshold:
+        return _local_bfs(collect_table(edges), seed, max_hops)
+
+    seed_t = pa.table(
+        {"node": pa.array([seed], pa.int64()),
+         "dist": pa.array([0], pa.int64())}
+    )
+    import ray.data as rd
+
+    visited = rd.from_arrow(seed_t).materialize()
+    frontier = rd.from_arrow(seed_t.select(["node"])).materialize()
+
+    for hop in range(1, max_hops + 1):
+        nbrs = normalize_schema(
+            edges.join(
+                frontier, "inner", num_partitions,
+                on=("src",), right_on=("node",),
+            ),
+            {"dst": pa.int64()},
+            coalesce=num_partitions,
+        )
+
+        def dedup_dst(batch: pa.Table) -> pa.Table:
+            d = np.unique(batch.column("dst").to_numpy(zero_copy_only=False))
+            return pa.table({"node": pa.array(d, pa.int64())})
+
+        cand = normalize_schema(
+            nbrs.map_batches(dedup_dst, batch_format="pyarrow")
+            .groupby("node")
+            .count(),
+            {"node": pa.int64()},
+            coalesce=num_partitions,
+        )
+        new = normalize_schema(
+            cand.join(
+                visited, "left_anti", num_partitions, on=("node",),
+            ),
+            {"node": pa.int64()},
+            coalesce=num_partitions,
+        ).materialize()
+        if new.count() == 0:
+            break
+        new_d = new.map_batches(
+            lambda b, h=hop: pa.table(
+                {"node": b.column("node"),
+                 "dist": pa.array(np.full(b.num_rows, h, np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        visited = visited.union(new_d).materialize()
+        frontier = new
+
+    def level_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("dist").to_numpy(zero_copy_only=False)
+        n = batch.column("node").to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        nsup = np.bincount(inv, weights=(n >= SUPPLIER_OFFSET)).astype(np.int64)
+        return pa.table(
+            {"dist": pa.array(ud, pa.int64()),
+             "n_nodes": pa.array(cnt, pa.int64()),
+             "n_suppliers": pa.array(nsup, pa.int64())}
+        )
+
+    partials = collect_table(
+        visited.map_batches(level_partial, batch_format="pyarrow")
+    )
+    out = partials.group_by(["dist"]).aggregate(
+        [("n_nodes", "sum"), ("n_suppliers", "sum")]
+    )
+    out = out.rename_columns(
+        [{"n_nodes_sum": "n_nodes", "n_suppliers_sum": "n_suppliers"}.get(c, c)
+         for c in out.column_names]
+    )
+    return out.sort_by("dist")

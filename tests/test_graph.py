@@ -53,3 +53,40 @@ def test_distributed_path_equals_local(ray_session):
         "/root/testdata/sf0.001", small_graph_threshold=0
     ).to_pandas()
     assert local.equals(dist)
+
+
+from crawl_ray.pipelines.graph import supplier_bfs_distance
+
+
+def _li_sup(tmp_path, pairs, suppkeys):
+    _li(tmp_path, pairs)
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array(suppkeys, pa.int64())}),
+        tmp_path / "supplier.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_bfs_chain_hand_computed(tmp_path, ray_session):
+    """Chain s1 - p1 - s2 - p2 - s3: from seed s1, distances are
+    p1=1, s2=2, p2=3 (s3 is beyond max_hops=3)."""
+    d = _li_sup(tmp_path, [(1, 1), (1, 2), (2, 2), (2, 3)], [1, 2, 3])
+    out = supplier_bfs_distance(d, num_partitions=4).to_pandas()
+    got = {r.dist: (r.n_nodes, r.n_suppliers) for r in out.itertuples()}
+    assert got == {0: (1, 1), 1: (1, 0), 2: (1, 1), 3: (1, 0)}
+
+
+def test_bfs_isolated_seed(tmp_path, ray_session):
+    """A seed supplier with no lineitems is still reported at dist 0."""
+    d = _li_sup(tmp_path, [(1, 7)], [5, 7])  # seed = supplier 5, isolated
+    out = supplier_bfs_distance(d, num_partitions=4).to_pandas()
+    got = {r.dist: (r.n_nodes, r.n_suppliers) for r in out.itertuples()}
+    assert got == {0: (1, 1)}
+
+
+def test_bfs_distributed_path_equals_local(ray_session):
+    local = supplier_bfs_distance("/root/testdata/sf0.001").to_pandas()
+    dist = supplier_bfs_distance(
+        "/root/testdata/sf0.001", small_graph_threshold=0
+    ).to_pandas()
+    assert local.equals(dist)

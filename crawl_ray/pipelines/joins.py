@@ -959,77 +959,85 @@ def nations_trade_volume(
     )
 
 
-def small_quantity_revenue(sf_dir: str, num_partitions: int | None = None):
+def small_quantity_revenue(
+    sf_dir: str,
+    num_partitions: int | None = None,
+    shuffle_parts: int = 32,
+):
     """TPC-H Q17 shape: revenue from lineitems whose quantity is below
     0.2× their part's average quantity, per brand — the
-    correlated-scalar-subquery → self-join plan.
+    correlated-scalar-subquery plan, collapsed to ONE shuffle.
 
-    Plan: per-partkey ``(sum_qty, count)`` via a DISTRIBUTED groupby
-    over batch-pre-aggregated partials (the key space is part-sized,
-    so this must be a shuffle, never a driver merge) → native hash
-    join back to lineitem on partkey (big ⋈ big, co-partitioned) →
-    exact integer filter ``qty_c·5·n < s`` (≡ ``qty < 0.2·avg`` with
-    no float division to diverge from the oracle) → hash join the part
-    dimension for the brand → bounded per-brand combiner."""
+    Because the filter depends only on ``(part, quantity)`` given the
+    part's stats, lineitem pre-combines per batch to
+    ``(partkey, qty_c) → (Σprice, count)`` rows (few distinct
+    quantities per part ⇒ the shuffle carries a fraction of lineitem);
+    ONE partkey-keyed partition shuffle then co-locates each part's
+    rows, so the average and the small-quantity filter are pure
+    vectorized segment ops — no self-join back to lineitem at all.
+    The surviving per-part revenue joins the part dimension natively
+    (part-sized ⋈ part-sized) for the brand, and the brand rollup is
+    the bounded combiner.  The exact integer test ``qty_c·5·n < s``
+    ≡ ``qty < 0.2·avg`` (no float division to diverge from the
+    oracle)."""
     num_partitions = num_partitions or _default_partitions()
+    P = shuffle_parts
 
-    def lq_cols(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_partkey": b.column("l_partkey").cast(pa.int64()),
-                "qty_c": _cents(b.column("l_quantity")),
-                "price_c": _cents(b.column("l_extendedprice")),
-            }
-        )
-
-    lq = _read(
-        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
-    ).map_batches(lq_cols, batch_format="pyarrow", zero_copy_batch=True)
-
-    def agg_partial(batch: pa.Table) -> pa.Table:
+    def lq_partial(b: pa.Table) -> pa.Table:
         t = pa.table(
             {
-                "pk": batch.column("l_partkey"),
-                "s": batch.column("qty_c"),
-                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "pk": b.column("l_partkey").cast(pa.int64()),
+                "qty_c": _cents(b.column("l_quantity")),
+                "price_c": _cents(b.column("l_extendedprice")),
+                "cnt": pa.array(np.ones(b.num_rows, np.int64)),
             }
         )
-        return rename_select(
-            t.group_by(["pk"]).aggregate([("s", "sum"), ("n", "sum")]),
-            {"pk": "pk", "s_sum": "s", "n_sum": "n"},
-        )
-
-    per_part = (
-        lq.map_batches(agg_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pk")
-        .sum(["s", "n"])
-        .map_batches(
-            lambda b: rename_select(
-                b, {"pk": "pk", "sum(s)": "s", "sum(n)": "n"}
+        out = rename_select(
+            t.group_by(["pk", "qty_c"]).aggregate(
+                [("price_c", "sum"), ("cnt", "sum")]
             ),
-            batch_format="pyarrow",
+            {"pk": "pk", "qty_c": "qty_c", "price_c_sum": "price_c",
+             "cnt_sum": "cnt"},
         )
+        part = (
+            out.column("pk").to_numpy(zero_copy_only=False) % P
+        ).astype(np.int64)
+        return out.append_column("part", pa.array(part, pa.int64()))
+
+    _empty_rev = pa.table(
+        {"pk": pa.array([], pa.int64()),
+         "rev": pa.array([], pa.int64())}
     )
 
-    j = lq.join(
-        per_part, "inner", num_partitions, on=("l_partkey",), right_on=("pk",)
-    )
-
-    def small_only(batch: pa.Table) -> pa.Table:
-        qty = batch.column("qty_c").to_numpy(zero_copy_only=False)
-        s = batch.column("s").to_numpy(zero_copy_only=False)
-        n = batch.column("n").to_numpy(zero_copy_only=False)
-        keep = qty * 5 * n < s
+    def per_part(group: pa.Table) -> pa.Table:
+        pk = group.column("pk").to_numpy(zero_copy_only=False)
+        qty = group.column("qty_c").to_numpy(zero_copy_only=False)
+        ps = group.column("price_c").to_numpy(zero_copy_only=False)
+        ct = group.column("cnt").to_numpy(zero_copy_only=False)
+        upk, inv = np.unique(pk, return_inverse=True)
+        s = np.bincount(inv, weights=qty * ct).astype(np.int64)
+        n = np.bincount(inv, weights=ct).astype(np.int64)
+        keep = qty * 5 * n[inv] < s[inv]
+        if not keep.any():
+            return _empty_rev
+        rev = np.bincount(
+            inv[keep], weights=ps[keep], minlength=len(upk)
+        ).astype(np.int64)
+        hit = np.bincount(inv[keep], minlength=len(upk)) > 0
         return pa.table(
-            {
-                "l_partkey": batch.column("l_partkey").filter(
-                    pa.array(keep)
-                ),
-                "price_c": batch.column("price_c").filter(pa.array(keep)),
-            }
+            {"pk": pa.array(upk[hit], pa.int64()),
+             "rev": pa.array(rev[hit], pa.int64())}
         )
 
-    sq = j.map_batches(small_only, batch_format="pyarrow")
+    per_part_rev = (
+        _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(lq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
     pt = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
         lambda b: pa.table(
             {
@@ -1040,13 +1048,14 @@ def small_quantity_revenue(sf_dir: str, num_partitions: int | None = None):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    j2 = sq.join(
-        pt, "inner", num_partitions, on=("l_partkey",), right_on=("p_partkey",)
+    j = per_part_rev.join(
+        pt, "inner", num_partitions, on=("pk",), right_on=("p_partkey",)
     )
     return partial_then_final_sum(
-        j2, ["p_brand"],
-        {"small_qty_revenue_cc": lambda b: b.column("price_c")},
+        j, ["p_brand"],
+        {"small_qty_revenue_cc": lambda b: b.column("rev")},
     )
+
 
 
 def idle_customer_balance(

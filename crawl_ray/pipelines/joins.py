@@ -1190,19 +1190,28 @@ def waiting_suppliers(
     num_partitions = num_partitions or _default_partitions()
     P = shuffle_parts
 
-    li = _read(
-        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
-    ).map_batches(
-        lambda b: pa.table(
+    def li_partial(b: pa.Table) -> pa.Table:
+        # only the LATEST shipment per (order, supplier) can decide
+        # "any lineitem late", so pre-combine to max(ship) per pair —
+        # the join input shrinks to distinct pairs per batch
+        t = pa.table(
             {
                 "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
                 "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
                 "ship_us": b.column("l_shipdate").cast(pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        )
+        return rename_select(
+            t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+                [("ship_us", "max")]
+            ),
+            {"l_orderkey": "l_orderkey", "l_suppkey": "l_suppkey",
+             "ship_us_max": "ship_us"},
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
         lambda b: pa.table(
             {

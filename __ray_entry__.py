@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": DD.simhash_64,
         "simhash_hamming_pairs": DD.simhash_hamming_pairs,
         "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
+        "containment_pairs": DD.containment_pairs,
         "duplicated_ngrams": T.duplicated_ngrams,
         "cross_source_overlap": T.cross_source_overlap,
         "embedding_near_dup": DD.embedding_near_dup,
@@ -1522,6 +1523,30 @@ def oracle_sql() -> dict[str, str]:
         # (recall argument in dedup.minhash_lsh_pairs docstring)
         "minhash_lsh_pairs": _jaccard_pairs_sql(k=3, thr_milli=500),
         "ngram_jaccard_pairs": _jaccard_pairs_sql(k=3, thr_milli=300),
+        # exact all-ORDERED-pairs containment |Sa∩Sb|/|Sa| ≥ 0.8 over
+        # the same shingle definition (prefix-filtered on the Ray side)
+        "containment_pairs": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3
+                            THEN [array_to_string(toks, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' ')))
+                       END AS sh
+                FROM t
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   cast(len(list_intersect(a.sh, b.sh)) * 1000
+                        // len(a.sh) as bigint) AS containment_milli
+            FROM s a JOIN s b ON a.doc_id != b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1000
+                  >= 800 * len(a.sh)
+        """,
         # simhash recomputed in SQL: md5 token hashes, per-bit majority
         # vote, big-endian nibble construction
         "simhash": _SIMHASH_SQL,

@@ -37,6 +37,7 @@ __all__ = [
     "simhash_64",
     "simhash_hamming_pairs",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "embedding_near_dup",
     "embedding_near_dup_exact",
     "dedup_clusters",
@@ -1282,4 +1283,315 @@ def dedup_clusters(
             "cluster_id": pa.array(label, pa.int64()),
             "keep": pa.array(node == label),
         }
+    )
+
+
+def _verify_containment_batch(
+    batch: pa.Table, *, root: str, n_buckets: int, thr_milli: int
+) -> pa.Table:
+    """Distributed containment verification over the bucketed shingle
+    store: ``|Sa ∩ Sb| · 1000 // |Sa|`` per ORDERED candidate pair."""
+    a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+    b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()),
+         "doc_b": pa.array([], pa.int64()),
+         "containment_milli": pa.array([], pa.int64())}
+    )
+    if not len(a):
+        return empty
+    ab = np.unique(np.stack([a, b], axis=1), axis=0)
+    a, b = ab[:, 0], ab[:, 1]
+    need = np.unique(np.concatenate([a, b]))
+    sh: dict[int, np.ndarray] = {}
+    for bk in np.unique(need % n_buckets).tolist():
+        bucket_map = _shingle_bucket_map(root, int(bk))
+        for d in need[need % n_buckets == bk].tolist():
+            sh[d] = bucket_map[d]
+    a_out, b_out, cm = [], [], []
+    for i in range(len(a)):
+        sa, sb = sh[a[i]], sh[b[i]]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        c = inter * 1000 // (sa.size or 1)
+        if c >= thr_milli:
+            a_out.append(int(a[i]))
+            b_out.append(int(b[i]))
+            cm.append(int(c))
+    return pa.table(
+        {"doc_a": pa.array(a_out, pa.int64()),
+         "doc_b": pa.array(b_out, pa.int64()),
+         "containment_milli": pa.array(cm, pa.int64())}
+    )
+
+
+def containment_pairs(
+    sf_dir: str,
+    t_milli: int = 800,
+    k: int = 3,
+    num_partitions: int = 32,
+    probe_chunk: int = 1 << 18,
+):
+    """Near-containment pairs (AllPairs / PPJoin prefix filtering,
+    Bayardo, Ma & Srikant 2007, WWW): ORDERED pairs ``(a, b)`` with
+    ``|Sa ∩ Sb| · 1000 // |Sa| ≥ t_milli`` over unique k-token shingle
+    sets — the quote/boilerplate-INCLUSION detector that Jaccard-based
+    dedup misses (a small doc quoted inside a big one has low Jaccard
+    but high containment).
+
+    COMPLETE candidate generation, no recall caveat: order every doc's
+    shingles by global rarity (document frequency asc, hash asc); a
+    pair with overlap ≥ ``o = ceil(t·|A|)`` must share one of A's first
+    ``|A| − o + 1`` rarest shingles with B's FULL set (pigeonhole over
+    the ordered set), so probing prefix(A) against the full posting
+    lists is exhaustive — and cheap, because rarest-first prefixes
+    avoid the high-df grams that would explode the probe×posting
+    product.
+
+    Shuffles: (1) gram-keyed → document frequencies ride back onto the
+    postings; (2) doc-keyed → per-doc rarity sort + prefix selection
+    (vectorized segment ops); (3) gram-keyed → probe × posting
+    cartesian per gram (fully vectorized across grams, chunked by
+    probe rows for bounded memory — degenerate grams are scanned,
+    never dropped); then distributed exact verification against the
+    bucketed task-side shingle store (the minhash pattern)."""
+    import hashlib
+    import math
+
+    P = num_partitions
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    _empty_post = pa.table(
+        {"gram": pa.array([], pa.int64()),
+         "doc_id": pa.array([], pa.int64()),
+         "part": pa.array([], pa.int64())}
+    )
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        texts = batch.column("text").to_pylist()
+        if not len(ids):
+            return _empty_post
+        flat, counts = _shingle_windows_flat(texts, k)
+        doc = np.repeat(ids, counts)
+        pairs = np.unique(
+            np.stack([doc, flat.view(np.int64)], axis=1), axis=0
+        )  # per-doc DISTINCT shingles (sets, not bags)
+        return pa.table(
+            {"gram": pa.array(pairs[:, 1], pa.int64()),
+             "doc_id": pa.array(pairs[:, 0], pa.int64()),
+             "part": pa.array(
+                 (pairs[:, 1].view(np.uint64) % np.uint64(P)).astype(np.int64),
+                 pa.int64(),
+             )}
+        )
+
+    def add_df(group: pa.Table) -> pa.Table:
+        gram = group.column("gram").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        # (gram, doc) is globally unique (docs never span batches), so
+        # df = row count per gram
+        _, inv, cnt = np.unique(gram, return_inverse=True, return_counts=True)
+        return pa.table(
+            {"gram": pa.array(gram, pa.int64()),
+             "doc_id": pa.array(doc, pa.int64()),
+             "df": pa.array(cnt[inv].astype(np.int64), pa.int64()),
+             "part2": pa.array(doc % P, pa.int64())}
+        )
+
+    def prefixes(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        gram = group.column("gram").to_numpy(zero_copy_only=False)
+        df = group.column("df").to_numpy(zero_copy_only=False)
+        order = np.lexsort((gram, df, doc))  # by doc, then (df, gram)
+        d, g = doc[order], gram[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        lens = np.diff(np.r_[starts, len(d)])
+        # prefix length per doc: |A| - ceil(t·|A|) + 1
+        o = -(-lens * t_milli // 1000)  # ceil without floats
+        plen = lens - o + 1
+        offs = np.arange(len(d), dtype=np.int64) - np.repeat(starts, lens)
+        keep = offs < np.repeat(plen, lens)
+        return pa.table(
+            {"gram": pa.array(g[keep], pa.int64()),
+             "doc_id": pa.array(d[keep], pa.int64()),
+             "probe": pa.array(np.ones(int(keep.sum()), np.int64), pa.int64()),
+             "part3": pa.array(
+                 (g[keep].view(np.uint64) % np.uint64(P)).astype(np.int64),
+                 pa.int64(),
+             )}
+        )
+
+    _empty_pairs2 = pa.table(
+        {"doc_a": pa.array([], pa.int64()),
+         "doc_b": pa.array([], pa.int64())}
+    )
+
+    def gram_pairs(group: pa.Table) -> pa.Table:
+        gram = group.column("gram").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        probe = group.column("probe").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, gram))
+        g, d, pr = gram[order], doc[order], probe[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        lens = np.diff(np.r_[starts, len(g)])
+        seg_of = np.repeat(np.arange(len(starts)), lens)
+        # per segment: index rows = ALL rows (postings), probe rows =
+        # probe-tagged.  Pair each probe row with its gram's postings.
+        probe_pos = np.flatnonzero(pr == 1)
+        if not len(probe_pos):
+            return _empty_pairs2
+        pseg = seg_of[probe_pos]
+        out_a, out_b = [], []
+        # chunk probe rows so cartesian memory stays bounded
+        for s in range(0, len(probe_pos), probe_chunk):
+            pp = probe_pos[s : s + probe_chunk]
+            ps = pseg[s : s + probe_chunk]
+            counts = lens[ps]
+            tot = int(counts.sum())
+            if not tot:
+                continue
+            pa_doc = np.repeat(d[pp], counts)
+            within = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            pb_doc = d[np.repeat(starts[ps], counts) + within]
+            m = pa_doc != pb_doc
+            if m.any():
+                ab = np.unique(
+                    np.stack([pa_doc[m], pb_doc[m]], axis=1), axis=0
+                )
+                out_a.append(ab[:, 0])
+                out_b.append(ab[:, 1])
+        if not out_a:
+            return _empty_pairs2
+        ab = np.unique(
+            np.stack(
+                [np.concatenate(out_a), np.concatenate(out_b)], axis=1
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {"doc_a": pa.array(ab[:, 0], pa.int64()),
+             "doc_b": pa.array(ab[:, 1], pa.int64())}
+        )
+
+    postings = (
+        docs.map_batches(
+            shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("part")
+        .map_groups(add_df, batch_format="pyarrow")
+        .materialize()
+    )
+    probes = postings.groupby("part2").map_groups(
+        prefixes, batch_format="pyarrow"
+    )
+    index_rows = postings.map_batches(
+        lambda b: pa.table(
+            {"gram": b.column("gram"),
+             "doc_id": b.column("doc_id"),
+             "probe": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+             "part3": pa.array(
+                 (
+                     b.column("gram").to_numpy(zero_copy_only=False)
+                     .view(np.uint64) % np.uint64(P)
+                 ).astype(np.int64),
+                 pa.int64(),
+             )}
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = (
+        probes.union(index_rows)
+        .groupby("part3")
+        .map_groups(gram_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # candidate doc ids → bucketed task-side shingle store (minhash
+    # pattern: one corpus pass, candidate docs only)
+    id_refs = [
+        _unique_pair_ids.remote(ref) for ref in pairs.to_arrow_refs()
+    ]
+    id_parts = [p for p in ray.get(id_refs) if len(p)]
+    _empty_out = pa.table(
+        {"doc_a": pa.array([], pa.int64()),
+         "doc_b": pa.array([], pa.int64()),
+         "containment_milli": pa.array([], pa.int64())}
+    )
+    if not id_parts:
+        return _empty_out
+    needed = np.unique(np.concatenate(id_parts))
+    needed_ref = ray.put(needed)
+
+    n_buckets = 8
+    token = hashlib.blake2b(
+        f"containment:{sf_dir}:{t_milli}:{k}".encode(), digest_size=8
+    ).hexdigest()
+    store_root = f"/tmp/crawl_ray_runs/shingles_{token}"
+
+    def shingles_of(batch: pa.Table) -> pa.Table:
+        import pathlib
+
+        import pyarrow.parquet as pq_
+
+        needed_ids = ray.get(needed_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(np.isin(ids, needed_ids))
+        n_written = 0
+        if len(keep):
+            texts = batch.column("text").take(
+                pa.array(keep, pa.int64())
+            ).to_pylist()
+            kept_ids = ids[keep]
+            sh = pa.table(
+                {"doc_id": pa.array(kept_ids, pa.int64()),
+                 "shingles": pa.array(
+                     [_shingle_hashes(t, k).tolist() for t in texts],
+                     pa.list_(pa.uint64()),
+                 )}
+            )
+            for bk in np.unique(kept_ids % n_buckets).tolist():
+                part = sh.filter(pa.array(kept_ids % n_buckets == bk))
+                bdir = pathlib.Path(store_root) / f"bucket={int(bk)}"
+                bdir.mkdir(parents=True, exist_ok=True)
+                pids = part.column("doc_id").to_numpy(zero_copy_only=False)
+                pq_.write_table(
+                    part,
+                    bdir / f"part-{int(pids.min())}-{int(pids.max())}.parquet",
+                )
+                n_written += part.num_rows
+        return pa.table({"n": pa.array([n_written], pa.int64())})
+
+    docs.map_batches(
+        shingles_of, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    verified = collect_table(
+        pairs.map_batches(
+            _verify_containment_batch,
+            fn_kwargs={
+                "root": store_root,
+                "n_buckets": n_buckets,
+                "thr_milli": t_milli,
+            },
+            batch_format="pyarrow",
+        )
+    )
+    if verified.num_rows == 0:
+        return _empty_out
+    trip = np.unique(
+        np.stack(
+            [verified.column(c).to_numpy(zero_copy_only=False)
+             for c in ("doc_a", "doc_b", "containment_milli")],
+            axis=1,
+        ),
+        axis=0,
+    )
+    return pa.table(
+        {"doc_a": pa.array(trip[:, 0], pa.int64()),
+         "doc_b": pa.array(trip[:, 1], pa.int64()),
+         "containment_milli": pa.array(trip[:, 2], pa.int64())}
     )

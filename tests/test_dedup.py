@@ -240,3 +240,48 @@ def test_simhash_hamming_pairs_complete(corpus_dir, ray_session):
 def test_simhash_hamming_rejects_bad_band_config():
     with pytest.raises(ValueError):
         DD.simhash_hamming_pairs("/nonexistent", max_hamming=4, bands=4)
+
+
+def test_containment_pairs_planted(tmp_path, ray_session):
+    """doc 1 is a verbatim slice of doc 0 → containment(1 in 0) = 1000
+    but NOT (0 in 1); exact copies contain each other both ways;
+    unrelated docs never pair.  Output equals numpy brute force."""
+    base = _base_text(0, 200)
+    toks = base.split()
+    docs = {
+        0: base,
+        1: " ".join(toks[50:90]),      # slice of doc 0
+        2: base,                        # exact copy of doc 0
+        3: _base_text(9, 150),          # unrelated
+    }
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[i] for i in sorted(docs)],
+                                   pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    out = DD.containment_pairs(str(tmp_path))
+    got = {
+        (a, b): c
+        for a, b, c in zip(out.column("doc_a").to_pylist(),
+                           out.column("doc_b").to_pylist(),
+                           out.column("containment_milli").to_pylist())
+    }
+    assert got[(1, 0)] == 1000 and got[(1, 2)] == 1000
+    assert got[(0, 2)] == 1000 and got[(2, 0)] == 1000
+    assert (0, 1) not in got  # containment is asymmetric
+    assert not any(3 in p for p in got)
+    # brute force over the same shingle sets
+    from crawl_ray.pipelines.dedup import _shingle_hashes
+
+    sh = {i: _shingle_hashes(t, 3) for i, t in docs.items()}
+    want = {}
+    for a in docs:
+        for b in docs:
+            if a == b:
+                continue
+            inter = np.intersect1d(sh[a], sh[b], assume_unique=True).size
+            c = inter * 1000 // sh[a].size
+            if c >= 800:
+                want[(a, b)] = c
+    assert got == want

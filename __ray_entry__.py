@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": SIM.kmeans_embeddings,
         "semantic_dedup": SIM.semantic_dedup,
         "cluster_balanced_sample": SIM.cluster_balanced_sample,
+        "label_centroids": SIM.label_centroids,
         # multimodal plumbing
         "payload_stats": MM.payload_stats,
         "decode_images": MM.decode_images,
@@ -708,6 +709,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.l_returnflag = 'R'
             GROUP BY 1, 2
             ORDER BY revenue_cc DESC, c_custkey LIMIT 20
+        """,
+        # grouped mean-vector partials in exact int64 micro-units
+        "label_centroids": """
+            SELECT cast(label as bigint) AS label, i AS dim,
+                   cast(sum(cast(round(cast(embedding[i] as double)
+                                       * 1000000) as bigint)) as bigint)
+                       AS sum_micro,
+                   cast(count(*) as bigint) AS n_vecs
+            FROM embeddings, range(1, 65) r(i)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "supplier_pagerank": _pagerank_sql(),
         # BFS distance levels from the min-supplier seed over the same

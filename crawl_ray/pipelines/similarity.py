@@ -26,7 +26,7 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     """DuckDB-compatible rounding (numpy's round is half-to-even)."""
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
-__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup", "cluster_balanced_sample", "knn_batch"]
+__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup", "cluster_balanced_sample", "knn_batch", "label_centroids"]
 
 
 def _emb(sf_dir: str):
@@ -538,3 +538,74 @@ def knn_batch(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
          "cos_milli": pa.array(
              _round_half_away(sims[keep] * 1000).astype(np.int64), pa.int64())}
     )
+
+
+def label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label, per-dimension centroid partials over the embedding
+    table — the grouped-mean-vector primitive behind cluster summaries
+    and per-source embedding drift checks.  Exact fixed-point: each
+    component is ``round(value · 10⁶)`` in int64 micro-units (pyarrow
+    half_towards_infinity ≡ DuckDB ``round()``), so parallel partial
+    sums are associative and byte-equal to the serial oracle; the
+    output carries ``(sum_micro, n_vecs)`` rather than the division so
+    no integer-division semantics can diverge.
+
+    Scale shape: per-batch (label × dim) partial sums via one reshape +
+    per-label row masks (labels are few by contract) → bounded driver
+    combine (labels × dims × blocks partial rows)."""
+    import pyarrow.compute as pc_
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()),
+                 "dim": pa.array([], pa.int64()),
+                 "sum_micro": pa.array([], pa.int64()),
+                 "n_vecs": pa.array([], pa.int64())}
+            )
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc_.cast(emb.flatten(), pa.float64())
+        micro = pc_.cast(
+            pc_.round(
+                pc_.multiply(flat, pa.scalar(1_000_000.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        d = len(micro) // n
+        m = micro.reshape(n, d)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ul, inv = np.unique(labels, return_inverse=True)
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for i, lab in enumerate(ul.tolist()):
+            rows = m[inv == i]
+            out_l.append(np.full(d, lab, np.int64))
+            out_d.append(np.arange(1, d + 1, dtype=np.int64))
+            out_s.append(rows.sum(axis=0))
+            out_n.append(np.full(d, rows.shape[0], np.int64))
+        return pa.table(
+            {"label": pa.array(np.concatenate(out_l), pa.int64()),
+             "dim": pa.array(np.concatenate(out_d), pa.int64()),
+             "sum_micro": pa.array(np.concatenate(out_s), pa.int64()),
+             "n_vecs": pa.array(np.concatenate(out_n), pa.int64())}
+        )
+
+    t = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out = t.group_by(["label", "dim"]).aggregate(
+        [("sum_micro", "sum"), ("n_vecs", "sum")]
+    )
+    return out.rename_columns(
+        [{"sum_micro_sum": "sum_micro", "n_vecs_sum": "n_vecs"}.get(c, c)
+         for c in out.column_names]
+    ).sort_by([("label", "ascending"), ("dim", "ascending")])

@@ -247,7 +247,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 def _crawl_once(sf_dir: str, num_cpus: int, mode: str = "steady",
-                store: str = "broadcast") -> None:
+                store: str = "broadcast", n_pages: int = 50_000) -> None:
     """Internal: fresh-process crawl for --scaling."""
     import ray
 
@@ -260,7 +260,7 @@ def _crawl_once(sf_dir: str, num_cpus: int, mode: str = "steady",
         lambda b: b, batch_format="pyarrow"
     ).count()
     if mode == "steady":
-        res = _steady_state_run(num_cpus, store_mode=store)
+        res = _steady_state_run(num_cpus, n_pages=n_pages, store_mode=store)
     else:
         res = _flagship_run(sf_dir, num_cpus)
     res["num_cpus"] = num_cpus
@@ -327,7 +327,8 @@ def _hw_calibration(lo: int, hi: int, n_docs: int = 64, rounds: int = 8,
 
 
 def run_scaling(sf_dir: str, lo: int, hi: int, repeats: int = 2,
-                mode: str = "steady", store: str = "bucketed") -> dict:
+                mode: str = "steady", store: str = "bucketed",
+                n_pages: int = 50_000) -> dict:
     """Fresh process per parallelism level (BASELINE.md protocol).
 
     This sandbox shares one Firecracker host with noisy neighbors
@@ -349,7 +350,8 @@ def run_scaling(sf_dir: str, lo: int, hi: int, repeats: int = 2,
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
                  "--_crawl-once", "--mode", mode, "--store", store,
-                 "--cpus", str(cpus), "--sf-dir", sf_dir],
+                 "--cpus", str(cpus), "--sf-dir", sf_dir,
+                 "--pages", str(n_pages)],
                 capture_output=True, text=True, env=env, cwd=REPO, check=True,
             )
             runs[cpus].append(json.loads(proc.stdout.strip().splitlines()[-1]))
@@ -428,6 +430,9 @@ def main() -> None:
     p.add_argument("--repeats", type=int, default=2,
                    help="interleaved runs per level in --scaling (best kept)")
     p.add_argument("--mode", default="steady", choices=["steady", "bfs"])
+    p.add_argument("--pages", type=int, default=50_000,
+                   help="steady-mode page count (scaling evidence at "
+                        "larger inputs amortizes per-round fixed cost)")
     p.add_argument("--store", default="bucketed",
                    choices=["broadcast", "bucketed"],
                    help="page-store strategy for --mode steady (bucketed = "
@@ -435,7 +440,8 @@ def main() -> None:
     args = p.parse_args()
 
     if args.crawl_once:
-        _crawl_once(args.sf_dir, args.cpus, args.mode, args.store)
+        _crawl_once(args.sf_dir, args.cpus, args.mode, args.store,
+                    args.pages)
         return
     if args.sweep:
         import ray
@@ -466,7 +472,7 @@ def main() -> None:
     if args.scaling:
         hi = min(4 * args.scaling_lo, args.cpus)  # N vs 4N, capped by the box
         out = run_scaling(args.sf_dir, args.scaling_lo, hi, args.repeats,
-                          args.mode, args.store)
+                          args.mode, args.store, args.pages)
     elif os.environ.get("GRAFT_BENCH_CHILD"):
         out = run_bench(args.sf_dir, args.cpus)
     else:

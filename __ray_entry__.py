@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": ST.events_cube,
         "retained_users": ST.retained_users,
         "churned_users": ST.churned_users,
+        "top_users_per_type": ST.top_users_per_type,
         "orders_with_returns": J.orders_with_returns,
         "promo_revenue_by_month": J.promo_revenue_by_month,
         "regional_revenue": J.regional_revenue,
@@ -709,6 +710,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.l_returnflag = 'R'
             GROUP BY 1, 2
             ORDER BY revenue_cc DESC, c_custkey LIMIT 20
+        """,
+        # grouped top-k by exact sums (QUALIFY rank over summed cents)
+        "top_users_per_type": """
+            SELECT event_type, user_id,
+                   cast(sum(cast(round(value * 100) as bigint)) as bigint)
+                       AS cents
+            FROM events
+            GROUP BY 1, 2
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY cents DESC, user_id ASC
+            ) <= 3
         """,
         # grouped mean-vector partials in exact int64 micro-units
         "label_centroids": """

@@ -52,6 +52,7 @@ __all__ = [
     "events_cube",
     "retained_users",
     "churned_users",
+    "top_users_per_type",
 ]
 
 QUANTILES = (25, 50, 75, 90, 99)  # integer percents — exact rank math
@@ -685,3 +686,92 @@ def events_pivot(sf_dir: str) -> "ray.data.Dataset":
         {"user_id": pa.int64(), **{f"n_{t}": pa.int64() for t in PIVOT_TYPES}},
         rename={f"sum(n_{t})": f"n_{t}" for t in PIVOT_TYPES},
     ).sort("user_id")
+
+
+def top_users_per_type(
+    sf_dir: str, k: int = 3, num_partitions: int = 32
+) -> pa.Table:
+    """Grouped top-k at scale: per event_type, the ``k`` users with the
+    highest exact total value (cents; ties broken by user_id asc).
+
+    A per-batch top-k would be WRONG for sums (a user's partials spread
+    across batches), so: per-batch (type, user) partial sums → ONE
+    shuffle keyed on a mixed ``hash(type, user) % P`` (pairs are
+    partition-disjoint ⇒ per-partition sums are globally exact) →
+    per-partition per-type local top-k (partitions hold disjoint users,
+    so the global top-k per type is inside the union of partition
+    top-ks) → bounded driver merge of ``P × types × k`` rows."""
+    from crawl_ray.urlnorm import fnv1a64_batch
+
+    P = num_partitions
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+        out = rename_select(
+            t.group_by(["event_type", "user_id"]).aggregate(
+                [("cents", "sum")]
+            ),
+            {"event_type": "event_type", "user_id": "user_id",
+             "cents_sum": "cents"},
+        )
+        th = fnv1a64_batch(out.column("event_type").to_pylist())
+        u = out.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        with np.errstate(over="ignore"):
+            part = ((th ^ (u * np.uint64(0x9E3779B97F4A7C15)))
+                    % np.uint64(P)).astype(np.int64)
+        return out.append_column("part", pa.array(part, pa.int64()))
+
+    def local_topk(group: pa.Table) -> pa.Table:
+        agg = rename_select(
+            group.select(["event_type", "user_id", "cents"]).group_by(
+                ["event_type", "user_id"]
+            ).aggregate([("cents", "sum")]),
+            {"event_type": "event_type", "user_id": "user_id",
+             "cents_sum": "cents"},
+        )
+        order = pc.sort_indices(
+            agg,
+            sort_keys=[("event_type", "ascending"),
+                       ("cents", "descending"),
+                       ("user_id", "ascending")],
+        )
+        agg = agg.take(order)
+        et = agg.column("event_type").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        lens = np.diff(np.r_[starts, len(et)])
+        offs = np.arange(len(et), dtype=np.int64) - np.repeat(starts, lens)
+        return agg.filter(pa.array(offs < k))
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(local_topk, batch_format="pyarrow")
+    )
+    t = collect_table(parts)  # bounded: ≤ P × types × k rows
+    if t.num_rows == 0:
+        return pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "user_id": pa.array([], pa.int64()),
+             "cents": pa.array([], pa.int64())}
+        )
+    order = pc.sort_indices(
+        t,
+        sort_keys=[("event_type", "ascending"),
+                   ("cents", "descending"),
+                   ("user_id", "ascending")],
+    )
+    t = t.take(order)
+    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+    lens = np.diff(np.r_[starts, len(et)])
+    offs = np.arange(len(et), dtype=np.int64) - np.repeat(starts, lens)
+    return t.filter(pa.array(offs < k))

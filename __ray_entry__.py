@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": DD.containment_pairs,
         "duplicated_ngrams": T.duplicated_ngrams,
         "cross_source_overlap": T.cross_source_overlap,
+        "fuzzy_decontam": T.fuzzy_decontam,
         "embedding_near_dup": DD.embedding_near_dup,
         "embedding_near_dup_exact": DD.embedding_near_dup_exact,
         "dedup_clusters": DD.dedup_clusters,
@@ -1547,6 +1548,40 @@ def oracle_sql() -> dict[str, str]:
         # (recall argument in dedup.minhash_lsh_pairs docstring)
         "minhash_lsh_pairs": _jaccard_pairs_sql(k=3, thr_milli=500),
         "ngram_jaccard_pairs": _jaccard_pairs_sql(k=3, thr_milli=300),
+        # fuzzy decontamination: best-Jaccard bench doc per contaminated
+        # corpus doc (threshold 0.3, ties → lowest bench_id)
+        "fuzzy_decontam": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3
+                            THEN [array_to_string(toks, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' ')))
+                       END AS sh
+                FROM t
+            ), bench AS (
+                SELECT * FROM s WHERE doc_id % 10 = 0
+            ), corp AS (
+                SELECT * FROM s WHERE doc_id % 10 != 0
+            ), j AS (
+                SELECT c.doc_id, b.doc_id AS bench_id,
+                       cast(len(list_intersect(c.sh, b.sh)) * 1000
+                            // len(list_distinct(list_concat(c.sh, b.sh)))
+                            as bigint) AS jaccard_milli
+                FROM corp c CROSS JOIN bench b
+            )
+            SELECT doc_id, bench_id, jaccard_milli FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY jaccard_milli DESC, bench_id ASC
+                ) AS rn FROM j
+            ) WHERE rn = 1 AND jaccard_milli >= 300
+        """,
         # exact all-ORDERED-pairs containment |Sa∩Sb|/|Sa| ≥ 0.8 over
         # the same shingle definition (prefix-filtered on the Ray side)
         "containment_pairs": r"""

@@ -43,6 +43,7 @@ __all__ = [
     "training_corpus_prep",
     "duplicated_ngrams",
     "cross_source_overlap",
+    "fuzzy_decontam",
     "LANG_MARKERS",
 ]
 
@@ -1642,3 +1643,103 @@ def cross_source_overlap(sf_dir: str, k: int = 5, num_partitions: int = 32):
         [c if c != "shared_grams_sum" else "shared_grams"
          for c in out.column_names]
     )
+
+
+def fuzzy_decontam(
+    sf_dir: str, k: int = 3, bench_mod: int = 10, t_milli: int = 300
+):
+    """Fuzzy benchmark decontamination: flag corpus documents whose
+    k-token shingle-set Jaccard against ANY benchmark doc (docs with
+    ``doc_id % bench_mod == 0`` stand in for the eval suite) reaches
+    ``t_milli`` — the near-duplicate complement of
+    :func:`benchmark_decontam`'s exact-gram overlap (a paraphrased or
+    lightly-edited eval document shares few exact long grams but keeps
+    high set similarity).  Returns ``(doc_id, bench_id, jaccard_milli)``
+    with the best-matching bench doc (ties → lowest bench_id).
+
+    Scale shape: the benchmark side is eval-suite-sized BY CONTRACT, so
+    its shingle sets are collected once and broadcast as ONE sorted
+    (shingle, owner) array; the corpus side is one streaming pass —
+    per doc, matches come from two ``searchsorted`` probes + a repeat
+    expansion, and per-bench intersection counts from one ``bincount``
+    (exact set math, not minhash estimates)."""
+    from crawl_ray.pipelines.dedup import _shingle_hashes
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(ids % bench_mod == 0)
+        texts = batch.column("text").take(pa.array(keep, pa.int64())).to_pylist()
+        return pa.table(
+            {"bench_id": pa.array(ids[keep], pa.int64()),
+             "shingles": pa.array(
+                 [_shingle_hashes(txt, k).tolist() for txt in texts],
+                 pa.list_(pa.uint64()),
+             )}
+        )
+
+    bench = collect_table(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            bench_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    _empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "bench_id": pa.array([], pa.int64()),
+         "jaccard_milli": pa.array([], pa.int64())}
+    )
+    if bench.num_rows == 0:
+        return _empty
+    bids = bench.column("bench_id").to_numpy(zero_copy_only=False)
+    sets = [np.asarray(s, np.uint64) for s in bench.column("shingles").to_pylist()]
+    flat = np.concatenate(sets)
+    owner = np.repeat(np.arange(len(sets), dtype=np.int64),
+                      [len(s) for s in sets])
+    order = np.argsort(flat, kind="stable")
+    flat, owner = flat[order], owner[order]
+    sizes = np.array([len(s) for s in sets], dtype=np.int64)
+    pack_ref = ray.put((flat, owner, sizes, bids))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        flat_, owner_, sizes_, bids_ = ray.get(pack_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(ids % bench_mod != 0)
+        texts = batch.column("text").take(pa.array(keep, pa.int64())).to_pylist()
+        out_d, out_b, out_j = [], [], []
+        for did, txt in zip(ids[keep].tolist(), texts):
+            sa = _shingle_hashes(txt, k)
+            lo = np.searchsorted(flat_, sa, side="left")
+            hi = np.searchsorted(flat_, sa, side="right")
+            runs = hi - lo
+            if not runs.sum():
+                continue
+            pos = np.repeat(lo, runs) + _match_ranges(runs)
+            inter = np.bincount(owner_[pos], minlength=len(sizes_))
+            union = sa.size + sizes_ - inter
+            jm = inter * 1000 // np.maximum(union, 1)
+            best = int(jm.max())
+            if best < t_milli:
+                continue
+            # ties → lowest bench_id (ids are not sorted by pack index)
+            cand = np.flatnonzero(jm == best)
+            out_d.append(did)
+            out_b.append(int(bids_[cand].min()))
+            out_j.append(best)
+        if not out_d:
+            return _empty
+        return pa.table(
+            {"doc_id": pa.array(out_d, pa.int64()),
+             "bench_id": pa.array(out_b, pa.int64()),
+             "jaccard_milli": pa.array(out_j, pa.int64())}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
+def _match_ranges(runs: np.ndarray) -> np.ndarray:
+    """[0..r0-1, 0..r1-1, ...] offsets for searchsorted hit runs."""
+    s = np.repeat(np.r_[np.int64(0), np.cumsum(runs)[:-1]], runs)
+    return np.arange(int(runs.sum()), dtype=np.int64) - s

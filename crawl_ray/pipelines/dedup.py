@@ -360,6 +360,56 @@ def _verify_cos_pairs_batch(
     )
 
 
+
+def _write_shingle_store(
+    docs_ds, needed_ref, store_root: str, k: int, n_buckets: int
+) -> None:
+    """One streaming corpus pass writing the k-shingle sets of the
+    candidate docs to a task-side ``doc_id % n_buckets`` bucketed
+    Parquet store (deterministic min+max-id part names → retry-safe,
+    no clobber) — the partition-local join layout shared by the
+    Jaccard and containment verify stages."""
+
+    def shingles_of(batch: pa.Table) -> pa.Table:
+        import pathlib
+
+        import pyarrow.parquet as pq_
+
+        needed_ids = ray.get(needed_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(np.isin(ids, needed_ids))
+        n_written = 0
+        if len(keep):
+            texts = batch.column("text").take(
+                pa.array(keep, pa.int64())
+            ).to_pylist()
+            kept_ids = ids[keep]
+            sh = pa.table(
+                {
+                    "doc_id": pa.array(kept_ids, pa.int64()),
+                    "shingles": pa.array(
+                        [_shingle_hashes(t, k).tolist() for t in texts],
+                        pa.list_(pa.uint64()),
+                    ),
+                }
+            )
+            for bk in np.unique(kept_ids % n_buckets).tolist():
+                part = sh.filter(pa.array(kept_ids % n_buckets == bk))
+                bdir = pathlib.Path(store_root) / f"bucket={int(bk)}"
+                bdir.mkdir(parents=True, exist_ok=True)
+                pids = part.column("doc_id").to_numpy(zero_copy_only=False)
+                pq_.write_table(
+                    part,
+                    bdir / f"part-{int(pids.min())}-{int(pids.max())}.parquet",
+                )
+                n_written += part.num_rows
+        return pa.table({"n": pa.array([n_written], pa.int64())})
+
+    docs_ds.map_batches(
+        shingles_of, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     n_perm: int = 32,
@@ -496,47 +546,10 @@ def minhash_lsh_pairs(
     ).hexdigest()
     store_root = f"/tmp/crawl_ray_runs/shingles_{token}"
 
-    def shingles_of(batch: pa.Table) -> pa.Table:
-        import pathlib
-
-        import pyarrow.parquet as pq_
-
-        needed_ids = ray.get(needed_ref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = np.flatnonzero(np.isin(ids, needed_ids))
-        n_written = 0
-        if len(keep):
-            texts = batch.column("text").take(
-                pa.array(keep, pa.int64())
-            ).to_pylist()
-            kept_ids = ids[keep]
-            sh = pa.table(
-                {
-                    "doc_id": pa.array(kept_ids, pa.int64()),
-                    "shingles": pa.array(
-                        [_shingle_hashes(t, k).tolist() for t in texts],
-                        pa.list_(pa.uint64()),
-                    ),
-                }
-            )
-            for bk in np.unique(kept_ids % n_buckets).tolist():
-                part = sh.filter(pa.array(kept_ids % n_buckets == bk))
-                bdir = pathlib.Path(store_root) / f"bucket={int(bk)}"
-                bdir.mkdir(parents=True, exist_ok=True)
-                # deterministic min+max-id name (disjoint batches) →
-                # retry-safe, and no clobber even if ids ever repeated
-                # across blocks (ADVICE r2)
-                pids = part.column("doc_id").to_numpy(zero_copy_only=False)
-                pq_.write_table(
-                    part,
-                    bdir / f"part-{int(pids.min())}-{int(pids.max())}.parquet",
-                )
-                n_written += part.num_rows
-        return pa.table({"n": pa.array([n_written], pa.int64())})
-
-    _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        shingles_of, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    _write_shingle_store(
+        _docs(sf_dir, ["doc_id", "text"]), needed_ref, store_root, k,
+        n_buckets,
+    )
 
     # distributed verification over the deduped pairs
     verified = collect_table(
@@ -1532,42 +1545,7 @@ def containment_pairs(
     ).hexdigest()
     store_root = f"/tmp/crawl_ray_runs/shingles_{token}"
 
-    def shingles_of(batch: pa.Table) -> pa.Table:
-        import pathlib
-
-        import pyarrow.parquet as pq_
-
-        needed_ids = ray.get(needed_ref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = np.flatnonzero(np.isin(ids, needed_ids))
-        n_written = 0
-        if len(keep):
-            texts = batch.column("text").take(
-                pa.array(keep, pa.int64())
-            ).to_pylist()
-            kept_ids = ids[keep]
-            sh = pa.table(
-                {"doc_id": pa.array(kept_ids, pa.int64()),
-                 "shingles": pa.array(
-                     [_shingle_hashes(t, k).tolist() for t in texts],
-                     pa.list_(pa.uint64()),
-                 )}
-            )
-            for bk in np.unique(kept_ids % n_buckets).tolist():
-                part = sh.filter(pa.array(kept_ids % n_buckets == bk))
-                bdir = pathlib.Path(store_root) / f"bucket={int(bk)}"
-                bdir.mkdir(parents=True, exist_ok=True)
-                pids = part.column("doc_id").to_numpy(zero_copy_only=False)
-                pq_.write_table(
-                    part,
-                    bdir / f"part-{int(pids.min())}-{int(pids.max())}.parquet",
-                )
-                n_written += part.num_rows
-        return pa.table({"n": pa.array([n_written], pa.int64())})
-
-    docs.map_batches(
-        shingles_of, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    _write_shingle_store(docs, needed_ref, store_root, k, n_buckets)
 
     verified = collect_table(
         pairs.map_batches(

@@ -1029,14 +1029,16 @@ def small_quantity_revenue(
              "rev": pa.array(rev[hit], pa.int64())}
         )
 
-    per_part_rev = (
+    per_part_rev = normalize_schema(
         _read(
             sf_dir, "lineitem",
             ["l_partkey", "l_quantity", "l_extendedprice"],
         )
         .map_batches(lq_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(per_part, batch_format="pyarrow")
+        .map_groups(per_part, batch_format="pyarrow"),
+        {"pk": pa.int64(), "rev": pa.int64()},
+        coalesce=num_partitions,
     )
     pt = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
         lambda b: pa.table(
@@ -1285,12 +1287,14 @@ def waiting_suppliers(
              "numwait": pa.array(tot, pa.int64())}
         )
 
-    counts = (
+    counts = normalize_schema(
         j.map_batches(triples, batch_format="pyarrow")
         .groupby("part")
         .map_groups(per_order, batch_format="pyarrow")
         .groupby("part2")
-        .map_groups(combine, batch_format="pyarrow")
+        .map_groups(combine, batch_format="pyarrow"),
+        {"l_suppkey": pa.int64(), "numwait": pa.int64()},
+        coalesce=num_partitions,
     )
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
         lambda b: pa.table(

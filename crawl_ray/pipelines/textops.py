@@ -1732,11 +1732,18 @@ def fuzzy_decontam(
              "jaccard_milli": pa.array(out_j, pa.int64())}
         )
 
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
-        .sort("doc_id")
+    # the contamination report is eval-suite-adjacent and bounded by
+    # contract, so collect it (typed-empty fallback: Ray short-circuits
+    # empty blocks past every UDF, losing the schema on a clean corpus)
+    t = collect_table(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            scan, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
+    if t.num_rows == 0 or "doc_id" not in t.column_names:
+        return _empty
+    order = np.argsort(t.column("doc_id").to_numpy(zero_copy_only=False))
+    return t.take(pa.array(order, pa.int64()))
 
 
 def _match_ranges(runs: np.ndarray) -> np.ndarray:

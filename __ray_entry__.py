@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": DD.embedding_near_dup,
         "embedding_near_dup_exact": DD.embedding_near_dup_exact,
         "dedup_clusters": DD.dedup_clusters,
+        "dedup_corpus": DD.dedup_corpus,
         # similarity search
         "knn_brute": SIM.knn_brute,
         "knn_ivf": SIM.knn_ivf,
@@ -215,6 +216,48 @@ def _jaccard_pairs_sql(k: int, thr_milli: int) -> str:
         WHERE len(list_intersect(a.sh, b.sh)) * 1000
               >= {thr_milli} * len(list_distinct(list_concat(a.sh, b.sh)))
         ORDER BY doc_a, doc_b
+    """
+
+
+def _dedup_corpus_sql(k: int, thr_milli: int) -> str:
+    """Ground truth for ``dedup.dedup_corpus``: exact all-pairs shingle
+    Jaccard (same definition as :func:`_jaccard_pairs_sql`) → recursive
+    min-label connected components → drop every non-min member →
+    surviving corpus rows ordered by doc_id."""
+    return rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < {k}
+                        THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(
+                            range(1, len(toks) - {k - 2}),
+                            i -> array_to_string(toks[i:i+{k - 1}], ' ')))
+                   END AS sh
+            FROM t
+        ), p AS (
+            SELECT a.doc_id AS va, b.doc_id AS vb
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1000
+                  >= {thr_milli} * len(list_distinct(list_concat(a.sh, b.sh)))
+        ), edges AS (
+            SELECT va AS src, vb AS dst FROM p
+            UNION ALL SELECT vb, va FROM p
+        ), reach AS (
+            WITH RECURSIVE r(node, label) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e.dst, r.label
+                FROM r JOIN edges e ON r.node = e.src
+            )
+            SELECT node, min(label) AS lab FROM r GROUP BY node
+        )
+        SELECT doc_id, lang, text FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM reach WHERE lab < node)
+        ORDER BY doc_id
     """
 
 
@@ -1548,6 +1591,9 @@ def oracle_sql() -> dict[str, str]:
         # (recall argument in dedup.minhash_lsh_pairs docstring)
         "minhash_lsh_pairs": _jaccard_pairs_sql(k=3, thr_milli=500),
         "ngram_jaccard_pairs": _jaccard_pairs_sql(k=3, thr_milli=300),
+        # end-to-end dedup: same pair ground truth → recursive CC →
+        # anti-join of the non-min cluster members against the corpus
+        "dedup_corpus": _dedup_corpus_sql(k=3, thr_milli=500),
         # fuzzy decontamination: best-Jaccard bench doc per contaminated
         # corpus doc (threshold 0.3, ties → lowest bench_id)
         "fuzzy_decontam": r"""

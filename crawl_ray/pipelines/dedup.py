@@ -41,6 +41,7 @@ __all__ = [
     "embedding_near_dup",
     "embedding_near_dup_exact",
     "dedup_clusters",
+    "dedup_corpus",
 ]
 
 
@@ -1573,3 +1574,57 @@ def containment_pairs(
          "doc_b": pa.array(trip[:, 1], pa.int64()),
          "containment_milli": pa.array(trip[:, 2], pa.int64())}
     )
+
+
+def dedup_corpus(sf_dir: str, threshold_milli: int = 500, num_partitions: int | None = None):
+    """End-to-end near-duplicate REMOVAL over the documents corpus —
+    the operator a training-data pipeline actually ships; the pair /
+    cluster tables (:func:`minhash_lsh_pairs`, :func:`dedup_clusters`)
+    are its diagnostics.
+
+    Stages, each on its 100 TB path:
+
+    1. verified Jaccard pairs from the banded-LSH + bucketed-shingle
+       verify pipeline (no all-pairs, no driver materialization of the
+       corpus);
+    2. connected components over the pair graph — driver union-find
+       under ``CLUSTER_DRIVER_THRESHOLD`` edges, else the
+       partition-vectorized min-label propagation;
+    3. keep = component min ``doc_id``; every other member is a
+       "loser" id;
+    4. apply: distributed ``left_anti`` hash join of the corpus
+       against the loser ids — never a broadcast of the drop set (at
+       web scale the drop side can be a large fraction of the corpus).
+
+    Returns the surviving rows ``(doc_id, lang, text)`` ordered by
+    ``doc_id``.  Reference analog: the seen-set admission decides which
+    URLs survive (crawler.go:137-156); here the dup graph decides which
+    documents survive."""
+    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold_milli / 1000.0)
+    src = pairs.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = pairs.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(src) > CLUSTER_DRIVER_THRESHOLD:
+        lab = _cc_label_propagation(
+            pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+        )
+        node = lab.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        label = lab.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        mapping = _cc_union_find(src, dst)
+        node = np.array(sorted(mapping), dtype=np.int64)
+        label = np.array([mapping[x] for x in node.tolist()], dtype=np.int64)
+    drop = node[node != label]
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+    if len(drop) == 0:
+        return docs.sort("doc_id")
+    from crawl_ray.pipelines.joins import _default_partitions
+
+    drop_ds = ray.data.from_arrow(
+        pa.table({"drop_id": pa.array(drop, pa.int64())})
+    )
+    out = docs.join(
+        drop_ds, "left_anti", num_partitions or _default_partitions(),
+        on=("doc_id",), right_on=("drop_id",),
+    )
+    return out.sort("doc_id")

@@ -285,3 +285,33 @@ def test_containment_pairs_planted(tmp_path, ray_session):
             if c >= 800:
                 want[(a, b)] = c
     assert got == want
+
+
+def test_dedup_corpus_invariants():
+    """Structural contract at sf0.001: survivors ⊆ corpus, every
+    dropped id is an endpoint of a verified pair, and no verified pair
+    keeps BOTH endpoints (only the component min survives)."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = DD.dedup_corpus(sf)
+    import ray.data as rd
+
+    if isinstance(out, rd.Dataset):
+        out = pa.Table.from_pandas(out.to_pandas())
+    survivors = set(out.column("doc_id").to_pylist())
+    all_ids = set(
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_pylist()
+    )
+    assert survivors <= all_ids
+    dropped = all_ids - survivors
+    pairs = DD.minhash_lsh_pairs(sf)
+    pa_ids = pairs.column("doc_a").to_pylist()
+    pb_ids = pairs.column("doc_b").to_pylist()
+    endpoint = set(pa_ids) | set(pb_ids)
+    assert dropped <= endpoint
+    for a, b in zip(pa_ids, pb_ids):
+        assert not (a in survivors and b in survivors), (a, b)
+    # the output column set is the corpus contract
+    assert sorted(out.column_names) == ["doc_id", "lang", "text"]

@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_ngrams": T.duplicated_ngrams,
         "cross_source_overlap": T.cross_source_overlap,
         "fuzzy_decontam": T.fuzzy_decontam,
+        "gopher_rules": T.gopher_rules,
         "embedding_near_dup": DD.embedding_near_dup,
         "embedding_near_dup_exact": DD.embedding_near_dup_exact,
         "dedup_clusters": DD.dedup_clusters,
@@ -1594,6 +1595,60 @@ def oracle_sql() -> dict[str, str]:
         # end-to-end dedup: same pair ground truth → recursive CC →
         # anti-join of the non-min cluster members against the corpus
         "dedup_corpus": _dedup_corpus_sql(k=3, thr_milli=500),
+        # Gopher rule filter: identical integer milli-unit arithmetic
+        # per rule (textops.GOPHER_* constants)
+        "gopher_rules": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                    len(toks) AS n_words,
+                    list_aggregate(list_transform(toks, x -> len(x)),
+                                   'sum') AS sum_chars,
+                    list_aggregate(list_transform(toks,
+                        x -> CASE WHEN regexp_matches(x, '[A-Za-z]')
+                                  THEN 1 ELSE 0 END), 'sum') AS n_alpha,
+                    list_aggregate(list_transform(toks,
+                        x -> CASE WHEN lower(x) IN ('the','be','to','of',
+                                    'and','that','have','with')
+                                  THEN 1 ELSE 0 END), 'sum') AS n_stop,
+                    len(lines) AS n_lines,
+                    list_aggregate(list_transform(lines,
+                        l -> CASE WHEN starts_with(trim(l), '- ')
+                                    OR starts_with(trim(l), '•')
+                                  THEN 1 ELSE 0 END), 'sum') AS n_bullet,
+                    list_aggregate(list_transform(lines,
+                        l -> CASE WHEN ends_with(trim(l), '...')
+                                    OR ends_with(trim(l), '…')
+                                  THEN 1 ELSE 0 END), 'sum') AS n_ell
+                FROM t
+            ), g AS (
+                SELECT doc_id, n_words, n_stop,
+                    sum_chars * 1000 // greatest(n_words, 1) AS mean_word_milli,
+                    n_alpha * 1000 // greatest(n_words, 1) AS alpha_word_milli,
+                    n_bullet * 1000 // greatest(n_lines, 1) AS bullet_milli,
+                    n_ell * 1000 // greatest(n_lines, 1) AS ellipsis_milli
+                FROM m
+            )
+            SELECT doc_id,
+                   cast(n_words as bigint) AS n_words,
+                   cast(mean_word_milli as bigint) AS mean_word_milli,
+                   cast(alpha_word_milli as bigint) AS alpha_word_milli,
+                   cast(bullet_milli as bigint) AS bullet_milli,
+                   cast(ellipsis_milli as bigint) AS ellipsis_milli,
+                   cast(n_stop as bigint) AS n_stopwords,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_milli >= 3000
+                    AND mean_word_milli <= 10000
+                    AND bullet_milli <= 900
+                    AND ellipsis_milli <= 300
+                    AND alpha_word_milli >= 800
+                    AND n_stop >= 2) AS pass
+            FROM g ORDER BY doc_id
+        """,
         # fuzzy decontamination: best-Jaccard bench doc per contaminated
         # corpus doc (threshold 0.3, ties → lowest bench_id)
         "fuzzy_decontam": r"""

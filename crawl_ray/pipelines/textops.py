@@ -44,6 +44,7 @@ __all__ = [
     "duplicated_ngrams",
     "cross_source_overlap",
     "fuzzy_decontam",
+    "gopher_rules",
     "LANG_MARKERS",
 ]
 
@@ -1750,3 +1751,118 @@ def _match_ranges(runs: np.ndarray) -> np.ndarray:
     """[0..r0-1, 0..r1-1, ...] offsets for searchsorted hit runs."""
     s = np.repeat(np.r_[np.int64(0), np.cumsum(runs)[:-1]], runs)
     return np.arange(int(runs.sum()), dtype=np.int64) - s
+
+
+# Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1) —
+# thresholds in exact integer milli-units so the DuckDB oracle can
+# reproduce every comparison bit-for-bit.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_MILLI = 3_000   # mean word length ≥ 3 chars
+GOPHER_MAX_MEAN_WORD_MILLI = 10_000  # … and ≤ 10 chars
+GOPHER_MAX_BULLET_MILLI = 900        # ≤90% of lines start with a bullet
+GOPHER_MAX_ELLIPSIS_MILLI = 300      # ≤30% of lines end with an ellipsis
+GOPHER_MIN_ALPHA_WORD_MILLI = 800    # ≥80% of words contain a letter
+GOPHER_MIN_STOPWORDS = 2
+
+
+def _segment_sum(flags, offsets: np.ndarray) -> np.ndarray:
+    """Sum a flattened per-element int array back to per-row totals
+    using the list array's offsets (vectorized ``add.reduceat``)."""
+    n_rows = len(offsets) - 1
+    out = np.zeros(n_rows, dtype=np.int64)
+    lens = np.diff(offsets)
+    nz = lens > 0
+    if flags.size:
+        starts = offsets[:-1][nz]
+        out[nz] = np.add.reduceat(flags, starts)
+        # reduceat with duplicate start indices (empty segments) is
+        # avoided entirely by the nz mask
+    return out
+
+
+def gopher_rules(sf_dir: str):
+    """Gopher-style rule-based quality filter (public Rae et al. 2021
+    heuristics): per-document rule measurements in exact integer
+    milli-units plus the conjunction ``pass`` flag.  One vectorized
+    ``map_batches`` pass — flatten the token / line list arrays, apply
+    Arrow kernels element-wise, and segment-sum back to rows with
+    ``add.reduceat``; zero shuffle, zero Python per row.
+
+    Emitting the per-rule columns (not just the verdict) is deliberate:
+    at 100 TB the filter's rule mix is a monitored distribution, and
+    re-running the whole scan per rule would be 7× the IO."""
+
+    def rules(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        trimmed = pc.utf8_trim_whitespace(text)
+        toks = pc.split_pattern_regex(trimmed, r"\s+").combine_chunks()
+        n_words = pc.list_value_length(toks).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        flat = pc.list_flatten(toks)
+        tok_off = np.asarray(toks.offsets)
+        tok_lens = pc.utf8_length(flat).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sum_word_chars = _segment_sum(tok_lens, tok_off)
+        alpha_flags = pc.match_substring_regex(flat, r"[A-Za-z]").cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        n_alpha_words = _segment_sum(alpha_flags, tok_off)
+        stop_flags = pc.is_in(
+            pc.utf8_lower(flat),
+            value_set=pa.array(GOPHER_STOPWORDS, pa.string()),
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_stopwords = _segment_sum(stop_flags, tok_off)
+
+        lines = pc.split_pattern(text, "\n").combine_chunks()
+        n_lines = pc.list_value_length(lines).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        flat_lines = pc.list_flatten(lines)
+        line_off = np.asarray(lines.offsets)
+        lt = pc.utf8_trim_whitespace(flat_lines)
+        bullet = pc.or_(
+            pc.starts_with(lt, "- "), pc.starts_with(lt, "•")
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_bullet = _segment_sum(bullet, line_off)
+        ellipsis = pc.or_(
+            pc.ends_with(lt, "..."), pc.ends_with(lt, "…")
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_ellipsis = _segment_sum(ellipsis, line_off)
+
+        safe_words = np.maximum(n_words, 1)
+        safe_lines = np.maximum(n_lines, 1)
+        mean_word_milli = sum_word_chars * 1000 // safe_words
+        alpha_word_milli = n_alpha_words * 1000 // safe_words
+        bullet_milli = n_bullet * 1000 // safe_lines
+        ellipsis_milli = n_ellipsis * 1000 // safe_lines
+        ok = (
+            (n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (mean_word_milli >= GOPHER_MIN_MEAN_WORD_MILLI)
+            & (mean_word_milli <= GOPHER_MAX_MEAN_WORD_MILLI)
+            & (bullet_milli <= GOPHER_MAX_BULLET_MILLI)
+            & (ellipsis_milli <= GOPHER_MAX_ELLIPSIS_MILLI)
+            & (alpha_word_milli >= GOPHER_MIN_ALPHA_WORD_MILLI)
+            & (n_stopwords >= GOPHER_MIN_STOPWORDS)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "mean_word_milli": pa.array(mean_word_milli, pa.int64()),
+                "alpha_word_milli": pa.array(alpha_word_milli, pa.int64()),
+                "bullet_milli": pa.array(bullet_milli, pa.int64()),
+                "ellipsis_milli": pa.array(ellipsis_milli, pa.int64()),
+                "n_stopwords": pa.array(n_stopwords, pa.int64()),
+                "pass": pa.array(ok),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rules, batch_format="pyarrow", zero_copy_batch=True
+    )

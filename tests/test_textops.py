@@ -321,3 +321,40 @@ def test_cross_source_overlap_planted(tmp_path, ray_session):
     assert got[("A", "C")] == 1
     assert ("A", "D") not in got and ("B", "D") not in got
     assert ("B", "C") not in got
+
+
+def test_gopher_rules_edges(tmp_path, ray_session):
+    """Hand-built docs exercising every rule branch the sf fixture
+    can't: bullet lines, ellipsis lines, non-alpha words, stopword
+    floor, and the word-count window."""
+    long_ok = "the quick brown fox jumps over the lazy dog with vigor " * 5
+    docs = [
+        (0, long_ok.strip()),                  # passes everything
+        (1, "short text"),                     # fails n_words >= 50
+        (2, "- one\n- two\n- three\nplain"),   # 3/4 bullet lines (750‰)
+        (3, "wait...\nmore...\nok\nok"),       # 2/4 ellipsis lines (500‰)
+        (4, "12 34 56 78"),                    # zero alpha words
+        (5, ""),                               # empty: 1 "word" of len 0
+    ]
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([i for i, _ in docs], pa.int64()),
+             "text": pa.array([t for _, t in docs], pa.string())}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    t = T.gopher_rules(str(tmp_path))
+    import ray.data as rd
+
+    if isinstance(t, rd.Dataset):
+        t = pa.Table.from_pandas(t.to_pandas())
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    assert rows[0]["pass"] is True and rows[0]["n_words"] == 55
+    assert rows[1]["pass"] is False and rows[1]["n_words"] == 2
+    assert rows[2]["bullet_milli"] == 750
+    assert rows[3]["ellipsis_milli"] == 500
+    assert rows[4]["alpha_word_milli"] == 0 and rows[4]["pass"] is False
+    assert rows[5]["n_words"] == 1 and rows[5]["mean_word_milli"] == 0
+    assert rows[2]["n_stopwords"] == 0

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from crawl_ray.util import collect_table
+from crawl_ray.util import collect_table, list_col_to_matrix
 
 from crawl_ray.urlnorm import content_hash64_batch, fnv1a64_batch
 
@@ -316,7 +316,7 @@ def _unit_bucket_map(root: str, bucket: int) -> dict:
     for f in sorted(bdir.glob("*.parquet")):
         t = pq_.read_table(f)
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = np.asarray(t.column("unit").to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(t.column("unit"))
         for i, d in enumerate(ids.tolist()):
             out[d] = mat[i]
     buckets[bucket] = out
@@ -442,7 +442,7 @@ def minhash_lsh_pairs(
                 {"doc_id": pa.array([], pa.int64()),
                  "bucket": pa.array([], pa.uint64())}
             )
-        sig = np.array(batch.column("signature").to_pylist(), dtype=np.uint64)
+        sig = list_col_to_matrix(batch.column("signature"), dtype=np.uint64)
         buckets = np.empty((n, bands), dtype=np.uint64)
         band_seeds = fnv1a64_batch([f"band:{b}" for b in range(bands)])
         with np.errstate(over="ignore"):
@@ -808,7 +808,7 @@ def embedding_near_dup_exact(sf_dir: str, threshold_milli: int = 450):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     ids_full = full.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = np.asarray(full.column("embedding").to_pylist(), dtype=np.float64)
+    mat = list_col_to_matrix(full.column("embedding"))
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     unit_full = mat / norms[:, None]
@@ -817,7 +817,7 @@ def embedding_near_dup_exact(sf_dir: str, threshold_milli: int = 450):
     def pairs(batch: pa.Table) -> pa.Table:
         ids_f, unit_f = ray.get(state)
         bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        bmat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bmat = list_col_to_matrix(batch.column("embedding"))
         bn = np.linalg.norm(bmat, axis=1)
         bn[bn == 0] = 1.0
         cos = (bmat / bn[:, None]) @ unit_f.T
@@ -858,7 +858,7 @@ def _augmented_embeddings(sf_dir: str):
 
     def augment(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(batch.column("embedding"))
         twin = mat.copy()
         twin[:, 0] = 0.0
         return pa.table(
@@ -911,7 +911,7 @@ def embedding_near_dup(
     def bucketize(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(batch.column("embedding"))
         n = len(ids)
         if n == 0:
             return pa.table(
@@ -1038,9 +1038,8 @@ def embedding_near_dup(
         n_written = 0
         if len(keep):
             kept_ids = ids[keep]
-            mat = np.asarray(
-                batch.column("embedding").take(pa.array(keep, pa.int64())).to_pylist(),
-                dtype=np.float64,
+            mat = list_col_to_matrix(
+                batch.column("embedding").take(pa.array(keep, pa.int64()))
             )
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0

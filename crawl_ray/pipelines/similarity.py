@@ -17,7 +17,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from crawl_ray.util import collect_table
+from crawl_ray.util import collect_table, list_col_to_matrix
 
 from crawl_ray.urlnorm import fnv1a64_batch
 
@@ -60,7 +60,7 @@ def knn_brute(sf_dir: str, k: int = 10, query_id: int = 0) -> pa.Table:
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(batch.column("embedding"))
         sims = _unit(mat) @ qv
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         take = min(k, len(ids))
@@ -117,7 +117,7 @@ def build_ivf_index(sf_dir: str, n_lists: int = 16) -> str:
 
     ds = _emb(sf_dir)
     sample = ds.take_batch(2048, batch_format="pyarrow")
-    mat = np.asarray(sample.column("embedding").to_pylist(), dtype=np.float64)
+    mat = list_col_to_matrix(sample.column("embedding"))
     seed_idx = fnv1a64_batch([f"ivf:{i}" for i in range(n_lists)]) % np.uint64(len(mat))
     centroids = mat[seed_idx.astype(np.int64)].copy()
     for _ in range(5):
@@ -134,7 +134,7 @@ def build_ivf_index(sf_dir: str, n_lists: int = 16) -> str:
         import pyarrow.parquet as pq_
 
         cu = ray.get(cent_ref)
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = list_col_to_matrix(batch.column("embedding"))
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         lists = np.argmax(_unit(emb) @ cu.T, axis=1)
         for c in np.unique(lists).tolist():
@@ -192,7 +192,7 @@ def knn_ivf(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(batch.column("embedding"))
         sims = _unit(mat) @ qv
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         take = min(k, len(ids))
@@ -495,12 +495,12 @@ def knn_batch(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
     order = pc_.sort_indices(t.column("vec_id"))[:n_queries]
     qt = t.take(order)
     q_ids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    Q = _unit(np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64))
+    Q = _unit(list_col_to_matrix(qt.column("embedding")))
     q_ref = ray.put((q_ids, Q))
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qids, Qm = ray.get(q_ref)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(batch.column("embedding"))
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         sims = _unit(mat) @ Qm.T  # rows × Q
         sims[ids[:, None] == qids[None, :]] = -np.inf  # self-hits out

@@ -6,7 +6,10 @@ import pyarrow as pa
 
 import ray
 
-__all__ = ["collect_table", "normalize_schema", "rename_select"]
+__all__ = [
+    "collect_table", "normalize_schema", "rename_select",
+    "list_col_to_matrix",
+]
 
 
 def rename_select(t: pa.Table, cols: dict[str, str]) -> pa.Table:
@@ -77,3 +80,30 @@ def collect_table(ds) -> pa.Table:
     if not non_empty:
         return tables[0] if tables else pa.table({})
     return pa.concat_tables(non_empty, promote_options="default").combine_chunks()
+
+
+def list_col_to_matrix(col, dtype=None) -> "np.ndarray":
+    """Fixed-width ``list<float>`` column → 2-D numpy matrix via the
+    flat Arrow values buffer (one reshape, no per-row Python objects —
+    ``to_pylist`` materializes n×dim PyFloats and is 20-50× slower on
+    embedding columns).  Ragged or null-bearing input falls back to the
+    exact ``to_pylist`` path."""
+    import numpy as np
+
+    if dtype is None:
+        dtype = np.float64
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if arr.null_count == 0:
+        offs = np.asarray(arr.offsets, dtype=np.int64)
+        w = np.diff(offs)
+        if w.size and int(w[0]) > 0 and bool((w == w[0]).all()):
+            import pyarrow.compute as pc
+
+            flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(
+                flat.astype(dtype, copy=False).reshape(n, int(w[0]))
+            )
+    return np.asarray(arr.to_pylist(), dtype=dtype)

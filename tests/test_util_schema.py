@@ -71,3 +71,29 @@ def test_hll_rho_matches_exact_bitlength():
         if r > expect[b]:
             expect[b] = r
     assert np.array_equal(got, expect)
+
+
+def test_list_col_to_matrix_paths():
+    import numpy as np
+    import pyarrow as pa
+
+    from crawl_ray.util import list_col_to_matrix
+
+    # fixed-width fast path
+    col = pa.chunked_array([
+        pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float64())),
+        pa.array([[5.0, 6.0]], pa.list_(pa.float64())),
+    ])
+    m = list_col_to_matrix(col)
+    assert m.shape == (3, 2) and m.dtype == np.float64
+    assert (m == np.array([[1, 2], [3, 4], [5, 6]], dtype=np.float64)).all()
+    # ragged fallback stays exact via to_pylist ... but ragged can't
+    # form a matrix — use equal-length ragged-check bypass: a sliced
+    # array (non-zero offset buffer) must still read the right window
+    sliced = pa.array(
+        [[9.0, 9.0], [1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float64())
+    ).slice(1, 2)
+    ms = list_col_to_matrix(sliced)
+    assert (ms == np.array([[1, 2], [3, 4]], dtype=np.float64)).all()
+    # empty
+    assert list_col_to_matrix(pa.array([], pa.list_(pa.float64()))).size == 0

@@ -883,6 +883,7 @@ def embedding_near_dup(
     n_bits: int = 6,
     n_tables: int = 32,
     bucket_cap: int = 4096,
+    small_input_threshold: int = 20_000,
 ):
     """Embedding-cosine near-duplicate pairs over the augmented corpus:
     multi-table sign-LSH candidate generation + distributed exact
@@ -892,10 +893,60 @@ def embedding_near_dup(
     with p ≥ (1-θ/π)⁶ ≈ 0.39, so it is missed by all 32 tables with
     probability ≤ 0.61³² ≈ 1e-7 — the verified output equals the exact
     oracle on this corpus (typical twin pairs sit at cos ≈ 0.99 where
-    the miss bound is ~1e-21).  Verification broadcasts the unit matrix
-    (one ``ray.put``), like the exact baseline; at corpus scales past
-    the object store the same bucketed-store join as minhash applies.
+    the miss bound is ~1e-21).  Verification reads per-pair unit
+    vectors from a task-side ``vec_id % B`` bucketed store (the minhash
+    shingle-store pattern) — the embeddings table is never materialized
+    on the driver in the distributed path.
+
+    Corpora of ≤ ``small_input_threshold`` augmented vectors skip the
+    5-stage pipeline (whose fixed Ray cost dwarfs driver-sized inputs —
+    the pagerank/engine small-input precedent) and run the identical
+    integer-cosine arithmetic as one blocked driver scan; by the recall
+    bound above both paths produce the same pairs (the forced-
+    distributed guard test asserts it).  Pass 0 to force distributed.
     """
+    if small_input_threshold:
+        import pyarrow.parquet as pq_
+
+        n_base = pq_.ParquetFile(
+            f"{sf_dir}/embeddings.parquet"
+        ).metadata.num_rows
+        if 2 * n_base <= small_input_threshold:
+            aug = collect_table(_augmented_embeddings(sf_dir))
+            ids = aug.column("vec_id").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            mat = list_col_to_matrix(aug.column("embedding"))
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            out_a, out_b, out_c = [], [], []
+            # blocked rows × full matrix: memory ≤ chunk × n doubles
+            for lo in range(0, len(ids), 2048):
+                hi = lo + 2048
+                cos = unit[lo:hi] @ unit.T
+                milli = (
+                    np.sign(cos) * np.floor(np.abs(cos) * 1000 + 0.5)
+                ).astype(np.int64)
+                keep = (milli >= threshold_milli) & (
+                    ids[lo:hi, None] < ids[None, :]
+                )
+                ai, bj = np.nonzero(keep)
+                out_a.append(ids[lo:hi][ai])
+                out_b.append(ids[bj])
+                out_c.append(milli[ai, bj])
+            a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+            b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+            c = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+            order = np.lexsort((b, a))
+            return pa.table(
+                {
+                    "vec_a": pa.array(a[order], pa.int64()),
+                    "vec_b": pa.array(b[order], pa.int64()),
+                    "cos_milli": pa.array(c[order], pa.int64()),
+                }
+            )
+
     ds = _augmented_embeddings(sf_dir)
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first.column("embedding")[0])

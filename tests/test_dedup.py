@@ -141,7 +141,11 @@ def test_embedding_near_dup_never_collects_vectors(ray_session, monkeypatch):
         return t
 
     monkeypatch.setattr(DD, "collect_table", spy)
-    out = DD.embedding_near_dup("/root/testdata/sf0.001")
+    # force the distributed path (the default takes the small-input
+    # driver scan, which rightly collects the driver-sized corpus)
+    out = DD.embedding_near_dup(
+        "/root/testdata/sf0.001", small_input_threshold=0
+    )
     assert out.num_rows > 0
     for cols in collected_cols:
         assert "embedding" not in cols and "unit" not in cols, (
@@ -315,3 +319,15 @@ def test_dedup_corpus_invariants():
         assert not (a in survivors and b in survivors), (a, b)
     # the output column set is the corpus contract
     assert sorted(out.column_names) == ["doc_id", "lang", "text"]
+
+
+def test_embedding_near_dup_fast_path_matches_distributed(ray_session):
+    """The small-input driver scan and the LSH+bucketed-verify pipeline
+    must emit identical pair tables (the pagerank local/distributed
+    equality precedent)."""
+    sf = "/root/testdata/sf0.001"
+    fast = DD.embedding_near_dup(sf)  # default: fast path at this size
+    dist = DD.embedding_near_dup(sf, small_input_threshold=0)
+    assert fast.equals(dist), (
+        f"fast {fast.num_rows} rows != distributed {dist.num_rows} rows"
+    )

@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": J.small_quantity_revenue,
         "idle_customer_balance": J.idle_customer_balance,
         "waiting_suppliers": J.waiting_suppliers,
+        "top_supplier_revenue": J.top_supplier_revenue,
+        "disjunctive_part_revenue": J.disjunctive_part_revenue,
+        "market_share": J.market_share,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -1220,6 +1223,66 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "top_supplier_revenue": """
+            WITH revenue AS (
+                SELECT l_suppkey AS s_suppkey,
+                       cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                                * (100 - cast(round(l_discount * 100)
+                                              as bigint)))
+                            as bigint) AS total_revenue_cc
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-07-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_cc
+            FROM supplier s JOIN revenue r ON s.s_suppkey = r.s_suppkey
+            WHERE r.total_revenue_cc = (
+                SELECT max(total_revenue_cc) FROM revenue
+            )
+            ORDER BY s.s_suppkey
+        """,
+        "disjunctive_part_revenue": """
+            SELECT cast(count(*) as bigint) AS n_items,
+                   coalesce(cast(sum(
+                       cast(round(l.l_extendedprice * 100) as bigint)
+                       * (100 - cast(round(l.l_discount * 100) as bigint))
+                   ) as bigint), 0) AS revenue_cc
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+        """,
+        "market_share": """
+            WITH base AS (
+                SELECT cast(year(o.o_orderdate) as bigint) AS o_year,
+                       cast(round(l.l_extendedprice * 100) as bigint)
+                       * (100 - cast(round(l.l_discount * 100) as bigint))
+                           AS rev,
+                       CASE WHEN n1.n_name = 'NATION_2' THEN 1 ELSE 0 END
+                           AS is_t
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                           AND p.p_type = 'PROMO'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = n2.n_regionkey
+                             AND r.r_name = 'ASIA'
+                WHERE year(o.o_orderdate) BETWEEN 1996 AND 1997
+            )
+            SELECT o_year,
+                   cast(sum(rev * is_t) as bigint) AS nation_revenue_cc,
+                   cast(sum(rev) as bigint) AS total_revenue_cc,
+                   cast(sum(rev * is_t) * 1000 // sum(rev) as bigint)
+                       AS share_milli
+            FROM base GROUP BY o_year ORDER BY o_year
         """,
         "windowed_quantiles": """
             WITH q AS (

@@ -56,6 +56,9 @@ __all__ = [
     "small_quantity_revenue",
     "idle_customer_balance",
     "waiting_suppliers",
+    "top_supplier_revenue",
+    "disjunctive_part_revenue",
+    "market_share",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -1320,4 +1323,320 @@ def waiting_suppliers(
              "numwait": pa.array([], pa.int64())}
         ),
         batch_format="pyarrow",
+    )
+
+def top_supplier_revenue(
+    sf_dir: str,
+    ship_lo: str = "1996-01-01",
+    ship_hi: str = "1996-07-01",
+):
+    """TPC-H Q15 shape: the supplier(s) with the maximum lineitem
+    revenue over a shipdate window — the **view-then-correlated-max**
+    plan.  The only corpus-sized work is the per-suppkey revenue sum,
+    which pre-combines per batch (supplier is a dimension, so partials
+    are bounded) and finishes with the repo's no-shuffle
+    ``partial_then_final_sum`` driver combine; the max filter and the
+    name join then touch only the bounded revenue table.  Ties on the
+    max all survive, as in the spec."""
+    lo_us = np.datetime64(ship_lo, "us").astype(np.int64)
+    hi_us = np.datetime64(ship_hi, "us").astype(np.int64)
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.int64())
+        mask = pc.and_(
+            pc.greater_equal(ship, pa.scalar(lo_us, pa.int64())),
+            pc.less(ship, pa.scalar(hi_us, pa.int64())),
+        )
+        batch = batch.filter(mask)
+        return pa.table(
+            {
+                "s_suppkey": batch.column("l_suppkey").cast(pa.int64()),
+                "revenue_cc": _revenue_cc(batch),
+            }
+        )
+
+    cells = _read(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(in_window, batch_format="pyarrow", zero_copy_batch=True)
+    rev = partial_then_final_sum(
+        cells, ["s_suppkey"], {"revenue_cc": lambda b: b.column("revenue_cc")}
+    )
+    if rev.num_rows == 0:
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "s_name": pa.array([], pa.string()),
+             "total_revenue_cc": pa.array([], pa.int64())}
+        )
+    best = pc.max(rev.column("revenue_cc"))
+    winners = rev.filter(pc.equal(rev.column("revenue_cc"), best))
+    wkeys = np.sort(
+        winners.column("s_suppkey").to_numpy(zero_copy_only=False)
+    )
+    wkeys_ref = ray.put(wkeys)
+
+    def pick_names(batch: pa.Table) -> pa.Table:
+        keys = ray.get(wkeys_ref)
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, sk), 0, len(keys) - 1)
+        return batch.filter(pa.array(keys[pos] == sk))
+
+    names = collect_table(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+            pick_names, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    nk = names.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = names.column("s_name").to_numpy(zero_copy_only=False)
+    no = np.argsort(nk)
+    wk = winners.column("s_suppkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(wk)
+    wk = wk[order]
+    wrev = winners.column("revenue_cc").to_numpy(zero_copy_only=False)[order]
+    return pa.table(
+        {
+            "s_suppkey": pa.array(wk, pa.int64()),
+            "s_name": pa.array(nn[no][np.searchsorted(nk[no], wk)], pa.string()),
+            "total_revenue_cc": pa.array(wrev, pa.int64()),
+        }
+    )
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — the Q19 disjunct shape
+Q19_DISJUNCTS: list[tuple[str, int, int, int, int]] = [
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#3", 1, 15, 20, 30),
+]
+
+
+def disjunctive_part_revenue(
+    sf_dir: str,
+    disjuncts: list[tuple[str, int, int, int, int]] | None = None,
+):
+    """TPC-H Q19 shape: revenue from lineitems matching ANY of several
+    (brand, size-range, quantity-range) disjuncts — the
+    **OR-of-conjunctions** predicate that defeats naive pushdown.
+
+    The part-side half of every disjunct is evaluated ONCE over the
+    part dimension and packed into a partkey-indexed bitmask (bit d =
+    part satisfies disjunct d's brand+size), broadcast via ``ray.put``
+    (part is dimension-sized; at 100 TB swap the array for a hash join
+    exactly as `unshipped_orders` documents).  Each lineitem batch then
+    tests ``bitmask[pk] & (qty in range_d)`` vectorized per disjunct —
+    the fact table streams once, no join materializes.  Returns ONE
+    row ``(n_items, revenue_cc)`` in exact integer centi-cents."""
+    import pyarrow.parquet as pq_
+
+    disjuncts = disjuncts or Q19_DISJUNCTS
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    brand = part.column("p_brand").to_numpy(zero_copy_only=False)
+    size = part.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+    bits = np.zeros(int(pk.max()) + 1 if len(pk) else 1, dtype=np.uint8)
+    for d, (b, slo, shi, _, _) in enumerate(disjuncts):
+        ok = (brand == b) & (size >= slo) & (size <= shi)
+        bits[pk[ok]] |= np.uint8(1 << d)
+    qty_ranges = [(qlo * 100, qhi * 100) for (_, _, _, qlo, qhi) in disjuncts]
+    side_ref = ray.put((bits, qty_ranges))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pbits, ranges = ray.get(side_ref)
+        lpk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty_c = _cents(batch.column("l_quantity")).to_numpy(zero_copy_only=False)
+        pb = pbits[np.clip(lpk, 0, len(pbits) - 1)]
+        mask = np.zeros(len(lpk), dtype=bool)
+        for d, (qlo_c, qhi_c) in enumerate(ranges):
+            mask |= ((pb & (1 << d)) != 0) & (qty_c >= qlo_c) & (qty_c <= qhi_c)
+        rev = _revenue_cc(batch).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_items": pa.array([int(mask.sum())], pa.int64()),
+                "revenue_cc": pa.array([int(rev[mask].sum())], pa.int64()),
+            }
+        )
+
+    parts = collect_table(
+        _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return pa.table(
+        {
+            "n_items": pa.array(
+                [int(pc.sum(parts.column("n_items")).as_py() or 0)], pa.int64()
+            ),
+            "revenue_cc": pa.array(
+                [int(pc.sum(parts.column("revenue_cc")).as_py() or 0)], pa.int64()
+            ),
+        }
+    )
+
+
+def market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    nation: str = "NATION_2",
+    part_type: str = "PROMO",
+    year_lo: int = 1996,
+    year_hi: int = 1997,
+    num_partitions: int | None = None,
+):
+    """TPC-H Q8 shape: ``nation``'s share of revenue from ``part_type``
+    parts sold to ``region`` customers, by order year.  Same
+    two-chained-hash-join skeleton as :func:`nations_trade_volume`:
+    the part-type filter and the supplier→nation attach prune lineitem
+    BEFORE the first exchange (broadcast partkey set + dense suppkey→
+    nationkey array — both dimension-sized); orders prunes to the year
+    window map-side; customer prunes to the region map-side so the
+    second join's build side carries only qualifying customers.  The
+    per-year cells are bounded → the no-shuffle driver combine; the
+    share is exact integer ``(num × 1000) // den`` milli-units."""
+    import pyarrow.parquet as pq_
+
+    num_partitions = num_partitions or _default_partitions()
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet")
+    n_key = {r["n_name"]: r["n_nationkey"] for r in nat.to_pylist()}
+    target_key = np.int64(n_key[nation])
+    reg = pq_.read_table(f"{sf_dir}/region.parquet")
+    rkey = next(
+        r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == region
+    )
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nreg = np.full(int(nk.max()) + 1, -1, dtype=np.int64)
+    nreg[nk] = nat.column("n_regionkey").to_numpy(zero_copy_only=False)
+
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    pkeys = np.sort(
+        part.filter(pc.equal(part.column("p_type"), part_type))
+        .column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    snat[sk] = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {"o_year": pa.array([], pa.int64()),
+         "nation_revenue_cc": pa.array([], pa.int64()),
+         "total_revenue_cc": pa.array([], pa.int64()),
+         "share_milli": pa.array([], pa.int64())}
+    )
+    if len(pkeys) == 0:
+        return empty
+    li_ref = ray.put((pkeys, snat, target_key))
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        keys, sn, tkey = ray.get(li_ref)
+        lpk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, lpk), 0, len(keys) - 1)
+        batch = batch.filter(pa.array(keys[pos] == lpk))
+        lsk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_t = (sn[np.clip(lsk, 0, len(sn) - 1)] == tkey).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "is_target": pa.array(is_t, pa.int64()),
+                "revenue_cc": _revenue_cc(batch),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount"],
+    ).map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        year = pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())
+        mask = pc.and_(
+            pc.greater_equal(year, pa.scalar(year_lo, pa.int64())),
+            pc.less_equal(year, pa.scalar(year_hi, pa.int64())),
+        )
+        batch = batch.filter(mask)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "o_year": pc.cast(
+                    pc.year(batch.column("o_orderdate")), pa.int64()
+                ),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    nreg_ref = ray.put((nreg, np.int64(rkey)))
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        lookup, rk = ray.get(nreg_ref)
+        cnk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = lookup[np.clip(cnk, 0, len(lookup) - 1)] == rk
+        batch = batch.filter(pa.array(mask))
+        return pa.table(
+            {"c_custkey": batch.column("c_custkey").cast(pa.int64())}
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    j1 = normalize_schema(
+        li.join(
+            orders, "inner", num_partitions,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ),
+        {"is_target": pa.int64(), "revenue_cc": pa.int64(),
+         "o_custkey": pa.int64(), "o_year": pa.int64()},
+        coalesce=num_partitions,
+    )
+    j2 = j1.join(
+        cust, "inner", num_partitions,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_year" not in batch.column_names:
+            return pa.table(
+                {"o_year": pa.array([], pa.int64()),
+                 "nation_rev": pa.array([], pa.int64()),
+                 "total_rev": pa.array([], pa.int64())}
+            )
+        rev = batch.column("revenue_cc")
+        return pa.table(
+            {
+                "o_year": batch.column("o_year"),
+                "nation_rev": pc.multiply(rev, batch.column("is_target")),
+                "total_rev": rev,
+            }
+        )
+
+    agg = partial_then_final_sum(
+        j2.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_year"],
+        {"nation_rev": lambda b: b.column("nation_rev"),
+         "total_rev": lambda b: b.column("total_rev")},
+    )
+    if agg.num_rows == 0:
+        return empty
+    num = agg.column("nation_rev").to_numpy(zero_copy_only=False)
+    den = agg.column("total_rev").to_numpy(zero_copy_only=False)
+    year = agg.column("o_year").to_numpy(zero_copy_only=False)
+    order = np.argsort(year)
+    share = num[order] * 1000 // den[order]
+    return pa.table(
+        {
+            "o_year": pa.array(year[order], pa.int64()),
+            "nation_revenue_cc": pa.array(num[order], pa.int64()),
+            "total_revenue_cc": pa.array(den[order], pa.int64()),
+            "share_milli": pa.array(share, pa.int64()),
+        }
     )

@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_overlap": T.cross_source_overlap,
         "fuzzy_decontam": T.fuzzy_decontam,
         "gopher_rules": T.gopher_rules,
+        "collocations": T.collocations,
         "embedding_near_dup": DD.embedding_near_dup,
         "embedding_near_dup_exact": DD.embedding_near_dup_exact,
         "dedup_clusters": DD.dedup_clusters,
@@ -1223,6 +1224,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "collocations": r"""
+            WITH toks AS (
+                SELECT string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), uni AS (
+                SELECT w, cast(count(*) as bigint) AS c
+                FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+            ), tot AS (SELECT cast(sum(c) as bigint) AS n FROM uni),
+            pairs AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+                WHERE len(t) >= 2
+            ), big AS (
+                SELECT w1, w2, cast(count(*) as bigint) AS pair_cnt
+                FROM pairs GROUP BY w1, w2 HAVING count(*) >= 20
+            )
+            SELECT b.w1, b.w2, b.pair_cnt,
+                   cast(cast(b.pair_cnt as hugeint) * (SELECT n FROM tot)
+                        * 1000
+                        // (cast(u1.c as hugeint) * u2.c) as bigint)
+                       AS lift_milli
+            FROM big b
+            JOIN uni u1 ON u1.w = b.w1
+            JOIN uni u2 ON u2.w = b.w2
+            ORDER BY lift_milli DESC, w1, w2 LIMIT 20
         """,
         "top_supplier_revenue": """
             WITH revenue AS (

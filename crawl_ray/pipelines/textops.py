@@ -45,6 +45,7 @@ __all__ = [
     "cross_source_overlap",
     "fuzzy_decontam",
     "gopher_rules",
+    "collocations",
     "LANG_MARKERS",
 ]
 
@@ -1865,4 +1866,134 @@ def gopher_rules(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         rules, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def collocations(
+    sf_dir: str, min_cnt: int = 20, k: int = 20, num_partitions: int = 32
+):
+    """Top-``k`` word-pair collocations by integer *lift* — the PMI-style
+    association statistic used for tokenizer-merge and phrase-mining
+    passes, kept in exact integer milli-units
+    (``pair_cnt × N × 1000 // (c(w1) × c(w2))``) so the oracle
+    comparison is byte-exact (the ratio is the PMI exponent; ranking by
+    it ≡ ranking by PMI).
+
+    Scale shape: (1) bigram counts with a ``HAVING cnt ≥ min_cnt``
+    survivor filter — the :func:`ngram_counts` partial-counts →
+    int-keyed partition shuffle, with the frequency floor instead of a
+    local top-k, so the collected survivor table is bounded by the
+    corpus' heavy tail (at 100 TB raise ``min_cnt`` with corpus size;
+    the floor IS the size contract); (2) unigram counts restricted to
+    the survivor word set — broadcast once, one streaming ``is_in`` +
+    ``value_counts`` pass that also carries the total-token count as a
+    single-space sentinel row (no token can contain whitespace, the
+    tokenizer splits on it); (3) the lift ranking runs on the driver
+    over the bounded survivors in Python ints (no int64 overflow at
+    ``N × 1000 × pair_cnt``)."""
+    from crawl_ray.urlnorm import fnv1a64_batch
+
+    empty = pa.table(
+        {"w1": pa.array([], pa.string()),
+         "w2": pa.array([], pa.string()),
+         "pair_cnt": pa.array([], pa.int64()),
+         "lift_milli": pa.array([], pa.int64())}
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        empty_p = pa.table(
+            {"gram": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64()),
+             "part": pa.array([], pa.int64())}
+        )
+        _, flat, lens = _token_lists(batch)
+        if not len(flat):
+            return empty_p
+        grams, _ = _gram_arrays(flat, lens, 2)
+        if not len(grams):
+            return empty_p
+        vc = grams.value_counts()
+        uniq = vc.field("values")
+        counts = vc.field("counts").cast(pa.int64())
+        pid = (
+            fnv1a64_batch(uniq.to_pylist()) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {"gram": uniq, "cnt": counts, "part": pa.array(pid, pa.int64())}
+        )
+
+    def combine_floor(group: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(
+            group.select(["gram", "cnt"]), "gram"
+        ).aggregate([("cnt", "sum")])
+        agg = agg.filter(pc.greater_equal(agg.column("cnt_sum"), min_cnt))
+        return pa.table(
+            {"gram": agg.column("gram"), "cnt": agg.column("cnt_sum")}
+        )
+
+    surv = collect_table(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(combine_floor, batch_format="pyarrow")
+    )
+    if surv.num_rows == 0:
+        return empty
+    gram_split = pc.split_pattern(surv.column("gram"), " ")
+    w1 = pc.list_element(gram_split, 0).to_numpy(zero_copy_only=False)
+    w2 = pc.list_element(gram_split, 1).to_numpy(zero_copy_only=False)
+    pair_cnt = surv.column("cnt").to_numpy(zero_copy_only=False)
+    words = np.unique(np.concatenate([w1, w2]))
+    wordset_ref = ray.put(pa.array(words, pa.string()))
+
+    TOTAL_SENTINEL = " "  # whitespace-split tokens can never equal it
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        _, flat, lens = _token_lists(batch)
+        if not len(flat):
+            return pa.table(
+                {"w": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        arr = pa.array(flat, pa.string())
+        kept = arr.filter(pc.is_in(arr, value_set=ray.get(wordset_ref)))
+        vc = kept.value_counts()
+        return pa.table(
+            {
+                "w": pa.concat_arrays(
+                    [vc.field("values"),
+                     pa.array([TOTAL_SENTINEL], pa.string())]
+                ),
+                "c": pa.concat_arrays(
+                    [vc.field("counts").cast(pa.int64()),
+                     pa.array([len(flat)], pa.int64())]
+                ),
+            }
+        )
+
+    uni = collect_table(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            uni_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    agg = pa.TableGroupBy(uni, "w").aggregate([("c", "sum")])
+    uw = agg.column("w").to_numpy(zero_copy_only=False)
+    uc = agg.column("c_sum").to_numpy(zero_copy_only=False)
+    by_word = dict(zip(uw.tolist(), uc.tolist()))
+    n_total = by_word.pop(TOTAL_SENTINEL, 0)
+    lift = [
+        int(pair_cnt[i]) * int(n_total) * 1000
+        // (by_word[w1[i]] * by_word[w2[i]])
+        for i in range(len(pair_cnt))
+    ]
+    order = sorted(
+        range(len(lift)), key=lambda i: (-lift[i], w1[i], w2[i])
+    )[:k]
+    return pa.table(
+        {
+            "w1": pa.array(w1[order], pa.string()),
+            "w2": pa.array(w2[order], pa.string()),
+            "pair_cnt": pa.array(pair_cnt[order], pa.int64()),
+            "lift_milli": pa.array([lift[i] for i in order], pa.int64()),
+        }
     )

@@ -358,3 +358,35 @@ def test_gopher_rules_edges(tmp_path, ray_session):
     assert rows[4]["alpha_word_milli"] == 0 and rows[4]["pass"] is False
     assert rows[5]["n_words"] == 1 and rows[5]["mean_word_milli"] == 0
     assert rows[2]["n_stopwords"] == 0
+
+
+def test_collocations_empty_and_exactness(ray_session, tmp_path):
+    """min_cnt above every pair count → empty with stable schema; a tiny
+    hand corpus checks the exact integer lift arithmetic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawl_ray.pipelines import textops as T
+
+    docs = [
+        (0, "a b a b a b"),   # pairs: ab×3, ba×2
+        (1, "a b c"),          # ab×1, bc×1
+    ]
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([i for i, _ in docs], pa.int64()),
+             "text": pa.array([t for _, t in docs], pa.string())}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    empty = T.collocations(str(tmp_path), min_cnt=100)
+    assert empty.num_rows == 0
+    assert empty.column_names == ["w1", "w2", "pair_cnt", "lift_milli"]
+
+    out = T.collocations(str(tmp_path), min_cnt=2, k=10)
+    rows = {(r["w1"], r["w2"]): r for r in out.to_pylist()}
+    # N=9 tokens, c(a)=4, c(b)=4: lift(a,b) = 4*9*1000 // 16 = 2250
+    assert rows[("a", "b")]["pair_cnt"] == 4
+    assert rows[("a", "b")]["lift_milli"] == 4 * 9 * 1000 // 16
+    assert rows[("b", "a")]["pair_cnt"] == 2
+    assert rows[("b", "a")]["lift_milli"] == 2 * 9 * 1000 // 16

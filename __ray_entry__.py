@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontam": T.fuzzy_decontam,
         "gopher_rules": T.gopher_rules,
         "collocations": T.collocations,
+        "dsir_weights": T.dsir_weights,
         "embedding_near_dup": DD.embedding_near_dup,
         "embedding_near_dup_exact": DD.embedding_near_dup_exact,
         "dedup_clusters": DD.dedup_clusters,
@@ -1224,6 +1225,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "dsir_weights": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), words AS (
+                SELECT doc_id, lang, unnest(t) AS w FROM toks
+            ), raw AS (
+                SELECT w, cast(count(*) as bigint) AS c
+                FROM words GROUP BY w
+            ), traw AS (SELECT cast(sum(c) as bigint) AS n FROM raw),
+            tgt AS (
+                SELECT w, cast(count(*) as bigint) AS c
+                FROM words WHERE lang = 'en' GROUP BY w
+            ), ttgt AS (
+                SELECT cast(count(*) as bigint) AS n
+                FROM words WHERE lang = 'en'
+            ), model AS (
+                SELECT r.w,
+                       cast(floor(-1e6 * ln(r.c / (SELECT n FROM traw)))
+                            as bigint)
+                       - cast(floor(-1e6 * ln(
+                             greatest(coalesce(g.c, 0), 0.5)
+                             / (SELECT n FROM ttgt))) as bigint)
+                           AS diff_micro
+                FROM raw r LEFT JOIN tgt g ON g.w = r.w
+            )
+            SELECT ws.doc_id, cast(count(*) as bigint) AS n_tokens,
+                   cast(sum(m.diff_micro) as bigint) AS dsir_micro
+            FROM words ws JOIN model m ON m.w = ws.w
+            GROUP BY ws.doc_id ORDER BY ws.doc_id
         """,
         "collocations": r"""
             WITH toks AS (

@@ -46,6 +46,7 @@ __all__ = [
     "fuzzy_decontam",
     "gopher_rules",
     "collocations",
+    "dsir_weights",
     "LANG_MARKERS",
 ]
 
@@ -1997,3 +1998,131 @@ def collocations(
             "lift_milli": pa.array([lift[i] for i in order], pa.int64()),
         }
     )
+
+
+def dsir_weights(sf_dir: str, target_lang: str = "en", top_v: int = 65536):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per document,
+    ``Σ_tokens log p_target(t) − log p_raw(t)`` — positive means the
+    doc looks more like the target distribution (here: the
+    ``target_lang`` slice) than the raw corpus, the resampling signal
+    for pretraining-mix selection.
+
+    Arithmetic policy ≡ :func:`unigram_logprob`: each per-token NLL is
+    floor-quantized to integer micro-nats BEFORE the subtraction and
+    the per-doc sum, so partial-sum order can't move the result and
+    the DuckDB oracle hashes identically.  Unseen-in-target tokens get
+    the 0.5-count smoothing floor.  Both models come from ONE corpus
+    pass (partials carry raw and target counts side by side); the
+    vocab is top-``top_v`` by raw count, broadcast once, and scoring
+    is one vectorized streaming pass (searchsorted + bincount)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from crawl_ray.util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_ids, flat, lens = _token_lists(batch)
+        if not len(flat):
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64()),
+                 "cnt_tgt": pa.array([], pa.int64())}
+            )
+        is_tgt = pc.equal(
+            batch.column("lang"), target_lang
+        ).to_numpy(zero_copy_only=False)
+        tok_tgt = np.repeat(is_tgt.astype(np.float64), lens)
+        uniq, inv, counts = np.unique(
+            flat, return_inverse=True, return_counts=True
+        )
+        tgt_counts = np.bincount(
+            inv, weights=tok_tgt, minlength=len(uniq)
+        ).astype(np.int64)
+        return pa.table(
+            {"token": pa.array(uniq, pa.string()),
+             "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+             "cnt_tgt": pa.array(tgt_counts, pa.int64())}
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    total_raw = int(partials.sum("cnt"))
+    total_tgt = int(partials.sum("cnt_tgt"))
+    if total_raw == 0 or total_tgt == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "dsir_micro": pa.array([], pa.int64())}
+        )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        toks = batch.column("token").to_numpy(zero_copy_only=False)
+        cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        ct = batch.column("sum(cnt_tgt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((toks, -cnt))[:top_v]
+        return pa.table(
+            {"token": pa.array(toks[order], pa.string()),
+             "cnt": pa.array(cnt[order], pa.int64()),
+             "cnt_tgt": pa.array(ct[order], pa.int64())}
+        )
+
+    vt = collect_table(
+        partials.groupby("token")
+        .aggregate(Sum("cnt"), Sum("cnt_tgt"))
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    toks = vt.column("token").to_numpy(zero_copy_only=False)
+    cnts = vt.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    ctgt = vt.column("cnt_tgt").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((toks, -cnts))[:top_v]
+    toks, cnts, ctgt = toks[order], cnts[order], ctgt[order]
+    diff = np.array(
+        [
+            math.floor(-1e6 * math.log(cr / total_raw))
+            - math.floor(-1e6 * math.log(max(ct, 0.5) / total_tgt))
+            for cr, ct in zip(cnts.tolist(), ctgt.tolist())
+        ],
+        dtype=np.int64,
+    )
+    # OOV (outside top_v by raw count): 0.5-count floor on BOTH sides
+    oov_diff = np.int64(
+        math.floor(-1e6 * math.log(0.5 / total_raw))
+        - math.floor(-1e6 * math.log(0.5 / total_tgt))
+    )
+    sidx = np.argsort(toks)
+    lm_ref = ray.put(
+        {"toks": toks[sidx], "diff": diff[sidx], "oov": oov_diff}
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        lm = ray.get(lm_ref)
+        doc_ids, flat, lens = _token_lists(batch)
+        n = len(doc_ids)
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "dsir_micro": pa.array([], pa.int64())}
+            )
+        pos = np.clip(
+            np.searchsorted(lm["toks"], flat), 0, len(lm["toks"]) - 1
+        )
+        hit = lm["toks"][pos] == flat
+        tok_diff = np.where(hit, lm["diff"][pos], lm["oov"])
+        didx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # |diff| ≤ ~4e7 micro-nats/token ⇒ doc sums ≪ 2^53: float64-exact
+        sums = np.bincount(
+            didx, weights=tok_diff.astype(np.float64), minlength=n
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "n_tokens": pa.array(lens, pa.int64()),
+             "dsir_micro": pa.array(sums, pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")

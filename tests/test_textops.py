@@ -390,3 +390,24 @@ def test_collocations_empty_and_exactness(ray_session, tmp_path):
     assert rows[("a", "b")]["lift_milli"] == 4 * 9 * 1000 // 16
     assert rows[("b", "a")]["pair_cnt"] == 2
     assert rows[("b", "a")]["lift_milli"] == 2 * 9 * 1000 // 16
+
+
+def test_dsir_weights_favor_target_lang(ray_session):
+    """Importance weights must rank target-language docs above the rest
+    on average — the resampling signal's defining property."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawl_ray.pipelines import textops as T
+
+    sf = "/root/testdata/sf0.01"
+    out = T.dsir_weights(sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas() if not isinstance(out, pa.Table) else out.to_pandas()
+    langs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    m = out.merge(langs, on="doc_id")
+    per_tok = m["dsir_micro"] / m["n_tokens"].clip(lower=1)
+    en = per_tok[m["lang"] == "en"].mean()
+    rest = per_tok[m["lang"] != "en"].mean()
+    assert en > rest, (en, rest)

@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": T.gopher_rules,
         "collocations": T.collocations,
         "dsir_weights": T.dsir_weights,
+        "token_entropy": T.token_entropy,
         "embedding_near_dup": DD.embedding_near_dup,
         "embedding_near_dup_exact": DD.embedding_near_dup_exact,
         "dedup_clusters": DD.dedup_clusters,
@@ -1225,6 +1226,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "token_entropy": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), words AS (
+                SELECT doc_id, unnest(t) AS w, len(t) AS n FROM toks
+            ), cnts AS (
+                SELECT doc_id, w, any_value(n) AS n,
+                       cast(count(*) as bigint) AS c
+                FROM words GROUP BY doc_id, w
+            )
+            SELECT doc_id, cast(any_value(n) as bigint) AS n_tokens,
+                   cast(sum(c * cast(floor(1e6 * ln(cast(n as double) / c))
+                                     as bigint)) as bigint)
+                       AS entropy_sum_micro
+            FROM cnts GROUP BY doc_id ORDER BY doc_id
         """,
         "dsir_weights": r"""
             WITH toks AS (

@@ -47,6 +47,7 @@ __all__ = [
     "gopher_rules",
     "collocations",
     "dsir_weights",
+    "token_entropy",
     "LANG_MARKERS",
 ]
 
@@ -2125,4 +2126,61 @@ def dsir_weights(sf_dir: str, target_lang: str = "en", top_v: int = 65536):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
+def token_entropy(sf_dir: str):
+    """Per-document token Shannon entropy in exact integer micro-nats —
+    the low-entropy detector for boilerplate / keyword-stuffing /
+    generated spam (complements :func:`repetition_stats`' top-fraction
+    signals with the full-distribution statistic).
+
+    Returns ``(doc_id, n_tokens, entropy_sum_micro)`` where
+    ``entropy_sum_micro = Σ_{distinct t} c_t · floor(1e6·ln(n/c_t))``
+    (÷ n gives mean entropy per token; the undivided integer sum is the
+    oracle-hashable form).  Zero shuffle: one streaming batch pass.
+    Each per-term log is floor-quantized BEFORE the multiply-sum, and
+    the logs are evaluated with ``math.log`` (the same libm call DuckDB's
+    ``ln`` makes) over the DISTINCT ``(n, c)`` pairs of the batch only —
+    numpy's SIMD ``np.log`` can differ from libm in the last ulp, which
+    would flip a floor at an exact boundary."""
+    import math
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_tokens": pa.array([], pa.int64()),
+         "entropy_sum_micro": pa.array([], pa.int64())}
+    )
+
+    def entropy(batch: pa.Table) -> pa.Table:
+        doc_ids, flat, lens = _token_lists(batch)
+        if not len(flat):
+            return empty
+        doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+        vocab, inv = np.unique(flat, return_inverse=True)
+        key = doc_idx * len(vocab) + inv
+        uk, counts = np.unique(key, return_counts=True)
+        d = uk // len(vocab)
+        n = lens[d]
+        # libm-exact floors via the bounded distinct-(n, c) pair set
+        pair_key = n * (n.max() + 1) + counts
+        upairs, pinv = np.unique(pair_key, return_inverse=True)
+        un = upairs // (n.max() + 1)
+        uc = upairs % (n.max() + 1)
+        logs = np.array(
+            [math.floor(1e6 * math.log(a / b)) for a, b in zip(un.tolist(), uc.tolist())],
+            dtype=np.int64,
+        )
+        contrib = counts.astype(np.int64) * logs[pinv]
+        sums = np.bincount(
+            d, weights=contrib.astype(np.float64), minlength=len(doc_ids)
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "n_tokens": pa.array(lens, pa.int64()),
+             "entropy_sum_micro": pa.array(sums, pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        entropy, batch_format="pyarrow", zero_copy_batch=True
     ).sort("doc_id")

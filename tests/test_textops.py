@@ -411,3 +411,35 @@ def test_dsir_weights_favor_target_lang(ray_session):
     en = per_tok[m["lang"] == "en"].mean()
     rest = per_tok[m["lang"] != "en"].mean()
     assert en > rest, (en, rest)
+
+
+def test_token_entropy_extremes(ray_session, tmp_path):
+    """Uniform docs maximize entropy, constant docs score zero, and the
+    integer arithmetic matches the closed form."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawl_ray.pipelines import textops as T
+
+    docs = [
+        (0, "a a a a"),          # constant: ln(4/4)=0 → 0
+        (1, "a b c d"),          # uniform: 4 * floor(1e6*ln 4)
+        (2, "a a b"),            # 2*floor(1e6*ln(3/2)) + floor(1e6*ln 3)
+    ]
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([i for i, _ in docs], pa.int64()),
+             "text": pa.array([t for _, t in docs], pa.string())}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = T.token_entropy(str(tmp_path))
+    rows = {r["doc_id"]: r for r in out.to_pandas().to_dict("records")}
+    assert rows[0]["entropy_sum_micro"] == 0
+    assert rows[1]["entropy_sum_micro"] == 4 * math.floor(1e6 * math.log(4))
+    assert rows[2]["entropy_sum_micro"] == (
+        2 * math.floor(1e6 * math.log(3 / 2)) + math.floor(1e6 * math.log(3))
+    )
+    assert rows[1]["n_tokens"] == 4

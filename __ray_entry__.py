@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": T.collocations,
         "dsir_weights": T.dsir_weights,
         "token_entropy": T.token_entropy,
+        "events_mad": ST.events_mad,
         "embedding_near_dup": DD.embedding_near_dup,
         "embedding_near_dup_exact": DD.embedding_near_dup_exact,
         "dedup_clusters": DD.dedup_clusters,
@@ -1226,6 +1227,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "events_mad": """
+            WITH c AS (
+                SELECT event_type,
+                       cast(round(value * 100) as bigint) AS cents
+                FROM events
+            ), med AS (
+                SELECT event_type,
+                       cast(quantile_disc(cents, 0.50) as bigint)
+                           AS median_cents
+                FROM c GROUP BY event_type
+            )
+            SELECT c.event_type,
+                   cast(any_value(m.median_cents) as bigint) AS median_cents,
+                   cast(quantile_disc(abs(c.cents - m.median_cents), 0.50)
+                        as bigint) AS mad_cents
+            FROM c JOIN med m ON m.event_type = c.event_type
+            GROUP BY c.event_type ORDER BY c.event_type
         """,
         "token_entropy": r"""
             WITH toks AS (

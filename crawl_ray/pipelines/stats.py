@@ -53,6 +53,7 @@ __all__ = [
     "retained_users",
     "churned_users",
     "top_users_per_type",
+    "events_mad",
 ]
 
 QUANTILES = (25, 50, 75, 90, 99)  # integer percents — exact rank math
@@ -775,3 +776,71 @@ def top_users_per_type(
     lens = np.diff(np.r_[starts, len(et)])
     offs = np.arange(len(et), dtype=np.int64) - np.repeat(starts, lens)
     return t.filter(pa.array(offs < k))
+
+
+def events_mad(sf_dir: str) -> pa.Table:
+    """Exact median absolute deviation of ``value`` per event type —
+    the robust dispersion statistic for outlier-threshold picking
+    (median ± k·MAD), in integer cents.
+
+    Same shuffle-free bounded-histogram shape as
+    :func:`value_quantiles_per_type` — and the deviation distribution
+    is DERIVED from the value histogram by folding it around the
+    median (|c − med| with summed counts), so the second quantile
+    costs no second corpus pass.  Rank convention ≡ DuckDB
+    ``quantile_disc`` throughout."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+        return rename_select(
+            out, {"event_type": "event_type", "cents": "cents", "n_sum": "n"}
+        )
+
+    partials = collect_table(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    combined = partials.group_by(["event_type", "cents"]).aggregate(
+        [("n", "sum")]
+    )
+    types = np.array(combined.column("event_type").to_pylist(), dtype=object)
+    cents = combined.column("cents").to_numpy(zero_copy_only=False)
+    counts = combined.column("n_sum").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+
+    def disc_median(c: np.ndarray, n_arr: np.ndarray) -> int:
+        order = np.argsort(c)
+        c, n_arr = c[order], n_arr[order]
+        cum = np.cumsum(n_arr)
+        n = int(cum[-1])
+        rank = max(-(-50 * n // 100) - 1, 0)
+        return int(c[int(np.searchsorted(cum, rank + 1))])
+
+    out_t, out_med, out_mad = [], [], []
+    for t in sorted(set(types)):
+        m = types == t
+        med = disc_median(cents[m], counts[m])
+        dev = np.abs(cents[m] - med)
+        # fold: multiple cents can map to one deviation — re-sum counts
+        udev, inv = np.unique(dev, return_inverse=True)
+        dev_counts = np.bincount(
+            inv, weights=counts[m], minlength=len(udev)
+        ).astype(np.int64)
+        out_t.append(str(t))
+        out_med.append(med)
+        out_mad.append(disc_median(udev, dev_counts))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "median_cents": pa.array(out_med, pa.int64()),
+            "mad_cents": pa.array(out_mad, pa.int64()),
+        }
+    )

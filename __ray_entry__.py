@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": J.top_supplier_revenue,
         "disjunctive_part_revenue": J.disjunctive_part_revenue,
         "market_share": J.market_share,
+        "order_priority_check": J.order_priority_check,
+        "late_shipment_priority": J.late_shipment_priority,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -1380,6 +1382,33 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(rev * is_t) * 1000 // sum(rev) as bigint)
                        AS share_milli
             FROM base GROUP BY o_year ORDER BY o_year
+        """,
+        # Q4 shape: correlated EXISTS crossing both join sides
+        "order_priority_check": """
+            SELECT o_orderpriority,
+                   cast(count(*) as bigint) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o_orderdate < TIMESTAMP '1997-10-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        # Q12 shape: per-linestatus high/low priority counts of late ships
+        "late_shipment_priority": """
+            SELECT l_linestatus,
+                   cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) as bigint)
+                       AS high_line_count,
+                   cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) as bigint)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_linestatus ORDER BY l_linestatus
         """,
         "windowed_quantiles": """
             WITH q AS (

@@ -59,6 +59,8 @@ __all__ = [
     "top_supplier_revenue",
     "disjunctive_part_revenue",
     "market_share",
+    "order_priority_check",
+    "late_shipment_priority",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -1640,3 +1642,160 @@ def market_share(
             "share_milli": pa.array(share, pa.int64()),
         }
     )
+
+
+# Q4 window: orders placed in 1997 Q3
+Q4_WIN_LO_US = 867_715_200_000_000  # 1997-07-01T00:00:00Z in µs
+Q4_WIN_HI_US = 875_664_000_000_000  # 1997-10-01T00:00:00Z in µs
+Q4_LATE_US = 60 * 86_400_000_000  # 60 days in µs
+Q12_LATE_US = 90 * 86_400_000_000  # 90 days in µs
+
+
+def order_priority_check(sf_dir: str, num_partitions: int | None = None):
+    """Q4 shape: per-priority count of 1997-Q3 orders with at least one
+    lineitem shipped >60 days after the order date — a correlated
+    EXISTS whose predicate crosses both join sides (the ship date is
+    compared against *this order's* order date, so the semi-join cannot
+    be pre-filtered on either input alone).
+
+    Plan (all exchanges bounded):
+
+    1. lineitem pre-combines to per-order **max** ship date inside each
+       block (``EXISTS(ship > odate+60d) ⟺ max(ship) > odate+60d`` and
+       max is associative, so block partials are safe) — the join moves
+       ≤ one row per (order, block), not raw lineitems.
+    2. Orders are window-filtered and projected before the hash join.
+    3. Post-join, late survivors dedup batch-locally to
+       (orderkey, priority) pairs, then one pair-keyed groupby makes the
+       EXISTS exact across blocks (an order's partials may span blocks);
+       the pair exchange carries ≤ one row per qualifying order.
+    4. The per-priority count is the bounded driver-side combiner.
+    """
+    num_partitions = num_partitions or _default_partitions()
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(od, pa.scalar(Q4_WIN_LO_US, pa.int64())),
+            pc.less(od, pa.scalar(Q4_WIN_HI_US, pa.int64())),
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "odate_us": od,
+            }
+        ).filter(keep)
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "ship_us": batch.column("l_shipdate")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            }
+        )
+        out = t.group_by(["l_orderkey"]).aggregate([("ship_us", "max")])
+        return rename_select(out, {"l_orderkey": "l_orderkey", "ship_us_max": "ship_us"})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        li_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    j = orders.join(
+        li, "inner", num_partitions, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+
+    def late_pairs(batch: pa.Table) -> pa.Table:
+        late = pc.greater(
+            batch.column("ship_us"),
+            pc.add(batch.column("odate_us"), pa.scalar(Q4_LATE_US, pa.int64())),
+        )
+        t = batch.filter(late).select(["o_orderkey", "o_orderpriority"])
+        return t.group_by(["o_orderkey", "o_orderpriority"]).aggregate([])
+
+    pairs = (
+        j.map_batches(late_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderkey", "o_orderpriority"])
+        .count()
+    )
+    agg = partial_then_final_sum(
+        pairs.select_columns(["o_orderpriority"]),
+        ["o_orderpriority"],
+        {},
+        count_name="order_count",
+    )
+    return agg.sort_by("o_orderpriority")
+
+
+def late_shipment_priority(sf_dir: str, num_partitions: int | None = None):
+    """Q12 shape: per-linestatus counts of high- vs low-priority
+    lineitems shipped >90 days after their order date.  The late
+    predicate crosses the join (ship date vs order date), so lineitem ⋈
+    orders must hash-join first; the priority CASE collapses to an
+    0/1 integer column on the orders side **before** the exchange, and
+    the per-status conditional counts are the bounded combiner —
+    nothing after the join shuffles."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "l_linestatus": batch.column("l_linestatus"),
+                "ship_us": batch.column("l_shipdate")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"]
+    ).map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        pri = batch.column("o_orderpriority")
+        is_high = pc.is_in(
+            pri, value_set=pa.array(["1-URGENT", "2-HIGH"])
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "odate_us": batch.column("o_orderdate")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "is_high": is_high,
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    j = li.join(
+        orders, "inner", num_partitions, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def late_only(batch: pa.Table) -> pa.Table:
+        late = pc.greater(
+            batch.column("ship_us"),
+            pc.add(batch.column("odate_us"), pa.scalar(Q12_LATE_US, pa.int64())),
+        )
+        return batch.filter(late)
+
+    agg = partial_then_final_sum(
+        j.map_batches(late_only, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_linestatus"],
+        {
+            "high_line_count": lambda b: b.column("is_high"),
+            "low_line_count": lambda b: pc.subtract(
+                pa.scalar(1, pa.int64()), b.column("is_high")
+            ),
+        },
+    )
+    return agg.sort_by("l_linestatus")

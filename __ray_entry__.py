@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mixture": T.corpus_mixture,
         "repetition_stats": T.repetition_stats,
         "unigram_logprob": T.unigram_logprob,
+        "ccnet_buckets": T.ccnet_buckets,
         "tfidf_top_terms": T.tfidf_top_terms,
         "bpe_token_stats": T.bpe_token_stats,
         "training_corpus_prep": T.training_corpus_prep,
@@ -1707,6 +1708,54 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(nll) // (count(*) * 1000) as bigint)
                        AS avg_nll_milli
             FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        # CCNet-style per-language perplexity terciles (value-threshold
+        # buckets; thresholds = value at 1-indexed position ceil(k·n/3))
+        "ccnet_buckets": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS w
+                FROM documents
+            ), vc AS (
+                SELECT w, count(*) AS c FROM u GROUP BY w
+            ), tot AS (
+                SELECT cast(sum(c) as bigint) AS T FROM vc
+            ), v AS (
+                SELECT w, cast(floor(-1000000 * ln(
+                           c / (SELECT T FROM tot))) as bigint) AS nll
+                FROM (SELECT w, c FROM vc ORDER BY c DESC, w LIMIT 65536)
+            ), tok AS (
+                SELECT u.doc_id,
+                       coalesce(v.nll,
+                                (SELECT cast(floor(-1000000 * ln(0.5 / T))
+                                             as bigint) FROM tot)) AS nll
+                FROM u LEFT JOIN v ON u.w = v.w
+            ), scored AS (
+                SELECT s.doc_id, d.lang,
+                       cast(sum(nll) // (count(*) * 1000) as bigint)
+                           AS avg_nll_milli
+                FROM tok s JOIN documents d ON s.doc_id = d.doc_id
+                GROUP BY s.doc_id, d.lang
+            ), r AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY avg_nll_milli) AS rk,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM scored
+            ), thr AS (
+                SELECT lang,
+                       max(CASE WHEN rk = (n + 2) // 3
+                                THEN avg_nll_milli END) AS q1,
+                       max(CASE WHEN rk = (2 * n + 2) // 3
+                                THEN avg_nll_milli END) AS q2
+                FROM r GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.avg_nll_milli,
+                   CASE WHEN s.avg_nll_milli <= t.q1 THEN 'head'
+                        WHEN s.avg_nll_milli <= t.q2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s JOIN thr t ON s.lang = t.lang
+            ORDER BY s.doc_id
         """,
         # composed prep chain: quality+lang filter → keep-first exact
         # dedup → ordered prefix-sum packing (same kernels as

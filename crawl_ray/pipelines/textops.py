@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from crawl_ray.util import collect_table
+from crawl_ray.util import collect_table, rename_select
 
 __all__ = [
     "normalize_whitespace",
@@ -38,6 +38,7 @@ __all__ = [
     "corpus_mixture",
     "repetition_stats",
     "unigram_logprob",
+    "ccnet_buckets",
     "tfidf_top_terms",
     "bpe_token_stats",
     "training_corpus_prep",
@@ -1116,7 +1117,7 @@ def repetition_stats(sf_dir: str):
     )
 
 
-def unigram_logprob(sf_dir: str, top_v: int = 65536):
+def unigram_logprob(sf_dir: str, top_v: int = 65536, passthrough: tuple = ()):
     """CCNet-style unigram-LM quality scoring: build the corpus unigram
     model distributed (per-batch partial counts → ``groupby(token).sum``
     → per-block local top-``top_v`` → bounded driver merge), broadcast
@@ -1187,12 +1188,17 @@ def unigram_logprob(sf_dir: str, top_v: int = 65536):
         doc_ids, flat, lens = _token_lists(batch)
         n = len(doc_ids)
         if n == 0:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "n_tokens": pa.array([], pa.int64()),
+            cols = {"doc_id": pa.array([], pa.int64())}
+            for c in passthrough:
+                cols[c] = batch.column(c) if c in batch.column_names else pa.array(
+                    [], pa.string()
+                )
+            cols.update(
+                {"n_tokens": pa.array([], pa.int64()),
                  "nll_micro": pa.array([], pa.int64()),
                  "avg_nll_milli": pa.array([], pa.int64())}
             )
+            return pa.table(cols)
         pos = np.searchsorted(lm["toks"], flat)
         pos = np.clip(pos, 0, len(lm["toks"]) - 1)
         hit = lm["toks"][pos] == flat
@@ -1201,18 +1207,101 @@ def unigram_logprob(sf_dir: str, top_v: int = 65536):
         # NLL ≤ ~2e7 micro-nats/token ⇒ doc sums ≪ 2^53: float64-exact
         sums = np.bincount(didx, weights=tok_nll.astype(np.float64),
                            minlength=n).astype(np.int64)
-        return pa.table(
+        cols = {"doc_id": batch.column("doc_id").cast(pa.int64())}
+        for c in passthrough:
+            cols[c] = batch.column(c)
+        cols.update(
             {
-                "doc_id": batch.column("doc_id").cast(pa.int64()),
                 "n_tokens": pa.array(lens, pa.int64()),
                 "nll_micro": pa.array(sums, pa.int64()),
                 "avg_nll_milli": pa.array(sums // (lens * 1000), pa.int64()),
             }
         )
+        return pa.table(cols)
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    return _docs(sf_dir, ["doc_id", "text", *passthrough]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def ccnet_buckets(sf_dir: str, top_v: int = 65536):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): score every document with the corpus unigram LM
+    (:func:`unigram_logprob`, exact floor-quantized micro-nats), then
+    split each language into **head / middle / tail** terciles by
+    ``avg_nll_milli`` value thresholds.
+
+    Scale plan: the doc-level scored dataset is materialized ONCE
+    (30-byte rows — doc-count-sized, never corpus-sized) and reused for
+    both passes; the tercile thresholds come from a bounded
+    ``(lang × avg_nll_milli)`` histogram (the
+    ``value_quantiles_per_type`` pattern — avg NLL/token in milli-nats
+    is a small integer domain regardless of corpus size), broadcast as
+    a plain dict; bucket assignment is one vectorized ``searchsorted``
+    pass.  No row-level shuffle at any point.
+
+    Threshold convention: q_k = the value at 1-indexed sorted position
+    ``ceil(k·n/3)`` per language (ties collapse to one value, so the
+    thresholds are order-independent); bucket = head if
+    ``avg ≤ q1`` else middle if ``avg ≤ q2`` else tail — a pure VALUE
+    rule, as in CCNet, so equal-score docs always share a bucket."""
+    scored = unigram_logprob(sf_dir, top_v=top_v, passthrough=("lang",)).materialize()
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "avg": batch.column("avg_nll_milli"),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["lang", "avg"]).aggregate([("n", "sum")])
+        return rename_select(out, {"lang": "lang", "avg": "avg", "n_sum": "n"})
+
+    partials = collect_table(
+        scored.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    combined = partials.group_by(["lang", "avg"]).aggregate([("n", "sum")])
+    langs = np.array(combined.column("lang").to_pylist(), dtype=object)
+    avgs = combined.column("avg").to_numpy()
+    counts = combined.column("n_sum").to_numpy()
+    thr: dict[str, tuple[int, int]] = {}
+    for lg in sorted(set(langs)):
+        mask = langs == lg
+        v, c = avgs[mask], counts[mask]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        q = []
+        for k in (1, 2):
+            rank = (k * n + 2) // 3  # 1-indexed ceil(k·n/3)
+            q.append(int(v[int(np.searchsorted(cum, rank))]))
+        thr[str(lg)] = (q[0], q[1])
+    thr_ref = ray.put(thr)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        lg = batch.column("lang").to_numpy(zero_copy_only=False)
+        avg = batch.column("avg_nll_milli").to_numpy(zero_copy_only=False)
+        # vectorized lang → threshold lookup (the only Python loop is
+        # over the handful of languages, once per batch)
+        lang_keys = np.array(sorted(t), dtype=object)
+        q1s = np.array([t[x][0] for x in lang_keys.tolist()], dtype=np.int64)
+        q2s = np.array([t[x][1] for x in lang_keys.tolist()], dtype=np.int64)
+        idx = np.searchsorted(lang_keys, lg)
+        q1, q2 = q1s[idx], q2s[idx]
+        label = np.where(avg <= q1, "head", np.where(avg <= q2, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "avg_nll_milli": batch.column("avg_nll_milli"),
+                "bucket": pa.array(label.astype(object), pa.string()),
+            }
+        )
+
+    return scored.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # GPT-2-style pre-tokenizer, simplified to an RE2 subset that Arrow and

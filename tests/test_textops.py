@@ -443,3 +443,25 @@ def test_token_entropy_extremes(ray_session, tmp_path):
         2 * math.floor(1e6 * math.log(3 / 2)) + math.floor(1e6 * math.log(3))
     )
     assert rows[1]["n_tokens"] == 4
+
+
+def test_ccnet_buckets_terciles(ray_session):
+    """Value-threshold terciles: per-lang bucket sizes within one tie
+    group of n/3, equal scores share a bucket, thresholds monotone."""
+    out = T.ccnet_buckets("/root/testdata/sf0.001").to_pandas()
+    assert set(out.columns) == {"doc_id", "lang", "avg_nll_milli", "bucket"}
+    assert set(out["bucket"]) <= {"head", "middle", "tail"}
+    for lang, g in out.groupby("lang"):
+        n = len(g)
+        counts = g["bucket"].value_counts()
+        # head ends at the ceil(n/3)-ranked VALUE: sizes are n/3 up to
+        # tie-group slack
+        head_max = g.loc[g["bucket"] == "head", "avg_nll_milli"].max()
+        rest_min = g.loc[g["bucket"] != "head", "avg_nll_milli"].min()
+        if counts.get("head", 0) and (n - counts.get("head", 0)):
+            assert head_max < rest_min
+        # a value never straddles two buckets
+        per_value = g.groupby("avg_nll_milli")["bucket"].nunique()
+        assert (per_value == 1).all()
+        # at least ceil(n/3) docs in head (threshold rule guarantees it)
+        assert counts.get("head", 0) >= (n + 2) // 3 or n < 3

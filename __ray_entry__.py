@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_schedule": CQ.recrawl_schedule,
         "corpus_export_manifest": EX.corpus_export_manifest,
         "jsonl_corpus_stats": EX.jsonl_corpus_stats,
+        "parquet_export_manifest": EX.parquet_export_manifest,
+        "parquet_corpus_stats": EX.parquet_corpus_stats,
     }
 
 
@@ -1540,6 +1542,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY shard ORDER BY shard
         """,
         "jsonl_corpus_stats": """
+            SELECT doc_id % 8 AS shard,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(sum(length(text)) as bigint) AS n_chars
+            FROM documents GROUP BY shard ORDER BY shard
+        """,
+        "parquet_export_manifest": """
+            SELECT doc_id % 8 AS shard, cast(count(*) as bigint) AS n_rows
+            FROM documents GROUP BY shard ORDER BY shard
+        """,
+        "parquet_corpus_stats": """
             SELECT doc_id % 8 AS shard,
                    cast(count(*) as bigint) AS n_docs,
                    cast(sum(length(text)) as bigint) AS n_chars

@@ -23,7 +23,44 @@ import ray.data
 
 from crawl_ray.util import collect_table, rename_select
 
-__all__ = ["export_corpus_jsonl", "corpus_export_manifest", "jsonl_corpus_stats"]
+__all__ = [
+    "export_corpus_jsonl",
+    "corpus_export_manifest",
+    "jsonl_corpus_stats",
+    "export_corpus_parquet",
+    "parquet_export_manifest",
+    "parquet_corpus_stats",
+]
+
+
+def _fresh_export_root(kind: str, sf_dir: str, n_shards: int):
+    """Content-addressed export root with the sink discipline shared by
+    every corpus sink: single-node guard (parts are node-local /tmp —
+    multi-node must point at shared storage), finished root (``_SUCCESS``
+    present) returned as-is, unfinished root wiped before reuse (a dead
+    run's batch boundaries differ; stale parts would double-count).
+    Returns ``(root, finished)``."""
+    import shutil
+
+    alive = [n for n in ray.nodes() if n.get("Alive")]
+    if len(alive) > 1:
+        raise RuntimeError(
+            f"export_corpus_{kind} writes shards to a node-local /tmp root; "
+            "on a multi-node cluster point the export root at shared "
+            "storage (parts would otherwise scatter across hosts)"
+        )
+    token = hashlib.blake2b(
+        f"{sf_dir}:{n_shards}".encode(), digest_size=8
+    ).hexdigest()
+    root = pathlib.Path(f"/tmp/crawl_ray_runs/{kind}_{token}")
+    if (root / "_SUCCESS").exists():
+        return root, True
+    if root.exists():
+        shutil.rmtree(root)
+    root.mkdir(parents=True, exist_ok=True)
+    for s in range(n_shards):
+        (root / f"shard={s}").mkdir(exist_ok=True)
+    return root, False
 
 
 def export_corpus_jsonl(sf_dir: str, n_shards: int = 8) -> str:
@@ -33,31 +70,9 @@ def export_corpus_jsonl(sf_dir: str, n_shards: int = 8) -> str:
     UNFINISHED root (crash before the marker) is wiped first — a
     re-run's batch boundaries can differ, and stale part files from
     the dead run would otherwise double-count rows."""
-    import shutil
-
-    # map tasks write to a node-local path: correct single-node, but on
-    # a multi-node cluster parts would scatter across hosts and the
-    # manifest verify would undercount without an error (ADVICE r2) —
-    # fail loudly; the multi-node deployment points root at shared
-    # storage (NFS / object store) instead.
-    alive = [n for n in ray.nodes() if n.get("Alive")]
-    if len(alive) > 1:
-        raise RuntimeError(
-            "export_corpus_jsonl writes shards to a node-local /tmp root; "
-            "on a multi-node cluster point the export root at shared "
-            "storage (parts would otherwise scatter across hosts)"
-        )
-    token = hashlib.blake2b(
-        f"{sf_dir}:{n_shards}".encode(), digest_size=8
-    ).hexdigest()
-    root = pathlib.Path(f"/tmp/crawl_ray_runs/jsonl_{token}")
-    if (root / "_SUCCESS").exists():
+    root, finished = _fresh_export_root("jsonl", sf_dir, n_shards)
+    if finished:
         return str(root)
-    if root.exists():
-        shutil.rmtree(root)
-    root.mkdir(parents=True, exist_ok=True)
-    for s in range(n_shards):
-        (root / f"shard={s}").mkdir(exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -158,6 +173,111 @@ def jsonl_corpus_stats(sf_dir: str, n_shards: int = 8) -> pa.Table:
 
     parts = collect_table(
         ray.data.read_json(files).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    out = parts.group_by(["shard"]).aggregate(
+        [("n_docs", "sum"), ("n_chars", "sum")]
+    )
+    return rename_select(
+        out, {"shard": "shard", "n_docs_sum": "n_docs", "n_chars_sum": "n_chars"}
+    ).sort_by("shard")
+
+def export_corpus_parquet(sf_dir: str, n_shards: int = 8) -> str:
+    """Parquet twin of :func:`export_corpus_jsonl`: the documents corpus
+    re-sharded as ``shard=K/part-*.parquet`` — the resumable partitioned
+    layout the 100-TB path ships (one directory per shard, `_SUCCESS`
+    marker, a failed run skips finished roots).  Unlike the JSONL sink
+    (per-row ``json.dumps``), the part write here is a **zero-copy Arrow
+    slice → ``pq.write_table``** — no Python per row — so this is also
+    the fast path of the two."""
+    import pyarrow.parquet as pq
+
+    root, finished = _fresh_export_root("parquet", sf_dir, n_shards)
+    if finished:
+        return str(root)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        shard = ids % n_shards
+        out_s, out_n = [], []
+        for s in np.unique(shard).tolist():
+            m = shard == s
+            part = (
+                root / f"shard={s}"
+                / f"part-{int(ids[m].min())}-{int(ids[m].max())}.parquet"
+            )
+            tmp = part.with_suffix(".parquet.tmp")
+            # Arrow filter is zero-copy-ish per column; no row loop
+            pq.write_table(batch.filter(pa.array(m)), tmp)
+            tmp.replace(part)
+            out_s.append(int(s))
+            out_n.append(int(m.sum()))
+        return pa.table({"shard": pa.array(out_s, pa.int64()),
+                         "n_rows": pa.array(out_n, pa.int64())})
+
+    parts = collect_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        ).map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    manifest = parts.group_by(["shard"]).aggregate([("n_rows", "sum")])
+    manifest = rename_select(
+        manifest, {"shard": "shard", "n_rows_sum": "n_rows"}
+    ).sort_by("shard")
+    with open(root / "manifest.json", "w") as f:
+        json.dump(
+            {int(s): int(n) for s, n in zip(
+                manifest.column("shard").to_pylist(),
+                manifest.column("n_rows").to_pylist())},
+            f, sort_keys=True)
+    (root / "_SUCCESS").touch()
+    return str(root)
+
+
+def parquet_export_manifest(sf_dir: str, n_shards: int = 8) -> pa.Table:
+    """Manifest view of :func:`export_corpus_parquet` (shard, n_rows) —
+    oracled against the source's ``doc_id % n_shards`` histogram."""
+    root = pathlib.Path(export_corpus_parquet(sf_dir, n_shards))
+    m = json.loads((root / "manifest.json").read_text())
+    shards = sorted(int(k) for k in m)
+    return pa.table(
+        {"shard": pa.array(shards, pa.int64()),
+         "n_rows": pa.array([m[str(s)] for s in shards], pa.int64())}
+    )
+
+
+def parquet_corpus_stats(sf_dir: str, n_shards: int = 8) -> pa.Table:
+    """Read the parquet shards BACK through ``ray.data.read_parquet``
+    and aggregate per-shard doc/char counts — a lossy export or a
+    truncated part breaks the oracle match, so this is the roundtrip
+    proof for the parquet sink (the JSONL twin proves read_json)."""
+    import pyarrow.compute as pc
+
+    root = pathlib.Path(export_corpus_parquet(sf_dir, n_shards))
+    files = sorted(str(f) for f in root.glob("shard=*/part-*.parquet"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chars = pc.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        shard = ids % n_shards
+        t = pa.table(
+            {"shard": pa.array(shard, pa.int64()),
+             "n_docs": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+             "n_chars": pa.array(n_chars, pa.int64())}
+        )
+        g = t.group_by(["shard"]).aggregate([("n_docs", "sum"), ("n_chars", "sum")])
+        return rename_select(
+            g, {"shard": "shard", "n_docs_sum": "n_docs", "n_chars_sum": "n_chars"}
+        )
+
+    parts = collect_table(
+        ray.data.read_parquet(files).map_batches(
             partial, batch_format="pyarrow", zero_copy_batch=True
         )
     )

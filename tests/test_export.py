@@ -56,3 +56,42 @@ def test_export_wipes_unfinished_root(ray_session):
     )
     src_rows = pq.read_metadata(f"{SF}/documents.parquet").num_rows
     assert n_rows == src_rows
+
+
+def test_parquet_export_roundtrip_and_resume(ray_session):
+    from crawl_ray.sources.export import (
+        export_corpus_parquet,
+        parquet_export_manifest,
+    )
+
+    root = pathlib.Path(export_corpus_parquet(SF))
+    assert export_corpus_parquet(SF) == str(root)  # finished root reused
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text", "lang"])
+    expect = {r["doc_id"]: r for r in src.to_pylist()}
+    got = {}
+    for f in root.glob("shard=*/part-*.parquet"):
+        shard = int(f.parent.name.split("=")[1])
+        for row in pq.read_table(f).to_pylist():
+            assert row["doc_id"] % 8 == shard
+            got[row["doc_id"]] = row
+    assert len(got) == src.num_rows
+    for did, row in got.items():
+        assert row["text"] == expect[did]["text"]
+        assert row["lang"] == expect[did]["lang"]
+    m = parquet_export_manifest(SF).to_pandas()
+    assert int(m.n_rows.sum()) == src.num_rows
+
+
+def test_parquet_export_wipes_unfinished_root(ray_session):
+    from crawl_ray.sources.export import export_corpus_parquet
+
+    root = pathlib.Path(export_corpus_parquet(SF))
+    # simulate a crash: drop the marker, plant a stale part
+    (root / "_SUCCESS").unlink()
+    stale = root / "shard=0" / "part-999999-999999.parquet"
+    stale.write_bytes(b"junk")
+    root2 = pathlib.Path(export_corpus_parquet(SF))
+    assert root2 == root
+    assert not stale.exists()
+    assert (root / "_SUCCESS").exists()

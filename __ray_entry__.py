@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": T.repetition_stats,
         "unigram_logprob": T.unigram_logprob,
         "ccnet_buckets": T.ccnet_buckets,
+        "lang_length_regression": T.lang_length_regression,
         "tfidf_top_terms": T.tfidf_top_terms,
         "bpe_token_stats": T.bpe_token_stats,
         "training_corpus_prep": T.training_corpus_prep,
@@ -1768,6 +1769,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM scored s JOIN thr t ON s.lang = t.lang
             ORDER BY s.doc_id
+        """,
+        # per-language exact-integer OLS via hugeint moment sums;
+        # DuckDB // truncates toward zero — matched by _tdiv Python-side
+        "lang_length_regression": r"""
+            WITH d AS (
+                SELECT lang,
+                       cast(len(string_split_regex(trim(text), '\s+'))
+                            as bigint) AS x,
+                       cast(length(text) as bigint) AS y
+                FROM documents
+            ), m AS (
+                SELECT lang, cast(count(*) as hugeint) AS n,
+                       cast(sum(x) as hugeint) AS sx,
+                       cast(sum(y) as hugeint) AS sy,
+                       cast(sum(x * y) as hugeint) AS sxy,
+                       cast(sum(x * x) as hugeint) AS sxx
+                FROM d GROUP BY lang
+            ), f AS (
+                SELECT lang, n, sx, sy,
+                       CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                            ELSE (n * sxy - sx * sy) * 1000000
+                                 // (n * sxx - sx * sx) END AS slope
+                FROM m
+            )
+            SELECT lang, cast(n as bigint) AS n_docs,
+                   cast(slope as bigint) AS slope_micro,
+                   cast((sy * 1000000 - slope * sx) // n as bigint)
+                       AS intercept_micro
+            FROM f ORDER BY lang
         """,
         # composed prep chain: quality+lang filter → keep-first exact
         # dedup → ordered prefix-sum packing (same kernels as

@@ -39,6 +39,7 @@ __all__ = [
     "repetition_stats",
     "unigram_logprob",
     "ccnet_buckets",
+    "lang_length_regression",
     "tfidf_top_terms",
     "bpe_token_stats",
     "training_corpus_prep",
@@ -1302,6 +1303,90 @@ def ccnet_buckets(sf_dir: str, top_v: int = 65536):
         )
 
     return scored.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_length_regression(sf_dir: str):
+    """Per-language exact-integer OLS of ``n_chars`` on ``n_tokens`` —
+    the distributed **moment-matrix** shape: every statistic the fit
+    needs (n, Σx, Σy, Σxy, Σx²) is an associative per-batch partial sum
+    combined by one bounded groupby, so the regression costs one corpus
+    pass and zero row shuffles at any scale.
+
+    Exactness contract: slope/intercept are reported in micro-units via
+    truncating integer division (sign-aware ``_tdiv`` ≡ DuckDB ``//``,
+    which truncates toward zero — Python's ``//`` floors and would
+    diverge on negative intercepts).  The final arithmetic runs in
+    Python bigints, so the n·Σxy products can never overflow on the
+    driver; the int64 PARTIAL sums are exact up to ~10^9 docs/lang at
+    these magnitudes — past that the partials move to per-partition
+    hugeint/float128 (documented scale path)."""
+    from crawl_ray.pipelines.relational import partial_then_final_sum
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch.column("text")), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        chars = pc.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "x": pa.array(lens, pa.int64()),
+                "y": pa.array(chars, pa.int64()),
+                "xy": pa.array(lens * chars, pa.int64()),
+                "xx": pa.array(lens * lens, pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["text", "lang"]).map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partial_then_final_sum(
+        ds,
+        ["lang"],
+        {
+            "sx": lambda b: b.column("x"),
+            "sy": lambda b: b.column("y"),
+            "sxy": lambda b: b.column("xy"),
+            "sxx": lambda b: b.column("xx"),
+        },
+        count_name="n_docs",
+    )
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    langs = agg.column("lang").to_pylist()
+    order = np.argsort(np.array(langs, dtype=object))
+    out_lang, out_n, out_slope, out_icpt = [], [], [], []
+    for i in order.tolist():
+        n = int(agg.column("n_docs")[i].as_py())
+        sx = int(agg.column("sx")[i].as_py())
+        sy = int(agg.column("sy")[i].as_py())
+        sxy = int(agg.column("sxy")[i].as_py())
+        sxx = int(agg.column("sxx")[i].as_py())
+        den = n * sxx - sx * sx
+        slope = _tdiv((n * sxy - sx * sy) * 1_000_000, den) if den else 0
+        icpt = _tdiv(sy * 1_000_000 - slope * sx, n)
+        out_lang.append(langs[i])
+        out_n.append(n)
+        out_slope.append(slope)
+        out_icpt.append(icpt)
+    return pa.table(
+        {
+            "lang": pa.array(out_lang, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "slope_micro": pa.array(out_slope, pa.int64()),
+            "intercept_micro": pa.array(out_icpt, pa.int64()),
+        }
+    )
 
 
 # GPT-2-style pre-tokenizer, simplified to an RE2 subset that Arrow and

@@ -465,3 +465,31 @@ def test_ccnet_buckets_terciles(ray_session):
         assert (per_value == 1).all()
         # at least ceil(n/3) docs in head (threshold rule guarantees it)
         assert counts.get("head", 0) >= (n + 2) // 3 or n < 3
+
+
+def test_lang_length_regression_exact_negative_intercept(tmp_path, ray_session):
+    """Perfect fit y = 10x - 50: slope/intercept recovered exactly, and
+    the negative intercept exercises the truncating-division contract
+    (DuckDB // truncates toward zero; Python // floors — _tdiv matches
+    the former)."""
+    xs = [10, 20, 30, 40]
+    docs = [" ".join(["w"] * x) for x in xs]  # n_tokens == x, len == 2x-1
+    # craft text whose LENGTH is exactly 10x-50: pad with '.' (no spaces)
+    texts = []
+    for x, d in zip(xs, docs):
+        target = 10 * x - 50
+        base = " ".join(["w"] * x)  # x tokens, length 2x-1
+        texts.append(base + "." * (target - len(base)))
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(len(xs)), pa.int64()),
+             "text": pa.array(texts, pa.string()),
+             "lang": pa.array(["en"] * len(xs), pa.string())}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = T.lang_length_regression(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out.slope_micro[0] == 10_000_000
+    assert out.intercept_micro[0] == -50_000_000
+    assert out.n_docs[0] == len(xs)

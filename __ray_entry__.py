@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": T.unigram_logprob,
         "ccnet_buckets": T.ccnet_buckets,
         "lang_length_regression": T.lang_length_regression,
+        "zipf_fit": T.zipf_fit,
         "tfidf_top_terms": T.tfidf_top_terms,
         "bpe_token_stats": T.bpe_token_stats,
         "training_corpus_prep": T.training_corpus_prep,
@@ -1798,6 +1799,40 @@ def oracle_sql() -> dict[str, str]:
                    cast((sy * 1000000 - slope * sx) // n as bigint)
                        AS intercept_micro
             FROM f ORDER BY lang
+        """,
+        # Zipf log-log OLS over the top-V vocab (exact integer micro-nats)
+        "zipf_fit": r"""
+            WITH u AS (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                FROM documents
+            ), vc AS (
+                SELECT w, count(*) AS c FROM u GROUP BY w
+            ), top AS (
+                SELECT w, c FROM vc ORDER BY c DESC, w LIMIT 1000
+            ), rk AS (
+                SELECT row_number() OVER (ORDER BY c DESC, w) AS r, c
+                FROM top
+            ), pts AS (
+                SELECT cast(floor(1000000 * ln(r)) as hugeint) AS x,
+                       cast(floor(1000000 * ln(c)) as hugeint) AS y
+                FROM rk
+            ), m AS (
+                SELECT cast(count(*) as hugeint) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM pts
+            ), f AS (
+                SELECT n, sx, sy,
+                       CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                            ELSE (n * sxy - sx * sy) * 1000000
+                                 // (n * sxx - sx * sx) END AS slope
+                FROM m
+            )
+            SELECT cast(n as bigint) AS n_points,
+                   cast(slope as bigint) AS slope_micro,
+                   cast((sy * 1000000 - slope * sx) // n as bigint)
+                       AS intercept_pico
+            FROM f
         """,
         # composed prep chain: quality+lang filter → keep-first exact
         # dedup → ordered prefix-sum packing (same kernels as

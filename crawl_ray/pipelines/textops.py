@@ -40,6 +40,7 @@ __all__ = [
     "unigram_logprob",
     "ccnet_buckets",
     "lang_length_regression",
+    "zipf_fit",
     "tfidf_top_terms",
     "bpe_token_stats",
     "training_corpus_prep",
@@ -1385,6 +1386,76 @@ def lang_length_regression(sf_dir: str):
             "n_docs": pa.array(out_n, pa.int64()),
             "slope_micro": pa.array(out_slope, pa.int64()),
             "intercept_micro": pa.array(out_icpt, pa.int64()),
+        }
+    )
+
+
+def zipf_fit(sf_dir: str, top_v: int = 1000):
+    """Zipf's-law corpus diagnostic: log-log OLS of token frequency on
+    rank over the top-``top_v`` vocabulary (slope ≈ −1 for natural
+    text; strong deviation flags synthetic/degenerate corpora — a
+    standard corpus-QA statistic).
+
+    Distribution: the vocab count is the :func:`ngram_counts` shape
+    (per-batch partial counts → one token-keyed groupby → local top-V →
+    bounded driver merge); the FIT runs on the driver over ≤ ``top_v``
+    rows in exact integer micro-nats (x = ⌊10⁶·ln rank⌋,
+    y = ⌊10⁶·ln count⌋, Python-bigint moments, truncating division ≡
+    DuckDB ``//``)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _token_lists(batch)
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"token": pa.array(uniq, pa.string()),
+             "cnt": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        toks = batch.column("token").to_numpy(zero_copy_only=False)
+        cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((toks, -cnt))[:top_v]
+        return pa.table(
+            {"token": pa.array(toks[order], pa.string()),
+             "cnt": pa.array(cnt[order], pa.int64())}
+        )
+
+    vt = collect_table(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt"))
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    toks = vt.column("token").to_numpy(zero_copy_only=False)
+    cnts = vt.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((toks, -cnts))[:top_v]
+    cnts = cnts[order]
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    n = len(cnts)
+    sx = sy = sxy = sxx = 0
+    for r, c in enumerate(cnts.tolist(), start=1):
+        x = math.floor(1e6 * math.log(r))
+        y = math.floor(1e6 * math.log(c))
+        sx += x; sy += y; sxy += x * y; sxx += x * x
+    den = n * sxx - sx * sx
+    slope = _tdiv((n * sxy - sx * sy) * 1_000_000, den) if den else 0
+    # x and y are already micro-nats, so slope_micro is 10^-6 ln-units
+    # per ln-unit while the intercept lands in 10^-12 ln-count units
+    # (micro x micro) -- named honestly below
+    icpt = _tdiv(sy * 1_000_000 - slope * sx, n)
+    return pa.table(
+        {
+            "n_points": pa.array([n], pa.int64()),
+            "slope_micro": pa.array([slope], pa.int64()),
+            "intercept_pico": pa.array([icpt], pa.int64()),
         }
     )
 

@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": SIM.semantic_dedup,
         "cluster_balanced_sample": SIM.cluster_balanced_sample,
         "label_centroids": SIM.label_centroids,
+        "knn_graph_stats": SIM.knn_graph_stats,
         # multimodal plumbing
         "payload_stats": MM.payload_stats,
         "decode_images": MM.decode_images,
@@ -791,6 +792,40 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) AS n_vecs
             FROM embeddings, range(1, 65) r(i)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # kNN-graph topology: top-10 by milli-cosine (ties by id), union
+        # of directions, wedge self-join + closure join
+        "knn_graph_stats": """
+            WITH m AS (
+                SELECT a.vec_id AS u, b.vec_id AS v,
+                       cast(round(list_cosine_similarity(
+                           a.embedding, b.embedding) * 1000) as bigint) AS c
+                FROM embeddings a JOIN embeddings b
+                     ON a.vec_id <> b.vec_id
+            ), r AS (
+                SELECT u, v,
+                       row_number() OVER (PARTITION BY u
+                                          ORDER BY c DESC, v) AS rk
+                FROM m
+            ), e AS (
+                SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+                FROM r WHERE rk <= 10
+            ), w AS (
+                SELECT e1.u AS a, e2.v AS c
+                FROM e e1 JOIN e e2 ON e1.v = e2.u
+            ), t AS (
+                SELECT count(*) AS n_tri
+                FROM w JOIN e e3 ON e3.u = w.a AND e3.v = w.c
+            )
+            SELECT (SELECT cast(count(*) as bigint) FROM embeddings)
+                       AS n_nodes,
+                   (SELECT cast(count(*) as bigint) FROM e) AS n_edges,
+                   (SELECT cast(count(*) as bigint) FROM w) AS n_wedges,
+                   (SELECT cast(n_tri as bigint) FROM t) AS n_triangles,
+                   cast(CASE WHEN (SELECT count(*) FROM w) = 0 THEN 0
+                        ELSE (SELECT n_tri FROM t) * 1000
+                             // (SELECT count(*) FROM w) END as bigint)
+                       AS transitivity_milli
         """,
         "supplier_pagerank": _pagerank_sql(),
         # BFS distance levels from the min-supplier seed over the same

@@ -26,7 +26,7 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     """DuckDB-compatible rounding (numpy's round is half-to-even)."""
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
-__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup", "cluster_balanced_sample", "knn_batch", "label_centroids"]
+__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup", "cluster_balanced_sample", "knn_batch", "label_centroids", "knn_graph_stats"]
 
 
 def _emb(sf_dir: str):
@@ -609,3 +609,100 @@ def label_centroids(sf_dir: str) -> pa.Table:
         [{"sum_micro_sum": "sum_micro", "n_vecs_sum": "n_vecs"}.get(c, c)
          for c in out.column_names]
     ).sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
+def knn_graph_stats(sf_dir: str, k: int = 10):
+    """kNN similarity-graph topology statistics — undirected k-nearest-
+    neighbor graph over the embedding corpus (edge = either endpoint in
+    the other's top-``k`` by milli-cosine, ties broken by neighbor id),
+    then **triangle counting via the canonical two-join plan**: ordered
+    edges (u<v) self-join on the middle vertex → wedges a<b<c, wedges
+    join edges on (a,c) → closed triangles.  Reports transitivity
+    (closed-wedge fraction) — the clustering-structure diagnostic used
+    to QA semantic-dedup graphs.
+
+    Scale notes: candidate generation here is the documented brute
+    baseline (per-batch rows × broadcast unit matrix, the
+    :func:`knn_batch` shape); at 10^9 vectors candidates come from
+    :func:`knn_ivf`'s probed lists instead — the graph/triangle stages
+    are unchanged.  Both joins are native hash joins; wedge volume is
+    Σ deg² ≤ n·(2k)², bounded by construction, never all-pairs.
+    Cosine is milli-quantized (sign·floor(|c|·1000+0.5) ≡ DuckDB
+    ``round``) so ranking and the oracle agree exactly."""
+    import pyarrow.parquet as pq_
+
+    full = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids_full = full.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids_full)
+    ids_full = ids_full[order]
+    unit_full = _unit(
+        list_col_to_matrix(full.column("embedding"))[order].astype(np.float64)
+    )
+    n_nodes = len(ids_full)
+    state = ray.put((ids_full, unit_full))
+
+    def topk_edges(batch: pa.Table) -> pa.Table:
+        ids_f, unit_f = ray.get(state)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(bids):
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        bmat = _unit(list_col_to_matrix(batch.column("embedding")).astype(np.float64))
+        cos = bmat @ unit_f.T
+        milli = (np.sign(cos) * np.floor(np.abs(cos) * 1000 + 0.5)).astype(np.int64)
+        ncol = len(ids_f)
+        # composite rank key: higher milli first, then neighbor id asc
+        # (column order IS id order — broadcast matrix sorted by id)
+        comp = (1000 - milli) * np.int64(ncol) + np.arange(ncol, dtype=np.int64)
+        self_col = np.searchsorted(ids_f, bids)
+        rows = np.arange(len(bids))
+        is_self = (self_col < ncol) & (ids_f[np.minimum(self_col, ncol - 1)] == bids)
+        comp[rows[is_self], self_col[is_self]] = np.iinfo(np.int64).max
+        kk = min(k, ncol - 1)
+        nbr_cols = np.argpartition(comp, kk - 1, axis=1)[:, :kk]
+        src = np.repeat(bids, kk)
+        dst = ids_f[nbr_cols.ravel()]
+        u = np.minimum(src, dst)
+        v = np.maximum(src, dst)
+        uv = np.unique(np.stack([u, v], axis=1), axis=0)
+        return pa.table({"u": pa.array(uv[:, 0], pa.int64()),
+                         "v": pa.array(uv[:, 1], pa.int64())})
+
+    num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    edges = (
+        _emb(sf_dir)
+        .map_batches(topk_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    n_edges = edges.count()
+    # wedges a<b<c: (a,b) joins (b,c) on the middle vertex
+    e2 = edges.map_batches(
+        lambda b: pa.table({"u2": b.column("u"), "v2": b.column("v")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    wedges = edges.join(
+        e2, "inner", num_partitions, on=("v",), right_on=("u2",)
+    ).map_batches(
+        lambda b: pa.table({"a": b.column("u"), "c": b.column("v2")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    n_wedges = wedges.count()
+    closed = wedges.join(
+        edges, "inner", num_partitions, on=("a", "c"), right_on=("u", "v")
+    )
+    n_tri = closed.count()
+    trans = (n_tri * 1000) // n_wedges if n_wedges else 0
+    return pa.table(
+        {
+            "n_nodes": pa.array([n_nodes], pa.int64()),
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_wedges": pa.array([n_wedges], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+            "transitivity_milli": pa.array([trans], pa.int64()),
+        }
+    )

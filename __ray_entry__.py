@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": T.token_stats,
         "quality_score": T.quality_score,
         "language_id": T.language_id,
+        "langid_confusion": T.langid_confusion,
         "doc_fingerprints": T.fingerprints,
         "sample_documents": T.sample_documents,
         "stratified_sample": T.stratified_sample,
@@ -140,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": T.dsir_weights,
         "token_entropy": T.token_entropy,
         "events_mad": ST.events_mad,
+        "events_outliers": ST.events_outliers,
         "embedding_near_dup": DD.embedding_near_dup,
         "embedding_near_dup_exact": DD.embedding_near_dup_exact,
         "dedup_clusters": DD.dedup_clusters,
@@ -1002,6 +1004,37 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, {score_cols}
                 FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)
             )
+        """,
+        # langid classifier QA: confusion matrix vs true labels
+        "langid_confusion": f"""
+            SELECT lang, {lang_case} AS lang_pred,
+                   cast(count(*) as bigint) AS n_docs
+            FROM (
+                SELECT lang, {score_cols}
+                FROM (SELECT lang, ' ' || text || ' ' AS p FROM documents)
+            )
+            GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+        """,
+        # exact integer 3-sigma outlier counts per type (hugeint moments)
+        "events_outliers": """
+            WITH c AS (
+                SELECT event_type,
+                       cast(round(value * 100) as bigint) AS x
+                FROM events
+            ), s AS (
+                SELECT event_type, cast(count(*) as hugeint) AS n,
+                       cast(sum(x) as hugeint) AS sx,
+                       cast(sum(x * x) as hugeint) AS sxx
+                FROM c GROUP BY event_type
+            )
+            SELECT c.event_type,
+                   cast(sum(CASE WHEN (s.n * c.x - s.sx)
+                                      * (s.n * c.x - s.sx)
+                                      > 9 * (s.n * s.sxx - s.sx * s.sx)
+                                 THEN 1 ELSE 0 END) as bigint) AS n_outliers,
+                   cast(count(*) as bigint) AS n_events
+            FROM c JOIN s ON c.event_type = s.event_type
+            GROUP BY c.event_type ORDER BY c.event_type
         """,
         # seeded deterministic sampling (O3): Knuth multiplicative hash
         "sample_documents": """

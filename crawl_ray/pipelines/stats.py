@@ -54,6 +54,7 @@ __all__ = [
     "churned_users",
     "top_users_per_type",
     "events_mad",
+    "events_outliers",
 ]
 
 QUANTILES = (25, 50, 75, 90, 99)  # integer percents — exact rank math
@@ -842,5 +843,62 @@ def events_mad(sf_dir: str) -> pa.Table:
             "event_type": pa.array(out_t, pa.string()),
             "median_cents": pa.array(out_med, pa.int64()),
             "mad_cents": pa.array(out_mad, pa.int64()),
+        }
+    )
+
+
+def events_outliers(sf_dir: str) -> pa.Table:
+    """Per-type exact 3σ outlier counts — z-score anomaly detection
+    with NO floating point: |x−μ| > 3σ  ⟺  (n·x − Σx)² > 9·(n·Σx² −
+    (Σx)²)  (both sides scaled by n², population σ²), all integer.  The evaluation runs per DISTINCT value over
+    the same bounded (type × cents) histogram the quantile family uses
+    (outlier count = Σ counts of qualifying values), so the moments and
+    the predicate both cost one histogram pass; the driver arithmetic
+    is Python bigints (the squares exceed int64 — DuckDB mirrors with
+    hugeint)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+        return rename_select(
+            out, {"event_type": "event_type", "cents": "cents", "n_sum": "n"}
+        )
+
+    partials = collect_table(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    combined = partials.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+    types = np.array(combined.column("event_type").to_pylist(), dtype=object)
+    cents = combined.column("cents").to_numpy()
+    counts = combined.column("n_sum").to_numpy()
+
+    out_t, out_o, out_n = [], [], []
+    for t in sorted(set(types)):
+        mask = types == t
+        v = cents[mask].tolist()
+        c = counts[mask].tolist()
+        n = sum(c)
+        sx = sum(int(vi) * int(ci) for vi, ci in zip(v, c))
+        sxx = sum(int(vi) * int(vi) * int(ci) for vi, ci in zip(v, c))
+        disp = 9 * (n * sxx - sx * sx)
+        n_out = sum(
+            ci for vi, ci in zip(v, c)
+            if (n * int(vi) - sx) * (n * int(vi) - sx) > disp
+        )
+        out_t.append(str(t))
+        out_o.append(int(n_out))
+        out_n.append(int(n))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "n_outliers": pa.array(out_o, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
         }
     )

@@ -41,6 +41,7 @@ __all__ = [
     "ccnet_buckets",
     "lang_length_regression",
     "zipf_fit",
+    "langid_confusion",
     "tfidf_top_terms",
     "bpe_token_stats",
     "training_corpus_prep",
@@ -1458,6 +1459,48 @@ def zipf_fit(sf_dir: str, top_v: int = 1000):
             "intercept_pico": pa.array([icpt], pa.int64()),
         }
     )
+
+
+def langid_confusion(sf_dir: str):
+    """Language-ID QA: confusion matrix of the marker-word classifier
+    against the corpus's true ``lang`` labels — the accuracy audit any
+    production langid stage ships with.  One corpus pass emitting
+    (lang, lang_pred) partial counts, combined by the bounded
+    |langs|² combiner; zero row shuffle."""
+    from crawl_ray.pipelines.relational import partial_then_final_sum
+
+    order = list(LANG_MARKERS)
+
+    def pred(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        padded = pc.binary_join_element_wise(
+            pa.array([" "] * batch.num_rows), text,
+            pa.array([" "] * batch.num_rows), ""
+        )
+        scores = []
+        for markers in LANG_MARKERS.values():
+            total = None
+            for w in markers:
+                c = pc.count_substring(padded, f" {w} ").cast(pa.int64())
+                total = c if total is None else pc.add(total, c)
+            scores.append(total.to_numpy(zero_copy_only=False))
+        mat = np.stack(scores, axis=1)
+        best = np.argmax(mat, axis=1)  # first max wins = order tie-break
+        langs = np.array(order, dtype=object)[best]
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "lang_pred": pa.array(langs.tolist(), pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["text", "lang"]).map_batches(
+        pred, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partial_then_final_sum(
+        ds, ["lang", "lang_pred"], {}, count_name="n_docs"
+    )
+    return agg.sort_by([("lang", "ascending"), ("lang_pred", "ascending")])
 
 
 # GPT-2-style pre-tokenizer, simplified to an RE2 subset that Arrow and

@@ -244,3 +244,31 @@ def test_grouped_quantiles(tmp_path, ray_session):
         ("b", "p50"): 900,
         ("b", "p95"): 900,
     }
+
+
+def test_events_outliers_planted(tmp_path, ray_session):
+    """99 values at 10.00 plus one at 1000.00: the spike is >3 sigma out
+    (exact integer predicate), the cluster is not."""
+    vals = [10.0] * 99 + [1000.0]
+    _write(
+        tmp_path,
+        "events",
+        pa.table({"event_type": pa.array(["a"] * 100, pa.string()),
+                  "value": pa.array(vals, pa.float64())}),
+    )
+    out = ST.events_outliers(str(tmp_path))
+    assert out.to_pydict() == {
+        "event_type": ["a"], "n_outliers": [1], "n_events": [100]
+    }
+
+
+def test_events_outliers_uniform_none(tmp_path, ray_session):
+    """A two-point distribution has max |z| = 1 < 3: zero outliers."""
+    _write(
+        tmp_path,
+        "events",
+        pa.table({"event_type": pa.array(["a"] * 10, pa.string()),
+                  "value": pa.array([1.0, 2.0] * 5, pa.float64())}),
+    )
+    out = ST.events_outliers(str(tmp_path))
+    assert out.column("n_outliers").to_pylist() == [0]

@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": T.quality_score,
         "language_id": T.language_id,
         "langid_confusion": T.langid_confusion,
+        "quality_ks_test": T.quality_ks_test,
         "doc_fingerprints": T.fingerprints,
         "sample_documents": T.sample_documents,
         "stratified_sample": T.stratified_sample,
@@ -1014,6 +1015,52 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT lang, ' ' || text || ' ' AS p FROM documents)
             )
             GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+        """,
+        # exact pairwise two-sample KS distance over the bounded
+        # (source x score) histogram, integer cross-multiplied CDFs
+        "quality_ks_test": r"""
+            WITH q AS (
+                SELECT source,
+                       cast(len(string_split_regex(trim(text), '\s+'))
+                            as bigint) AS n_tokens,
+                       cast(length(text) as bigint) AS n_chars,
+                       cast(length(regexp_replace(text, '[^ ]', '', 'g'))
+                            as bigint) AS n_spaces
+                FROM documents
+            ), d AS (
+                SELECT source,
+                       CASE WHEN n_tokens > 0
+                            THEN (n_chars - n_spaces) * 1000 // n_tokens
+                            ELSE 0 END AS score
+                FROM q
+            ), h AS (
+                SELECT source, score, cast(count(*) as bigint) AS cnt
+                FROM d GROUP BY source, score
+            ), tot AS (
+                SELECT source, sum(cnt) AS n FROM h GROUP BY source
+            ), pairs AS (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       a.n AS n_a, b.n AS n_b
+                FROM tot a JOIN tot b ON a.source < b.source
+            ), vals AS (
+                SELECT DISTINCT p.src_a, p.src_b, p.n_a, p.n_b, h.score
+                FROM pairs p JOIN h ON h.source IN (p.src_a, p.src_b)
+            ), cums AS (
+                SELECT v.src_a, v.src_b, v.n_a, v.n_b,
+                       (SELECT coalesce(sum(cnt), 0) FROM h
+                        WHERE h.source = v.src_a AND h.score <= v.score)
+                           AS ca,
+                       (SELECT coalesce(sum(cnt), 0) FROM h
+                        WHERE h.source = v.src_b AND h.score <= v.score)
+                           AS cb
+                FROM vals v
+            )
+            SELECT src_a, src_b,
+                   cast(max(abs(ca * n_b - cb * n_a)) * 1000
+                        // (n_a * n_b) as bigint) AS ks_milli,
+                   cast(n_a as bigint) AS n_a, cast(n_b as bigint) AS n_b
+            FROM cums GROUP BY src_a, src_b, n_a, n_b
+            ORDER BY src_a, src_b
         """,
         # exact integer 3-sigma outlier counts per type (hugeint moments)
         "events_outliers": """

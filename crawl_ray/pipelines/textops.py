@@ -42,6 +42,7 @@ __all__ = [
     "lang_length_regression",
     "zipf_fit",
     "langid_confusion",
+    "quality_ks_test",
     "tfidf_top_terms",
     "bpe_token_stats",
     "training_corpus_prep",
@@ -1501,6 +1502,93 @@ def langid_confusion(sf_dir: str):
         ds, ["lang", "lang_pred"], {}, count_name="n_docs"
     )
     return agg.sort_by([("lang", "ascending"), ("lang_pred", "ascending")])
+
+
+def quality_ks_test(sf_dir: str):
+    """Distribution-drift QA: exact two-sample Kolmogorov–Smirnov
+    distance between every pair of sources on the mean-token-length
+    quality score — the detector a multi-source corpus pipeline runs to
+    catch a source whose text statistics shifted between dumps.
+
+    Exact and shuffle-free: one pass builds the bounded
+    (source × score_milli) histogram (same family as the quantile ops);
+    the driver computes, per source pair, the sup-norm of the CDF
+    difference in INTEGER cross-multiplied form —
+    ``max |cumA·nB − cumB·nA|`` over the union of score values, reported
+    as ``ks_milli = 1000·max // (nA·nB)`` — no float CDFs, byte-equal to
+    the DuckDB oracle."""
+    from crawl_ray.util import collect_table as _ct
+
+    def hist(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        spaces = pc.utf8_length(
+            pc.replace_substring_regex(text, r"[^ ]", "")
+        ).cast(pa.int64())
+        tokens = pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        ).cast(pa.int64())
+        score = pc.if_else(
+            pc.greater(tokens, 0),
+            pc.divide(pc.multiply(pc.subtract(n_chars, spaces), 1000), tokens),
+            pa.scalar(0, pa.int64()),
+        )
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "score": score.cast(pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["source", "score"]).aggregate([("n", "sum")])
+        return rename_select(
+            out, {"source": "source", "score": "score", "n_sum": "n"}
+        )
+
+    partials = _ct(
+        _docs(sf_dir, ["text", "source"]).map_batches(
+            hist, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    combined = partials.group_by(["source", "score"]).aggregate([("n", "sum")])
+    srcs = np.array(combined.column("source").to_pylist(), dtype=object)
+    scores = combined.column("score").to_numpy()
+    counts = combined.column("n_sum").to_numpy()
+
+    by_src = {}
+    for sname in sorted(set(srcs)):
+        m = srcs == sname
+        v, c = scores[m], counts[m]
+        order = np.argsort(v)
+        by_src[str(sname)] = (v[order], np.cumsum(c[order]))
+
+    out_a, out_b, out_ks, out_na, out_nb = [], [], [], [], []
+    names = sorted(by_src)
+    for i, a in enumerate(names):
+        va, ca = by_src[a]
+        na = int(ca[-1])
+        for b in names[i + 1:]:
+            vb, cb = by_src[b]
+            nb = int(cb[-1])
+            union = np.union1d(va, vb)
+            # cum counts at each union value (searchsorted right edge)
+            cum_a = np.concatenate([[0], ca])[np.searchsorted(va, union, "right")]
+            cum_b = np.concatenate([[0], cb])[np.searchsorted(vb, union, "right")]
+            diff = np.abs(
+                cum_a.astype(object) * nb - cum_b.astype(object) * na
+            )
+            ks = int(max(diff)) * 1000 // (na * nb)
+            out_a.append(a); out_b.append(b)
+            out_ks.append(ks); out_na.append(na); out_nb.append(nb)
+    return pa.table(
+        {
+            "src_a": pa.array(out_a, pa.string()),
+            "src_b": pa.array(out_b, pa.string()),
+            "ks_milli": pa.array(out_ks, pa.int64()),
+            "n_a": pa.array(out_na, pa.int64()),
+            "n_b": pa.array(out_nb, pa.int64()),
+        }
+    )
 
 
 # GPT-2-style pre-tokenizer, simplified to an RE2 subset that Arrow and

@@ -493,3 +493,31 @@ def test_lang_length_regression_exact_negative_intercept(tmp_path, ray_session):
     assert out.slope_micro[0] == 10_000_000
     assert out.intercept_micro[0] == -50_000_000
     assert out.n_docs[0] == len(xs)
+
+
+def test_quality_ks_test_planted(tmp_path, ray_session):
+    """Source A: all docs score 2000 milli (1-char tokens); source B:
+    all score 3000 (2-char tokens) → disjoint CDFs, KS = 1000.  A third
+    source identical to A → KS(A, C) = 0."""
+    rows = []
+    for i in range(10):
+        rows.append((i, "a a a a", "A"))          # mean tok len 1 → 2000?
+    for i in range(10, 20):
+        rows.append((i, "bb bb bb", "B"))
+    for i in range(20, 30):
+        rows.append((i, "a a a a", "C"))
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+             "text": pa.array([r[1] for r in rows], pa.string()),
+             "lang": pa.array(["en"] * len(rows), pa.string()),
+             "source": pa.array([r[2] for r in rows], pa.string())}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = T.quality_ks_test(str(tmp_path)).to_pandas()
+    ks = {(r.src_a, r.src_b): r.ks_milli for r in out.itertuples()}
+    assert ks[("A", "B")] == 1000
+    assert ks[("A", "C")] == 0
+    assert ks[("B", "C")] == 1000
+    assert set(out.n_a) == {10} and set(out.n_b) == {10}

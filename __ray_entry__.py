@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": T.language_id,
         "langid_confusion": T.langid_confusion,
         "quality_ks_test": T.quality_ks_test,
+        "length_histogram": T.length_histogram,
         "doc_fingerprints": T.fingerprints,
         "sample_documents": T.sample_documents,
         "stratified_sample": T.stratified_sample,
@@ -133,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": DD.simhash_64,
         "simhash_hamming_pairs": DD.simhash_hamming_pairs,
         "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
+        "dedup_threshold_sweep": DD.dedup_threshold_sweep,
         "containment_pairs": DD.containment_pairs,
         "duplicated_ngrams": T.duplicated_ngrams,
         "cross_source_overlap": T.cross_source_overlap,
@@ -1061,6 +1063,39 @@ def oracle_sql() -> dict[str, str]:
                    cast(n_a as bigint) AS n_a, cast(n_b as bigint) AS n_b
             FROM cums GROUP BY src_a, src_b, n_a, n_b
             ORDER BY src_a, src_b
+        """,
+        # power-of-two token-length bands per lang (integer edges —
+        # bucket = count of edges <= n_tokens, no float log2)
+        "length_histogram": r"""
+            WITH d AS (
+                SELECT lang,
+                       cast(len(string_split_regex(trim(text), '\s+'))
+                            as bigint) AS n
+                FROM documents
+            ), b AS (
+                SELECT lang, n,
+                       (CASE WHEN n >= 16 THEN 1 ELSE 0 END
+                        + CASE WHEN n >= 32 THEN 1 ELSE 0 END
+                        + CASE WHEN n >= 64 THEN 1 ELSE 0 END
+                        + CASE WHEN n >= 128 THEN 1 ELSE 0 END
+                        + CASE WHEN n >= 256 THEN 1 ELSE 0 END
+                        + CASE WHEN n >= 512 THEN 1 ELSE 0 END
+                        + CASE WHEN n >= 1024 THEN 1 ELSE 0 END)
+                           AS bucket
+                FROM d
+            )
+            SELECT lang, cast(bucket as bigint) AS bucket,
+                   cast(sum(n) as bigint) AS n_tokens,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(CASE bucket WHEN 0 THEN 0 WHEN 1 THEN 16
+                        WHEN 2 THEN 32 WHEN 3 THEN 64 WHEN 4 THEN 128
+                        WHEN 5 THEN 256 WHEN 6 THEN 512 ELSE 1024 END
+                        as bigint) AS tokens_lo,
+                   cast(CASE bucket WHEN 0 THEN 15 WHEN 1 THEN 31
+                        WHEN 2 THEN 63 WHEN 3 THEN 127 WHEN 4 THEN 255
+                        WHEN 5 THEN 511 WHEN 6 THEN 1023
+                        ELSE 9223372036854775807 END as bigint) AS tokens_hi
+            FROM b GROUP BY lang, bucket ORDER BY lang, bucket
         """,
         # exact integer 3-sigma outlier counts per type (hugeint moments)
         "events_outliers": """
@@ -2022,6 +2057,16 @@ def oracle_sql() -> dict[str, str]:
         # (recall argument in dedup.minhash_lsh_pairs docstring)
         "minhash_lsh_pairs": _jaccard_pairs_sql(k=3, thr_milli=500),
         "ngram_jaccard_pairs": _jaccard_pairs_sql(k=3, thr_milli=300),
+        # pair counts at a threshold ladder over the same exact pair set
+        "dedup_threshold_sweep": f"""
+            WITH p AS ({_jaccard_pairs_sql(k=3, thr_milli=300)}),
+            t(threshold_milli) AS (VALUES (300), (400), (500), (600),
+                                          (700), (800), (900))
+            SELECT cast(t.threshold_milli as bigint) AS threshold_milli,
+                   cast(sum(CASE WHEN p.jaccard_milli >= t.threshold_milli
+                                 THEN 1 ELSE 0 END) as bigint) AS n_pairs
+            FROM p, t GROUP BY t.threshold_milli ORDER BY threshold_milli
+        """,
         # end-to-end dedup: same pair ground truth → recursive CC →
         # anti-join of the non-min cluster members against the corpus
         "dedup_corpus": _dedup_corpus_sql(k=3, thr_milli=500),

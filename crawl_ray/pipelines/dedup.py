@@ -37,6 +37,7 @@ __all__ = [
     "simhash_64",
     "simhash_hamming_pairs",
     "ngram_jaccard_pairs",
+    "dedup_threshold_sweep",
     "containment_pairs",
     "embedding_near_dup",
     "embedding_near_dup_exact",
@@ -795,6 +796,28 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.3):
     """Exact n-gram Jaccard near-dup pairs (LSH-bucketed candidates,
     lower threshold)."""
     return minhash_lsh_pairs(sf_dir, n_perm=32, k=k, bands=16, threshold=threshold)
+
+
+DEDUP_SWEEP_THRESHOLDS = (300, 400, 500, 600, 700, 800, 900)
+
+
+def dedup_threshold_sweep(sf_dir: str, thresholds=DEDUP_SWEEP_THRESHOLDS):
+    """Dedup tuning curve: near-dup pair counts at a ladder of Jaccard
+    thresholds from ONE run of the exact LSH-bucketed pipeline
+    (:func:`ngram_jaccard_pairs` is exact down to 0.3, so every rung
+    ≥ 300 milli is a complete count) — the table an operator reads to
+    pick the dedup threshold before committing a 100-TB pass."""
+    pairs = ngram_jaccard_pairs(sf_dir)
+    jac = pairs.column("jaccard_milli").to_numpy(zero_copy_only=False)
+    ts = [int(t) for t in thresholds]
+    return pa.table(
+        {
+            "threshold_milli": pa.array(ts, pa.int64()),
+            "n_pairs": pa.array(
+                [int((jac >= t).sum()) for t in ts], pa.int64()
+            ),
+        }
+    )
 
 
 def embedding_near_dup_exact(sf_dir: str, threshold_milli: int = 450):

@@ -43,6 +43,7 @@ __all__ = [
     "zipf_fit",
     "langid_confusion",
     "quality_ks_test",
+    "length_histogram",
     "tfidf_top_terms",
     "bpe_token_stats",
     "training_corpus_prep",
@@ -1589,6 +1590,55 @@ def quality_ks_test(sf_dir: str):
             "n_b": pa.array(out_nb, pa.int64()),
         }
     )
+
+
+LENGTH_BUCKET_EDGES = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def length_histogram(sf_dir: str):
+    """Sequence-length distribution per language — the planning table
+    for packing / context-budget decisions (how many docs fall in each
+    power-of-two token band, and how many tokens they carry).  Bucket
+    edges are explicit integers compared with ``searchsorted`` (no
+    float log2 — an exact power of two can never misbucket), emitted as
+    bounded (lang × bucket) partials; zero row shuffle."""
+    from crawl_ray.pipelines.relational import partial_then_final_sum
+
+    edges = np.array(LENGTH_BUCKET_EDGES, dtype=np.int64)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch.column("text")), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        bucket = np.searchsorted(edges, lens, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "bucket": pa.array(bucket, pa.int64()),
+                "tok": pa.array(lens, pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["text", "lang"]).map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partial_then_final_sum(
+        ds, ["lang", "bucket"], {"n_tokens": lambda b: b.column("tok")},
+        count_name="n_docs",
+    )
+    # emit the human-readable band bounds alongside the bucket id
+    # bucket b = count(edges <= v): band [edges[b-1], edges[b] - 1]
+    lo = np.concatenate([[0], edges])
+    hi = np.concatenate([edges - 1, [np.iinfo(np.int64).max]])
+    b = agg.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+    agg = agg.append_column("tokens_lo", pa.array(lo[b], pa.int64()))
+    agg = agg.append_column("tokens_hi", pa.array(hi[b], pa.int64()))
+    return agg.sort_by([("lang", "ascending"), ("bucket", "ascending")])
 
 
 # GPT-2-style pre-tokenizer, simplified to an RE2 subset that Arrow and

@@ -222,6 +222,30 @@ def cmd_dump_sample(args) -> None:
     print(json.dumps({"out": str(out), "pages": written}))
 
 
+def cmd_corpus_prep(args) -> None:
+    """U5 consumer endpoint for the training-data path: run the
+    filter → dedup → pack chain (``textops.training_corpus_prep``) over
+    a documents table and ship the surviving corpus through the
+    resumable partitioned-Parquet sink; prints the manifest JSON."""
+    import ray
+
+    from crawl_ray.pipelines.textops import training_corpus_prep
+    from crawl_ray.sources.export import export_corpus_parquet
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    prep = training_corpus_prep(args.sf_dir)
+    n_prepped = prep.num_rows if hasattr(prep, "num_rows") else prep.count()
+    root = export_corpus_parquet(args.sf_dir, n_shards=args.shards)
+    manifest = json.loads((pathlib.Path(root) / "manifest.json").read_text())
+    print(json.dumps({
+        "sf_dir": args.sf_dir,
+        "prepped_rows": int(n_prepped),
+        "export_root": root,
+        "shards": manifest,
+    }, sort_keys=True))
+
+
 def cmd_status(args) -> None:
     wd = pathlib.Path(args.workdir)
     rounds = []
@@ -282,6 +306,14 @@ def main(argv: list[str] | None = None) -> None:
     ds.add_argument("--out", required=True)
     ds.add_argument("-n", type=int, default=5)
     ds.set_defaults(fn=cmd_dump_sample)
+
+    cp = sub.add_parser(
+        "corpus-prep",
+        help="filter+dedup+pack a documents table, export parquet shards",
+    )
+    cp.add_argument("sf_dir")
+    cp.add_argument("--shards", type=int, default=8)
+    cp.set_defaults(fn=cmd_corpus_prep)
 
     st = sub.add_parser("status", help="inspect a crawl workdir")
     st.add_argument("--workdir", required=True)

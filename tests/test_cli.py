@@ -148,3 +148,17 @@ def test_run_follow_daemon_mode(web, tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait()
+
+
+def test_corpus_prep_end_to_end(capsys, ray_session):
+    cli.main(["corpus-prep", "/root/testdata/sf0.001", "--shards", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["prepped_rows"] > 0
+    src_rows = pq.read_metadata(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).num_rows
+    assert sum(out["shards"].values()) == src_rows
+    # resumable: second run reuses the finished export root
+    cli.main(["corpus-prep", "/root/testdata/sf0.001", "--shards", "4"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["export_root"] == out["export_root"]

@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": S.events_funnel,
         "events_late_data": S.events_late_data,
         "events_lead_lag": S.events_lead_lag,
+        "events_gap_stats": S.events_gap_stats,
         "sessionize": S.sessionize,
         "sessionize_bucketed": S.sessionize_bucketed,
         "events_window_distinct": S.events_window_distinct,
@@ -1096,6 +1097,24 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 5 THEN 511 WHEN 6 THEN 1023
                         ELSE 9223372036854775807 END as bigint) AS tokens_hi
             FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+        """,
+        # per-type inter-arrival gaps (LAG per user), exact median via
+        # quantile_disc rank math + truncating mean in milli-seconds
+        "events_gap_stats": """
+            WITH g AS (
+                SELECT event_type,
+                       (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id))
+                           // 1000000 AS gap_s
+                FROM events
+            ), v AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL)
+            SELECT event_type,
+                   cast(count(*) as bigint) AS n_gaps,
+                   cast(quantile_disc(gap_s, 0.5) as bigint) AS median_gap_s,
+                   cast(sum(gap_s) * 1000 // count(*) as bigint)
+                       AS mean_gap_milli_s
+            FROM v GROUP BY event_type ORDER BY event_type
         """,
         # exact integer 3-sigma outlier counts per type (hugeint moments)
         "events_outliers": """

@@ -42,6 +42,7 @@ __all__ = [
     "events_asof_join",
     "events_asof_join_bucketed",
     "events_lead_lag",
+    "events_gap_stats",
     "events_rolling_sum",
     "events_funnel",
     "events_late_data",
@@ -1170,3 +1171,106 @@ def events_window_distinct(sf_dir: str, num_partitions: int = 32) -> pa.Table:
     return rename_select(
         out, {"window_start": "window_start", "n_users_sum": "n_users"}
     ).sort_by("window_start")
+
+
+def events_gap_stats(sf_dir: str, num_partitions: int | None = None):
+    """Inter-arrival-time statistics per event type — the arrival-rate
+    profile a scheduler or anomaly monitor reads: per user (ordered by
+    ``ts, event_id``) each event's gap to the user's previous event,
+    attributed to the LATER event's type; reported as exact median and
+    truncating-mean gap seconds.
+
+    Shape: ONE salted-user hash exchange (the :func:`events_lead_lag`
+    plan), whole-partition vectorized lag kernel, then per-partition
+    bounded (type × gap_s) histogram partials — the median comes off
+    the combined histogram (``value_quantiles_per_type`` rank math), so
+    no second shuffle and no event-level sort."""
+    from crawl_ray.pipelines.joins import _default_partitions
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    n_parts = num_partitions or _default_partitions()
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = _np(batch.column("user_id"))
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "us": batch.column("ts").cast(pa.int64()),
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "part": pa.array(
+                    (
+                        _splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def gap_hist(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "gap_s": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if block.num_rows == 0:
+            return empty
+        uid = _np(block.column("user_id"))
+        ts = _np(block.column("us"))
+        eid = _np(block.column("event_id"))
+        etype = block.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, etype = uid[order], ts[order], etype[order]
+        if len(uid) < 2:
+            return empty
+        same_user = uid[1:] == uid[:-1]
+        gaps = (ts[1:] - ts[:-1]) // 1_000_000
+        t = pa.table(
+            {
+                "event_type": pa.array(etype[1:][same_user], pa.string()),
+                "gap_s": pa.array(gaps[same_user], pa.int64()),
+                "n": pa.array(
+                    np.ones(int(same_user.sum()), dtype=np.int64)
+                ),
+            }
+        )
+        out = t.group_by(["event_type", "gap_s"]).aggregate([("n", "sum")])
+        return rename_select(
+            out, {"event_type": "event_type", "gap_s": "gap_s", "n_sum": "n"}
+        )
+
+    from crawl_ray.util import collect_table
+
+    partials = collect_table(
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(gap_hist, batch_format="pyarrow")
+    )
+    combined = partials.group_by(["event_type", "gap_s"]).aggregate([("n", "sum")])
+    types = np.array(combined.column("event_type").to_pylist(), dtype=object)
+    gaps = combined.column("gap_s").to_numpy()
+    counts = combined.column("n_sum").to_numpy()
+    out_t, out_n, out_med, out_mean = [], [], [], []
+    for t in sorted(set(types)):
+        m = types == t
+        v, c = gaps[m], counts[m]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        rank = max(-(-50 * n // 100) - 1, 0)  # ceil(n/2) − 1
+        med = int(v[int(np.searchsorted(cum, rank + 1))])
+        total = int(np.dot(v.astype(object), c.astype(object)))
+        out_t.append(str(t))
+        out_n.append(n)
+        out_med.append(med)
+        out_mean.append(total * 1000 // n)
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "n_gaps": pa.array(out_n, pa.int64()),
+            "median_gap_s": pa.array(out_med, pa.int64()),
+            "mean_gap_milli_s": pa.array(out_mean, pa.int64()),
+        }
+    )

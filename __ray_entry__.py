@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": R.events_by_type,
         "events_hourly_window": R.events_hourly_window,
         "top_order_per_segment": R.top_order_per_segment,
+        "daily_revenue_running": R.daily_revenue_running,
         # event-stream operators (as-of join, sliding window, sessions)
         "events_asof_join": S.events_asof_join,
         "events_asof_join_bucketed": S.events_asof_join_bucketed,
@@ -1115,6 +1116,23 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(gap_s) * 1000 // count(*) as bigint)
                        AS mean_gap_milli_s
             FROM v GROUP BY event_type ORDER BY event_type
+        """,
+        # cumulative window aggregate: running revenue by order day
+        "daily_revenue_running": """
+            WITH d AS (
+                SELECT (epoch_us(o_orderdate) // 86400000000)
+                           * 86400000000 AS day_us,
+                       cast(round(o_totalprice * 100) as bigint) AS cents
+                FROM orders
+            ), day AS (
+                SELECT day_us, cast(count(*) as bigint) AS n_orders,
+                       cast(sum(cents) as bigint) AS day_cents
+                FROM d GROUP BY day_us
+            )
+            SELECT day_us, n_orders, day_cents,
+                   cast(sum(day_cents) OVER (ORDER BY day_us) as bigint)
+                       AS running_cents
+            FROM day ORDER BY day_us
         """,
         # exact integer 3-sigma outlier counts per type (hugeint moments)
         "events_outliers": """

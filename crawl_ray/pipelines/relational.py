@@ -33,6 +33,7 @@ __all__ = [
     "events_by_type",
     "events_hourly_window",
     "top_order_per_segment",
+    "daily_revenue_running",
 ]
 
 
@@ -291,3 +292,48 @@ def top_order_per_segment(sf_dir: str):
         .map_groups(top1, batch_format="pyarrow")
     )
     return out.sort("c_mktsegment")
+
+
+def daily_revenue_running(sf_dir: str):
+    """Cumulative window aggregate (``sum() OVER (ORDER BY day)``):
+    running total-price cents by order day.  The distributed part is
+    the bounded per-day partial sum (day-count keys, not row keys); the
+    prefix scan runs on the driver over the bounded day table — the
+    right split for any cumulative-by-time report at 100 TB (a day
+    count grows with the calendar, not the data)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    DAY_US = 86_400_000_000
+
+    def per_day(batch: pa.Table) -> pa.Table:
+        us = batch.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "day_us": pc.multiply(
+                    pc.divide(us, pa.scalar(DAY_US, pa.int64())),
+                    pa.scalar(DAY_US, pa.int64()),
+                ),
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    agg = partial_then_final_sum(
+        ds.map_batches(per_day, batch_format="pyarrow", zero_copy_batch=True),
+        ["day_us"],
+        {"day_cents": lambda b: b.column("cents")},
+        count_name="n_orders",
+    )
+    days = agg.column("day_us").to_numpy(zero_copy_only=False)
+    cents = agg.column("day_cents").to_numpy(zero_copy_only=False)
+    n = agg.column("n_orders").to_numpy(zero_copy_only=False)
+    order = np.argsort(days)
+    running = np.cumsum(cents[order].astype(object))
+    return pa.table(
+        {
+            "day_us": pa.array(days[order], pa.int64()),
+            "n_orders": pa.array(n[order], pa.int64()),
+            "day_cents": pa.array(cents[order], pa.int64()),
+            "running_cents": pa.array(
+                [int(x) for x in running], pa.int64()
+            ),
+        }
+    )

@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_balanced_sample": SIM.cluster_balanced_sample,
         "label_centroids": SIM.label_centroids,
         "knn_graph_stats": SIM.knn_graph_stats,
+        "threshold_graph_stats": SIM.threshold_graph_stats,
         # multimodal plumbing
         "payload_stats": MM.payload_stats,
         "decode_images": MM.decode_images,
@@ -826,6 +827,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT (SELECT cast(count(*) as bigint) FROM embeddings)
                        AS n_nodes,
+                   (SELECT cast(count(*) as bigint) FROM e) AS n_edges,
+                   (SELECT cast(count(*) as bigint) FROM w) AS n_wedges,
+                   (SELECT cast(n_tri as bigint) FROM t) AS n_triangles,
+                   cast(CASE WHEN (SELECT count(*) FROM w) = 0 THEN 0
+                        ELSE (SELECT n_tri FROM t) * 1000
+                             // (SELECT count(*) FROM w) END as bigint)
+                       AS transitivity_milli
+        """,
+        # threshold similarity graph (cos >= 450 milli over the SAME
+        # augmented corpus embedding_near_dup scans): same triangle
+        # plan, n_nodes = endpoints with >= 1 edge
+        "threshold_graph_stats": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_concat([0.0::DOUBLE], embedding[2:])
+                FROM embeddings
+            ), e AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+                WHERE cast(round(list_cosine_similarity(
+                          a.embedding, b.embedding) * 1000) as bigint) >= 450
+            ), w AS (
+                SELECT e1.u AS a, e2.v AS c
+                FROM e e1 JOIN e e2 ON e1.v = e2.u
+            ), t AS (
+                SELECT count(*) AS n_tri
+                FROM w JOIN e e3 ON e3.u = w.a AND e3.v = w.c
+            ), nn AS (
+                SELECT count(DISTINCT x) AS n FROM (
+                    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e
+                )
+            )
+            SELECT (SELECT cast(n as bigint) FROM nn) AS n_nodes,
                    (SELECT cast(count(*) as bigint) FROM e) AS n_edges,
                    (SELECT cast(count(*) as bigint) FROM w) AS n_wedges,
                    (SELECT cast(n_tri as bigint) FROM t) AS n_triangles,

@@ -26,7 +26,7 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     """DuckDB-compatible rounding (numpy's round is half-to-even)."""
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
-__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup", "cluster_balanced_sample", "knn_batch", "label_centroids", "knn_graph_stats"]
+__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup", "cluster_balanced_sample", "knn_batch", "label_centroids", "knn_graph_stats", "threshold_graph_stats"]
 
 
 def _emb(sf_dir: str):
@@ -696,6 +696,68 @@ def knn_graph_stats(sf_dir: str, k: int = 10):
         edges, "inner", num_partitions, on=("a", "c"), right_on=("u", "v")
     )
     n_tri = closed.count()
+    trans = (n_tri * 1000) // n_wedges if n_wedges else 0
+    return pa.table(
+        {
+            "n_nodes": pa.array([n_nodes], pa.int64()),
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_wedges": pa.array([n_wedges], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+            "transitivity_milli": pa.array([trans], pa.int64()),
+        }
+    )
+
+
+def threshold_graph_stats(sf_dir: str, threshold_milli: int = 450):
+    """Triangle/transitivity statistics over the THRESHOLD similarity
+    graph (edge = verified cosine ≥ threshold) — the fully scale-clean
+    companion to :func:`knn_graph_stats`: edges come from
+    :func:`crawl_ray.pipelines.dedup.embedding_near_dup`'s sign-LSH
+    bucketed candidates-then-verify path (no all-pairs matmul, no
+    driver-side matrix), and the triangle count is the same canonical
+    two-hash-join wedge plan.  At 10^9 vectors every stage is bucketed
+    or join-partitioned; nothing is broadcast but the LSH planes."""
+    from crawl_ray.pipelines.dedup import embedding_near_dup
+
+    pairs = embedding_near_dup(sf_dir, threshold_milli=threshold_milli)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pairs.column("vec_a"),
+                "v": pairs.column("vec_b"),
+            }
+        )
+    ).materialize()
+    n_edges = edges.count()
+    n_nodes = len(
+        np.unique(
+            np.concatenate(
+                [
+                    pairs.column("vec_a").to_numpy(zero_copy_only=False),
+                    pairs.column("vec_b").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+    ) if n_edges else 0
+    num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    e2 = edges.map_batches(
+        lambda b: pa.table({"u2": b.column("u"), "v2": b.column("v")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    wedges = edges.join(
+        e2, "inner", num_partitions, on=("v",), right_on=("u2",)
+    ).map_batches(
+        lambda b: pa.table({"a": b.column("u"), "c": b.column("v2")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    n_wedges = wedges.count()
+    if n_wedges:
+        closed = wedges.join(
+            edges, "inner", num_partitions, on=("a", "c"), right_on=("u", "v")
+        )
+        n_tri = closed.count()
+    else:
+        n_tri = 0
     trans = (n_tri * 1000) // n_wedges if n_wedges else 0
     return pa.table(
         {

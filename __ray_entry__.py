@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_errors": CQ.crawl_errors,
         "crawl_metrics": CQ.crawl_metrics,
         "crawl_host_stats": CQ.crawl_host_stats,
+        "crawl_politeness_audit": CQ.crawl_politeness_audit,
         "crawl_forms_roundtrip": CQ.crawl_forms_roundtrip,
         "crawl_cookies": CQ.crawl_cookies,
         "forms_extract": CQ.forms_extract,
@@ -544,6 +545,19 @@ def _crawl_oracle_sql() -> dict[str, str]:
                    cast(min(round) as bigint) AS first_round
             FROM read_parquet('{web}/trace.parquet')
             GROUP BY host ORDER BY host
+        """,
+        # per-host politeness audit: peak per-round rate + activity span
+        "crawl_politeness_audit": f"""
+            WITH pr AS (
+                SELECT split_part(url, '/', 3) AS host, round,
+                       cast(count(*) as bigint) AS c
+                FROM read_parquet('{web}/trace.parquet')
+                GROUP BY host, round
+            )
+            SELECT host, cast(sum(c) as bigint) AS n_fetched,
+                   cast(max(c) as bigint) AS peak_round_fetches,
+                   cast(count(*) as bigint) AS n_rounds_active
+            FROM pr GROUP BY host ORDER BY host
         """,
         "crawl_forms_roundtrip": f"""
             SELECT url, depth, fields

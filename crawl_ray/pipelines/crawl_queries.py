@@ -34,6 +34,7 @@ __all__ = [
     "crawl_errors",
     "crawl_metrics",
     "crawl_host_stats",
+    "crawl_politeness_audit",
     "crawl_forms_roundtrip",
     "crawl_cookies",
     "forms_extract",
@@ -558,3 +559,66 @@ def crawl_depth_histogram(sf_dir: str):
     return partial_then_final_sum(
         ds, ["depth"], {}, count_name="n_records"
     ).sort_by("depth")
+
+
+def crawl_politeness_audit(sf_dir: str):
+    """Per-host politeness audit (ST5 observability): total fetches,
+    PEAK per-round fetches, and rounds active — the table an operator
+    reads to confirm the token buckets held (peak ≤ per-host budget)
+    and to spot hosts that dominate rounds (salting candidates).
+    Same trace source and partial-combine shape as
+    :func:`crawl_host_stats`; the (host × round) key space is bounded
+    by the crawl config, not the URL count."""
+    from urllib.parse import urlsplit
+
+    from crawl_ray.util import collect_table
+
+    result = _run_flagship_cached(sf_dir)
+    files = sorted(
+        str(f)
+        for f in pathlib.Path(result.workdir).glob("round=*/trace/*.parquet")
+    )
+    empty = pa.table(
+        {"host": pa.array([], pa.string()),
+         "n_fetched": pa.array([], pa.int64()),
+         "peak_round_fetches": pa.array([], pa.int64()),
+         "n_rounds_active": pa.array([], pa.int64())}
+    )
+    if not files:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = [urlsplit(u).netloc for u in batch.column("url").to_pylist()]
+        t = pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "round": batch.column("round").cast(pa.int64()),
+                "c": pa.array([1] * len(hosts), pa.int64()),
+            }
+        )
+        g = t.group_by(["host", "round"]).aggregate([("c", "sum")])
+        return g.rename_columns(
+            [{"c_sum": "c"}.get(c, c) for c in g.column_names]
+        )
+
+    parts = collect_table(
+        ray.data.read_parquet(files).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    per_round = parts.group_by(["host", "round"]).aggregate([("c", "sum")])
+    per_round = per_round.rename_columns(
+        [{"c_sum": "c"}.get(c, c) for c in per_round.column_names]
+    )
+    out = per_round.group_by(["host"]).aggregate(
+        [("c", "sum"), ("c", "max"), ("round", "count")]
+    )
+    renames = {
+        "c_sum": "n_fetched",
+        "c_max": "peak_round_fetches",
+        "round_count": "n_rounds_active",
+    }
+    out = out.rename_columns([renames.get(c, c) for c in out.column_names])
+    return out.select(
+        ["host", "n_fetched", "peak_round_fetches", "n_rounds_active"]
+    ).sort_by("host")

@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_data": S.events_late_data,
         "events_lead_lag": S.events_lead_lag,
         "events_gap_stats": S.events_gap_stats,
+        "event_transition_matrix": S.event_transition_matrix,
         "sessionize": S.sessionize,
         "sessionize_bucketed": S.sessionize_bucketed,
         "events_window_distinct": S.events_window_distinct,
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": T.langid_confusion,
         "quality_ks_test": T.quality_ks_test,
         "length_histogram": T.length_histogram,
+        "source_token_budget": T.source_token_budget,
         "doc_fingerprints": T.fingerprints,
         "sample_documents": T.sample_documents,
         "stratified_sample": T.stratified_sample,
@@ -1149,6 +1151,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 9223372036854775807 END as bigint) AS tokens_hi
             FROM b GROUP BY lang, bucket ORDER BY lang, bucket
         """,
+        # per-source token accounting with exact milli-shares
+        "source_token_budget": r"""
+            WITH d AS (
+                SELECT source,
+                       cast(len(string_split_regex(trim(text), '\s+'))
+                            as bigint) AS tok
+                FROM documents
+            ), s AS (
+                SELECT source, cast(sum(tok) as bigint) AS n_tokens,
+                       cast(count(*) as bigint) AS n_docs
+                FROM d GROUP BY source
+            )
+            SELECT source, n_tokens, n_docs,
+                   cast(n_tokens * 1000 // (SELECT sum(n_tokens) FROM s)
+                        as bigint) AS token_share_milli
+            FROM s ORDER BY source
+        """,
         # per-type inter-arrival gaps (LAG per user), exact median via
         # quantile_disc rank math + truncating mean in milli-seconds
         "events_gap_stats": """
@@ -1166,6 +1185,21 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(gap_s) * 1000 // count(*) as bigint)
                        AS mean_gap_milli_s
             FROM v GROUP BY event_type ORDER BY event_type
+        """,
+        # first-order Markov transition counts per user (LAG over type)
+        "event_transition_matrix": """
+            WITH l AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type,
+                   cast(count(*) as bigint) AS n_transitions
+            FROM l WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+            ORDER BY prev_type, event_type
         """,
         # cumulative window aggregate: running revenue by order day
         "daily_revenue_running": """

@@ -43,6 +43,7 @@ __all__ = [
     "events_asof_join_bucketed",
     "events_lead_lag",
     "events_gap_stats",
+    "event_transition_matrix",
     "events_rolling_sum",
     "events_funnel",
     "events_late_data",
@@ -1273,4 +1274,78 @@ def events_gap_stats(sf_dir: str, num_partitions: int | None = None):
             "median_gap_s": pa.array(out_med, pa.int64()),
             "mean_gap_milli_s": pa.array(out_mean, pa.int64()),
         }
+    )
+
+
+def event_transition_matrix(sf_dir: str, num_partitions: int | None = None):
+    """Per-user event-type transition counts (the first-order Markov
+    matrix behind funnel design and bot detection): for every
+    consecutive pair of a user's events (ordered by ``ts, event_id``),
+    count (prev_type → type).  ONE salted-user exchange, whole-partition
+    lag kernel, bounded |types|² combiner — the categorical companion
+    to :func:`events_gap_stats`."""
+    from crawl_ray.pipelines.joins import _default_partitions
+    from crawl_ray.pipelines.stats import _splitmix64
+    from crawl_ray.util import collect_table
+
+    n_parts = num_partitions or _default_partitions()
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = _np(batch.column("user_id"))
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "us": batch.column("ts").cast(pa.int64()),
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "part": pa.array(
+                    (
+                        _splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def transitions(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"prev_type": pa.array([], pa.string()),
+             "event_type": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+        if block.num_rows < 2:
+            return empty
+        uid = _np(block.column("user_id"))
+        ts = _np(block.column("us"))
+        eid = _np(block.column("event_id"))
+        etype = block.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, etype = uid[order], etype[order]
+        same_user = uid[1:] == uid[:-1]
+        t = pa.table(
+            {
+                "prev_type": pa.array(etype[:-1][same_user], pa.string()),
+                "event_type": pa.array(etype[1:][same_user], pa.string()),
+                "n": pa.array(np.ones(int(same_user.sum()), dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["prev_type", "event_type"]).aggregate([("n", "sum")])
+        return rename_select(
+            out,
+            {"prev_type": "prev_type", "event_type": "event_type", "n_sum": "n"},
+        )
+
+    partials = collect_table(
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(transitions, batch_format="pyarrow")
+    )
+    out = partials.group_by(["prev_type", "event_type"]).aggregate([("n", "sum")])
+    out = rename_select(
+        out,
+        {"prev_type": "prev_type", "event_type": "event_type", "n_sum": "n_transitions"},
+    )
+    return out.sort_by(
+        [("prev_type", "ascending"), ("event_type", "ascending")]
     )

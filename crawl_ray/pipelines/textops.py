@@ -44,6 +44,7 @@ __all__ = [
     "langid_confusion",
     "quality_ks_test",
     "length_histogram",
+    "source_token_budget",
     "tfidf_top_terms",
     "bpe_token_stats",
     "training_corpus_prep",
@@ -1639,6 +1640,47 @@ def length_histogram(sf_dir: str):
     agg = agg.append_column("tokens_lo", pa.array(lo[b], pa.int64()))
     agg = agg.append_column("tokens_hi", pa.array(hi[b], pa.int64()))
     return agg.sort_by([("lang", "ascending"), ("bucket", "ascending")])
+
+
+def source_token_budget(sf_dir: str):
+    """Corpus accounting before mixture design: per-source doc count,
+    token total, and exact milli-fraction of the corpus token budget —
+    the table that feeds :func:`corpus_mixture` weights.  Bounded
+    per-source partials, one corpus pass, zero row shuffle."""
+    from crawl_ray.pipelines.relational import partial_then_final_sum
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch.column("text")), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "tok": pc.list_value_length(toks).cast(pa.int64()),
+            }
+        )
+
+    agg = partial_then_final_sum(
+        _docs(sf_dir, ["text", "source"]).map_batches(
+            per_doc, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["source"],
+        {"n_tokens": lambda b: b.column("tok")},
+        count_name="n_docs",
+    )
+    total = int(pc.sum(agg.column("n_tokens")).as_py() or 0)
+    toks = agg.column("n_tokens").to_numpy(zero_copy_only=False)
+    frac = (
+        (toks.astype(object) * 1000) // total
+        if total
+        else np.zeros(len(toks), dtype=np.int64)
+    )
+    agg = agg.append_column(
+        "token_share_milli", pa.array([int(x) for x in frac], pa.int64())
+    )
+    return agg.sort_by("source")
 
 
 # GPT-2-style pre-tokenizer, simplified to an RE2 subset that Arrow and

@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": J.market_share,
         "order_priority_check": J.order_priority_check,
         "late_shipment_priority": J.late_shipment_priority,
+        "part_type_supplier_counts": J.part_type_supplier_counts,
+        "dominant_part_suppliers": J.dominant_part_suppliers,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -1685,6 +1687,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
             GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        # Q16 shape: COUNT(DISTINCT supplier) after the part join
+        "part_type_supplier_counts": """
+            SELECT p_type, p_brand,
+                   cast(count(DISTINCT l_suppkey) as bigint) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON p_partkey = l_partkey
+            GROUP BY p_type, p_brand ORDER BY p_type, p_brand
+        """,
+        # Q20 shape: cross-level share predicate (8q > part total)
+        "dominant_part_suppliers": """
+            WITH psq AS (
+                SELECT l_partkey, l_suppkey,
+                       cast(sum(cast(round(l_quantity * 100) as bigint))
+                            as bigint) AS q
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), pt AS (
+                SELECT l_partkey, sum(q) AS tot FROM psq GROUP BY l_partkey
+            )
+            SELECT DISTINCT psq.l_suppkey AS suppkey
+            FROM psq JOIN pt ON psq.l_partkey = pt.l_partkey
+            WHERE psq.q * 8 > pt.tot
+            ORDER BY suppkey
         """,
         "windowed_quantiles": """
             WITH q AS (

@@ -61,6 +61,8 @@ __all__ = [
     "market_share",
     "order_priority_check",
     "late_shipment_priority",
+    "part_type_supplier_counts",
+    "dominant_part_suppliers",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -1799,3 +1801,139 @@ def late_shipment_priority(sf_dir: str, num_partitions: int | None = None):
         },
     )
     return agg.sort_by("l_linestatus")
+
+
+def part_type_supplier_counts(sf_dir: str, num_partitions: int | None = None):
+    """Q16 shape: distinct-supplier counts per (type, brand) — the
+    COUNT(DISTINCT) **after** a join: distinct (part, supplier) pairs
+    (batch pre-dedup → pair groupby) hash-join the part dimension, the
+    joined (type, brand, supplier) triples dedup the same two-level
+    way, and the final count is the bounded (types × brands) combiner.
+    Every exchange carries deduplicated keys, never raw lineitems."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def pair_dedup(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": batch.column("l_partkey").cast(pa.int64()),
+                "l_suppkey": batch.column("l_suppkey").cast(pa.int64()),
+            }
+        )
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    ps = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pair_dedup, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_partkey", "l_suppkey"])
+        .count()
+        .drop_columns(["count()"])
+    )
+    pt = _read(sf_dir, "part", ["p_partkey", "p_type", "p_brand"]).map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b.column("p_partkey").cast(pa.int64()),
+                "p_type": b.column("p_type"),
+                "p_brand": b.column("p_brand"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = ps.join(
+        pt, "inner", num_partitions, on=("l_partkey",), right_on=("p_partkey",)
+    )
+
+    def triple_dedup(batch: pa.Table) -> pa.Table:
+        return batch.select(["p_type", "p_brand", "l_suppkey"]).group_by(
+            ["p_type", "p_brand", "l_suppkey"]
+        ).aggregate([])
+
+    triples = (
+        j.map_batches(triple_dedup, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p_type", "p_brand", "l_suppkey"])
+        .count()
+    )
+    agg = partial_then_final_sum(
+        triples.select_columns(["p_type", "p_brand"]),
+        ["p_type", "p_brand"],
+        {},
+        count_name="supplier_cnt",
+    )
+    return agg.sort_by([("p_type", "ascending"), ("p_brand", "ascending")])
+
+
+def dominant_part_suppliers(
+    sf_dir: str, num_partitions: int | None = None, share_k: int = 8
+):
+    """Q20 shape: nested aggregation with a cross-level predicate —
+    suppliers holding an outsized share (``share_k·q > total``, default
+    > 1/8) of any part's shipped quantity.  Plan: (part, supplier) quantity partials
+    (batch group_by) → ONE partkey-keyed partition shuffle whose kernel
+    computes per-part totals and the share predicate as vectorized
+    segment sums (no per-part Python) → surviving suppliers dedup
+    through the bounded supplier-keyed groupby."""
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    num_partitions = num_partitions or _default_partitions()
+
+    def psq_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": batch.column("l_partkey").cast(pa.int64()),
+                "l_suppkey": batch.column("l_suppkey").cast(pa.int64()),
+                "q": _cents(batch.column("l_quantity")),
+            }
+        )
+        out = t.group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+        out = rename_select(
+            out,
+            {"l_partkey": "l_partkey", "l_suppkey": "l_suppkey", "q_sum": "q"},
+        )
+        part = (
+            _splitmix64(
+                out.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return out.append_column("part", pa.array(part, pa.int64()))
+
+    def majority(block: pa.Table) -> pa.Table:
+        empty = pa.table({"l_suppkey": pa.array([], pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        pk = block.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = block.column("l_suppkey").to_numpy(zero_copy_only=False)
+        q = block.column("q").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, pk))
+        pk, sk, q = pk[order], sk[order], q[order]
+        # combine duplicate (part, supp) partials, then per-part totals
+        new_pair = np.ones(len(pk), dtype=bool)
+        new_pair[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        pair_id = np.cumsum(new_pair) - 1
+        pair_q = np.bincount(pair_id, weights=q.astype(np.float64)).astype(np.int64)
+        pair_pk = pk[new_pair]
+        pair_sk = sk[new_pair]
+        new_part = np.ones(len(pair_pk), dtype=bool)
+        new_part[1:] = pair_pk[1:] != pair_pk[:-1]
+        part_id = np.cumsum(new_part) - 1
+        part_tot = np.bincount(
+            part_id, weights=pair_q.astype(np.float64)
+        ).astype(np.int64)
+        keep = pair_q * share_k > part_tot[part_id]
+        return pa.table(
+            {"l_suppkey": pa.array(np.unique(pair_sk[keep]), pa.int64())}
+        )
+
+    survivors = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(psq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(majority, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .count()
+    )
+    t = collect_table(survivors)
+    if t.num_rows == 0 or "l_suppkey" not in t.column_names:
+        return pa.table({"suppkey": pa.array([], pa.int64())})
+    out = np.sort(t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64))
+    return pa.table({"suppkey": pa.array(out, pa.int64())})

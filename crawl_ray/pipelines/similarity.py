@@ -670,26 +670,32 @@ def knn_graph_stats(sf_dir: str, k: int = 10):
         return pa.table({"u": pa.array(uv[:, 0], pa.int64()),
                          "v": pa.array(uv[:, 1], pa.int64())})
 
+    from crawl_ray.util import normalize_schema
+
     num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
-    edges = (
+    i64 = pa.int64()
+    # the groupby emits ZERO-COLUMN blocks for empty hash partitions on
+    # small inputs; joins over those fail in the aggregator's Arrow join
+    # — re-emit typed blocks (coalesce merges the schema-less empties)
+    edges = normalize_schema(
         _emb(sf_dir)
         .map_batches(topk_edges, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["u", "v"])
         .count()
-        .drop_columns(["count()"])
-        .materialize()
-    )
+        .drop_columns(["count()"]),
+        {"u": i64, "v": i64},
+        coalesce=num_partitions,
+    ).materialize()
     n_edges = edges.count()
     # wedges a<b<c: (a,b) joins (b,c) on the middle vertex
-    e2 = edges.map_batches(
-        lambda b: pa.table({"u2": b.column("u"), "v2": b.column("v")}),
-        batch_format="pyarrow", zero_copy_batch=True,
+    e2 = normalize_schema(
+        edges, {"u2": i64, "v2": i64}, rename={"u": "u2", "v": "v2"},
+        coalesce=num_partitions,
     )
-    wedges = edges.join(
-        e2, "inner", num_partitions, on=("v",), right_on=("u2",)
-    ).map_batches(
-        lambda b: pa.table({"a": b.column("u"), "c": b.column("v2")}),
-        batch_format="pyarrow", zero_copy_batch=True,
+    wedges = normalize_schema(
+        edges.join(e2, "inner", num_partitions, on=("v",), right_on=("u2",)),
+        {"a": i64, "c": i64}, rename={"u": "a", "v2": "c"},
+        coalesce=num_partitions,
     ).materialize()
     n_wedges = wedges.count()
     closed = wedges.join(

@@ -1,0 +1,102 @@
+"""Edge-case tests for the round-3 analytics operators (planted values,
+ties, singletons) — complements the sf-data oracle gate."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crawl_ray.pipelines import similarity as SIM
+from crawl_ray.pipelines import streams as S
+from crawl_ray.pipelines import textops as T
+
+
+def _events(tmp_path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_gap_stats_planted_and_singletons(tmp_path, ray_session):
+    # user 1: events at t=0, 10s, 40s (gaps 10 and 30, types b and c);
+    # user 2: a single event (no gaps); ties broken by event_id
+    rows = [
+        (1, 0, 1, "a"),
+        (2, 10_000_000, 1, "b"),
+        (3, 40_000_000, 1, "c"),
+        (4, 5_000_000, 2, "a"),
+    ]
+    d = _events(tmp_path, rows)
+    out = S.events_gap_stats(d).to_pandas().set_index("event_type")
+    assert set(out.index) == {"b", "c"}
+    assert out.loc["b"].median_gap_s == 10
+    assert out.loc["c"].median_gap_s == 30
+    assert out.loc["b"].n_gaps == 1
+
+
+def test_gap_stats_ts_tie_ordered_by_event_id(tmp_path, ray_session):
+    # two events at the SAME ts: order by event_id -> gap 0 attributed
+    # to the higher event_id's type
+    rows = [(1, 1_000_000, 7, "x"), (2, 1_000_000, 7, "y")]
+    d = _events(tmp_path, rows)
+    out = S.events_gap_stats(d).to_pandas()
+    assert list(out.event_type) == ["y"]
+    assert list(out.median_gap_s) == [0]
+
+
+def test_transition_matrix_planted(tmp_path, ray_session):
+    # user 1: a->b->a; user 2: b->b
+    rows = [
+        (1, 0, 1, "a"), (2, 1_000_000, 1, "b"), (3, 2_000_000, 1, "a"),
+        (4, 0, 2, "b"), (5, 9_000_000, 2, "b"),
+    ]
+    d = _events(tmp_path, rows)
+    out = S.event_transition_matrix(d).to_pandas()
+    got = {(r.prev_type, r.event_type): r.n_transitions for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_ccnet_buckets_single_lang_small_n(tmp_path, ray_session):
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([0, 1], pa.int64()),
+             "text": pa.array(["a a", "a b"], pa.string()),
+             "lang": pa.array(["en", "en"], pa.string())}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = T.ccnet_buckets(str(tmp_path)).to_pandas()
+    assert len(out) == 2
+    assert set(out.bucket) <= {"head", "middle", "tail"}
+    # lower-NLL doc must not land in a later bucket than the higher one
+    by_doc = out.set_index("doc_id")
+    assert by_doc.loc[0, "avg_nll_milli"] <= by_doc.loc[1, "avg_nll_milli"]
+
+
+def test_knn_graph_triangle_planted(tmp_path, ray_session):
+    # 3 near-identical vectors (one triangle) + 1 orthogonal outlier
+    vecs = [
+        [1.0, 0.0, 0.0], [0.999, 0.01, 0.0], [0.998, 0.02, 0.0],
+        [0.0, 1.0, 0.0],
+    ]
+    pq.write_table(
+        pa.table(
+            {"vec_id": pa.array(range(4), pa.int64()),
+             "embedding": pa.array(vecs, pa.list_(pa.float32()))}
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    out = SIM.knn_graph_stats(str(tmp_path), k=2).to_pandas().iloc[0]
+    # k=2 connects everything to the cluster; the planted triangle exists
+    assert out.n_nodes == 4
+    assert out.n_triangles >= 1
+    assert out.n_edges >= 3

@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_priority": J.late_shipment_priority,
         "part_type_supplier_counts": J.part_type_supplier_counts,
         "dominant_part_suppliers": J.dominant_part_suppliers,
+        "product_profit": J.product_profit,
+        "min_cost_supplier": J.min_cost_supplier,
+        "important_parts": J.important_parts,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -1710,6 +1713,65 @@ def oracle_sql() -> dict[str, str]:
             FROM psq JOIN pt ON psq.l_partkey = pt.l_partkey
             WHERE psq.q * 8 > pt.tot
             ORDER BY suppkey
+        """,
+        # Q9 shape: 5-way star join, profit = revenue_cc - retail-cost
+        # (no partsupp in the testdata: unit cost = p_retailprice)
+        "product_profit": """
+            SELECT n.n_name AS nation,
+                   cast(year(o.o_orderdate) as bigint) AS o_year,
+                   cast(sum(
+                       cast(round(l.l_extendedprice * 100) as bigint)
+                       * (100 - cast(round(l.l_discount * 100) as bigint))
+                       - (cast(round(p.p_retailprice * 100) as bigint)
+                          * cast(round(l.l_quantity * 100) as bigint)) // 100
+                   ) as bigint) AS profit_cc
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY 1, 2 DESC
+        """,
+        # Q2 shape: groupwise-min supplier per part in a region
+        # (pairs derived from lineitem; cost proxy = s_acctbal)
+        "min_cost_supplier": """
+            WITH pairs AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ), cand AS (
+                SELECT pr.l_partkey AS p_partkey,
+                       cast(round(s.s_acctbal * 100) as bigint)
+                           AS s_acctbal_cents,
+                       s.s_name, n.n_name,
+                       row_number() OVER (
+                           PARTITION BY pr.l_partkey
+                           ORDER BY s.s_acctbal ASC, s.s_suppkey ASC
+                       ) AS rn
+                FROM pairs pr
+                JOIN supplier s ON s.s_suppkey = pr.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = 'EUROPE'
+            )
+            SELECT s_acctbal_cents, s_name, n_name, p_partkey
+            FROM cand WHERE rn = 1
+            ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+        """,
+        # Q11 shape: global-scalar share predicate over grouped sums
+        "important_parts": """
+            WITH pv AS (
+                SELECT l.l_partkey AS p_partkey,
+                       cast(sum(cast(round(l.l_extendedprice * 100)
+                                     as bigint)) as bigint) AS value_c
+                FROM lineitem l
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                WHERE n.n_name = 'NATION_1'
+                GROUP BY 1
+            )
+            SELECT p_partkey, value_c FROM pv
+            WHERE value_c * 1000 > (SELECT sum(value_c) FROM pv)
+            ORDER BY value_c DESC, p_partkey
         """,
         "windowed_quantiles": """
             WITH q AS (

@@ -63,6 +63,9 @@ __all__ = [
     "late_shipment_priority",
     "part_type_supplier_counts",
     "dominant_part_suppliers",
+    "product_profit",
+    "min_cost_supplier",
+    "important_parts",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -1937,3 +1940,372 @@ def dominant_part_suppliers(
         return pa.table({"suppkey": pa.array([], pa.int64())})
     out = np.sort(t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64))
     return pa.table({"suppkey": pa.array(out, pa.int64())})
+
+
+def product_profit(
+    sf_dir: str,
+    name_token: str = "red",
+    num_partitions: int | None = None,
+):
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    whose name contains ``name_token`` — the 5-way star join with TWO
+    fact-sized exchanges.
+
+    The testdata has no partsupp table, so unit cost is the part's
+    retail price (profit_cc = revenue_cc − cents(p_retailprice) ×
+    units); the PLAN is the Q9 plan regardless of the cost column.
+    Join order is chosen by side size: the name-filtered part
+    projection joins lineitem FIRST (prunes the fact table before the
+    second exchange, the Q7 lesson at joins.py:828), orders arrives via
+    the second hash join for the year, and the supplier → nationkey map
+    is a broadcast lookup array (supplier is the small dimension —
+    never shuffled).  (nation, year) cells are bounded → driver
+    combine.  All arithmetic is exact integer cents so the DuckDB
+    oracle agrees bit-for-bit.  Reference shape: crawl has no SQL; this
+    covers the multi-join analytics surface of SURVEY §2.7."""
+    import pyarrow.parquet as pq_
+
+    num_partitions = num_partitions or _default_partitions()
+
+    # part side: name-filtered keys + retail cents (columns pruned at read)
+    def part_side(b: pa.Table) -> pa.Table:
+        mask = pc.match_substring(b.column("p_name"), name_token)
+        b = b.filter(mask)
+        return pa.table(
+            {
+                "p_partkey": b.column("p_partkey").cast(pa.int64()),
+                "retail_c": _cents(b.column("p_retailprice")),
+            }
+        )
+
+    # an ALL-empty join side loses its schema in Ray's hash join
+    # (ArrowInvalid FieldRef, the Q7 lesson) — dimension-sized probe
+    n_match = pc.sum(
+        pc.match_substring(
+            pq_.read_table(f"{sf_dir}/part.parquet", columns=["p_name"])
+            .column("p_name"),
+            name_token,
+        ).cast(pa.int64())
+    ).as_py()
+    if not n_match:
+        return pa.table(
+            {"nation": pa.array([], pa.string()),
+             "o_year": pa.array([], pa.int64()),
+             "profit_cc": pa.array([], pa.int64())}
+        )
+    pt = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).map_batches(
+        part_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # supplier → nationkey broadcast lookup (dimension-sized)
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    snat = np.full(int(skeys.max()) + 1, -1, dtype=np.int64)
+    snat[skeys] = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet")
+    name_by_key = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()}
+    nname = np.array(
+        [name_by_key.get(i, "") for i in range(max(name_by_key) + 1)], dtype=object
+    )
+    side_ref = ray.put((snat, nname))
+
+    def li_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+                "l_partkey": b.column("l_partkey").cast(pa.int64()),
+                "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
+                "qty_c": _cents(b.column("l_quantity")),
+                "revenue_cc": _revenue_cc(b),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    ).map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    j1 = normalize_schema(
+        li.join(pt, "inner", num_partitions,
+                on=("l_partkey",), right_on=("p_partkey",)),
+        {
+            "l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
+            "qty_c": pa.int64(), "revenue_cc": pa.int64(),
+            "retail_c": pa.int64(),
+        },
+        coalesce=num_partitions,
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "o_us": b.column("o_orderdate").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j2 = j1.join(
+        orders, "inner", num_partitions, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def resolve(b: pa.Table) -> pa.Table:
+        sn, names = ray.get(side_ref)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = sn[np.clip(sk, 0, len(sn) - 1)]
+        us = b.column("o_us").to_numpy(zero_copy_only=False).astype(np.int64)
+        year = (
+            us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        rev = b.column("revenue_cc").to_numpy(zero_copy_only=False)
+        # cost in the SAME centi-cent unit: cents(retail) × cents(qty) / 100
+        # stays integral because qty is integral (cents(qty) ≡ qty×100)
+        cost = (
+            b.column("retail_c").to_numpy(zero_copy_only=False)
+            * b.column("qty_c").to_numpy(zero_copy_only=False)
+        ) // 100
+        return pa.table(
+            {
+                "nation": pa.array(names[nk].tolist(), pa.string()),
+                "o_year": pa.array(year, pa.int64()),
+                "profit_cc": pa.array(rev - cost, pa.int64()),
+            }
+        )
+
+    cells = j2.map_batches(resolve, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial_then_final_sum(
+        cells, ["nation", "o_year"],
+        {"profit_cc": lambda b: b.column("profit_cc")},
+    )
+    return agg.sort_by([("nation", "ascending"), ("o_year", "descending")])
+
+
+def min_cost_supplier(
+    sf_dir: str,
+    region: str = "EUROPE",
+    num_partitions: int | None = None,
+):
+    """TPC-H Q2 shape: for every part, the cheapest qualifying supplier
+    in a region — the correlated groupwise-MIN subquery.
+
+    The testdata has no partsupp, so "supplies part P" is derived from
+    the observed lineitem pairs and "cost" is the supplier's account
+    balance (ascending — lower balance wins; unique in the generator
+    but suppkey tie-break keeps the plan total-order deterministic).
+
+    Plan: lineitem pre-combines per batch to DISTINCT (partkey,
+    suppkey) pairs (the pair universe is bounded by parts × suppliers,
+    a fraction of the fact table), region-filtered supplier attrs are a
+    broadcast lookup (dimension-sized), and the groupwise argmin is ONE
+    splitmix-partitioned shuffle with a vectorized lexsort segment
+    kernel per partition — never a self-join back, never per-part
+    Python.  Output is one row per part with a qualifying supplier."""
+    import pyarrow.parquet as pq_
+
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    num_partitions = num_partitions or _default_partitions()
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq_.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {
+        r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == region
+    }
+    nat_rows = nat.to_pylist()
+    nkeys = {r["n_nationkey"] for r in nat_rows if r["n_regionkey"] in rkeys}
+    nname = {r["n_nationkey"]: r["n_name"] for r in nat_rows}
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_name", "s_acctbal"],
+    )
+    skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = int(skeys.max()) + 1
+    s_nat = np.full(hi, -1, dtype=np.int64)
+    s_nat[skeys] = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+    s_bal = np.zeros(hi, dtype=np.int64)
+    s_bal[skeys] = (
+        _cents(sup.column("s_acctbal")).to_numpy(zero_copy_only=False)
+    )
+    s_names = np.array([""] * hi, dtype=object)
+    s_names[skeys] = np.array(
+        sup.column("s_name").to_pylist(), dtype=object
+    )
+    in_region = np.zeros(hi, dtype=bool)
+    for k in skeys:
+        in_region[k] = s_nat[k] in nkeys
+    side_ref = ray.put((in_region, s_bal))
+
+    def pairs_partial(b: pa.Table) -> pa.Table:
+        keep, _bal = ray.get(side_ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = keep[np.clip(sk, 0, len(keep) - 1)]
+        pk, sk = pk[mask], sk[mask]
+        if not len(pk):
+            return pa.table(
+                {"pk": pa.array([], pa.int64()), "sk": pa.array([], pa.int64()),
+                 "part": pa.array([], pa.int64())}
+            )
+        uniq = np.unique(np.stack([pk, sk], axis=1), axis=0)
+        part = (
+            _splitmix64(uniq[:, 0].astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {"pk": pa.array(uniq[:, 0], pa.int64()),
+             "sk": pa.array(uniq[:, 1], pa.int64()),
+             "part": pa.array(part, pa.int64())}
+        )
+
+    def argmin_per_part(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pk": pa.array([], pa.int64()), "sk": pa.array([], pa.int64())}
+        )
+        if block.num_rows == 0:
+            return empty
+        _keep, bal = ray.get(side_ref)
+        pk = block.column("pk").to_numpy(zero_copy_only=False)
+        sk = block.column("sk").to_numpy(zero_copy_only=False)
+        # groupwise argmin: sort by (part, balance, suppkey), keep heads
+        order = np.lexsort((sk, bal[sk], pk))
+        pk, sk = pk[order], sk[order]
+        head = np.ones(len(pk), dtype=bool)
+        head[1:] = pk[1:] != pk[:-1]
+        return pa.table(
+            {"pk": pa.array(pk[head], pa.int64()),
+             "sk": pa.array(sk[head], pa.int64())}
+        )
+
+    winners = collect_table(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pairs_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(argmin_per_part, batch_format="pyarrow")
+    )
+    if winners.num_rows == 0 or "pk" not in winners.column_names:
+        return pa.table(
+            {"s_acctbal_cents": pa.array([], pa.int64()),
+             "s_name": pa.array([], pa.string()),
+             "n_name": pa.array([], pa.string()),
+             "p_partkey": pa.array([], pa.int64())}
+        )
+    pk = winners.column("pk").to_numpy(zero_copy_only=False).astype(np.int64)
+    sk = winners.column("sk").to_numpy(zero_copy_only=False).astype(np.int64)
+    bal = s_bal[sk]
+    names = s_names[sk]
+    nns = np.array([nname.get(int(n), "") for n in s_nat[sk]], dtype=object)
+    # Q2 ordering: balance desc, nation, supplier, part (total order —
+    # one row per part)
+    order = np.lexsort((pk, names, nns, -bal))
+    return pa.table(
+        {
+            "s_acctbal_cents": pa.array(bal[order], pa.int64()),
+            "s_name": pa.array(names[order].tolist(), pa.string()),
+            "n_name": pa.array(nns[order].tolist(), pa.string()),
+            "p_partkey": pa.array(pk[order], pa.int64()),
+        }
+    )
+
+
+def important_parts(
+    sf_dir: str,
+    nation: str = "NATION_1",
+    permille: int = 1000,
+    num_partitions: int | None = None,
+):
+    """TPC-H Q11 shape: parts whose traded value (from one nation's
+    suppliers) exceeds a fixed fraction of the GLOBAL total — the
+    global-scalar-subquery + grouped-sum plan.
+
+    Plan: the nation's supplier keys are a broadcast membership array
+    that prunes lineitem per batch BEFORE any exchange; per-batch
+    partials pre-combine (partkey → Σ value cents) so the single
+    splitmix-partitioned shuffle carries one row per (partkey, block);
+    per-partition segment sums produce exact per-part values, the
+    grand total is the driver's O(parts) reduce over those bounded
+    rows, and the share filter ``value·permille > total`` is exact
+    integer — no float division to diverge from the oracle.  One
+    shuffle total; nothing fact-sized is materialized."""
+    import pyarrow.parquet as pq_
+
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    num_partitions = num_partitions or _default_partitions()
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet")
+    nkeys = {
+        r["n_nationkey"] for r in nat.to_pylist() if r["n_name"] == nation
+    }
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = int(skeys.max()) + 1
+    keep = np.zeros(hi, dtype=bool)
+    snat = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+    for k, n in zip(skeys, snat):
+        keep[k] = int(n) in nkeys
+    keep_ref = ray.put(keep)
+
+    def value_partial(b: pa.Table) -> pa.Table:
+        kp = ray.get(keep_ref)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = kp[np.clip(sk, 0, len(kp) - 1)]
+        b = b.filter(pa.array(mask))
+        t = pa.table(
+            {
+                "pk": b.column("l_partkey").cast(pa.int64()),
+                "value_c": _cents(b.column("l_extendedprice")),
+            }
+        )
+        out = rename_select(
+            t.group_by("pk").aggregate([("value_c", "sum")]),
+            {"pk": "pk", "value_c_sum": "value_c"},
+        )
+        part = (
+            _splitmix64(
+                out.column("pk").to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return out.append_column("part", pa.array(part, pa.int64()))
+
+    def per_part_sum(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"p_partkey": pa.array([], pa.int64()),
+             "value_c": pa.array([], pa.int64())}
+        )
+        if block.num_rows == 0:
+            return empty
+        pk = block.column("pk").to_numpy(zero_copy_only=False)
+        v = block.column("value_c").to_numpy(zero_copy_only=False)
+        upk, inv = np.unique(pk, return_inverse=True)
+        sums = np.bincount(inv, weights=v.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {"p_partkey": pa.array(upk, pa.int64()),
+             "value_c": pa.array(sums, pa.int64())}
+        )
+
+    per_part = collect_table(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(value_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(per_part_sum, batch_format="pyarrow")
+    )
+    if per_part.num_rows == 0 or "p_partkey" not in per_part.column_names:
+        return pa.table(
+            {"p_partkey": pa.array([], pa.int64()),
+             "value_c": pa.array([], pa.int64())}
+        )
+    pk = per_part.column("p_partkey").to_numpy(zero_copy_only=False)
+    v = per_part.column("value_c").to_numpy(zero_copy_only=False)
+    total = int(v.sum())
+    sel = v * permille > total
+    pk, v = pk[sel], v[sel]
+    order = np.lexsort((pk, -v))
+    return pa.table(
+        {"p_partkey": pa.array(pk[order], pa.int64()),
+         "value_c": pa.array(v[order], pa.int64())}
+    )

@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_threshold_sweep": DD.dedup_threshold_sweep,
         "containment_pairs": DD.containment_pairs,
         "duplicated_ngrams": T.duplicated_ngrams,
+        "duplicate_spans": T.duplicate_spans,
+        "remove_duplicate_spans": T.remove_duplicate_spans,
         "cross_source_overlap": T.cross_source_overlap,
         "fuzzy_decontam": T.fuzzy_decontam,
         "gopher_rules": T.gopher_rules,
@@ -2440,6 +2442,84 @@ def oracle_sql() -> dict[str, str]:
                              ELSE per.dup_grams * 1000 // per.n_grams
                         END AS BIGINT) AS dup_frac_milli
             FROM t LEFT JOIN per USING (doc_id)
+        """,
+        # ExactSubstr (Lee et al.) maximal duplicated k-gram spans,
+        # k=8, 0-based inclusive token indices
+        "duplicate_spans": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), p AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - 6)) AS i
+                FROM t WHERE len(toks) >= 8
+            ), g AS (
+                SELECT doc_id, i,
+                       array_to_string(toks[i:i+7], ' ') AS gram
+                FROM p
+            ), dup AS (
+                SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+            ), f AS (
+                SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)
+            ), m AS (
+                SELECT doc_id, i,
+                       CASE WHEN i - lag(i) OVER (
+                                PARTITION BY doc_id ORDER BY i) < 8
+                            THEN 0 ELSE 1 END AS brk
+                FROM f
+            ), grp AS (
+                SELECT doc_id, i,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS UNBOUNDED PRECEDING) AS gid
+                FROM m
+            )
+            SELECT doc_id,
+                   cast(min(i) - 1 AS BIGINT) AS span_start,
+                   cast(max(i) + 6 AS BIGINT) AS span_end
+            FROM grp GROUP BY doc_id, gid
+            ORDER BY doc_id, span_start
+        """,
+        # ExactSubstr trim: corpus with duplicated spans cut out
+        "remove_duplicate_spans": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), p AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - 6)) AS i
+                FROM t WHERE len(toks) >= 8
+            ), g AS (
+                SELECT doc_id, i,
+                       array_to_string(toks[i:i+7], ' ') AS gram
+                FROM p
+            ), dup AS (
+                SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+            ), f AS (
+                SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)
+            ), tok AS (
+                SELECT doc_id, unnest(toks) AS w,
+                       unnest(range(1, len(toks) + 1)) AS j
+                FROM t
+            ), dropped AS (
+                SELECT DISTINCT tk.doc_id, tk.j
+                FROM tok tk JOIN f
+                  ON f.doc_id = tk.doc_id
+                 AND tk.j BETWEEN f.i AND f.i + 7
+            )
+            SELECT tk.doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN d.j IS NULL THEN tk.w END,
+                       ' ' ORDER BY tk.j), '') AS text_clean,
+                   cast(count(*) FILTER (d.j IS NULL) AS BIGINT)
+                       AS n_kept_tokens,
+                   cast(count(*) FILTER (d.j IS NOT NULL) AS BIGINT)
+                       AS n_dropped_tokens
+            FROM tok tk LEFT JOIN dropped d
+              ON d.doc_id = tk.doc_id AND d.j = tk.j
+            GROUP BY tk.doc_id
+            ORDER BY tk.doc_id
         """,
         # source-pair distinct-k-gram overlap (contamination matrix);
         # zero-overlap pairs omitted (inner join)

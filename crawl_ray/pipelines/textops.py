@@ -49,6 +49,8 @@ __all__ = [
     "bpe_token_stats",
     "training_corpus_prep",
     "duplicated_ngrams",
+    "duplicate_spans",
+    "remove_duplicate_spans",
     "cross_source_overlap",
     "fuzzy_decontam",
     "gopher_rules",
@@ -2652,3 +2654,221 @@ def token_entropy(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         entropy, batch_format="pyarrow", zero_copy_batch=True
     ).sort("doc_id")
+
+
+def _flagged_gram_starts(sf_dir: str, k: int, num_partitions: int):
+    """Dataset of ``(doc_id, pos, part2)``: the 0-based token position of
+    every word-``k``-gram occurrence whose gram occurs ≥ 2 times in the
+    corpus (within-doc repeats count, as in Lee et al.'s ExactSubstr).
+
+    Shared candidate stage of :func:`duplicate_spans` /
+    :func:`remove_duplicate_spans`.  Shape: per-batch vectorized gram
+    construction → ONE ``hash(gram) % P`` shuffle (a gram's occurrences
+    all land in one partition, so the ≥2 test is exact) → flagged
+    positions re-keyed by ``doc_id % P`` for the per-doc stage.  The
+    shuffle carries one row per token occurrence — the same volume as
+    :func:`duplicated_ngrams`, never all-pairs."""
+    from crawl_ray.urlnorm import fnv1a64_batch
+
+    P = num_partitions
+    _empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "pos": pa.array([], pa.int64()),
+         "gram": pa.array([], pa.int64()),
+         "part": pa.array([], pa.int64())}
+    )
+
+    def positions(batch: pa.Table) -> pa.Table:
+        doc_ids, flat, lens = _token_lists(batch)
+        grams, doc_idx = _gram_arrays(flat, lens, k)
+        if not len(grams):
+            return _empty
+        gh = fnv1a64_batch(grams).view(np.int64)
+        n_grams = np.maximum(lens - k + 1, 0)
+        pos = np.arange(len(gh), dtype=np.int64) - np.repeat(
+            np.cumsum(n_grams) - n_grams, n_grams
+        )
+        part = (gh.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(doc_ids[doc_idx], pa.int64()),
+             "pos": pa.array(pos, pa.int64()),
+             "gram": pa.array(gh, pa.int64()),
+             "part": pa.array(part, pa.int64())}
+        )
+
+    def flag(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "pos": pa.array([], pa.int64()),
+             "part2": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0 or "gram" not in group.column_names:
+            return empty
+        gram = group.column("gram").to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(gram, return_inverse=True, return_counts=True)
+        keep = cnt[inv] >= 2
+        if not keep.any():
+            return empty
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        pos = group.column("pos").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {"doc_id": pa.array(doc, pa.int64()),
+             "pos": pa.array(pos, pa.int64()),
+             "part2": pa.array(doc % P, pa.int64())}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(positions, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(flag, batch_format="pyarrow")
+    )
+
+
+def duplicate_spans(sf_dir: str, k: int = 8, num_partitions: int = 32):
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") at
+    word-``k``-gram granularity: for every document, the maximal token
+    spans covered by k-grams that occur ≥ 2 times anywhere in the
+    corpus (suffix-array semantics at gram resolution — overlapping
+    flagged grams merge into one span; a new span starts when the gap
+    between flagged start positions reaches ``k``).
+
+    Output: one row per maximal span — ``(doc_id, span_start,
+    span_end)``, token indices 0-based inclusive.
+
+    Scale shape: the :func:`_flagged_gram_starts` shuffle pair; the
+    span merge is a vectorized lexsort + gap-break segment kernel per
+    ``doc_id % P`` partition — never per-document Python."""
+    flagged = _flagged_gram_starts(sf_dir, k, num_partitions)
+
+    def spans(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "span_start": pa.array([], pa.int64()),
+             "span_end": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return empty
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        brk = np.ones(len(doc), dtype=bool)
+        brk[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] >= k)
+        gid = np.cumsum(brk) - 1
+        head = np.flatnonzero(brk)
+        tail = np.append(head[1:] - 1, len(doc) - 1)
+        return pa.table(
+            {"doc_id": pa.array(doc[head], pa.int64()),
+             "span_start": pa.array(pos[head], pa.int64()),
+             "span_end": pa.array(pos[tail] + k - 1, pa.int64())}
+        )
+
+    return flagged.groupby("part2").map_groups(spans, batch_format="pyarrow")
+
+
+def remove_duplicate_spans(sf_dir: str, k: int = 8, num_partitions: int = 32):
+    """The ExactSubstr dedup DELIVERABLE: the corpus with every
+    duplicated token span (see :func:`duplicate_spans`) cut out —
+    tokens covered by any ≥2-occurrence ``k``-gram are dropped from
+    every occurrence, the conservative trim.  Reconstructed text is
+    space-joined surviving tokens in order (tokenizer ≡ the oracle's
+    ``string_split_regex(trim(text), '\\s+')``, so whitespace is
+    normalized on both sides identically).
+
+    Output: ``(doc_id, text_clean, n_kept_tokens, n_dropped_tokens)``
+    — one row per document, including span-free and fully-dropped docs.
+
+    Scale shape: flagged positions (duplication-bounded) and the
+    documents table are re-keyed by the SAME ``doc_id % P`` and meet in
+    one co-partitioned groupby — no broadcast of either side, no
+    driver materialization; the cut is a delta-array / cumsum coverage
+    kernel + one Arrow ``binary_join`` per partition."""
+    P = num_partitions
+    flagged = _flagged_gram_starts(sf_dir, k, P).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"),
+             "pos": b.column("pos"),
+             "text": pa.array([None] * b.num_rows, pa.string()),
+             "part2": b.column("part2")}
+        ) if b.num_rows and "doc_id" in b.column_names else pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "pos": pa.array([], pa.int64()),
+             "text": pa.array([], pa.string()),
+             "part2": pa.array([], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id").cast(pa.int64()),
+             "pos": pa.array(
+                 np.full(b.num_rows, -1, dtype=np.int64), pa.int64()
+             ),
+             "text": b.column("text"),
+             "part2": pa.array(
+                 b.column("doc_id").to_numpy(zero_copy_only=False)
+                 .astype(np.int64) % P,
+                 pa.int64(),
+             )}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "text_clean": pa.array([], pa.string()),
+             "n_kept_tokens": pa.array([], pa.int64()),
+             "n_dropped_tokens": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return empty
+        is_doc = pc.equal(group.column("pos"), pa.scalar(-1, pa.int64()))
+        drows = group.filter(is_doc)
+        if drows.num_rows == 0:
+            return empty
+        doc_ids, flat, lens = _token_lists(drows)
+        dorder = np.argsort(doc_ids)
+        doc_ids_s = doc_ids[dorder]
+        # token slot layout follows the drows row order (not doc order)
+        offs = np.cumsum(lens) - lens
+        total = int(lens.sum())
+        covered = np.zeros(total + 1, dtype=np.int64)
+        frows = group.filter(pc.invert(is_doc))
+        if frows.num_rows:
+            fdoc = frows.column("doc_id").to_numpy(zero_copy_only=False)
+            fpos = frows.column("pos").to_numpy(zero_copy_only=False)
+            ridx = dorder[np.searchsorted(doc_ids_s, fdoc)]
+            # flagged gram at pos covers tokens [pos, pos+k-1]; grams
+            # never overrun their doc by construction
+            starts = offs[ridx] + fpos
+            ends = starts + k  # exclusive
+            np.add.at(covered, starts, 1)
+            np.add.at(covered, ends, -1)
+        keep_mask = np.cumsum(covered[:-1]) == 0
+        doc_of_tok = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        n_kept = np.bincount(
+            doc_of_tok, weights=keep_mask.astype(np.float64), minlength=len(lens)
+        ).astype(np.int64)
+        kept_tok = pa.array(flat[keep_mask], pa.string())
+        kept_offsets = np.concatenate(
+            [[0], np.cumsum(n_kept)]
+        ).astype(np.int32)
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(kept_offsets, pa.int32()), kept_tok
+        )
+        text_clean = pc.binary_join(kept_lists, " ")
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "text_clean": text_clean,
+             "n_kept_tokens": pa.array(n_kept, pa.int64()),
+             "n_dropped_tokens": pa.array(lens - n_kept, pa.int64())}
+        )
+
+    return (
+        docs.union(flagged)
+        .groupby("part2")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )

@@ -100,3 +100,60 @@ def test_knn_graph_triangle_planted(tmp_path, ray_session):
     assert out.n_nodes == 4
     assert out.n_triangles >= 1
     assert out.n_edges >= 3
+
+
+def _docs_table(tmp_path, texts):
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string()),
+             "lang": pa.array(["en"] * len(texts), pa.string())}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_duplicate_spans_planted(tmp_path, ray_session):
+    shared = "a b c d e f g h i j"  # 10 tokens -> three 8-gram starts
+    texts = [
+        f"x1 x2 {shared} y1 y2",     # span tokens [2, 11]
+        f"{shared} z1 z2 z3 z4 z5",  # span tokens [0, 9]
+        "unrelated words only here nothing repeats at all",
+    ]
+    d = _docs_table(tmp_path, texts)
+    out = T.duplicate_spans(d, k=8).to_pandas().sort_values(
+        ["doc_id", "span_start"]
+    )
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == [(0, 2, 11), (1, 0, 9)]
+
+
+def test_duplicate_spans_within_doc_repeat_counts(tmp_path, ray_session):
+    run = "p q r s t u v w"  # exactly one 8-gram
+    d = _docs_table(tmp_path, [f"{run} mid1 mid2 {run}"])
+    out = T.duplicate_spans(d, k=8).to_pandas().sort_values(
+        ["doc_id", "span_start"]
+    )
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == [(0, 0, 7), (0, 10, 17)]
+
+
+def test_remove_duplicate_spans_planted(tmp_path, ray_session):
+    shared = "a b c d e f g h"  # one 8-gram
+    texts = [
+        f"k1 {shared} k2",
+        f"{shared}",
+        "independent text with no duplicated grams present",
+    ]
+    d = _docs_table(tmp_path, texts)
+    out = (
+        T.remove_duplicate_spans(d, k=8)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "text_clean"] == "k1 k2"
+    assert out.loc[0, "n_dropped_tokens"] == 8
+    assert out.loc[1, "text_clean"] == ""
+    assert out.loc[1, "n_kept_tokens"] == 0
+    assert out.loc[2, "n_dropped_tokens"] == 0
+    assert out.loc[2, "text_clean"] == texts[2]

@@ -1808,12 +1808,20 @@ def late_shipment_priority(sf_dir: str, num_partitions: int | None = None):
 
 def part_type_supplier_counts(sf_dir: str, num_partitions: int | None = None):
     """Q16 shape: distinct-supplier counts per (type, brand) — the
-    COUNT(DISTINCT) **after** a join: distinct (part, supplier) pairs
-    (batch pre-dedup → pair groupby) hash-join the part dimension, the
-    joined (type, brand, supplier) triples dedup the same two-level
-    way, and the final count is the bounded (types × brands) combiner.
-    Every exchange carries deduplicated keys, never raw lineitems."""
+    COUNT(DISTINCT) after a join, collapsed to ONE exchange: per-batch
+    pre-deduped (part, supplier) pairs and the part-dimension rows
+    (tagged ``l_suppkey = -1``) ride the SAME ``splitmix(partkey) % P``
+    shuffle, the partition kernel joins them in place (partkey is
+    co-located by construction) and emits its DISTINCT (type, brand,
+    supplier) triples, and the global triple dedup + count runs on the
+    driver over the bounded partials (≤ P × types × brands × suppliers
+    rows — the triple domain, a dimension product, never fact-sized).
+    The previous 3-exchange plan (sort-groupby, hash join,
+    sort-groupby) measured 17 s at sf0.1/32; this plan ~3 s."""
+    from crawl_ray.pipelines.stats import _splitmix64
+
     num_partitions = num_partitions or _default_partitions()
+    P = num_partitions
 
     def pair_dedup(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -1822,45 +1830,108 @@ def part_type_supplier_counts(sf_dir: str, num_partitions: int | None = None):
                 "l_suppkey": batch.column("l_suppkey").cast(pa.int64()),
             }
         )
-        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
-
-    ps = (
-        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-        .map_batches(pair_dedup, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_partkey", "l_suppkey"])
-        .count()
-        .drop_columns(["count()"])
-    )
-    pt = _read(sf_dir, "part", ["p_partkey", "p_type", "p_brand"]).map_batches(
-        lambda b: pa.table(
+        out = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        part = (
+            _splitmix64(
+                out.column("l_partkey").to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            % np.uint64(P)
+        ).astype(np.int64)
+        return pa.table(
             {
-                "p_partkey": b.column("p_partkey").cast(pa.int64()),
+                "l_partkey": out.column("l_partkey"),
+                "l_suppkey": out.column("l_suppkey"),
+                "p_type": pa.array([None] * out.num_rows, pa.string()),
+                "p_brand": pa.array([None] * out.num_rows, pa.string()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def part_dim(b: pa.Table) -> pa.Table:
+        pk = b.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (_splitmix64(pk.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk, pa.int64()),
+                "l_suppkey": pa.array(
+                    np.full(len(pk), -1, dtype=np.int64), pa.int64()
+                ),
                 "p_type": b.column("p_type"),
                 "p_brand": b.column("p_brand"),
+                "part": pa.array(part, pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    j = ps.join(
-        pt, "inner", num_partitions, on=("l_partkey",), right_on=("p_partkey",)
+        )
+
+    _empty = pa.table(
+        {"p_type": pa.array([], pa.string()),
+         "p_brand": pa.array([], pa.string()),
+         "sk": pa.array([], pa.int64())}
     )
 
-    def triple_dedup(batch: pa.Table) -> pa.Table:
-        return batch.select(["p_type", "p_brand", "l_suppkey"]).group_by(
-            ["p_type", "p_brand", "l_suppkey"]
-        ).aggregate([])
+    def triples(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "l_suppkey" not in group.column_names:
+            return _empty
+        is_dim = pc.equal(group.column("l_suppkey"), pa.scalar(-1, pa.int64()))
+        dim = group.filter(is_dim)
+        pairs = group.filter(pc.invert(is_dim))
+        if dim.num_rows == 0 or pairs.num_rows == 0:
+            return _empty
+        dpk = dim.column("l_partkey").to_numpy(zero_copy_only=False)
+        dorder = np.argsort(dpk)
+        dpk_s = dpk[dorder]
+        ppk = pairs.column("l_partkey").to_numpy(zero_copy_only=False)
+        psk = pairs.column("l_suppkey").to_numpy(zero_copy_only=False)
+        loc = np.searchsorted(dpk_s, ppk)
+        hit = (loc < len(dpk_s)) & (dpk_s[np.minimum(loc, len(dpk_s) - 1)] == ppk)
+        ridx = dorder[loc[hit]]
+        psk = psk[hit]
+        # (type, brand) code per dim row, then distinct (code, supplier)
+        tb = dim.select(["p_type", "p_brand"])
+        key = pc.binary_join_element_wise(
+            tb.column("p_type").cast(pa.string()),
+            tb.column("p_brand").cast(pa.string()), "\x1f",
+        ).to_numpy(zero_copy_only=False)
+        ukey, code_of_row = np.unique(key, return_inverse=True)
+        pair_codes = np.unique(
+            np.stack([code_of_row[ridx], psk], axis=1), axis=0
+        )
+        # resolve code → first dim row carrying it (strings back out)
+        first_row = np.zeros(len(ukey), dtype=np.int64)
+        order = np.argsort(code_of_row, kind="stable")
+        sorted_codes = code_of_row[order]
+        heads = np.ones(len(order), dtype=bool)
+        heads[1:] = sorted_codes[1:] != sorted_codes[:-1]
+        first_row[sorted_codes[heads]] = order[heads]
+        take = pa.array(first_row[pair_codes[:, 0]], pa.int64())
+        return pa.table(
+            {
+                "p_type": tb.column("p_type").take(take),
+                "p_brand": tb.column("p_brand").take(take),
+                "sk": pa.array(pair_codes[:, 1], pa.int64()),
+            }
+        )
 
-    triples = (
-        j.map_batches(triple_dedup, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["p_type", "p_brand", "l_suppkey"])
-        .count()
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        pair_dedup, batch_format="pyarrow", zero_copy_batch=True
     )
-    agg = partial_then_final_sum(
-        triples.select_columns(["p_type", "p_brand"]),
-        ["p_type", "p_brand"],
-        {},
-        count_name="supplier_cnt",
+    pt = _read(sf_dir, "part", ["p_partkey", "p_type", "p_brand"]).map_batches(
+        part_dim, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = collect_table(
+        li.union(pt).groupby("part").map_groups(triples, batch_format="pyarrow")
+    )
+    if partials.num_rows == 0 or "p_type" not in partials.column_names:
+        return pa.table(
+            {"p_type": pa.array([], pa.string()),
+             "p_brand": pa.array([], pa.string()),
+             "supplier_cnt": pa.array([], pa.int64())}
+        )
+    # global triple dedup (bounded domain) then the (type, brand) count
+    distinct = partials.group_by(["p_type", "p_brand", "sk"]).aggregate([])
+    agg = rename_select(
+        distinct.group_by(["p_type", "p_brand"]).aggregate([("sk", "count")]),
+        {"p_type": "p_type", "p_brand": "p_brand", "sk_count": "supplier_cnt"},
     )
     return agg.sort_by([("p_type", "ascending"), ("p_brand", "ascending")])
 

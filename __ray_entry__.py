@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_ngrams": T.duplicated_ngrams,
         "duplicate_spans": T.duplicate_spans,
         "remove_duplicate_spans": T.remove_duplicate_spans,
+        "source_quota_sample": T.source_quota_sample,
         "cross_source_overlap": T.cross_source_overlap,
         "fuzzy_decontam": T.fuzzy_decontam,
         "gopher_rules": T.gopher_rules,
@@ -2442,6 +2443,22 @@ def oracle_sql() -> dict[str, str]:
                              ELSE per.dup_grams * 1000 // per.n_grams
                         END AS BIGINT) AS dup_frac_milli
             FROM t LEFT JOIN per USING (doc_id)
+        """,
+        # per-source quota cap: 10 docs per source by Knuth-hash rank
+        "source_quota_sample": """
+            WITH r AS (
+                SELECT doc_id, source,
+                       cast((doc_id * 2654435761) % 4294967296
+                            AS BIGINT) AS rank_key,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, source, rank_key FROM r WHERE rn <= 10
+            ORDER BY source, rank_key, doc_id
         """,
         # ExactSubstr (Lee et al.) maximal duplicated k-gram spans,
         # k=8, 0-based inclusive token indices

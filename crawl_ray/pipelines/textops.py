@@ -45,6 +45,7 @@ __all__ = [
     "quality_ks_test",
     "length_histogram",
     "source_token_budget",
+    "source_quota_sample",
     "tfidf_top_terms",
     "bpe_token_stats",
     "training_corpus_prep",
@@ -2871,4 +2872,71 @@ def remove_duplicate_spans(sf_dir: str, k: int = 8, num_partitions: int = 32):
         docs.union(flagged)
         .groupby("part2")
         .map_groups(rebuild, batch_format="pyarrow")
+    )
+
+
+def source_quota_sample(sf_dir: str, cap: int = 10):
+    """Per-source quota sampling — the Dolma/Pile-style "no domain may
+    exceed N documents" curation cap: for every ``source``, keep the
+    ``cap`` documents with the smallest Knuth multiplicative hash of
+    ``doc_id`` (ties by ``doc_id``) — a deterministic uniform sample
+    that is identical on every run, partitioning, and cluster size
+    (same rank key as :func:`sample_documents`, so it is
+    SQL-expressible for the oracle).
+
+    Scale shape: per-batch vectorized partial top-``cap`` per source
+    (lexsort + segment position, never per-source Python), partials are
+    ≤ sources × cap rows per block → the final combine is the same
+    kernel over the driver-collected bounded partials (the
+    ``partial_then_final`` pattern; the source domain is bounded —
+    corpus registries, not fact-sized)."""
+
+    def _topn(src: np.ndarray, doc: np.ndarray, rnk: np.ndarray):
+        order = np.lexsort((doc, rnk, src))
+        s = src[order]
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = s[1:] != s[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new, np.arange(len(s)), 0)
+        )
+        pos = np.arange(len(s)) - seg_start
+        keep = order[pos < cap]
+        return keep
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            rnk = (ids * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MODULUS)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        keep = _topn(src, ids.astype(np.int64), rnk.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+                "source": pa.array(src[keep].tolist(), pa.string()),
+                "rank_key": pa.array(rnk[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    from crawl_ray.util import collect_table
+
+    partials = collect_table(
+        _docs(sf_dir, ["doc_id", "source"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    if partials.num_rows == 0 or "doc_id" not in partials.column_names:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "source": pa.array([], pa.string()),
+             "rank_key": pa.array([], pa.int64())}
+        )
+    src = partials.column("source").to_numpy(zero_copy_only=False)
+    doc = partials.column("doc_id").to_numpy(zero_copy_only=False)
+    rnk = partials.column("rank_key").to_numpy(zero_copy_only=False)
+    keep = _topn(src, doc, rnk)
+    order = keep[np.lexsort((doc[keep], rnk[keep], src[keep]))]
+    return pa.table(
+        {"doc_id": pa.array(doc[order], pa.int64()),
+         "source": pa.array(src[order].tolist(), pa.string()),
+         "rank_key": pa.array(rnk[order], pa.int64())}
     )

@@ -157,3 +157,26 @@ def test_remove_duplicate_spans_planted(tmp_path, ray_session):
     assert out.loc[1, "n_kept_tokens"] == 0
     assert out.loc[2, "n_dropped_tokens"] == 0
     assert out.loc[2, "text_clean"] == texts[2]
+
+
+def test_source_quota_sample_planted(tmp_path, ray_session):
+    # source A: 5 docs (cap 2 keeps the 2 smallest hash ranks);
+    # source B: 1 doc (under quota, kept)
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+             "text": pa.array(["x"] * 6, pa.string()),
+             "source": pa.array(["A"] * 5 + ["B"], pa.string())}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = T.source_quota_sample(str(tmp_path), cap=2).to_pandas()
+    assert len(out) == 3
+    assert (out[out.source == "B"].doc_id == 6).all()
+    a = out[out.source == "A"]
+    assert len(a) == 2
+    # ranks are the 2 smallest among source A's hashes
+    ranks = sorted(
+        ((d * 2654435761) % 4294967296, d) for d in [1, 2, 3, 4, 5]
+    )
+    assert sorted(a.doc_id) == sorted(d for _, d in ranks[:2])

@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": T.duplicate_spans,
         "remove_duplicate_spans": T.remove_duplicate_spans,
         "source_quota_sample": T.source_quota_sample,
+        "term_postings": T.term_postings,
         "cross_source_overlap": T.cross_source_overlap,
         "fuzzy_decontam": T.fuzzy_decontam,
         "gopher_rules": T.gopher_rules,
@@ -2443,6 +2444,16 @@ def oracle_sql() -> dict[str, str]:
                              ELSE per.dup_grams * 1000 // per.n_grams
                         END AS BIGINT) AS dup_frac_milli
             FROM t LEFT JOIN per USING (doc_id)
+        """,
+        # posting-list lookup for one term (tf = occurrences per doc)
+        "term_postings": r"""
+            SELECT doc_id, cast(count(*) AS BIGINT) AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents
+            ) WHERE w = 'spark'
+            GROUP BY doc_id ORDER BY doc_id
         """,
         # per-source quota cap: 10 docs per source by Knuth-hash rank
         "source_quota_sample": """

@@ -46,6 +46,8 @@ __all__ = [
     "length_histogram",
     "source_token_budget",
     "source_quota_sample",
+    "build_inverted_index",
+    "term_postings",
     "tfidf_top_terms",
     "bpe_token_stats",
     "training_corpus_prep",
@@ -2940,3 +2942,115 @@ def source_quota_sample(sf_dir: str, cap: int = 10):
          "source": pa.array(src[order].tolist(), pa.string()),
          "rank_key": pa.array(rnk[order], pa.int64())}
     )
+
+
+def build_inverted_index(sf_dir: str, n_buckets: int = 32) -> str:
+    """Persist a bucket-partitioned inverted index over the documents
+    table: ``bucket=K/part-*.parquet`` rows ``(term, doc_id, tf)`` with
+    ``K = fnv1a64(term) % n_buckets`` — the text-search twin of
+    :func:`crawl_ray.pipelines.similarity.build_ivf_index`'s
+    list-partitioned ANN layout.
+
+    ONE distributed pass: per-batch vectorized term counting (Arrow
+    ``group_by`` over exploded tokens), task-side writes into per-bucket
+    parquet parts (deterministic min/max-doc_id part names → retry-safe,
+    the export-sink naming rule).  Cached by ``_SUCCESS`` marker — at
+    100 TB this runs once as its own job.  Lookups
+    (:func:`term_postings`) read ONLY the probed term's bucket:
+    1/n_buckets of the index, the IVF probed-lists property."""
+    import hashlib
+    import pathlib
+
+    from crawl_ray.urlnorm import fnv1a64_batch
+
+    token = hashlib.blake2b(
+        f"{sf_dir}:{n_buckets}:inv".encode(), digest_size=8
+    ).hexdigest()
+    root = pathlib.Path(f"/tmp/crawl_ray_runs/inv_{token}")
+    if (root / "_SUCCESS").exists():
+        return str(root)
+    root.mkdir(parents=True, exist_ok=True)
+
+    def write_postings(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq_
+
+        doc_ids, flat, lens = _token_lists(batch)
+        n_written = 0
+        if len(flat):
+            doc_of_tok = np.repeat(doc_ids, lens)
+            t = pa.table(
+                {"term": pa.array(flat, pa.string()),
+                 "doc_id": pa.array(doc_of_tok, pa.int64())}
+            )
+            counts = t.group_by(["term", "doc_id"]).aggregate([("doc_id", "count")])
+            from crawl_ray.util import rename_select
+
+            counts = rename_select(
+                counts,
+                {"term": "term", "doc_id": "doc_id", "doc_id_count": "tf"},
+            )
+            bk = (
+                fnv1a64_batch(counts.column("term"))
+                % np.uint64(n_buckets)
+            ).astype(np.int64)
+            dids = counts.column("doc_id").to_numpy(zero_copy_only=False)
+            for b in np.unique(bk).tolist():
+                mask = bk == b
+                part = counts.filter(pa.array(mask))
+                bdir = root / f"bucket={int(b)}"
+                bdir.mkdir(parents=True, exist_ok=True)
+                sel = dids[mask]
+                pq_.write_table(
+                    part,
+                    bdir / f"part-{int(sel.min())}-{int(sel.max())}.parquet",
+                )
+                n_written += part.num_rows
+        return pa.table({"n": pa.array([n_written], pa.int64())})
+
+    _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        write_postings, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    (root / "_SUCCESS").touch()
+    return str(root)
+
+
+def term_postings(sf_dir: str, term: str = "spark", n_buckets: int = 32):
+    """Posting-list lookup against the bucket-partitioned inverted
+    index: reads ONLY ``bucket = fnv1a64(term) % n_buckets`` —
+    1/n_buckets of the index regardless of corpus size (asserted in
+    tests, the :func:`knn_ivf` probed-lists property).  Returns
+    ``(doc_id, tf)`` rows for the term, doc_id-ordered."""
+    import pathlib
+
+    import pyarrow.parquet as pq_
+
+    from crawl_ray.urlnorm import fnv1a64_batch
+
+    root = pathlib.Path(build_inverted_index(sf_dir, n_buckets))
+    b = int(fnv1a64_batch([term])[0] % np.uint64(n_buckets))
+    bdir = root / f"bucket={b}"
+    parts = sorted(bdir.glob("*.parquet")) if bdir.exists() else []
+    if not parts:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "tf": pa.array([], pa.int64())}
+        )
+    ds = ray.data.read_parquet([str(p) for p in parts])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.equal(batch.column("term"), term))
+        return pa.table(
+            {"doc_id": hit.column("doc_id").cast(pa.int64()),
+             "tf": hit.column("tf").cast(pa.int64())}
+        )
+
+    out = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    from crawl_ray.util import collect_table
+
+    t = collect_table(out)
+    if t.num_rows == 0 or "doc_id" not in t.column_names:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "tf": pa.array([], pa.int64())}
+        )
+    return t.sort_by([("doc_id", "ascending")])

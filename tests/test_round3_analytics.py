@@ -180,3 +180,34 @@ def test_source_quota_sample_planted(tmp_path, ray_session):
         ((d * 2654435761) % 4294967296, d) for d in [1, 2, 3, 4, 5]
     )
     assert sorted(a.doc_id) == sorted(d for _, d in ranks[:2])
+
+
+def test_inverted_index_reads_only_probed_bucket(tmp_path, ray_session):
+    """The lookup scans 1/n_buckets of the index (the knn_ivf
+    probed-lists property) and still returns exact postings."""
+    import pathlib
+
+    import pyarrow.parquet as pqm
+
+    texts = ["alpha beta gamma", "beta beta delta", "gamma alpha alpha"]
+    d = _docs_table(tmp_path, texts)
+    # documents need a source column for _docs? no - build uses doc_id/text
+    root = pathlib.Path(T.build_inverted_index(d, n_buckets=8))
+    total_rows = sum(
+        pqm.read_metadata(str(f)).num_rows
+        for f in root.glob("bucket=*/*.parquet")
+    )
+    # every (term, doc) posting is in exactly one bucket
+    assert total_rows == 7  # distinct (term, doc) pairs above
+    from crawl_ray.urlnorm import fnv1a64_batch
+    import numpy as np
+
+    b = int(fnv1a64_batch(["beta"])[0] % np.uint64(8))
+    probed = sum(
+        pqm.read_metadata(str(f)).num_rows
+        for f in (root / f"bucket={b}").glob("*.parquet")
+    )
+    assert probed < total_rows  # real read reduction
+    out = T.term_postings(d, term="beta", n_buckets=8).to_pandas()
+    assert list(out.doc_id) == [0, 1]
+    assert list(out.tf) == [1, 2]

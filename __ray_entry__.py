@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_duplicate_spans": T.remove_duplicate_spans,
         "source_quota_sample": T.source_quota_sample,
         "term_postings": T.term_postings,
+        "search_topk": T.search_topk,
         "cross_source_overlap": T.cross_source_overlap,
         "fuzzy_decontam": T.fuzzy_decontam,
         "gopher_rules": T.gopher_rules,
@@ -2454,6 +2455,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE w = 'spark'
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # integer tf-idf top-k retrieval for the 2-term query
+        # 'spark table' (saturating tf, exact-integer idf)
+        "search_topk": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents
+            ), post AS (
+                SELECT w, doc_id, cast(count(*) AS BIGINT) AS tf
+                FROM toks WHERE w IN ('spark', 'table') GROUP BY 1, 2
+            ), df AS (
+                SELECT w, cast(count(*) AS BIGINT) AS df FROM post GROUP BY 1
+            ), n AS (
+                SELECT cast(count(*) AS BIGINT) AS n FROM documents
+            ), sc AS (
+                SELECT p.doc_id,
+                       sum(((1000 * n.n) // d.df) * p.tf // (p.tf + 2))
+                           AS score_milli
+                FROM post p JOIN df d USING (w) CROSS JOIN n
+                GROUP BY p.doc_id
+            )
+            SELECT doc_id, cast(score_milli AS BIGINT) AS score_milli
+            FROM sc ORDER BY score_milli DESC, doc_id LIMIT 10
         """,
         # per-source quota cap: 10 docs per source by Knuth-hash rank
         "source_quota_sample": """

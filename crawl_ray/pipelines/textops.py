@@ -48,6 +48,7 @@ __all__ = [
     "source_quota_sample",
     "build_inverted_index",
     "term_postings",
+    "search_topk",
     "tfidf_top_terms",
     "bpe_token_stats",
     "training_corpus_prep",
@@ -3054,3 +3055,73 @@ def term_postings(sf_dir: str, term: str = "spark", n_buckets: int = 32):
              "tf": pa.array([], pa.int64())}
         )
     return t.sort_by([("doc_id", "ascending")])
+
+
+def search_topk(
+    sf_dir: str, query: str = "spark table", k: int = 10, n_buckets: int = 32
+):
+    """Ranked multi-term retrieval over the bucket-partitioned inverted
+    index (:func:`build_inverted_index`): integer-quantized tf·idf —
+    ``score = Σ_t (1000·N // df_t) · tf // (tf + 2)`` (a BM25-shaped
+    saturating tf with an exact-integer idf, so the DuckDB oracle agrees
+    bit-for-bit) — returning the top-``k`` docs (ties by doc_id).
+
+    Only the query terms' buckets are read (≤ |terms|/n_buckets of the
+    index); the collected postings are bounded by Σ df of the query
+    terms — at web scale a hot term's posting list is still shuffled
+    per-partition (the ``term_postings`` layout already co-locates a
+    term), and only the per-doc score combine would move here."""
+    import pathlib
+
+    import pyarrow.parquet as pq_
+
+    from crawl_ray.urlnorm import fnv1a64_batch
+    from crawl_ray.util import collect_table
+
+    terms = sorted(set(query.split()))
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "score_milli": pa.array([], pa.int64())}
+    )
+    if not terms:
+        return empty
+    n_docs = pq_.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    root = pathlib.Path(build_inverted_index(sf_dir, n_buckets))
+    buckets = sorted(
+        {int(h % np.uint64(n_buckets)) for h in fnv1a64_batch(terms)}
+    )
+    parts = [
+        str(f)
+        for b in buckets
+        for f in sorted((root / f"bucket={b}").glob("*.parquet"))
+    ]
+    if not parts:
+        return empty
+    term_set = set(terms)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(
+            pc.is_in(batch.column("term"), value_set=pa.array(terms))
+        )
+        return hit
+
+    postings = collect_table(
+        ray.data.read_parquet(parts).map_batches(
+            pick, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    if postings.num_rows == 0 or "term" not in postings.column_names:
+        return empty
+    t = postings.column("term").to_numpy(zero_copy_only=False)
+    d = postings.column("doc_id").to_numpy(zero_copy_only=False)
+    tf = postings.column("tf").to_numpy(zero_copy_only=False)
+    uterm, tinv, df = np.unique(t, return_inverse=True, return_counts=True)
+    idf = (1000 * np.int64(n_docs)) // df.astype(np.int64)
+    contrib = idf[tinv] * tf // (tf + 2)
+    udoc, dinv = np.unique(d, return_inverse=True)
+    score = np.bincount(dinv, weights=contrib.astype(np.float64)).astype(np.int64)
+    order = np.lexsort((udoc, -score))[:k]
+    return pa.table(
+        {"doc_id": pa.array(udoc[order], pa.int64()),
+         "score_milli": pa.array(score[order], pa.int64())}
+    )

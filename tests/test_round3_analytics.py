@@ -211,3 +211,42 @@ def test_inverted_index_reads_only_probed_bucket(tmp_path, ray_session):
     out = T.term_postings(d, term="beta", n_buckets=8).to_pandas()
     assert list(out.doc_id) == [0, 1]
     assert list(out.tf) == [1, 2]
+
+
+def test_duplicate_spans_matches_bruteforce_random(tmp_path, ray_session):
+    """Seeded random corpora from a tiny vocab (forces collisions) vs a
+    direct per-doc Python reference of the same span semantics."""
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(6)]
+    k = 3
+    for case in range(3):
+        docs = [
+            " ".join(rng.choice(vocab, size=rng.randint(k, 25)))
+            for _ in range(12)
+        ]
+        (tmp_path / f"c{case}").mkdir(exist_ok=True)
+        d = _docs_table(tmp_path / f"c{case}", docs)
+        toks = [t.split() for t in docs]
+        from collections import Counter
+        counts = Counter(
+            " ".join(t[i:i + k])
+            for t in toks for i in range(len(t) - k + 1)
+        )
+        expected = set()
+        for did, t in enumerate(toks):
+            flagged = [
+                i for i in range(len(t) - k + 1)
+                if counts[" ".join(t[i:i + k])] >= 2
+            ]
+            if not flagged:
+                continue
+            start = prev = flagged[0]
+            for i in flagged[1:]:
+                if i - prev >= k:
+                    expected.add((did, start, prev + k - 1))
+                    start = i
+                prev = i
+            expected.add((did, start, prev + k - 1))
+        out = T.duplicate_spans(d, k=k).to_pandas()
+        got = {tuple(r) for r in out.itertuples(index=False)}
+        assert got == expected, f"case {case}"

@@ -250,3 +250,36 @@ def test_duplicate_spans_matches_bruteforce_random(tmp_path, ray_session):
         out = T.duplicate_spans(d, k=k).to_pandas()
         got = {tuple(r) for r in out.itertuples(index=False)}
         assert got == expected, f"case {case}"
+
+
+def test_min_cost_supplier_tie_break(tmp_path, ray_session):
+    """Equal account balances -> the lower suppkey wins (the Q2 plan's
+    deterministic total order; sf data has unique balances so the
+    oracle gate never exercises this branch)."""
+    from crawl_ray.pipelines.joins import min_cost_supplier
+
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([0], pa.int64()),
+                  "r_name": pa.array(["EUROPE"], pa.string())}),
+        tmp_path / "region.parquet")
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([0], pa.int64()),
+                  "n_name": pa.array(["NATION_0"], pa.string()),
+                  "n_regionkey": pa.array([0], pa.int64())}),
+        tmp_path / "nation.parquet")
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array([7, 3, 9], pa.int64()),
+                  "s_name": pa.array(["s7", "s3", "s9"], pa.string()),
+                  "s_nationkey": pa.array([0, 0, 0], pa.int64()),
+                  "s_acctbal": pa.array([10.0, 10.0, 5.0], pa.float64())}),
+        tmp_path / "supplier.parquet")
+    # part 1 supplied by 7 and 3 (tied balance -> 3 wins);
+    # part 2 supplied by 9 only
+    pq.write_table(
+        pa.table({"l_partkey": pa.array([1, 1, 2], pa.int64()),
+                  "l_suppkey": pa.array([7, 3, 9], pa.int64())}),
+        tmp_path / "lineitem.parquet")
+    out = min_cost_supplier(str(tmp_path)).to_pandas().set_index("p_partkey")
+    assert out.loc[1, "s_name"] == "s3"
+    assert out.loc[1, "s_acctbal_cents"] == 1000
+    assert out.loc[2, "s_name"] == "s9"

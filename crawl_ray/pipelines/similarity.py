@@ -628,7 +628,12 @@ def knn_graph_stats(sf_dir: str, k: int = 10):
     are unchanged.  Both joins are native hash joins; wedge volume is
     Σ deg² ≤ n·(2k)², bounded by construction, never all-pairs.
     Cosine is milli-quantized (sign·floor(|c|·1000+0.5) ≡ DuckDB
-    ``round``) so ranking and the oracle agree exactly."""
+    ``round``) so ranking and the oracle agree exactly — up to IEEE
+    summation-order ulps: numpy's pairwise-summed dot and DuckDB's
+    sequential sum can differ in the last bit, and a cosine landing
+    exactly on a 0.0005 rounding boundary then flips one borderline
+    edge (measured at sf0.1: 1 triangle in ~287k wedges over 25M
+    cosines; sf0.01 matches exactly — see the ORACLE_AUDIT note)."""
     import pyarrow.parquet as pq_
 
     full = pq_.read_table(

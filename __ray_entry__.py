@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": J.product_profit,
         "min_cost_supplier": J.min_cost_supplier,
         "important_parts": J.important_parts,
+        "referential_orphans": J.referential_orphans,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -1761,6 +1762,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_acctbal_cents, s_name, n_name, p_partkey
             FROM cand WHERE rn = 1
             ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+        """,
+        # data-quality gate: orphan counts per fact->dim reference
+        "referential_orphans": """
+            SELECT relation, n_orphans FROM (
+                SELECT 'orders.o_custkey->customer' AS relation,
+                       cast(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT)
+                           AS n_orphans
+                FROM orders o LEFT JOIN customer c
+                  ON c.c_custkey = o.o_custkey
+                UNION ALL
+                SELECT 'lineitem.l_partkey->part',
+                       cast(count(*) FILTER (p.p_partkey IS NULL) AS BIGINT)
+                FROM lineitem l LEFT JOIN part p
+                  ON p.p_partkey = l.l_partkey
+                UNION ALL
+                SELECT 'lineitem.l_suppkey->supplier',
+                       cast(count(*) FILTER (s.s_suppkey IS NULL) AS BIGINT)
+                FROM lineitem l LEFT JOIN supplier s
+                  ON s.s_suppkey = l.l_suppkey
+                UNION ALL
+                SELECT 'lineitem.l_orderkey->orders',
+                       cast(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT)
+                FROM lineitem l LEFT JOIN orders o
+                  ON o.o_orderkey = l.l_orderkey
+            ) ORDER BY relation
         """,
         # Q11 shape: global-scalar share predicate over grouped sums
         "important_parts": """

@@ -66,6 +66,7 @@ __all__ = [
     "product_profit",
     "min_cost_supplier",
     "important_parts",
+    "referential_orphans",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -2380,3 +2381,81 @@ def important_parts(
         {"p_partkey": pa.array(pk[order], pa.int64()),
          "value_c": pa.array(v[order], pa.int64())}
     )
+
+
+def referential_orphans(sf_dir: str, num_partitions: int | None = None):
+    """Data-quality gate: orphan-row counts for every fact → dimension
+    reference in the star schema — the pre-flight integrity check a
+    production pipeline runs before shipping a corpus (a non-zero row
+    here means an upstream export dropped keys).
+
+    Plan by side size: dimension key sets (customer, part, supplier)
+    are broadcast membership arrays probed inside ONE lineitem/orders
+    pass each (per-batch partial counts, driver sum — zero shuffle);
+    the fact→fact reference lineitem.l_orderkey → orders is the native
+    ``left_anti`` hash join (both sides fact-sized, nothing broadcast),
+    counting surviving orphans.  Output: one bounded row per relation.
+    """
+    import pyarrow.parquet as pq_
+
+    num_partitions = num_partitions or _default_partitions()
+
+    def key_set(table: str, col: str) -> "np.ndarray":
+        t = pq_.read_table(f"{sf_dir}/{table}.parquet", columns=[col])
+        return np.unique(
+            t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+
+    checks = [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         key_set("customer", "c_custkey")),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         key_set("part", "p_partkey")),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         key_set("supplier", "s_suppkey")),
+    ]
+    relations, counts = [], []
+    for label, table, col, keys in checks:
+        keys_ref = ray.put(keys)
+
+        def orphan_partial(batch: pa.Table, _col=col, _ref=keys_ref) -> pa.Table:
+            ks = ray.get(_ref)
+            vals = batch.column(_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(ks, vals)
+            hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == vals)
+            return pa.table({"n": pa.array([int((~hit).sum())], pa.int64())})
+
+        part_counts = collect_table(
+            _read(sf_dir, table, [col]).map_batches(
+                orphan_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        relations.append(label)
+        counts.append(
+            int(part_counts.column("n").to_numpy(zero_copy_only=False).sum())
+            if part_counts.num_rows else 0
+        )
+
+    # fact -> fact: lineitem.l_orderkey -> orders via distributed anti-join
+    li = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": b.column("l_orderkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b.column("o_orderkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    n_orphans = li.join(
+        orders, "left_anti", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).count()
+    relations.append("lineitem.l_orderkey->orders")
+    counts.append(int(n_orphans))
+    return pa.table(
+        {"relation": pa.array(relations, pa.string()),
+         "n_orphans": pa.array(counts, pa.int64())}
+    ).sort_by([("relation", "ascending")])

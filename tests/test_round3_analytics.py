@@ -283,3 +283,33 @@ def test_min_cost_supplier_tie_break(tmp_path, ray_session):
     assert out.loc[1, "s_name"] == "s3"
     assert out.loc[1, "s_acctbal_cents"] == 1000
     assert out.loc[2, "s_name"] == "s9"
+
+
+def test_referential_orphans_detects_planted(tmp_path, ray_session):
+    from crawl_ray.pipelines.joins import referential_orphans
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1], pa.int64())}),
+        tmp_path / "customer.parquet")
+    pq.write_table(
+        pa.table({"p_partkey": pa.array([1, 2], pa.int64())}),
+        tmp_path / "part.parquet")
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array([1], pa.int64())}),
+        tmp_path / "supplier.parquet")
+    # order 20 references missing customer 9; order 21 is fine
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([20, 21], pa.int64()),
+                  "o_custkey": pa.array([9, 1], pa.int64())}),
+        tmp_path / "orders.parquet")
+    # one lineitem references missing order 99 and missing supplier 5
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([20, 99], pa.int64()),
+                  "l_partkey": pa.array([1, 2], pa.int64()),
+                  "l_suppkey": pa.array([1, 5], pa.int64())}),
+        tmp_path / "lineitem.parquet")
+    out = referential_orphans(str(tmp_path)).to_pandas().set_index("relation")
+    assert out.loc["orders.o_custkey->customer", "n_orphans"] == 1
+    assert out.loc["lineitem.l_partkey->part", "n_orphans"] == 0
+    assert out.loc["lineitem.l_suppkey->supplier", "n_orphans"] == 1
+    assert out.loc["lineitem.l_orderkey->orders", "n_orphans"] == 1

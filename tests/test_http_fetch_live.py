@@ -1,0 +1,121 @@
+"""Live-HTTP integration: HttpFetchStage's DEFAULT urllib transport and
+a full engine crawl against a real (loopback) HTTP server — the
+reference's live-network path (crawler.go:180-189, 284-296) exercised
+end-to-end, not through an injected fake."""
+
+import http.server
+import threading
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from crawl_ray.stages.fetch import HttpFetchStage
+from crawl_ray.urlnorm import fnv1a64
+
+PAGES = {
+    "/": (
+        '<html><title>root</title><body>'
+        '<a href="/a">A</a> <a href="/b">B</a> root text</body></html>'
+    ),
+    "/a": "<html><title>a</title><body>leaf a</body></html>",
+    "/b": "<html><title>b</title><body>leaf b</body></html>",
+}
+
+
+class _Handler(http.server.BaseHTTPRequestHandler):
+    def do_GET(self):
+        body = PAGES.get(self.path)
+        if body is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        data = body.encode()
+        self.send_response(200)
+        if self.path == "/":
+            self.send_header("Set-Cookie", "sid=root; Path=/")
+        self.send_header("Content-Length", str(len(data)))
+        self.send_header("Content-Type", "text/html")
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture(scope="module")
+def live_server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _frontier_batch(urls):
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "url_hash": pa.array([fnv1a64(u) for u in urls], pa.uint64()),
+            "headers": pa.array([""] * len(urls), pa.string()),
+            "metadata": pa.array([""] * len(urls), pa.string()),
+        }
+    )
+
+
+def test_default_transport_against_real_server(live_server):
+    stage = HttpFetchStage(timeout_s=10)
+    out = stage(
+        _frontier_batch(
+            [f"{live_server}/", f"{live_server}/a", f"{live_server}/missing"]
+        )
+    )
+    assert out.column("status").to_pylist() == [200, 200, 404]
+    html = out.column("html").to_pylist()
+    assert b'<a href="/a">' in html[0]
+    assert b"leaf a" in html[1]
+    assert html[2] == b""
+    # Set-Cookie harvested from the live response on the root only
+    cookies = out.column("set_cookie").to_pylist()
+    assert "sid" in cookies[0] and cookies[1] == ""
+
+
+def test_engine_crawls_live_server(live_server, ray_session, tmp_path):
+    """Full engine run with fetch_stage_factory swapped to live HTTP:
+    the BFS reaches both leaves through real sockets from Ray workers,
+    and the flagship extraction contract holds."""
+    from crawl_ray.engine import CrawlEngine, EngineConfig
+    from crawl_ray.spiders import flagship_spider
+
+    # dummy page store (unused by the HTTP stage; run() requires a path)
+    dummy = tmp_path / "pages.parquet"
+    pq.write_table(
+        pa.table({"url": pa.array(["http://unused/"], pa.string()),
+                  "html": pa.array([b"<html></html>"], pa.binary())}),
+        dummy,
+    )
+    seeds = pa.table(
+        {"url": pa.array([f"{live_server}/"], pa.string()),
+         "callbacks": pa.array([["page"]], pa.list_(pa.string()))}
+    )
+    cfg = EngineConfig(max_rounds=4, page_store="broadcast")
+    engine = CrawlEngine(
+        [flagship_spider], cfg,
+        fetch_stage_factory=lambda _store: HttpFetchStage(timeout_s=10),
+    )
+    res = engine.run(str(dummy), seeds, None, str(tmp_path / "wd"))
+    assert res.records == 3  # root + both leaves, each exactly once
+
+    import json
+
+    import pyarrow.dataset as pads
+
+    rec_ds = pads.dataset(
+        [str(p) for p in (tmp_path / "wd").glob("round=*/records/*.parquet")]
+    ).to_table()
+    fields = [json.loads(f) for f in rec_ds.column("fields").to_pylist()]
+    titles = sorted(f["title"] for f in fields)
+    assert titles == ["a", "b", "root"]
+    # live bodies flowed through the real extraction kernel
+    root = next(f for f in fields if f["title"] == "root")
+    assert "root text" in root["text"]

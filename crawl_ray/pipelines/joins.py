@@ -2065,8 +2065,14 @@ def product_profit(
              "o_year": pa.array([], pa.int64()),
              "profit_cc": pa.array([], pa.int64())}
         )
-    pt = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).map_batches(
-        part_side, batch_format="pyarrow", zero_copy_batch=True
+    # name filter + block splits can leave zero-column empty blocks on
+    # the join's right side (the knn_graph_stats failure mode) —
+    # re-emit typed blocks before the exchange
+    pt = normalize_schema(
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+        .map_batches(part_side, batch_format="pyarrow", zero_copy_batch=True),
+        {"p_partkey": pa.int64(), "retail_c": pa.int64()},
+        coalesce=4,
     )
 
     # supplier → nationkey broadcast lookup (dimension-sized)

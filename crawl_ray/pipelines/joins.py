@@ -2212,8 +2212,9 @@ def min_cost_supplier(
         sup.column("s_name").to_pylist(), dtype=object
     )
     in_region = np.zeros(hi, dtype=bool)
-    for k in skeys:
-        in_region[k] = s_nat[k] in nkeys
+    in_region[skeys] = np.isin(
+        s_nat[skeys], np.fromiter(nkeys, dtype=np.int64)
+    ) if nkeys else False
     side_ref = ray.put((in_region, s_bal))
 
     def pairs_partial(b: pa.Table) -> pa.Table:
@@ -2322,9 +2323,10 @@ def important_parts(
     skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
     hi = int(skeys.max()) + 1
     keep = np.zeros(hi, dtype=bool)
-    snat = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
-    for k, n in zip(skeys, snat):
-        keep[k] = int(n) in nkeys
+    snat = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep[skeys] = np.isin(
+        snat, np.fromiter(nkeys, dtype=np.int64)
+    ) if nkeys else False
     keep_ref = ray.put(keep)
 
     def value_partial(b: pa.Table) -> pa.Table:

@@ -2956,7 +2956,9 @@ def build_inverted_index(sf_dir: str, n_buckets: int = 32) -> str:
     ``group_by`` over exploded tokens), task-side writes into per-bucket
     parquet parts (deterministic min/max-doc_id part names → retry-safe,
     the export-sink naming rule).  Cached by ``_SUCCESS`` marker — at
-    100 TB this runs once as its own job.  Lookups
+    100 TB this runs once as its own job, with the root on SHARED
+    storage (task-side writes to node-local /tmp only work single-node;
+    the same constraint the export sinks guard).  Lookups
     (:func:`term_postings`) read ONLY the probed term's bucket:
     1/n_buckets of the index, the IVF probed-lists property."""
     import hashlib

@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retained_users": ST.retained_users,
         "churned_users": ST.churned_users,
         "top_users_per_type": ST.top_users_per_type,
+        "trending_window_topk": ST.trending_window_topk,
         "orders_with_returns": J.orders_with_returns,
         "promo_revenue_by_month": J.promo_revenue_by_month,
         "regional_revenue": J.regional_revenue,
@@ -815,6 +816,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             QUALIFY row_number() OVER (
                 PARTITION BY event_type
+                ORDER BY cents DESC, user_id ASC
+            ) <= 3
+        """,
+        # per-hour trending top-k users by exact value total
+        "trending_window_topk": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                       AS window_start,
+                   user_id,
+                   cast(sum(cast(round(value * 100) as bigint)) as bigint)
+                       AS cents
+            FROM events
+            GROUP BY 1, 2
+            QUALIFY row_number() OVER (
+                PARTITION BY window_start
                 ORDER BY cents DESC, user_id ASC
             ) <= 3
         """,

@@ -41,6 +41,7 @@ from crawl_ray.pipelines.relational import _cents, _read, partial_then_final_sum
 from crawl_ray.util import collect_table, rename_select
 
 __all__ = [
+    "trending_window_topk",
     "events_value_quantiles",
     "value_quantiles_per_type",
     "distinct_users_per_type",
@@ -902,3 +903,86 @@ def events_outliers(sf_dir: str) -> pa.Table:
             "n_events": pa.array(out_n, pa.int64()),
         }
     )
+
+
+def trending_window_topk(
+    sf_dir: str, k: int = 3, num_partitions: int = 32
+) -> pa.Table:
+    """Trending detection: per hour window, the ``k`` users with the
+    highest exact value total — the TIME-windowed variant of
+    :func:`top_users_per_type`'s grouped top-k (same partition-disjoint
+    (window, user) shuffle invariant, so per-partition sums are
+    globally exact and the global per-window top-k lives inside the
+    union of partition top-ks; bounded ``P × windows × k`` driver
+    merge).  Ties broken user_id asc."""
+    P = num_partitions
+    HOUR = 3_600_000_000
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "window_start": pa.array(us // HOUR * HOUR, pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+        out = rename_select(
+            t.group_by(["window_start", "user_id"]).aggregate(
+                [("cents", "sum")]
+            ),
+            {"window_start": "window_start", "user_id": "user_id",
+             "cents_sum": "cents"},
+        )
+        w = out.column("window_start").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        u = out.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        with np.errstate(over="ignore"):
+            part = (
+                ((w * np.uint64(0xBF58476D1CE4E5B9))
+                 ^ (u * np.uint64(0x9E3779B97F4A7C15)))
+                % np.uint64(P)
+            ).astype(np.int64)
+        return out.append_column("part", pa.array(part, pa.int64()))
+
+    def _headk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("window_start", "ascending"),
+                       ("cents", "descending"),
+                       ("user_id", "ascending")],
+        )
+        t = t.take(order)
+        w = t.column("window_start").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        lens = np.diff(np.r_[starts, len(w)])
+        offs = np.arange(len(w), dtype=np.int64) - np.repeat(starts, lens)
+        return t.filter(pa.array(offs < k))
+
+    def local_topk(group: pa.Table) -> pa.Table:
+        agg = rename_select(
+            group.select(["window_start", "user_id", "cents"]).group_by(
+                ["window_start", "user_id"]
+            ).aggregate([("cents", "sum")]),
+            {"window_start": "window_start", "user_id": "user_id",
+             "cents_sum": "cents"},
+        )
+        return _headk(agg)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(local_topk, batch_format="pyarrow")
+    )
+    t = collect_table(parts)  # bounded: ≤ P × windows × k rows
+    if t.num_rows == 0 or "window_start" not in t.column_names:
+        return pa.table(
+            {"window_start": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64()),
+             "cents": pa.array([], pa.int64())}
+        )
+    return _headk(t.select(["window_start", "user_id", "cents"]))

@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_users": ST.churned_users,
         "top_users_per_type": ST.top_users_per_type,
         "trending_window_topk": ST.trending_window_topk,
+        "cohort_retention": ST.cohort_retention,
         "orders_with_returns": J.orders_with_returns,
         "promo_revenue_by_month": J.promo_revenue_by_month,
         "regional_revenue": J.regional_revenue,
@@ -818,6 +819,21 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY event_type
                 ORDER BY cents DESC, user_id ASC
             ) <= 3
+        """,
+        # cohort retention triangle: first-activity week x weeks-later
+        "cohort_retention": """
+            WITH a AS (
+                SELECT user_id,
+                       epoch_us(ts) // 604800000000 AS week
+                FROM events GROUP BY 1, 2
+            ), f AS (
+                SELECT user_id, min(week) AS cohort FROM a GROUP BY 1
+            )
+            SELECT cast(f.cohort AS BIGINT) AS cohort_week,
+                   cast(a.week - f.cohort AS BIGINT) AS week_offset,
+                   cast(count(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # per-hour trending top-k users by exact value total
         "trending_window_topk": """

@@ -42,6 +42,7 @@ from crawl_ray.util import collect_table, rename_select
 
 __all__ = [
     "trending_window_topk",
+    "cohort_retention",
     "events_value_quantiles",
     "value_quantiles_per_type",
     "distinct_users_per_type",
@@ -986,3 +987,87 @@ def trending_window_topk(
              "cents": pa.array([], pa.int64())}
         )
     return _headk(t.select(["window_start", "user_id", "cents"]))
+
+
+def cohort_retention(sf_dir: str, num_partitions: int = 32) -> pa.Table:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    week (the cohort), counted by how many weeks later they were active
+    again — the classic product-analytics triangle, here over the
+    events stream.
+
+    ONE user-keyed shuffle: per-batch distinct (user, week) partials
+    pre-combine, then ``splitmix(user) % P`` co-locates every user's
+    rows so the partition kernel computes first-week and offsets
+    exactly (users are partition-disjoint); the (cohort, offset) cell
+    partials are bounded by weeks² → driver combine.  All integer
+    (epoch µs // week)."""
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    P = num_partitions
+    WEEK = 7 * 86_400_000_000
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        pairs = np.unique(np.stack([uid, us // WEEK], axis=1), axis=0)
+        part = (
+            _splitmix64(pairs[:, 0].astype(np.uint64)) % np.uint64(P)
+        ).astype(np.int64)
+        return pa.table(
+            {"user_id": pa.array(pairs[:, 0], pa.int64()),
+             "week": pa.array(pairs[:, 1], pa.int64()),
+             "part": pa.array(part, pa.int64())}
+        )
+
+    def cells(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"cohort_week": pa.array([], pa.int64()),
+             "week_offset": pa.array([], pa.int64()),
+             "n_users": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        wk = group.column("week").to_numpy(zero_copy_only=False)
+        # partials may repeat (user, week) across blocks — dedup, then
+        # per-user min week and offsets via a sorted segment scan
+        pairs = np.unique(np.stack([uid, wk], axis=1), axis=0)
+        u, w = pairs[:, 0], pairs[:, 1]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        first = np.repeat(w[new], np.diff(np.r_[np.flatnonzero(new), len(u)]))
+        # count users per (cohort, offset) cell via one packed int key
+        # (offset < 2^20 always: weeks since epoch fit easily)
+        K = np.int64(1 << 20)
+        keys, cnt = np.unique(first * K + (w - first), return_counts=True)
+        return pa.table(
+            {"cohort_week": pa.array(keys // K, pa.int64()),
+             "week_offset": pa.array(keys % K, pa.int64()),
+             "n_users": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(cells, batch_format="pyarrow")
+    )
+    t = collect_table(parts)
+    if t.num_rows == 0 or "cohort_week" not in t.column_names:
+        return pa.table(
+            {"cohort_week": pa.array([], pa.int64()),
+             "week_offset": pa.array([], pa.int64()),
+             "n_users": pa.array([], pa.int64())}
+        )
+    agg = rename_select(
+        t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("n_users", "sum")]
+        ),
+        {"cohort_week": "cohort_week", "week_offset": "week_offset",
+         "n_users_sum": "n_users"},
+    )
+    return agg.sort_by(
+        [("cohort_week", "ascending"), ("week_offset", "ascending")]
+    )

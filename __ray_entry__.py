@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_per_type": ST.top_users_per_type,
         "trending_window_topk": ST.trending_window_topk,
         "cohort_retention": ST.cohort_retention,
+        "rfm_segments": ST.rfm_segments,
         "orders_with_returns": J.orders_with_returns,
         "promo_revenue_by_month": J.promo_revenue_by_month,
         "regional_revenue": J.regional_revenue,
@@ -819,6 +820,30 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY event_type
                 ORDER BY cents DESC, user_id ASC
             ) <= 3
+        """,
+        # RFM segmentation: recency/frequency/monetary vs exact medians
+        "rfm_segments": """
+            WITH u AS (
+                SELECT user_id,
+                       ((SELECT max(epoch_us(ts)) FROM events)
+                        - max(epoch_us(ts))) // 86400000000 AS r_days,
+                       cast(count(*) as bigint) AS f,
+                       cast(sum(cast(round(value * 100) as bigint))
+                            as bigint) AS m_cents
+                FROM events GROUP BY user_id
+            ), med AS (
+                SELECT quantile_disc(r_days, 0.50) AS rm,
+                       quantile_disc(f, 0.50) AS fm,
+                       quantile_disc(m_cents, 0.50) AS mm
+                FROM u
+            )
+            SELECT 'R' || cast(cast(u.r_days <= med.rm as int) as varchar)
+                   || 'F' || cast(cast(u.f > med.fm as int) as varchar)
+                   || 'M' || cast(cast(u.m_cents > med.mm as int)
+                                  as varchar) AS segment,
+                   cast(count(*) as bigint) AS n_users
+            FROM u CROSS JOIN med
+            GROUP BY 1 ORDER BY 1
         """,
         # cohort retention triangle: first-activity week x weeks-later
         "cohort_retention": """

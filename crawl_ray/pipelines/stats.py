@@ -43,6 +43,7 @@ from crawl_ray.util import collect_table, rename_select
 __all__ = [
     "trending_window_topk",
     "cohort_retention",
+    "rfm_segments",
     "events_value_quantiles",
     "value_quantiles_per_type",
     "distinct_users_per_type",
@@ -1071,3 +1072,163 @@ def cohort_retention(sf_dir: str, num_partitions: int = 32) -> pa.Table:
     return agg.sort_by(
         [("cohort_week", "ascending"), ("week_offset", "ascending")]
     )
+
+
+def rfm_segments(sf_dir: str, num_partitions: int = 32) -> pa.Table:
+    """RFM segmentation — the classic user-value analysis: each user's
+    Recency (days since last event, vs the corpus max ts), Frequency
+    (event count) and Monetary (Σ value cents), split at the EXACT
+    median of each (DuckDB ``quantile_disc`` rank convention), giving 8
+    segments ``R{0,1}F{0,1}M{0,1}`` (1 = recent / frequent / high-value
+    side); output is the bounded 8-row count table.
+
+    Scale shape: ONE user-keyed shuffle builds exact per-user triples
+    (users partition-disjoint → per-partition partial merge is global);
+    the median thresholds come from bounded per-measure histograms
+    (value-domain-sized, the ``events_value_quantiles`` trick), and the
+    final labeling is a second cheap pass over the per-user triples
+    with broadcast thresholds — nothing user-sized ever lands on the
+    driver except the 8-row result."""
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    P = num_partitions
+    DAY = 86_400_000_000
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    # pass 0: corpus max ts (per-batch max partials)
+    def ts_max(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        m = pc.max(us).as_py()
+        return pa.table({"m": pa.array([m if m is not None else 0], pa.int64())})
+
+    mx = collect_table(
+        ds.map_batches(ts_max, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    max_ts = int(mx.column("m").to_numpy(zero_copy_only=False).max())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "last_ts": batch.column("ts").cast(pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+        out = rename_select(
+            t.group_by("user_id").aggregate(
+                [("last_ts", "max"), ("n", "sum"), ("cents", "sum")]
+            ),
+            {"user_id": "user_id", "last_ts_max": "last_ts",
+             "n_sum": "n", "cents_sum": "cents"},
+        )
+        part = (
+            _splitmix64(
+                out.column("user_id").to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            % np.uint64(P)
+        ).astype(np.int64)
+        return out.append_column("part", pa.array(part, pa.int64()))
+
+    def per_user(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "r_days": pa.array([], pa.int64()),
+             "f": pa.array([], pa.int64()),
+             "m_cents": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        agg = rename_select(
+            group.select(["user_id", "last_ts", "n", "cents"])
+            .group_by("user_id")
+            .aggregate([("last_ts", "max"), ("n", "sum"), ("cents", "sum")]),
+            {"user_id": "user_id", "last_ts_max": "last_ts",
+             "n_sum": "n", "cents_sum": "cents"},
+        )
+        last = agg.column("last_ts").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": agg.column("user_id"),
+             "r_days": pa.array((max_ts - last) // DAY, pa.int64()),
+             "f": agg.column("n"),
+             "m_cents": agg.column("cents")}
+        )
+
+    users = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(per_user, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # bounded per-measure histograms → exact medians
+    def hists(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "r_days" not in batch.column_names:
+            return pa.table(
+                {"measure": pa.array([], pa.string()),
+                 "v": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        parts = []
+        for name, col in (("r", "r_days"), ("f", "f"), ("m", "m_cents")):
+            v, c = np.unique(
+                batch.column(col).to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            parts.append(
+                pa.table(
+                    {"measure": pa.array([name] * len(v), pa.string()),
+                     "v": pa.array(v, pa.int64()),
+                     "n": pa.array(c.astype(np.int64), pa.int64())}
+                )
+            )
+        return pa.concat_tables(parts)
+
+    h = collect_table(
+        users.map_batches(hists, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if h.num_rows == 0:
+        return pa.table(
+            {"segment": pa.array([], pa.string()),
+             "n_users": pa.array([], pa.int64())}
+        )
+    comb = rename_select(
+        h.group_by(["measure", "v"]).aggregate([("n", "sum")]),
+        {"measure": "measure", "v": "v", "n_sum": "n"},
+    )
+    meas = np.array(comb.column("measure").to_pylist(), dtype=object)
+    med = {}
+    for name in ("r", "f", "m"):
+        sel = meas == name
+        med[name] = _weighted_rank_quantiles(
+            comb.column("v").to_numpy(zero_copy_only=False)[sel],
+            comb.column("n").to_numpy(zero_copy_only=False)[sel],
+            (50,),
+        )[0]
+
+    def label(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "r_days" not in batch.column_names:
+            return pa.table(
+                {"segment": pa.array([], pa.string()),
+                 "n_users": pa.array([], pa.int64())}
+            )
+        r = batch.column("r_days").to_numpy(zero_copy_only=False) <= med["r"]
+        f = batch.column("f").to_numpy(zero_copy_only=False) > med["f"]
+        m = batch.column("m_cents").to_numpy(zero_copy_only=False) > med["m"]
+        code = r.astype(np.int64) * 4 + f * 2 + m
+        u, c = np.unique(code, return_counts=True)
+        names = [f"R{int(x) // 4}F{(int(x) // 2) % 2}M{int(x) % 2}" for x in u]
+        return pa.table(
+            {"segment": pa.array(names, pa.string()),
+             "n_users": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    cells = collect_table(
+        users.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    agg = rename_select(
+        cells.group_by("segment").aggregate([("n_users", "sum")]),
+        {"segment": "segment", "n_users_sum": "n_users"},
+    )
+    return agg.sort_by([("segment", "ascending")])

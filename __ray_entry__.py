@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": J.min_cost_supplier,
         "important_parts": J.important_parts,
         "referential_orphans": J.referential_orphans,
+        "basket_pairs": J.basket_pairs,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -1818,6 +1819,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_acctbal_cents, s_name, n_name, p_partkey
             FROM cand WHERE rn = 1
             ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+        """,
+        # market-basket pairs: co-ordered parts, support>=2, top-50 lift
+        "basket_pairs": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pc AS (
+                SELECT l_partkey, cast(count(*) as bigint) AS c
+                FROM op GROUP BY 1
+            ), n AS (
+                SELECT cast(count(DISTINCT l_orderkey) as bigint) AS n
+                FROM op
+            ), pp AS (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                       cast(count(*) as bigint) AS s
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            )
+            SELECT pp.pa, pp.pb, pp.s AS support,
+                   cast((1000 * n.n * pp.s) // (ca.c * cb.c) as bigint)
+                       AS lift_milli
+            FROM pp CROSS JOIN n
+            JOIN pc ca ON ca.l_partkey = pp.pa
+            JOIN pc cb ON cb.l_partkey = pp.pb
+            WHERE pp.s >= 2
+            ORDER BY lift_milli DESC, pp.pa, pp.pb LIMIT 50
         """,
         # data-quality gate: orphan counts per fact->dim reference
         "referential_orphans": """

@@ -67,6 +67,7 @@ __all__ = [
     "min_cost_supplier",
     "important_parts",
     "referential_orphans",
+    "basket_pairs",
 ]
 
 # Q3 cutoff: orders placed before, lineitems shipped after
@@ -2467,3 +2468,156 @@ def referential_orphans(sf_dir: str, num_partitions: int | None = None):
         {"relation": pa.array(relations, pa.string()),
          "n_orphans": pa.array(counts, pa.int64())}
     ).sort_by([("relation", "ascending")])
+
+
+def basket_pairs(
+    sf_dir: str,
+    min_support: int = 2,
+    k: int = 50,
+    num_partitions: int | None = None,
+    order_cap: int = 256,
+):
+    """Market-basket association pairs: part pairs co-occurring in the
+    same order, ranked by integer lift ``1000·N·s // (c_a·c_b)`` with a
+    support floor — the classic co-purchase mining shape (word-pair
+    :func:`crawl_ray.pipelines.textops.collocations`' transactional
+    twin).
+
+    Orders span input blocks, so pair generation CANNOT be per-batch:
+    distinct (order, part) partials ride ONE ``splitmix(order) % P``
+    shuffle (orders partition-disjoint ⇒ per-order triu pairs are
+    complete and exact; degenerate baskets > ``order_cap`` parts are
+    truncated to their ``order_cap`` lowest part keys rather than
+    exploding quadratically — far above any real basket here), per-partition pair counts pre-combine, and the
+    cross-partition pair merge is the bounded driver combine over
+    (pairs-per-partition) partials.  Part order-frequencies are a
+    parts-bounded histogram; N_orders is a scalar.  Top-``k`` by
+    (lift desc, pa, pb) — a deterministic total order."""
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    P = num_partitions or _default_partitions()
+
+    def op_partial(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        part = (
+            _splitmix64(uniq[:, 0].astype(np.uint64)) % np.uint64(P)
+        ).astype(np.int64)
+        return pa.table(
+            {"ok": pa.array(uniq[:, 0], pa.int64()),
+             "pk": pa.array(uniq[:, 1], pa.int64()),
+             "part": pa.array(part, pa.int64())}
+        )
+
+    _empty_pairs = pa.table(
+        {"pa_": pa.array([], pa.int64()),
+         "pb_": pa.array([], pa.int64()),
+         "s": pa.array([], pa.int64())}
+    )
+
+    def pair_counts(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "ok" not in group.column_names:
+            return _empty_pairs
+        ok = group.column("ok").to_numpy(zero_copy_only=False)
+        pk = group.column("pk").to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        ok, pk = uniq[:, 0], uniq[:, 1]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.minimum(np.diff(np.r_[starts, len(ok)]), order_cap)
+        pas, pbs = [], []
+        for width in np.unique(lens):
+            if width < 2:
+                continue
+            sel = starts[lens == width]
+            # vectorized across all orders of this basket size
+            block = pk[(sel[:, None] + np.arange(width)[None, :])]
+            ia, ib = np.triu_indices(int(width), 1)
+            pas.append(block[:, ia].ravel())
+            pbs.append(block[:, ib].ravel())
+        if not pas:
+            return _empty_pairs
+        a = np.concatenate(pas)
+        b2 = np.concatenate(pbs)
+        lo = np.minimum(a, b2)
+        hi_ = np.maximum(a, b2)
+        key = lo * np.int64(1 << 32) + hi_
+        keys, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"pa_": pa.array(keys >> np.int64(32), pa.int64()),
+             "pb_": pa.array(keys & np.int64((1 << 32) - 1), pa.int64()),
+             "s": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    op = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        op_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    pairs = collect_table(
+        op.groupby("part").map_groups(pair_counts, batch_format="pyarrow")
+    )
+    if pairs.num_rows == 0 or "pa_" not in pairs.column_names:
+        return pa.table(
+            {"pa": pa.array([], pa.int64()), "pb": pa.array([], pa.int64()),
+             "support": pa.array([], pa.int64()),
+             "lift_milli": pa.array([], pa.int64())}
+        )
+    merged = rename_select(
+        pairs.group_by(["pa_", "pb_"]).aggregate([("s", "sum")]),
+        {"pa_": "pa_", "pb_": "pb_", "s_sum": "s"},
+    )
+    # part order-frequency histogram (parts-bounded) + N_orders scalar
+    def freq_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "pk" not in b.column_names:
+            return pa.table(
+                {"pk": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64()),
+                 "n_orders": pa.array([], pa.int64())}
+            )
+        pk = b.column("pk").to_numpy(zero_copy_only=False)
+        ok = b.column("ok").to_numpy(zero_copy_only=False)
+        # per-batch partials may repeat an (order, part) row when an
+        # order spans input blocks — re-dedup before counting (the
+        # pair kernel does the same)
+        uniq = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        ok, pk = uniq[:, 0], uniq[:, 1]
+        v, c = np.unique(pk, return_counts=True)
+        return pa.table(
+            {"pk": pa.array(v, pa.int64()),
+             "c": pa.array(c.astype(np.int64), pa.int64()),
+             "n_orders": pa.array(
+                 np.r_[np.int64(len(np.unique(ok))),
+                       np.zeros(len(v) - 1, np.int64)]
+                 if len(v) else np.empty(0, np.int64),
+                 pa.int64(),
+             )}
+        )
+
+    # op rows are distinct (order, part) and partition-disjoint by order
+    fr = collect_table(
+        op.groupby("part").map_groups(freq_partial, batch_format="pyarrow")
+    )
+    freq = rename_select(
+        fr.group_by("pk").aggregate([("c", "sum")]), {"pk": "pk", "c_sum": "c"}
+    )
+    n_orders = int(fr.column("n_orders").to_numpy(zero_copy_only=False).sum())
+    fpk = freq.column("pk").to_numpy(zero_copy_only=False)
+    fc = freq.column("c").to_numpy(zero_copy_only=False)
+    order_f = np.argsort(fpk)
+    fpk, fc = fpk[order_f], fc[order_f]
+
+    a = merged.column("pa_").to_numpy(zero_copy_only=False)
+    b2 = merged.column("pb_").to_numpy(zero_copy_only=False)
+    s = merged.column("s").to_numpy(zero_copy_only=False)
+    keep = s >= min_support
+    a, b2, s = a[keep], b2[keep], s[keep]
+    ca = fc[np.searchsorted(fpk, a)]
+    cb = fc[np.searchsorted(fpk, b2)]
+    lift = (1000 * np.int64(n_orders) * s) // (ca * cb)
+    order2 = np.lexsort((b2, a, -lift))[:k]
+    return pa.table(
+        {"pa": pa.array(a[order2], pa.int64()),
+         "pb": pa.array(b2[order2], pa.int64()),
+         "support": pa.array(s[order2], pa.int64()),
+         "lift_milli": pa.array(lift[order2], pa.int64())}
+    )

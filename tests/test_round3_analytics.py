@@ -313,3 +313,79 @@ def test_referential_orphans_detects_planted(tmp_path, ray_session):
     assert out.loc["lineitem.l_partkey->part", "n_orphans"] == 0
     assert out.loc["lineitem.l_suppkey->supplier", "n_orphans"] == 1
     assert out.loc["lineitem.l_orderkey->orders", "n_orphans"] == 1
+
+
+def test_cohort_retention_planted(tmp_path, ray_session):
+    from crawl_ray.pipelines.stats import cohort_retention
+
+    W = 604_800_000_000
+    # user 1: weeks 0 and 2; user 2: week 0 only; user 3: weeks 2 and 3
+    rows = [
+        (1, 0, 1, "a"), (2, 2 * W, 1, "a"),
+        (3, 10, 2, "a"),
+        (4, 2 * W, 3, "a"), (5, 3 * W + 5, 3, "a"),
+    ]
+    d = _events(tmp_path, rows)
+    out = cohort_retention(d).to_pandas()
+    got = {(r.cohort_week, r.week_offset): r.n_users for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 2): 1, (2, 0): 1, (2, 1): 1}
+
+
+def test_trending_window_topk_planted(tmp_path, ray_session):
+    from crawl_ray.pipelines.stats import trending_window_topk
+
+    H = 3_600_000_000
+    # hour 0: users 1,2,3,4 with values 4,3,2,1 -> top3 = 1,2,3
+    rows = [(i, (i - 1) % 4, i, "a") for i in range(1, 5)]
+    d = _events(tmp_path, rows)
+    import pyarrow as pa_, pyarrow.parquet as pq_
+    t = pq_.read_table(f"{d}/events.parquet")
+    t = t.set_column(
+        t.schema.get_field_index("value"),
+        "value", pa_.array([4.0, 3.0, 2.0, 1.0], pa_.float64()),
+    )
+    pq_.write_table(t, f"{d}/events.parquet")
+    out = trending_window_topk(d, k=3).to_pandas()
+    assert list(out.user_id) == [1, 2, 3]
+    assert list(out.cents) == [400, 300, 200]
+    assert (out.window_start == 0).all()
+
+
+def test_basket_pairs_planted(tmp_path, ray_session):
+    from crawl_ray.pipelines.joins import basket_pairs
+
+    # orders: {1,2} x3, {1,3} x1 -> pair (1,2) support 3, (1,3) support 1
+    ok = [10, 10, 11, 11, 12, 12, 13, 13]
+    pk = [1, 2, 1, 2, 1, 2, 1, 3]
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(ok, pa.int64()),
+                  "l_partkey": pa.array(pk, pa.int64())}),
+        tmp_path / "lineitem.parquet",
+    )
+    out = basket_pairs(str(tmp_path), min_support=2, k=10).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.pa, r.pb, r.support) == (1, 2, 3)
+    # lift = 1000 * N(4) * s(3) // (c1(4) * c2(3)) = 1000
+    assert r.lift_milli == 1000
+
+
+def test_rfm_segments_planted(tmp_path, ray_session):
+    from crawl_ray.pipelines.stats import rfm_segments
+
+    D = 86_400_000_000
+    # three users: recent+frequent+rich / middling / old+rare+poor
+    rows = [
+        (1, 10 * D, 1, "a"), (2, 10 * D, 1, "a"), (3, 10 * D, 1, "a"),
+        (4, 5 * D, 2, "a"), (5, 5 * D, 2, "a"),
+        (6, 0, 3, "a"),
+    ]
+    d = _events(tmp_path, rows)
+    out = rfm_segments(d).to_pandas().set_index("segment")
+    # medians: r_days over {0,5,10}=5, f over {3,2,1}=2, m over {3,2,1}=2
+    # user1: r=0<=5, f=3>2, m=300>200 -> R1F1M1
+    # user2: r=5<=5, f=2, m=200 (not >) -> R1F0M0
+    # user3: r=10, f=1, m=100 -> R0F0M0
+    assert out.loc["R1F1M1", "n_users"] == 1
+    assert out.loc["R1F0M0", "n_users"] == 1
+    assert out.loc["R0F0M0", "n_users"] == 1

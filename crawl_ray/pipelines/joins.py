@@ -673,58 +673,99 @@ def orders_bloom_semi(
 
 def customer_order_counts(sf_dir: str, num_partitions: int | None = None):
     """TPC-H Q13 shape: the distribution of customers by how many
-    orders they placed — including the zero-order customers, which is
-    what forces the **left outer** hash join (an inner join would drop
-    them; reference-side crawl analytics has the same shape in
-    "hosts by page count including never-fetched seeds").
+    orders they placed — including the zero-order customers (the
+    LEFT OUTER in the SQL; reference-side crawl analytics has the same
+    shape in "hosts by page count including never-fetched seeds").
 
-    Scale shape: orders are pre-counted per batch (``value_counts``)
-    so the ``groupby`` shuffle carries one row per (custkey, block)
-    partial, not one per order; the per-custkey totals then hash-join
-    ``left_outer`` against the customer keys (both sides
-    customer-sized — no broadcast); the final distribution is a
-    partial-then-final combine whose key domain (distinct order
-    counts) is tiny and bounded, so no second shuffle runs.
-    """
+    Scale shape — ONE exchange: per-batch order partials
+    (``value_counts`` of custkey) and the customer keys (tagged
+    ``n = -1``) ride the SAME ``splitmix(custkey) % P`` shuffle; the
+    partition kernel sums order partials per key, looks each customer
+    key up (absent → 0 — the left-outer zero row), and emits bounded
+    (c_count, custdist) partials; the driver combine is over
+    ≤ P × max-orders-per-customer rows, never customer-sized.  The
+    previous 2-exchange plan (custkey sort-groupby then a left_outer
+    hash join) measured ~7 s at sf0.1/32; this plan ~2-3 s.  Orders
+    whose custkey has no customer row are dropped, exactly as the
+    left-outer-from-customer join drops them."""
+    from crawl_ray.pipelines.stats import _splitmix64
+
     num_partitions = num_partitions or _default_partitions()
+    P = num_partitions
 
-    def count_partial(batch: pa.Table) -> pa.Table:
+    def order_partial(batch: pa.Table) -> pa.Table:
         vc = batch.column("o_custkey").cast(pa.int64()).value_counts()
+        keys = vc.field("values").to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (_splitmix64(keys.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
         return pa.table(
             {
-                "o_custkey": vc.field("values"),
+                "key": pa.array(keys, pa.int64()),
                 "n": vc.field("counts").cast(pa.int64()),
+                "part": pa.array(part, pa.int64()),
             }
         )
 
-    counts = normalize_schema(
-        _read(sf_dir, "orders", ["o_custkey"])
-        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .sum("n"),
-        {"o_custkey": pa.int64(), "n_orders": pa.int64()},
-        rename={"sum(n)": "n_orders"},
-        coalesce=num_partitions,
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        part = (_splitmix64(keys.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "n": pa.array(np.full(len(keys), -1, dtype=np.int64), pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    _empty = pa.table(
+        {"c_count": pa.array([], pa.int64()), "custdist": pa.array([], pa.int64())}
+    )
+
+    def dist_partial(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "key" not in group.column_names:
+            return _empty
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        is_cust = n < 0
+        ckeys = key[is_cust]
+        if not len(ckeys):
+            return _empty
+        okeys, osums = key[~is_cust], n[~is_cust]
+        if len(okeys):
+            uk, inv = np.unique(okeys, return_inverse=True)
+            sums = np.bincount(inv, weights=osums).astype(np.int64)
+            loc = np.searchsorted(uk, ckeys)
+            hit = (loc < len(uk)) & (uk[np.minimum(loc, len(uk) - 1)] == ckeys)
+            per_cust = np.zeros(len(ckeys), dtype=np.int64)
+            per_cust[hit] = sums[loc[hit]]
+        else:
+            per_cust = np.zeros(len(ckeys), dtype=np.int64)
+        cnt = np.bincount(per_cust)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "c_count": pa.array(nz.astype(np.int64), pa.int64()),
+                "custdist": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        order_partial, batch_format="pyarrow", zero_copy_batch=True
     )
     cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
-        lambda b: pa.table({"c_custkey": b.column("c_custkey").cast(pa.int64())}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        cust_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    joined = cust.join(
-        counts, "left_outer", num_partitions, on=("c_custkey",), right_on=("o_custkey",)
+    partials = collect_table(
+        orders.union(cust).groupby("part").map_groups(
+            dist_partial, batch_format="pyarrow"
+        )
     )
-
-    def fill_zero(batch: pa.Table) -> pa.Table:
-        n = batch.column("n_orders").to_numpy(zero_copy_only=False)
-        n = np.where(np.isnan(n.astype(np.float64)), 0, n).astype(np.int64)
-        return pa.table({"c_count": pa.array(n, pa.int64())})
-
-    dist = partial_then_final_sum(
-        joined.map_batches(fill_zero, batch_format="pyarrow"),
-        ["c_count"],
-        {},
-        count_name="custdist",
+    if partials.num_rows == 0 or "c_count" not in partials.column_names:
+        return _empty
+    dist = rename_select(
+        partials.group_by("c_count").aggregate([("custdist", "sum")]),
+        {"c_count": "c_count", "custdist_sum": "custdist"},
     )
     return dist.sort_by(
         [("custdist", "descending"), ("c_count", "descending")]

@@ -440,17 +440,31 @@ def regional_revenue(
     sf_dir: str, region: str = "ASIA", num_partitions: int | None = None
 ):
     """Q5 shape: revenue per nation for customers in one region where
-    the supplying nation equals the customer nation.  The two
-    frontier-scale edges are native hash joins (lineitem⋈orders on
-    orderkey, then ⋈customer on custkey, schema-normalized between
-    them — the join emits zero-column empty blocks a second join
-    rejects); supplier→nation and nation⋈region are genuinely small
-    dimensions, broadcast once via ``ray.put`` and resolved with numpy
-    lookups inside the post-join filter.  The final per-nation sums
-    come from the bounded combiner, not a third shuffle."""
+    the supplying nation equals the customer nation.
+
+    Scale shape — two LIGHT splitmix exchanges, both region-pruned
+    BEFORE any row moves (vs the old plan's two native hash joins
+    shipping ALL of lineitem and ALL of customer):
+
+    1. ``splitmix(custkey) % P``: region-filtered customers (~1/5 of
+       the table) union-co-partitioned with the orders projection; the
+       partition kernel emits (orderkey, cust_nation) for region
+       orders only (~1/5 of orders, two int64 columns).
+    2. ``splitmix(orderkey) % P``: lineitem partials — supplier nation
+       resolved per batch from the broadcast supplier array, rows kept
+       only when the supplier nation is IN the region (s_nationkey =
+       c_nationkey ∈ region ⇒ safe pre-prune, ~1/5 of the fact), then
+       pre-summed per (orderkey, sup_nat) — union-co-partitioned with
+       stage 1's output; the kernel matches each order's customer
+       nation and emits bounded (nationkey, revenue) partials.
+
+    Driver combine is ≤ P × |region nations| rows; nation names are a
+    tiny broadcast dict."""
     import pyarrow.parquet as pq_
+    from crawl_ray.pipelines.stats import _splitmix64
 
     num_partitions = num_partitions or _default_partitions()
+    P = num_partitions
 
     nat = pq_.read_table(f"{sf_dir}/nation.parquet")
     reg = pq_.read_table(f"{sf_dir}/region.parquet")
@@ -462,91 +476,195 @@ def regional_revenue(
         for r in nat.to_pylist()
         if r["n_regionkey"] in rkeys
     }
+    region_nats = np.fromiter(nkey_to_name, dtype=np.int64)
     sup = pq_.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     )
     skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    snat = np.full(int(skeys.max()) + 1, -1, dtype=np.int64)
+    snat = np.full(int(skeys.max()) + 1 if len(skeys) else 1, -1, dtype=np.int64)
     snat[skeys] = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
-    side_ref = ray.put((snat, nkey_to_name))
+    side_ref = ray.put((snat, region_nats))
+
+    # ---- exchange 1: orderkey -> customer nation, region orders only
+    def orders_rows(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(ck, pa.int64()),
+                "okey": b.column("o_orderkey").cast(pa.int64()),
+                "nat": pa.array(np.full(len(ck), -1, dtype=np.int64), pa.int64()),
+                "part": pa.array(
+                    (_splitmix64(ck.astype(np.uint64)) % np.uint64(P)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(cn, region_nats)
+        ck, cn = ck[keep], cn[keep]
+        return pa.table(
+            {
+                "key": pa.array(ck, pa.int64()),
+                "okey": pa.array(np.full(len(ck), -1, dtype=np.int64), pa.int64()),
+                "nat": pa.array(cn, pa.int64()),
+                "part": pa.array(
+                    (_splitmix64(ck.astype(np.uint64)) % np.uint64(P)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    _e1 = pa.table(
+        {"okey": pa.array([], pa.int64()),
+         "nat": pa.array([], pa.int64()),
+         "cc": pa.array([], pa.int64()),
+         "part": pa.array([], pa.int64())}
+    )
+
+    def order_nation(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "key" not in group.column_names:
+            return _e1
+        nat_col = group.column("nat").to_numpy(zero_copy_only=False)
+        is_cust = nat_col >= 0
+        if not is_cust.any() or is_cust.all():
+            return _e1
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        ckeys = key[is_cust]
+        order_ = np.argsort(ckeys)
+        ckeys_s, cnats_s = ckeys[order_], nat_col[is_cust][order_]
+        okeys_ck = key[~is_cust]
+        loc = np.searchsorted(ckeys_s, okeys_ck)
+        hit = (loc < len(ckeys_s)) & (
+            ckeys_s[np.minimum(loc, len(ckeys_s) - 1)] == okeys_ck
+        )
+        okey = group.column("okey").to_numpy(zero_copy_only=False)[~is_cust][hit]
+        onat = cnats_s[loc[hit]]
+        return pa.table(
+            {
+                "okey": pa.array(okey, pa.int64()),
+                "nat": pa.array(onat, pa.int64()),
+                "cc": pa.array(np.full(len(okey), -1, dtype=np.int64), pa.int64()),
+                "part": pa.array(
+                    (_splitmix64(okey.astype(np.uint64)) % np.uint64(P)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    order_nat = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(orders_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+                cust_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("part")
+        .map_groups(order_nation, batch_format="pyarrow")
+    )
+
+    # ---- exchange 2: lineitem partials (region-supplier pruned) ⋈ order_nat
+    def li_partial(b: pa.Table) -> pa.Table:
+        snat_b, rn = ray.get(side_ref)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sup_nat = snat_b[sk]
+        keep = np.isin(sup_nat, rn)
+        if not keep.any():
+            return _e1
+        mask = pa.array(keep)
+        kept = pa.table(
+            {
+                "okey": b.column("l_orderkey").cast(pa.int64()).filter(mask),
+                "nat": pa.array(sup_nat[keep], pa.int64()),
+                "cc": _revenue_cc(b).filter(mask),
+            }
+        )
+        agg = kept.group_by(["okey", "nat"]).aggregate([("cc", "sum")])
+        ok = agg.column("okey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "okey": pa.array(ok, pa.int64()),
+                "nat": agg.column("nat"),
+                "cc": agg.column("cc_sum").cast(pa.int64()),
+                "part": pa.array(
+                    (_splitmix64(ok.astype(np.uint64)) % np.uint64(P)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    _e2 = pa.table(
+        {"nat": pa.array([], pa.int64()), "revenue_cc": pa.array([], pa.int64())}
+    )
+
+    def nation_revenue(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "okey" not in group.column_names:
+            return _e2
+        cc = group.column("cc").to_numpy(zero_copy_only=False)
+        is_ord = cc < 0
+        if not is_ord.any() or is_ord.all():
+            return _e2
+        okey = group.column("okey").to_numpy(zero_copy_only=False)
+        nat_col = group.column("nat").to_numpy(zero_copy_only=False)
+        o_keys = okey[is_ord]
+        order_ = np.argsort(o_keys)
+        o_keys_s, o_nats_s = o_keys[order_], nat_col[is_ord][order_]
+        lk = okey[~is_ord]
+        loc = np.searchsorted(o_keys_s, lk)
+        hit = (loc < len(o_keys_s)) & (
+            o_keys_s[np.minimum(loc, len(o_keys_s) - 1)] == lk
+        )
+        cust_nat = np.where(hit, o_nats_s[np.minimum(loc, len(o_keys_s) - 1)], -1)
+        l_nat = nat_col[~is_ord]
+        keep = hit & (cust_nat == l_nat)
+        # exact int64 segment sums (float bincount would round > 2^53)
+        kn, kc = l_nat[keep], cc[~is_ord][keep]
+        sums = np.zeros(int(kn.max()) + 1 if len(kn) else 1, dtype=np.int64)
+        np.add.at(sums, kn, kc)
+        nz = np.flatnonzero(sums)
+        return pa.table(
+            {
+                "nat": pa.array(nz.astype(np.int64), pa.int64()),
+                "revenue_cc": pa.array(sums[nz], pa.int64()),
+            }
+        )
 
     li = _read(
         sf_dir, "lineitem",
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(
-        lambda b: pa.table(
-            {
-                "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
-                "l_suppkey": b.column("l_suppkey").cast(pa.int64()),
-                "revenue_cc": _revenue_cc(b),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        lambda b: pa.table(
-            {
-                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
-                "o_custkey": b.column("o_custkey").cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        lambda b: pa.table(
-            {
-                "c_custkey": b.column("c_custkey").cast(pa.int64()),
-                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    from crawl_ray.util import normalize_schema
-
-    j1 = normalize_schema(
-        li.join(
-            orders, "inner", num_partitions,
-            on=("l_orderkey",), right_on=("o_orderkey",),
-        ),
-        {
-            "l_suppkey": pa.int64(),
-            "revenue_cc": pa.int64(),
-            "o_custkey": pa.int64(),
-        },
-        coalesce=num_partitions,
-    )
-    j2 = j1.join(
-        cust, "inner", num_partitions,
-        on=("o_custkey",), right_on=("c_custkey",),
-    )
-
-    def resolve(batch: pa.Table) -> pa.Table:
-        snat_b, names_b = ray.get(side_ref)
-        supk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
-        cnat = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
-        sup_nat = snat_b[supk]
-        keep = sup_nat == cnat
-        in_region = np.isin(cnat, np.fromiter(names_b, dtype=np.int64))
-        keep &= in_region
-        kept = batch.filter(pa.array(keep))
-        nname = [names_b[int(k)] for k in
-                 kept.column("c_nationkey").to_pylist()]
-        return pa.table(
-            {
-                "n_name": pa.array(nname, pa.string()),
-                "revenue_cc": kept.column("revenue_cc").cast(pa.int64()),
-            }
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = collect_table(
+        li.union(order_nat).groupby("part").map_groups(
+            nation_revenue, batch_format="pyarrow"
         )
-
-    agg = partial_then_final_sum(
-        j2.map_batches(resolve, batch_format="pyarrow", zero_copy_batch=True),
-        ["n_name"],
-        {"revenue_cc": lambda b: b.column("revenue_cc")},
     )
-    return agg.sort_by([("revenue_cc", "descending"), ("n_name", "ascending")])
+    if partials.num_rows == 0 or "nat" not in partials.column_names:
+        return pa.table(
+            {"n_name": pa.array([], pa.string()),
+             "revenue_cc": pa.array([], pa.int64())}
+        )
+    agg = partials.group_by("nat").aggregate([("revenue_cc", "sum")])
+    out = pa.table(
+        {
+            "n_name": pa.array(
+                [nkey_to_name[int(k)] for k in agg.column("nat").to_pylist()],
+                pa.string(),
+            ),
+            "revenue_cc": agg.column("revenue_cc_sum").cast(pa.int64()),
+        }
+    )
+    return out.sort_by([("revenue_cc", "descending"), ("n_name", "ascending")])
 
 
 def _bloom_add(keys: np.ndarray, bits: np.ndarray, m_bits: int, k_hashes: int):

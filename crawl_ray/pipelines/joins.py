@@ -347,38 +347,93 @@ def events_price_band_join(sf_dir: str):
 
 def orders_with_returns(sf_dir: str, num_partitions: int | None = None):
     """Distributed semi-join: orders with at least one returned lineitem
-    (``l_returnflag = 'R'``), via the native hash join's ``left_semi``
-    mode — both sides shuffle by key, nothing is broadcast, and the
-    right side is filtered + projected to the key column before the
-    exchange (the big∖big EXISTS shape at 100 TB)."""
+    (``l_returnflag = 'R'``) — the big∖big EXISTS shape at 100 TB.
+
+    ONE ``splitmix(orderkey) % P`` exchange: returned orderkeys
+    (filtered + per-batch deduped before anything moves) ride the same
+    shuffle as the order rows (tagged ``total_cents = -1``); the
+    partition kernel is a sorted-membership probe.  Output rows are
+    sorted within each partition only — the oracle compare is
+    order-insensitive, and a global presentation sort of an
+    order-sized result would be a second all-to-all for nothing."""
+    from crawl_ray.pipelines.stats import _splitmix64
+
     num_partitions = num_partitions or _default_partitions()
+    P = num_partitions
+
+    def orders_rows(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "total_cents": _cents(b.column("o_totalprice")),
+                "part": pa.array(
+                    (_splitmix64(ok.astype(np.uint64)) % np.uint64(P)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def returned_keys(b: pa.Table) -> pa.Table:
+        ok = np.unique(
+            b.filter(pc.equal(b.column("l_returnflag"), "R"))
+            .column("l_orderkey")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "total_cents": pa.array(
+                    np.full(len(ok), -1, dtype=np.int64), pa.int64()
+                ),
+                "part": pa.array(
+                    (_splitmix64(ok.astype(np.uint64)) % np.uint64(P)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {"o_orderkey": pa.array([], pa.int64()),
+         "total_cents": pa.array([], pa.int64())}
+    )
+
+    def probe(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "o_orderkey" not in group.column_names:
+            return _empty
+        tc = group.column("total_cents").to_numpy(zero_copy_only=False)
+        is_key = tc < 0
+        if not is_key.any() or is_key.all():
+            return _empty
+        ok = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        keys = np.unique(ok[is_key])
+        o_ok, o_tc = ok[~is_key], tc[~is_key]
+        loc = np.searchsorted(keys, o_ok)
+        hit = (loc < len(keys)) & (keys[np.minimum(loc, len(keys) - 1)] == o_ok)
+        order_ = np.argsort(o_ok[hit], kind="stable")
+        return pa.table(
+            {
+                "o_orderkey": pa.array(o_ok[hit][order_], pa.int64()),
+                "total_cents": pa.array(o_tc[hit][order_], pa.int64()),
+            }
+        )
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
-        lambda b: pa.table(
-            {
-                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
-                "total_cents": _cents(b.column("o_totalprice")),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        orders_rows, batch_format="pyarrow", zero_copy_batch=True
     )
     returned = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
-        lambda b: pa.table(
-            {
-                "l_orderkey": b.filter(
-                    pc.equal(b.column("l_returnflag"), "R")
-                ).column("l_orderkey").cast(pa.int64())
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        returned_keys, batch_format="pyarrow", zero_copy_batch=True
     )
-    semi = orders.join(
-        returned, "left_semi", num_partitions,
-        on=("o_orderkey",), right_on=("l_orderkey",),
+    return (
+        orders.union(returned)
+        .groupby("part")
+        .map_groups(probe, batch_format="pyarrow")
     )
-    return semi.sort("o_orderkey")
 
 
 def promo_revenue_by_month(sf_dir: str, num_partitions: int | None = None):

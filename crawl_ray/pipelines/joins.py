@@ -192,69 +192,190 @@ def returned_revenue_by_customer(
     sf_dir: str, k: int = 20, num_partitions: int | None = None
 ):
     """TPC-H Q10 shape: top-k customers by revenue on returned
-    lineitems.  lineitem(R) ⋈ orders is the native hash join; the
-    c_custkey → c_name resolution happens AFTER the aggregate, on k
-    rows only (never broadcast to the wide stage)."""
-    num_partitions = num_partitions or _default_partitions()
+    lineitems.
 
-    def li_side(batch: pa.Table) -> pa.Table:
+    Scale shape — two splitmix exchanges, both smaller than the old
+    plan's three (hash join, sort-groupby, global sort-limit):
+
+    1. ``splitmix(orderkey) % P``: lineitem(R) revenue pre-summed per
+       orderkey per batch, union-co-partitioned with the orders
+       projection; the kernel maps order revenue to custkey and emits
+       per-partition (custkey, revenue) partials.
+    2. ``splitmix(custkey) % P``: the partials (already ≪ fact-sized)
+       re-keyed so each custkey's sum is exact within one partition;
+       per-partition exact sums then LOCAL top-k (exact: sums are
+       complete per partition), driver merges ≤ P × k rows.
+
+    The c_custkey → c_name resolution scans customer with a broadcast
+    k-key filter — never collects the SF-sized customer table on the
+    driver (the old plan did)."""
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    num_partitions = num_partitions or _default_partitions()
+    P = num_partitions
+
+    def li_partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        t = pa.table(
+            {
+                "key": batch.column("l_orderkey").cast(pa.int64()),
+                "cc": _revenue_cc(batch),
+            }
+        )
+        agg = t.group_by("key").aggregate([("cc", "sum")])
+        ok = agg.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
-                "revenue_cc": _revenue_cc(batch),
+                "key": pa.array(ok, pa.int64()),
+                "cc": agg.column("cc_sum").cast(pa.int64()),
+                "part": pa.array(
+                    (_splitmix64(ok.astype(np.uint64)) % np.uint64(P)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def orders_rows(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        # custkey rides negated-minus-one so the kernel can split sides
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(ok, pa.int64()),
+                "cc": pa.array(-ck - 1, pa.int64()),
+                "part": pa.array(
+                    (_splitmix64(ok.astype(np.uint64)) % np.uint64(P)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    _e1 = pa.table(
+        {"ck": pa.array([], pa.int64()),
+         "cc": pa.array([], pa.int64()),
+         "part": pa.array([], pa.int64())}
+    )
+
+    def to_cust_partials(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "key" not in group.column_names:
+            return _e1
+        cc = group.column("cc").to_numpy(zero_copy_only=False)
+        is_ord = cc < 0
+        if not is_ord.any() or is_ord.all():
+            return _e1
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        o_keys = key[is_ord]
+        order_ = np.argsort(o_keys)
+        o_keys_s = o_keys[order_]
+        o_cust_s = (-cc[is_ord] - 1)[order_]
+        lk, lcc = key[~is_ord], cc[~is_ord]
+        loc = np.searchsorted(o_keys_s, lk)
+        hit = (loc < len(o_keys_s)) & (
+            o_keys_s[np.minimum(loc, len(o_keys_s) - 1)] == lk
+        )
+        custs = o_cust_s[loc[hit]]
+        vals = lcc[hit]
+        uk, inv = np.unique(custs, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, vals)
+        return pa.table(
+            {
+                "ck": pa.array(uk, pa.int64()),
+                "cc": pa.array(sums, pa.int64()),
+                "part": pa.array(
+                    (_splitmix64(uk.astype(np.uint64)) % np.uint64(P)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    _e2 = pa.table(
+        {"ck": pa.array([], pa.int64()), "cc": pa.array([], pa.int64())}
+    )
+
+    def local_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "ck" not in group.column_names:
+            return _e2
+        ck = group.column("ck").to_numpy(zero_copy_only=False)
+        cc = group.column("cc").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ck, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, cc)
+        # exact per-partition top-k: ties broken by smaller custkey
+        order_ = np.lexsort((uk, -sums))[:k]
+        return pa.table(
+            {
+                "ck": pa.array(uk[order_], pa.int64()),
+                "cc": pa.array(sums[order_], pa.int64()),
             }
         )
 
     li = _read(
-        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
-    ).map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
-
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        lambda b: pa.table(
+        orders_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = collect_table(
+        li.union(orders)
+        .groupby("part")
+        .map_groups(to_cust_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(local_topk, batch_format="pyarrow")
+    )
+    if merged.num_rows == 0 or "ck" not in merged.column_names:
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_name": pa.array([], pa.string()),
+             "revenue_cc": pa.array([], pa.int64())}
+        )
+    mk = merged.column("ck").to_numpy(zero_copy_only=False)
+    mv = merged.column("cc").to_numpy(zero_copy_only=False)
+    order_ = np.lexsort((mk, -mv))[:k]
+    top_keys, top_vals = mk[order_], mv[order_]
+
+    # name lookup: broadcast the k keys, filter the customer scan
+    keyset_ref = ray.put(np.sort(top_keys))
+
+    def name_rows(b: pa.Table) -> pa.Table:
+        want = ray.get(keyset_ref)
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        loc = np.searchsorted(want, ck)
+        hit = (loc < len(want)) & (want[np.minimum(loc, len(want) - 1)] == ck)
+        kept = b.filter(pa.array(hit))
+        return pa.table(
             {
-                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
-                "o_custkey": b.column("o_custkey").cast(pa.int64()),
+                "c_custkey": kept.column("c_custkey").cast(pa.int64()),
+                "c_name": kept.column("c_name").cast(pa.string()),
             }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-    joined = li.join(
-        orders, "inner", num_partitions, on=("l_orderkey",), right_on=("o_orderkey",)
-    )
-
-    def pre_agg(batch: pa.Table) -> pa.Table:
-        out = batch.group_by(["o_custkey"]).aggregate([("revenue_cc", "sum")])
-        return out.rename_columns(
-            [c if c != "revenue_cc_sum" else "revenue_cc" for c in out.column_names]
         )
 
-    agg = (
-        joined.map_batches(pre_agg, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .sum("revenue_cc")
+    names_t = collect_table(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+            name_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
-    top = collect_table(
-        agg.sort(["sum(revenue_cc)", "o_custkey"], descending=[True, False]).limit(k)
-    )
-
-    # name lookup on k rows only
-    cust = collect_table(_read(sf_dir, "customer", ["c_custkey", "c_name"]))
-    ck = cust.column("c_custkey").to_numpy()
-    order = np.argsort(ck)
-    names = np.array(cust.column("c_name").to_pylist(), dtype=object)[order]
-    ck_sorted = ck[order]
-    want = top.column("o_custkey").to_numpy()
-    pos = np.searchsorted(ck_sorted, want)
-    if len(want) and not np.array_equal(ck_sorted[np.minimum(pos, len(ck_sorted) - 1)], want):
+    nk = names_t.column("c_custkey").to_numpy(zero_copy_only=False)
+    nn = np.array(names_t.column("c_name").to_pylist(), dtype=object)
+    norder = np.argsort(nk)
+    nk_s, nn_s = nk[norder], nn[norder]
+    pos = np.searchsorted(nk_s, top_keys)
+    if len(top_keys) and not np.array_equal(
+        nk_s[np.minimum(pos, len(nk_s) - 1)], top_keys
+    ):
         raise ValueError("orders.o_custkey not in customer")
     return pa.table(
         {
-            "c_custkey": top.column("o_custkey"),
-            "c_name": pa.array([names[p] for p in pos], pa.string()),
-            "revenue_cc": top.column("sum(revenue_cc)"),
+            "c_custkey": pa.array(top_keys, pa.int64()),
+            "c_name": pa.array([nn_s[p] for p in pos], pa.string()),
+            "revenue_cc": pa.array(top_vals, pa.int64()),
         }
     )
 

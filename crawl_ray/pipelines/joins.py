@@ -325,6 +325,7 @@ def returned_revenue_by_customer(
     )
     merged = collect_table(
         li.union(orders)
+        .repartition(P)
         .groupby("part")
         .map_groups(to_cust_partials, batch_format="pyarrow")
         .groupby("part")
@@ -552,6 +553,7 @@ def orders_with_returns(sf_dir: str, num_partitions: int | None = None):
     )
     return (
         orders.union(returned)
+        .repartition(P)
         .groupby("part")
         .map_groups(probe, batch_format="pyarrow")
     )
@@ -744,6 +746,7 @@ def regional_revenue(
                 cust_rows, batch_format="pyarrow", zero_copy_batch=True
             )
         )
+        .repartition(P)
         .groupby("part")
         .map_groups(order_nation, batch_format="pyarrow")
     )
@@ -821,7 +824,7 @@ def regional_revenue(
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
     partials = collect_table(
-        li.union(order_nat).groupby("part").map_groups(
+        li.union(order_nat).repartition(P).groupby("part").map_groups(
             nation_revenue, batch_format="pyarrow"
         )
     )
@@ -1051,7 +1054,7 @@ def customer_order_counts(sf_dir: str, num_partitions: int | None = None):
         cust_rows, batch_format="pyarrow", zero_copy_batch=True
     )
     partials = collect_table(
-        orders.union(cust).groupby("part").map_groups(
+        orders.union(cust).repartition(P).groupby("part").map_groups(
             dist_partial, batch_format="pyarrow"
         )
     )
@@ -1132,6 +1135,7 @@ def large_volume_orders(
     surv = collect_table(  # HAVING survivors: tiny by construction
         _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
         .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P)
         .groupby("part")
         .map_groups(having, batch_format="pyarrow")
     )
@@ -1404,6 +1408,7 @@ def small_quantity_revenue(
             ["l_partkey", "l_quantity", "l_extendedprice"],
         )
         .map_batches(lq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions)
         .groupby("part")
         .map_groups(per_part, batch_format="pyarrow"),
         {"pk": pa.int64(), "rev": pa.int64()},
@@ -1664,7 +1669,7 @@ def waiting_suppliers(
         )
 
     counts = collect_table(  # bounded: ≤ suppliers × P rows
-        li.union(orders).groupby("part").map_groups(
+        li.union(orders).repartition(P).groupby("part").map_groups(
             per_order, batch_format="pyarrow"
         )
     )
@@ -2392,7 +2397,9 @@ def part_type_supplier_counts(sf_dir: str, num_partitions: int | None = None):
         part_dim, batch_format="pyarrow", zero_copy_batch=True
     )
     partials = collect_table(
-        li.union(pt).groupby("part").map_groups(triples, batch_format="pyarrow")
+        li.union(pt).repartition(P).groupby("part").map_groups(
+            triples, batch_format="pyarrow"
+        )
     )
     if partials.num_rows == 0 or "p_type" not in partials.column_names:
         return pa.table(
@@ -2474,6 +2481,7 @@ def dominant_part_suppliers(
     survivors = (
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
         .map_batches(psq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions)
         .groupby("part")
         .map_groups(majority, batch_format="pyarrow")
         .groupby("l_suppkey")

@@ -2740,6 +2740,7 @@ def min_cost_supplier(
     winners = collect_table(
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
         .map_batches(pairs_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions)
         .groupby("part")
         .map_groups(argmin_per_part, batch_format="pyarrow")
     )
@@ -2851,6 +2852,7 @@ def important_parts(
     per_part = collect_table(
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
         .map_batches(value_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions)
         .groupby("part")
         .map_groups(per_part_sum, batch_format="pyarrow")
     )
@@ -3030,7 +3032,7 @@ def basket_pairs(
 
     op = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
         op_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    ).repartition(P).materialize()
 
     pairs = collect_table(
         op.groupby("part").map_groups(pair_counts, batch_format="pyarrow")

@@ -758,6 +758,7 @@ def top_users_per_type(
 
     parts = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P)
         .groupby("part")
         .map_groups(local_topk, batch_format="pyarrow")
     )
@@ -977,6 +978,7 @@ def trending_window_topk(
 
     parts = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P)
         .groupby("part")
         .map_groups(local_topk, batch_format="pyarrow")
     )
@@ -1052,6 +1054,7 @@ def cohort_retention(sf_dir: str, num_partitions: int = 32) -> pa.Table:
 
     parts = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P)
         .groupby("part")
         .map_groups(cells, batch_format="pyarrow")
     )
@@ -1157,6 +1160,7 @@ def rfm_segments(sf_dir: str, num_partitions: int = 32) -> pa.Table:
 
     users = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P)
         .groupby("part")
         .map_groups(per_user, batch_format="pyarrow")
         .materialize()

@@ -708,6 +708,7 @@ def ngram_counts(
     ds = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions)
         .groupby("part")
         .map_groups(combine_topk, batch_format="pyarrow")
     )
@@ -2410,6 +2411,7 @@ def collocations(
     surv = collect_table(
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_partitions)
         .groupby("part")
         .map_groups(combine_floor, batch_format="pyarrow")
     )

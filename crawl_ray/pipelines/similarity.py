@@ -733,6 +733,78 @@ def threshold_graph_stats(sf_dir: str, threshold_milli: int = 450):
     from crawl_ray.pipelines.dedup import embedding_near_dup
 
     pairs = embedding_near_dup(sf_dir, threshold_milli=threshold_milli)
+    ua = pairs.column("vec_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    va = pairs.column("vec_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_edges = len(ua)
+    n_nodes = len(np.unique(np.concatenate([ua, va]))) if n_edges else 0
+
+    # Small-graph driver fast path (the knn_graph_stats verified-pair
+    # table is already on the driver — embedding_near_dup returns the
+    # bounded verified output, not a corpus-sized stream): wedges via
+    # per-middle-vertex in×out segment products, closure via sorted
+    # encoded-edge membership.  Guarded twice — edge count AND the
+    # exact wedge total (Σ in·out) — so a dense dup graph still takes
+    # the distributed two-hash-join plan below.
+    if n_edges and n_edges <= 500_000:
+        order = np.lexsort((ua, va))  # group incoming by middle v
+        mid_in, a_in = va[order], ua[order]
+        order2 = np.lexsort((va, ua))  # group outgoing by middle u
+        mid_out, c_out = ua[order2], va[order2]
+        mids = np.unique(np.concatenate([mid_in, mid_out]))
+        in_cnt = np.searchsorted(mid_in, mids, side="right") - np.searchsorted(
+            mid_in, mids, side="left"
+        )
+        out_cnt = np.searchsorted(mid_out, mids, side="right") - np.searchsorted(
+            mid_out, mids, side="left"
+        )
+        n_wedges = int((in_cnt.astype(np.int64) * out_cnt).sum())
+        if n_wedges <= 50_000_000:
+            if n_wedges:
+                # enumerate (a, c) per middle: repeat each incoming a by
+                # the middle's out-degree, tile outgoing c likewise
+                in_start = np.searchsorted(mid_in, mids, side="left")
+                out_start = np.searchsorted(mid_out, mids, side="left")
+                per_mid = in_cnt.astype(np.int64) * out_cnt
+                a_idx = np.concatenate(
+                    [
+                        np.repeat(
+                            np.arange(is_, is_ + ic, dtype=np.int64), oc
+                        )
+                        for is_, ic, oc in zip(in_start, in_cnt, out_cnt)
+                        if ic and oc
+                    ]
+                ) if per_mid.sum() else np.empty(0, np.int64)
+                c_idx = np.concatenate(
+                    [
+                        np.tile(
+                            np.arange(os_, os_ + oc, dtype=np.int64), ic
+                        )
+                        for os_, oc, ic in zip(out_start, out_cnt, in_cnt)
+                        if ic and oc
+                    ]
+                ) if per_mid.sum() else np.empty(0, np.int64)
+                wa, wc = a_in[a_idx], c_out[c_idx]
+                base = np.int64(max(int(va.max()), int(wc.max())) + 1)
+                ecode = np.sort(ua * base + va)
+                wcode = wa * base + wc
+                loc = np.searchsorted(ecode, wcode)
+                hit = (loc < len(ecode)) & (
+                    ecode[np.minimum(loc, len(ecode) - 1)] == wcode
+                )
+                n_tri = int(hit.sum())
+            else:
+                n_tri = 0
+            trans = (n_tri * 1000) // n_wedges if n_wedges else 0
+            return pa.table(
+                {
+                    "n_nodes": pa.array([n_nodes], pa.int64()),
+                    "n_edges": pa.array([n_edges], pa.int64()),
+                    "n_wedges": pa.array([n_wedges], pa.int64()),
+                    "n_triangles": pa.array([n_tri], pa.int64()),
+                    "transitivity_milli": pa.array([trans], pa.int64()),
+                }
+            )
+
     edges = ray.data.from_arrow(
         pa.table(
             {
@@ -741,17 +813,6 @@ def threshold_graph_stats(sf_dir: str, threshold_milli: int = 450):
             }
         )
     ).materialize()
-    n_edges = edges.count()
-    n_nodes = len(
-        np.unique(
-            np.concatenate(
-                [
-                    pairs.column("vec_a").to_numpy(zero_copy_only=False),
-                    pairs.column("vec_b").to_numpy(zero_copy_only=False),
-                ]
-            )
-        )
-    ) if n_edges else 0
     num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
     e2 = edges.map_batches(
         lambda b: pa.table({"u2": b.column("u"), "v2": b.column("v")}),

@@ -239,6 +239,18 @@ _EMPTY_PAIRS = pa.table(
 _SALT = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _default_band_partitions() -> int:
+    """Block count for the narrow coalesce in front of the banded/bucket
+    sort-shuffles: Ray's sort-based groupby pays per-input-block sample +
+    sort + split overhead, so merging the many small band/bucket blocks
+    into ~one-per-CPU first is cheaper than shuffling them raw (measured
+    ~2x per exchange at sf0.1/32).  Scales with the cluster, not the data:
+    at 10^10 rows the coalesce is a streaming narrow pass."""
+    import ray as _ray
+
+    return max(8, int(_ray.cluster_resources().get("CPU", 8)))
+
+
 # per worker process: shingle-store root -> {bucket -> {doc_id: ndarray}}
 _SHINGLE_CACHE: dict = {}
 
@@ -522,7 +534,8 @@ def minhash_lsh_pairs(
     # one shuffle total: bucket groupby → capped pair emission → local
     # (per-block) dedup; exact dedup happens on the verified output
     pairs = (
-        banded.groupby("bucket")
+        banded.repartition(_default_band_partitions())
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(local_pair_dedup, batch_format="pyarrow")
         .materialize()
@@ -1065,6 +1078,7 @@ def embedding_near_dup(
 
     pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(_default_band_partitions())
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(local_pair_dedup, batch_format="pyarrow")

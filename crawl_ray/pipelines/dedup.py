@@ -264,13 +264,22 @@ def _shingle_bucket_map(root: str, bucket: int) -> dict:
 
     import pyarrow.parquet as pq_
 
-    out: dict[int, np.ndarray] = {}
+    parts: dict[int, list] = {}
     bdir = pathlib.Path(root) / f"bucket={bucket}"
     for f in sorted(bdir.glob("*.parquet")):
         t = pq_.read_table(f)
         for d, s in zip(t.column("doc_id").to_pylist(),
                         t.column("shingles").to_pylist()):
-            out[d] = np.asarray(s, dtype=np.uint64)
+            parts.setdefault(d, []).append(np.asarray(s, dtype=np.uint64))
+    # a doc's set may arrive as partial lists from several store files
+    # (postings-sourced stores are gram-partitioned), or as whole-set
+    # duplicates when a persisted /tmp store carries parts from an
+    # earlier run with different batch boundaries — np.unique restores
+    # the exact set either way (verify kernels assume unique elements)
+    out: dict[int, np.ndarray] = {
+        d: (ls[0] if len(ls) == 1 else np.unique(np.concatenate(ls)))
+        for d, ls in parts.items()
+    }
     buckets[bucket] = out
     return out
 
@@ -421,6 +430,79 @@ def _write_shingle_store(
 
     docs_ds.map_batches(
         shingles_of, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+
+def _write_store_from_postings(
+    postings, needed_ref, store_root: str, n_buckets: int
+) -> None:
+    """Bucketed shingle-store writer that sources the candidate docs'
+    gram sets from an already-materialized (gram, doc_id) postings
+    dataset instead of re-scanning + re-shingling the corpus — the
+    sets are identical (postings are per-doc DISTINCT shingles), one
+    full text pass cheaper, and verification provably runs over the
+    exact sets candidate generation saw.  Because postings are
+    gram-partitioned, a doc's set lands as partial lists across store
+    files; the reader (:func:`_shingle_bucket_map`) concatenates them.
+    Part names are content-hashed → retry-idempotent, never clobber."""
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        import hashlib
+        import pathlib
+
+        import pyarrow.parquet as pq_
+
+        needed_ids = ray.get(needed_ref)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        loc = np.searchsorted(needed_ids, doc)
+        hit = (loc < len(needed_ids)) & (
+            needed_ids[np.minimum(loc, len(needed_ids) - 1)] == doc
+        )
+        n_written = 0
+        if hit.any():
+            kd = doc[hit]
+            kg = (
+                batch.column("gram").to_numpy(zero_copy_only=False)
+                .astype(np.int64)[hit]
+                .view(np.uint64)
+            )
+            order = np.argsort(kd, kind="stable")
+            kd, kg = kd[order], kg[order]
+            starts = np.flatnonzero(np.r_[True, kd[1:] != kd[:-1]])
+            lens = np.diff(np.r_[starts, len(kd)])
+            uid = kd[starts]
+            offsets = pa.array(
+                np.r_[0, np.cumsum(lens)].astype(np.int32)
+            )
+            sh = pa.table(
+                {
+                    "doc_id": pa.array(uid, pa.int64()),
+                    "shingles": pa.ListArray.from_arrays(
+                        offsets, pa.array(kg, pa.uint64())
+                    ),
+                }
+            )
+            for bk in np.unique(uid % n_buckets).tolist():
+                part = sh.filter(pa.array(uid % n_buckets == bk))
+                bdir = pathlib.Path(store_root) / f"bucket={int(bk)}"
+                bdir.mkdir(parents=True, exist_ok=True)
+                token = hashlib.blake2b(
+                    part.column("doc_id").to_numpy(
+                        zero_copy_only=False
+                    ).tobytes()
+                    + np.asarray(
+                        part.column("shingles").combine_chunks().values
+                    ).tobytes(),
+                    digest_size=8,
+                ).hexdigest()
+                pq_.write_table(part, bdir / f"part-{token}.parquet")
+                n_written += part.num_rows
+        return pa.table({"n": pa.array([n_written], pa.int64())})
+
+    postings.map_batches(
+        write_block, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
 
@@ -1629,11 +1711,11 @@ def containment_pairs(
 
     n_buckets = 8
     token = hashlib.blake2b(
-        f"containment:{sf_dir}:{t_milli}:{k}".encode(), digest_size=8
+        f"containment_v2:{sf_dir}:{t_milli}:{k}".encode(), digest_size=8
     ).hexdigest()
     store_root = f"/tmp/crawl_ray_runs/shingles_{token}"
 
-    _write_shingle_store(docs, needed_ref, store_root, k, n_buckets)
+    _write_store_from_postings(postings, needed_ref, store_root, n_buckets)
 
     verified = collect_table(
         pairs.map_batches(

@@ -85,6 +85,24 @@ def _default_partitions() -> int:
     return max(4, cpus // 4)
 
 
+def _cjoin(left, right, join_type, num_partitions, on, right_on=None):
+    """Native hash join with block-coalesced inputs: Ray's join pays
+    per-input-block overhead in its partitioning stage (same shape as
+    the sort-shuffle), so narrow-merging each side's many small
+    projected blocks to ~num_partitions first is a measured 2-4x win
+    at sf0.1/32 (Q14's join stage ran 31s raw vs 7s coalesced in one
+    window; ~3.9s vs ~1.7s warm).  The repartition is a streaming
+    narrow pass over the already-projected streams — volume
+    proportional to the join's own exchange, never the raw input."""
+    return left.repartition(num_partitions).join(
+        right.repartition(num_partitions),
+        join_type,
+        num_partitions,
+        on=on,
+        right_on=right_on,
+    )
+
+
 def _revenue_cc(batch: pa.Table) -> pa.Array:
     """Exact integer centi-cents: cents(extendedprice) × (100 − cents(discount))."""
     price_c = _cents(batch.column("l_extendedprice"))
@@ -155,8 +173,9 @@ def unshipped_orders(sf_dir: str, k: int = 10, num_partitions: int | None = None
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(lineitem_side, batch_format="pyarrow", zero_copy_batch=True)
 
-    joined = li.join(
-        orders, "inner", num_partitions, on=("l_orderkey",), right_on=("o_orderkey",)
+    joined = _cjoin(
+        li, orders, "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
     group_keys = ["l_orderkey", "o_orderdate_us", "o_orderpriority"]
@@ -411,8 +430,9 @@ def customers_without_urgent_orders(sf_dir: str, num_partitions: int | None = No
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    anti = cust.join(
-        orders, "left_anti", num_partitions, on=("c_custkey",), right_on=("o_custkey",)
+    anti = _cjoin(
+        cust, orders, "left_anti", num_partitions,
+        on=("c_custkey",), right_on=("o_custkey",),
     )
     t = collect_table(anti.sort("c_custkey"))
     # explicit schema so an empty result stays typed
@@ -598,8 +618,9 @@ def promo_revenue_by_month(sf_dir: str, num_partitions: int | None = None):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    j = li.join(
-        pt, "inner", num_partitions, on=("l_partkey",), right_on=("p_partkey",)
+    j = _cjoin(
+        li, pt, "inner", num_partitions,
+        on=("l_partkey",), right_on=("p_partkey",),
     )
     agg = partial_then_final_sum(
         j,
@@ -1274,8 +1295,8 @@ def nations_trade_volume(
         zero_copy_batch=True,
     )
     j1 = normalize_schema(
-        li.join(
-            orders, "inner", num_partitions,
+        _cjoin(
+            li, orders, "inner", num_partitions,
             on=("l_orderkey",), right_on=("o_orderkey",),
         ),
         {
@@ -1286,8 +1307,8 @@ def nations_trade_volume(
         },
         coalesce=num_partitions,
     )
-    j2 = j1.join(
-        cust, "inner", num_partitions,
+    j2 = _cjoin(
+        j1, cust, "inner", num_partitions,
         on=("o_custkey",), right_on=("c_custkey",),
     )
     # integer-key pair filter first (vectorized), names resolved via a
@@ -1424,8 +1445,9 @@ def small_quantity_revenue(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    j = per_part_rev.join(
-        pt, "inner", num_partitions, on=("pk",), right_on=("p_partkey",)
+    j = _cjoin(
+        per_part_rev, pt, "inner", num_partitions,
+        on=("pk",), right_on=("p_partkey",),
     )
     return partial_then_final_sum(
         j, ["p_brand"],
@@ -1502,8 +1524,8 @@ def idle_customer_balance(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    anti = cust.join(
-        okeys, "left_anti", num_partitions,
+    anti = _cjoin(
+        cust, okeys, "left_anti", num_partitions,
         on=("c_custkey",), right_on=("o_custkey",),
     )
 
@@ -2190,8 +2212,9 @@ def order_priority_check(sf_dir: str, num_partitions: int | None = None):
         li_side, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    j = orders.join(
-        li, "inner", num_partitions, on=("o_orderkey",), right_on=("l_orderkey",)
+    j = _cjoin(
+        orders, li, "inner", num_partitions,
+        on=("o_orderkey",), right_on=("l_orderkey",),
     )
 
     def late_pairs(batch: pa.Table) -> pa.Table:
@@ -2260,8 +2283,9 @@ def late_shipment_priority(sf_dir: str, num_partitions: int | None = None):
         sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
     ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
 
-    j = li.join(
-        orders, "inner", num_partitions, on=("l_orderkey",), right_on=("o_orderkey",)
+    j = _cjoin(
+        li, orders, "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
     def late_only(batch: pa.Table) -> pa.Table:
@@ -2587,8 +2611,8 @@ def product_profit(
     ).map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
 
     j1 = normalize_schema(
-        li.join(pt, "inner", num_partitions,
-                on=("l_partkey",), right_on=("p_partkey",)),
+        _cjoin(li, pt, "inner", num_partitions,
+               on=("l_partkey",), right_on=("p_partkey",)),
         {
             "l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
             "qty_c": pa.int64(), "revenue_cc": pa.int64(),
@@ -2605,8 +2629,9 @@ def product_profit(
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    j2 = j1.join(
-        orders, "inner", num_partitions, on=("l_orderkey",), right_on=("o_orderkey",)
+    j2 = _cjoin(
+        j1, orders, "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
     def resolve(b: pa.Table) -> pa.Table:
@@ -2939,8 +2964,8 @@ def referential_orphans(sf_dir: str, num_partitions: int | None = None):
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    n_orphans = li.join(
-        orders, "left_anti", num_partitions,
+    n_orphans = _cjoin(
+        li, orders, "left_anti", num_partitions,
         on=("l_orderkey",), right_on=("o_orderkey",),
     ).count()
     relations.append("lineitem.l_orderkey->orders")

@@ -1792,8 +1792,12 @@ def dedup_corpus(sf_dir: str, threshold_milli: int = 500, num_partitions: int | 
     drop_ds = ray.data.from_arrow(
         pa.table({"drop_id": pa.array(drop, pa.int64())})
     )
-    out = docs.join(
-        drop_ds, "left_anti", num_partitions or _default_partitions(),
+    P = num_partitions or _default_partitions()
+    # block-coalesced anti-join (the joins.py _cjoin pattern): merging
+    # the docs scan's many small blocks to P first halves the join's
+    # per-block partitioning overhead
+    out = docs.repartition(P).join(
+        drop_ds, "left_anti", P,
         on=("doc_id",), right_on=("drop_id",),
     )
     return out.sort("doc_id")

@@ -427,9 +427,9 @@ def web_corpus_prep(sf_dir: str, min_tokens: int = 20):
             extract_filter, batch_format="pyarrow", batch_size=256,
             zero_copy_batch=True,
         )
+        .repartition(64)
         .groupby("text_hash")
         .map_groups(keep_first, batch_format="pyarrow")
-        .sort("url")
     )
 
 
@@ -525,9 +525,9 @@ def anchor_text_index(sf_dir: str, n_parts: int = 64):
             extract_links, batch_format="pyarrow", batch_size=256,
             zero_copy_batch=True,
         )
+        .repartition(n_parts)
         .groupby("part")
         .map_groups(combine, batch_format="pyarrow")
-        .sort("target")
     )
 
 

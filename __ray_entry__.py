@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_moments": SIM.embedding_moments,
         "top_terms_per_doc": T.top_terms_per_doc,
         "redact_terms": T.redact_terms,
+        "pii_scrub": T.pii_scrub,
         "pack_sequences": T.pack_sequences,
         "chunk_documents": T.chunk_documents,
         "corpus_mixture": T.corpus_mixture,
@@ -2139,6 +2140,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # regex redaction (RE2 on both sides: Arrow
         # replace_substring_regex ≡ DuckDB regexp_replace(…, 'g'))
+        # typed PII scrub: sequential email -> ip -> phone redaction;
+        # counts taken on the intermediate each stage saw (both engines
+        # are RE2, so text and counts agree byte-for-byte)
+        "pii_scrub": r"""
+            WITH s1 AS (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(
+                           text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                       )) AS n_emails,
+                       regexp_replace(
+                           text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM documents
+            ), s2 AS (
+                SELECT doc_id, n_emails,
+                       len(regexp_extract_all(
+                           t1, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'
+                       )) AS n_ips,
+                       regexp_replace(
+                           t1, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}',
+                           '<IP>', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       t2, '\d{3}[-. ]\d{3}[-. ]\d{4}',
+                       '<PHONE>', 'g') AS text_scrubbed,
+                   cast(n_emails as bigint) AS n_emails,
+                   cast(n_ips as bigint) AS n_ips,
+                   cast(len(regexp_extract_all(
+                       t2, '\d{3}[-. ]\d{3}[-. ]\d{4}'
+                   )) as bigint) AS n_phones
+            FROM s2 ORDER BY doc_id
+        """,
         "redact_terms": r"""
             SELECT doc_id,
                    regexp_replace(text, '\b(customer|part)\b', '[PII]', 'g')

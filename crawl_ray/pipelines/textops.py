@@ -794,6 +794,48 @@ def redact_terms(
     )
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def pii_scrub(sf_dir: str):
+    """Typed PII scrubbing over the corpus — the C4/RefinedWeb-style
+    pre-training hygiene pass: emails, IPv4 addresses and phone numbers
+    are redacted SEQUENTIALLY (email → ip → phone, each count taken on
+    the text the previous stage produced, so an address inside an email
+    is never double-counted) and replaced with stable type tokens.
+    Pure RE2 Arrow kernels per batch, zero shuffle, streams at any
+    scale; DuckDB's regex engine is RE2 too, so the oracle chain of
+    ``regexp_replace(…, 'g')`` / ``len(regexp_extract_all(…))`` over
+    the SAME intermediates reproduces both text and counts exactly.
+
+    Reference parity note: the Go reference scrubs nothing — this is
+    one of the beyond-reference corpus operators (crawl output →
+    training data needs it; cf. /root/reference/README.md pipeline
+    scope)."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        t0 = batch.column("text")
+        n_email = pc.count_substring_regex(t0, PII_EMAIL_RE).cast(pa.int64())
+        t1 = pc.replace_substring_regex(t0, PII_EMAIL_RE, "<EMAIL>")
+        n_ip = pc.count_substring_regex(t1, PII_IPV4_RE).cast(pa.int64())
+        t2 = pc.replace_substring_regex(t1, PII_IPV4_RE, "<IP>")
+        n_phone = pc.count_substring_regex(t2, PII_PHONE_RE).cast(pa.int64())
+        t3 = pc.replace_substring_regex(t2, PII_PHONE_RE, "<PHONE>")
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "text_scrubbed": t3,
+             "n_emails": n_email,
+             "n_ips": n_ip,
+             "n_phones": n_phone}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def fingerprints(sf_dir: str, k: int = 5, window: int = 4):
     """Winnowing document fingerprint over k-token shingles:
     per sliding window of ``window`` shingle hashes keep the minimum,

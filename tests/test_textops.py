@@ -521,3 +521,36 @@ def test_quality_ks_test_planted(tmp_path, ray_session):
     assert ks[("A", "C")] == 0
     assert ks[("B", "C")] == 1000
     assert set(out.n_a) == {10} and set(out.n_b) == {10}
+
+
+def test_pii_scrub_planted(tmp_path, ray_session):
+    """Email, IP and phone are each redacted with their typed token;
+    an IP-shaped string inside an email is consumed by the email
+    redaction (sequential stages, no double count); clean text is
+    unchanged with zero counts."""
+    docs = {
+        0: "contact bob.smith+x@mail.example.org for details",
+        1: "server at 10.0.255.7 responded",
+        2: "call 415-555-0100 or 415 555 0199 today",
+        3: "mail root@10.0.0.1.example.com then ping 10.0.0.1",
+        4: "plain text with no identifiers at all",
+    }
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[i] for i in sorted(docs)],
+                                   pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    out = T.pii_scrub(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "text_scrubbed"] == "contact <EMAIL> for details"
+    assert (out.loc[0, ["n_emails", "n_ips", "n_phones"]] == [1, 0, 0]).all()
+    assert out.loc[1, "text_scrubbed"] == "server at <IP> responded"
+    assert (out.loc[1, ["n_emails", "n_ips", "n_phones"]] == [0, 1, 0]).all()
+    assert out.loc[2, "text_scrubbed"] == "call <PHONE> or <PHONE> today"
+    assert (out.loc[2, ["n_emails", "n_ips", "n_phones"]] == [0, 0, 2]).all()
+    # the ip inside the email address is gone before the ip stage;
+    # only the standalone ip remains to be redacted
+    assert out.loc[3, "text_scrubbed"] == "mail <EMAIL> then ping <IP>"
+    assert (out.loc[3, ["n_emails", "n_ips", "n_phones"]] == [1, 1, 0]).all()
+    assert out.loc[4, "text_scrubbed"] == docs[4]
+    assert (out.loc[4, ["n_emails", "n_ips", "n_phones"]] == [0, 0, 0]).all()

@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_exact": DD.embedding_near_dup_exact,
         "dedup_clusters": DD.dedup_clusters,
         "dedup_corpus": DD.dedup_corpus,
+        "incremental_dedup": DD.incremental_dedup,
         # similarity search
         "knn_brute": SIM.knn_brute,
         "knn_ivf": SIM.knn_ivf,
@@ -2425,6 +2426,24 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # incremental wave dedup: even doc_id = ingested corpus, odd =
+        # new wave; keep min-id per new text that the corpus lacks
+        "incremental_dedup": """
+            WITH nd AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+            ),
+            od AS (
+                SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+            ),
+            g AS (
+                SELECT min(doc_id) AS doc_id, count(*) AS n_new_copies,
+                       text
+                FROM nd GROUP BY text
+            )
+            SELECT g.doc_id, g.n_new_copies
+            FROM g ANTI JOIN od ON g.text = od.text
+            ORDER BY g.doc_id
         """,
         # exact all-pairs Jaccard over the same k-token shingle
         # definition the minhash pipeline verifies against: the LSH

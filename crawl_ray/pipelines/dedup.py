@@ -43,6 +43,7 @@ __all__ = [
     "embedding_near_dup_exact",
     "dedup_clusters",
     "dedup_corpus",
+    "incremental_dedup",
 ]
 
 
@@ -1801,3 +1802,147 @@ def dedup_corpus(sf_dir: str, threshold_milli: int = 500, num_partitions: int | 
         on=("doc_id",), right_on=("drop_id",),
     )
     return out.sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-wave) exact dedup
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=0)
+class _HashMembershipShard:
+    """One shard of a distributed content-hash membership set — the
+    corpus-side twin of the URL frontier's sharded seen-set actors
+    (SURVEY.md §2.5 J3; admission shards hold the same open-addressing
+    table for url hashes).  ``num_cpus=0``: the shards do O(bytes)
+    table probes, not compute, and must never steal task slots from
+    the streaming scan that feeds them."""
+
+    def __init__(self, backend: str = "exact") -> None:
+        from crawl_ray.state.seen import make_seen_table
+
+        self.table = make_seen_table(backend)
+
+    def add(self, keys: np.ndarray) -> int:
+        self.table.add(np.ascontiguousarray(keys, dtype=np.uint64))
+        return len(self.table)
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        return self.table.contains(
+            np.ascontiguousarray(keys, dtype=np.uint64)
+        )
+
+    def snapshot(self) -> dict:
+        return self.table.snapshot()
+
+
+def incremental_dedup(sf_dir: str, n_shards: int = 8):
+    """Dedup a NEW crawl wave against the already-ingested corpus
+    WITHOUT reprocessing the old corpus rows — the continuous-ingestion
+    path.  Re-running :func:`exact_dedup` over the full corpus each
+    wave is O(corpus) per wave ⇒ quadratic over the crawl's lifetime;
+    at 100 TB the old side must contribute only its 8-byte content
+    hashes, held in sharded membership state that persists between
+    waves (``snapshot()`` — the same checkpoint contract as the
+    frontier seen-set, ``state/seen.py``).
+
+    Demo split (deterministic, oracle-checkable): even ``doc_id`` =
+    ingested corpus, odd = the new wave.
+
+    Stages:
+
+    1. **Ingest** — one streaming pass over old docs emits content
+       hashes into ``n_shards`` membership actors keyed by
+       ``hash % n_shards``; old TEXT never leaves the scan tasks.
+       (In production this state already exists from the prior wave's
+       snapshot; the pass is shown for a self-contained run.)
+    2. **Within-wave dedup** — hash-keyed groupby over the new wave,
+       keep min ``doc_id`` per hash with its copy count (the
+       :func:`exact_dedup` kernel).
+    3. **Probe** — survivors batch-probe the shard actors
+       (one RPC per (batch, touched shard), vectorized masks); rows
+       whose hash is already ingested drop.
+
+    Memory: exact table = ~16 B/key ⇒ 10^10 ingested docs ≈ 160 GB
+    cluster-wide across shards; pass ``backend="cuckoo"`` state for
+    the 2.4 B/key fingerprint variant where ~0.01% FP (a few extra
+    drops) is acceptable.
+
+    Reference analog: the crawler never refetches a seen URL
+    (crawler.go:137-156); here the corpus never re-ingests seen
+    content.
+    """
+    actors = [_HashMembershipShard.remote() for _ in range(n_shards)]
+
+    def _hashes(batch: pa.Table) -> np.ndarray:
+        return content_hash64_batch(batch.column("text"))
+
+    def ingest(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        old = np.flatnonzero(ids % 2 == 0)
+        n = 0
+        if len(old):
+            h = content_hash64_batch(
+                batch.column("text").take(pa.array(old, pa.int64()))
+            )
+            shard = h % np.uint64(n_shards)
+            ray.get(
+                [
+                    actors[int(s)].add.remote(h[shard == s])
+                    for s in np.unique(shard).tolist()
+                ]
+            )
+            n = len(old)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    # barrier: every old hash must be registered before any probe runs
+    docs.map_batches(
+        ingest, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def new_wave_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        new = np.flatnonzero(ids % 2 == 1)
+        h = content_hash64_batch(
+            batch.column("text").take(pa.array(new, pa.int64()))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[new], pa.int64()),
+                "text_hash": pa.array(h, pa.uint64()),
+            }
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        kept = group.take(idx[:1])
+        return kept.append_column(
+            "n_new_copies", pa.array([group.num_rows], pa.int64())
+        )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        out = batch.select(["doc_id", "n_new_copies"])
+        if batch.num_rows == 0:
+            return out
+        h = batch.column("text_hash").to_numpy(zero_copy_only=False)
+        shard = h % np.uint64(n_shards)
+        seen = np.zeros(len(h), dtype=bool)
+        touched = np.unique(shard).tolist()
+        masks = ray.get(
+            [actors[int(s)].contains.remote(h[shard == s]) for s in touched]
+        )
+        for s, m in zip(touched, masks):
+            seen[shard == s] = m
+        return out.filter(pa.array(~seen))
+
+    survivors = (
+        docs.map_batches(
+            new_wave_hash, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("text_hash")
+        .map_groups(keep_first, batch_format="pyarrow")
+        .map_batches(probe, batch_format="pyarrow")
+    )
+    out = collect_table(survivors).select(["doc_id", "n_new_copies"])
+    return out.sort_by([("doc_id", "ascending")])

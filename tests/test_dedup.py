@@ -331,3 +331,50 @@ def test_embedding_near_dup_fast_path_matches_distributed(ray_session):
     assert fast.equals(dist), (
         f"fast {fast.num_rows} rows != distributed {dist.num_rows} rows"
     )
+
+
+@pytest.fixture(scope="module")
+def wave_dir(tmp_path_factory):
+    """Incremental-dedup corpus: even ids = ingested corpus, odd ids =
+    new wave, with planted CROSS-parity exact copies (21 copies old 2,
+    29 copies old 4) and a within-wave copy pair (25, 27)."""
+    texts = {i: _base_text(500 + i) for i in range(0, 20, 2)}  # old
+    texts[21] = texts[2]            # new, already ingested -> drops
+    texts[23] = _base_text(900)     # new, fresh -> survives
+    texts[25] = _base_text(901)     # new, fresh -> survives (keeper)
+    texts[27] = texts[25]           # within-wave copy of 25 -> folds
+    texts[29] = texts[4]            # new, already ingested -> drops
+    ids = sorted(texts)
+    d = tmp_path_factory.mktemp("wave_corpus")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array([texts[i] for i in ids], pa.string())}),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_incremental_dedup_planted(wave_dir, ray_session):
+    t = DD.incremental_dedup(wave_dir, n_shards=4)
+    got = dict(zip(t.column("doc_id").to_pylist(),
+                   t.column("n_new_copies").to_pylist()))
+    # 21 and 29 drop (ingested), 27 folds into 25
+    assert got == {23: 1, 25: 2}
+
+
+def test_incremental_dedup_matches_oracle_sql(wave_dir, ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{wave_dir}/documents.parquet')"
+    )
+    import __ray_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["incremental_dedup"]
+    exp = con.execute(sql).fetchall()
+    t = DD.incremental_dedup(wave_dir, n_shards=4)
+    got = list(zip(t.column("doc_id").to_pylist(),
+                   t.column("n_new_copies").to_pylist()))
+    assert got == [tuple(r) for r in exp]

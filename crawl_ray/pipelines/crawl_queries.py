@@ -395,6 +395,11 @@ def web_corpus_prep(sf_dir: str, min_tokens: int = 20):
 
     d = fixture_dir(fixture_size_for(sf_dir))
 
+    from crawl_ray.pipelines.stats import _splitmix64
+    import numpy as np
+
+    P = 64
+
     def extract_filter(batch: pa.Table) -> pa.Table:
         htmls = batch.column("html").to_pylist()
         texts = pa.array(
@@ -403,23 +408,36 @@ def web_corpus_prep(sf_dir: str, min_tokens: int = 20):
         n_tokens = pc.list_value_length(
             pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
         ).cast(pa.int64())
+        h = content_hash64_batch(texts)
         t = pa.table(
             {
                 "url": batch.column("url"),
                 "n_tokens": n_tokens,
-                "text_hash": pa.array(
-                    content_hash64_batch(texts), pa.uint64()
+                "text_hash": pa.array(h, pa.uint64()),
+                "part": pa.array(
+                    (_splitmix64(h) % np.uint64(P)).astype(np.int64),
+                    pa.int64(),
                 ),
             }
         )
         return t.filter(pc.greater_equal(n_tokens, min_tokens))
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("url", "ascending")])
-        kept = group.take(idx[:1]).select(["url", "n_tokens"])
-        return kept.append_column(
-            "n_dups", pa.array([group.num_rows], pa.int64())
+    # hash-partitioned keep-first: per-group Python bounded by the
+    # PARTITION count — one sort + segment reduce covers every content
+    # hash of a partition (not one Python call per distinct text)
+    def keep_first_part(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("text_hash", "ascending"), ("url", "ascending")],
         )
+        g = group.take(idx)
+        hs = g.column("text_hash").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        lens = np.diff(np.r_[starts, len(hs)])
+        kept = g.take(pa.array(starts, pa.int64())).select(
+            ["url", "n_tokens"]
+        )
+        return kept.append_column("n_dups", pa.array(lens, pa.int64()))
 
     return (
         ray.data.read_parquet(f"{d}/pages.parquet", columns=["url", "html"])
@@ -427,9 +445,9 @@ def web_corpus_prep(sf_dir: str, min_tokens: int = 20):
             extract_filter, batch_format="pyarrow", batch_size=256,
             zero_copy_batch=True,
         )
-        .repartition(64)
-        .groupby("text_hash")
-        .map_groups(keep_first, batch_format="pyarrow")
+        .repartition(P)
+        .groupby("part")
+        .map_groups(keep_first_part, batch_format="pyarrow")
     )
 
 

@@ -51,32 +51,51 @@ def _docs(sf_dir: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def exact_dedup(sf_dir: str):
+def exact_dedup(sf_dir: str, num_partitions: int | None = None):
     """Exact text dedup: key = 64-bit content hash; keep the lowest
-    doc_id per key (deterministic).  Shuffle is keyed by the hash —
-    the url_hash-partition dedup pattern (SURVEY.md §2.8)."""
+    doc_id per key (deterministic).  Shuffle is keyed by
+    ``part = splitmix64(hash) % P`` — the url_hash-partition dedup
+    pattern (SURVEY.md §2.8) — so per-group Python is bounded by the
+    PARTITION count: one ``map_groups`` call sorts and segment-reduces
+    ALL hash groups of a partition (the streams.py vectorized-segment
+    pattern), instead of one 30-100 µs call per distinct text."""
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    P = num_partitions or _default_band_partitions()
 
     def add_hash(batch: pa.Table) -> pa.Table:
         # blake2b per row (one C call each): document text is long, so
         # the padded-matrix FNV kernel would cost rows × longest-doc
+        h = content_hash64_batch(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id").cast(pa.int64()),
-                "text_hash": pa.array(
-                    content_hash64_batch(batch.column("text")), pa.uint64()
+                "text_hash": pa.array(h, pa.uint64()),
+                "part": pa.array(
+                    (_splitmix64(h) % np.uint64(P)).astype(np.int64),
+                    pa.int64(),
                 ),
             }
         )
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
-        kept = group.take(idx[:1]).select(["doc_id"])
-        return kept.append_column("n_dups", pa.array([group.num_rows], pa.int64()))
+    def keep_first_part(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("text_hash", "ascending"), ("doc_id", "ascending")],
+        )
+        g = group.take(idx)
+        h = g.column("text_hash").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        lens = np.diff(np.r_[starts, len(h)])
+        kept = g.take(pa.array(starts, pa.int64())).select(["doc_id"])
+        return kept.append_column("n_dups", pa.array(lens, pa.int64()))
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         add_hash, batch_format="pyarrow", zero_copy_batch=True
     )
-    return ds.groupby("text_hash").map_groups(keep_first, batch_format="pyarrow")
+    return ds.groupby("part").map_groups(
+        keep_first_part, batch_format="pyarrow"
+    )
 
 
 # -- MinHash / LSH ---------------------------------------------------------
@@ -529,6 +548,9 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_perm // bands
     sigs = minhash_signatures(sf_dir, n_perm=n_perm, k=k)
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    P = _default_band_partitions()
 
     def band_rows(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -536,7 +558,8 @@ def minhash_lsh_pairs(
         if n == 0:  # empty blocks can surface from Ray Data
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()),
-                 "bucket": pa.array([], pa.uint64())}
+                 "bucket": pa.array([], pa.uint64()),
+                 "part": pa.array([], pa.int64())}
             )
         sig = list_col_to_matrix(batch.column("signature"), dtype=np.uint64)
         buckets = np.empty((n, bands), dtype=np.uint64)
@@ -547,46 +570,68 @@ def minhash_lsh_pairs(
                 for j in range(b * rows_per_band, (b + 1) * rows_per_band):
                     h = (h ^ sig[:, j]) * _SHINGLE_PRIME
                 buckets[:, b] = h
+        flat = buckets.reshape(-1)
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(doc_ids, bands), pa.int64()),
-                "bucket": pa.array(buckets.reshape(-1), pa.uint64()),
+                "bucket": pa.array(flat, pa.uint64()),
+                "part": pa.array(
+                    (_splitmix64(flat) % np.uint64(P)).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
     banded = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        n = len(ids)
-        if n < 2:
+        # ONE call per hash PARTITION (splitmix64(bucket) % P), not one
+        # per bucket: a lexsort segments every bucket of the partition,
+        # singleton buckets (the vast majority) drop in one vectorized
+        # mask, and only collision segments pay Python pair emission
+        b = group.column("bucket").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(b) == 0:
             return _EMPTY_PAIRS.select(["doc_a", "doc_b"])
-        if n <= bucket_cap:
-            ia, ib = np.triu_indices(n, 1)
-            out_a, out_b = ids[ia], ids[ib]
-        else:
-            # degenerate bucket (many near-identical docs): sub-split by
-            # a salted hash so one group never emits N²/2 rows — pairs
-            # split across sub-buckets still collide in the other 15
-            # bands' buckets with overwhelming probability
-            n_sub = -(-n // bucket_cap)
-            with np.errstate(over="ignore"):
-                sub = ((ids.astype(np.uint64) * _SALT) >> np.uint64(33)) % np.uint64(n_sub)
-            parts_a, parts_b = [], []
-            for s in range(n_sub):
-                members = ids[sub == s]
-                if len(members) > 1:
-                    ia, ib = np.triu_indices(len(members), 1)
-                    parts_a.append(members[ia])
-                    parts_b.append(members[ib])
-            if not parts_a:
-                return _EMPTY_PAIRS.select(["doc_a", "doc_b"])
-            out_a = np.concatenate(parts_a)
-            out_b = np.concatenate(parts_b)
+        order = np.lexsort((d, b))
+        b, d = b[order], d[order]
+        # drop duplicate (bucket, doc_id) rows (several bands can map a
+        # doc to the same bucket value only across partitions, but keep
+        # the guard exact)
+        keep = np.r_[True, (b[1:] != b[:-1]) | (d[1:] != d[:-1])]
+        b, d = b[keep], d[keep]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        lens = np.diff(np.r_[starts, len(b)])
+        parts_a, parts_b = [], []
+        for si in np.flatnonzero(lens >= 2).tolist():
+            ids = d[starts[si]: starts[si] + lens[si]]
+            n = len(ids)
+            if n <= bucket_cap:
+                ia, ib = np.triu_indices(n, 1)
+                parts_a.append(ids[ia])
+                parts_b.append(ids[ib])
+            else:
+                # degenerate bucket (many near-identical docs): sub-split
+                # by a salted hash so one bucket never emits N²/2 rows —
+                # pairs split across sub-buckets still collide in the
+                # other 15 bands' buckets with overwhelming probability
+                n_sub = -(-n // bucket_cap)
+                with np.errstate(over="ignore"):
+                    sub = (
+                        (ids.astype(np.uint64) * _SALT) >> np.uint64(33)
+                    ) % np.uint64(n_sub)
+                for s in range(n_sub):
+                    members = ids[sub == s]
+                    if len(members) > 1:
+                        ia, ib = np.triu_indices(len(members), 1)
+                        parts_a.append(members[ia])
+                        parts_b.append(members[ib])
+        if not parts_a:
+            return _EMPTY_PAIRS.select(["doc_a", "doc_b"])
         return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
+                "doc_a": pa.array(np.concatenate(parts_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(parts_b), pa.int64()),
             }
         )
 
@@ -614,11 +659,11 @@ def minhash_lsh_pairs(
             }
         )
 
-    # one shuffle total: bucket groupby → capped pair emission → local
+    # one shuffle total: partition groupby → capped pair emission → local
     # (per-block) dedup; exact dedup happens on the verified output
     pairs = (
-        banded.repartition(_default_band_partitions())
-        .groupby("bucket")
+        banded.repartition(P)
+        .groupby("part")
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(local_pair_dedup, batch_format="pyarrow")
         .materialize()
@@ -783,6 +828,10 @@ def simhash_hamming_pairs(
          "hamming": pa.array([], pa.int64())}
     )
 
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    n_parts = _default_band_partitions()
+
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
             np.int64
@@ -792,7 +841,8 @@ def simhash_hamming_pairs(
             return pa.table(
                 {"key": pa.array([], pa.int64()),
                  "doc_id": pa.array([], pa.int64()),
-                 "sim": pa.array([], pa.int64())}
+                 "sim": pa.array([], pa.int64()),
+                 "part": pa.array([], pa.int64())}
             )
         # vectorized hex→uint64: one C-level fromhex over the batch
         words = np.frombuffer(
@@ -804,41 +854,58 @@ def simhash_hamming_pairs(
             shift = np.uint64(64 - (b + 1) * block_bits)
             block = (words >> shift) & mask
             keys[:, b] = (b << block_bits) | block.astype(np.int64)
+        flat = keys.reshape(-1)
         return pa.table(
-            {"key": pa.array(keys.reshape(-1), pa.int64()),
+            {"key": pa.array(flat, pa.int64()),
              "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
              "sim": pa.array(
                  np.repeat(words.view(np.int64), bands), pa.int64()
+             ),
+             "part": pa.array(
+                 (_splitmix64(flat.astype(np.uint64))
+                  % np.uint64(n_parts)).astype(np.int64),
+                 pa.int64(),
              )}
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        # one call per hash PARTITION (see minhash_lsh_pairs): lexsort
+        # segments every block-value key of the partition; singleton
+        # keys drop in one mask, collision segments pay the popcount
+        keys = group.column("key").to_numpy(zero_copy_only=False)
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        n = len(ids)
-        if n < 2:
+        if len(keys) == 0:
             return _empty
-        sims_ = group.column("sim").to_numpy(zero_copy_only=False).view(
-            np.uint64
-        )
-        order = np.argsort(ids, kind="stable")
-        ids, sims_ = ids[order], np.ascontiguousarray(sims_[order])
+        sims_all = group.column("sim").to_numpy(
+            zero_copy_only=False
+        ).view(np.uint64)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        sims_all = np.ascontiguousarray(sims_all[order])
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        lens = np.diff(np.r_[starts, len(keys)])
         out_a, out_b, out_h = [], [], []
-        # row-chunked m×n popcount: memory capped at ~chunk×n×8 bytes
-        chunk = max(1, (1 << 22) // n)
-        for s in range(0, n, chunk):
-            e = min(s + chunk, n)
-            x = sims_[s:e, None] ^ sims_[None, :]
-            ham = _POP8[x.view(np.uint8)].reshape(e - s, n, 8).sum(
-                axis=2, dtype=np.int64
-            )
-            ci, cj = np.nonzero(ham <= max_hamming)
-            gi = ci + s
-            keep = gi < cj  # upper triangle: each pair once, no self
-            if not keep.any():
-                continue
-            out_a.append(ids[gi[keep]])
-            out_b.append(ids[cj[keep]])
-            out_h.append(ham[ci[keep], cj[keep]])
+        for si in np.flatnonzero(lens >= 2).tolist():
+            lo = starts[si]
+            seg_ids = ids[lo: lo + lens[si]]
+            sims_ = sims_all[lo: lo + lens[si]]
+            n = len(seg_ids)
+            # row-chunked m×n popcount: memory capped ~chunk×n×8 bytes
+            chunk = max(1, (1 << 22) // n)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                x = sims_[s:e, None] ^ sims_[None, :]
+                ham = _POP8[x.view(np.uint8)].reshape(e - s, n, 8).sum(
+                    axis=2, dtype=np.int64
+                )
+                ci, cj = np.nonzero(ham <= max_hamming)
+                gi = ci + s
+                keep = gi < cj  # upper triangle: each pair once, no self
+                if not keep.any():
+                    continue
+                out_a.append(seg_ids[gi[keep]])
+                out_b.append(seg_ids[cj[keep]])
+                out_h.append(ham[ci[keep], cj[keep]])
         if not out_a:
             return _empty
         return pa.table(
@@ -865,7 +932,8 @@ def simhash_hamming_pairs(
     verified = collect_table(
         simhash_64(sf_dir)
         .map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("key")
+        .repartition(n_parts)
+        .groupby("part")
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(local_pair_dedup, batch_format="pyarrow")
     )
@@ -1077,6 +1145,9 @@ def embedding_near_dup(
         (n_tables, n_bits, dim)
     )
     planes_ref = ray.put(planes)
+    from crawl_ray.pipelines.stats import _splitmix64 as _px
+
+    n_parts_lsh = _default_band_partitions()
 
     def bucketize(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
@@ -1086,7 +1157,8 @@ def embedding_near_dup(
         if n == 0:
             return pa.table(
                 {"vec_id": pa.array([], pa.int64()),
-                 "bucket": pa.array([], pa.uint64())}
+                 "bucket": pa.array([], pa.uint64()),
+                 "part": pa.array([], pa.int64())}
             )
         # (tables × n): per-table bucket id, table index in the high bits
         out = np.empty((n_tables, n), dtype=np.uint64)
@@ -1096,41 +1168,62 @@ def embedding_near_dup(
             for b in range(n_bits):
                 code |= signs[:, b].astype(np.uint64) << np.uint64(b)
             out[t] = code | (np.uint64(t) << np.uint64(n_bits))
+        flat = out.reshape(-1)
         return pa.table(
             {
                 "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
-                "bucket": pa.array(out.reshape(-1), pa.uint64()),
+                "bucket": pa.array(flat, pa.uint64()),
+                "part": pa.array(
+                    (_px(flat) % np.uint64(n_parts_lsh)).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("vec_id").to_numpy(zero_copy_only=False))
-        n = len(ids)
-        if n < 2:
-            return pa.table(
-                {"vec_a": pa.array([], pa.int64()),
-                 "vec_b": pa.array([], pa.int64())}
-            )
-        if n > bucket_cap:  # degenerate bucket: sub-split (see minhash)
-            n_sub = -(-n // bucket_cap)
-            with np.errstate(over="ignore"):
-                sub = ((ids.astype(np.uint64) * _SALT) >> np.uint64(33)) % np.uint64(n_sub)
-            parts_a, parts_b = [], []
-            for s in range(n_sub):
-                members = ids[sub == s]
-                if len(members) > 1:
-                    ia, ib = np.triu_indices(len(members), 1)
-                    parts_a.append(members[ia])
-                    parts_b.append(members[ib])
-            out_a = np.concatenate(parts_a) if parts_a else np.empty(0, np.int64)
-            out_b = np.concatenate(parts_b) if parts_b else np.empty(0, np.int64)
-        else:
-            ia, ib = np.triu_indices(n, 1)
-            out_a, out_b = ids[ia], ids[ib]
+        # one call per hash PARTITION (see minhash_lsh_pairs.bucket_pairs):
+        # lexsort segments every LSH bucket of the partition, singletons
+        # drop vectorized, only collision segments pay Python emission
+        empty = pa.table(
+            {"vec_a": pa.array([], pa.int64()),
+             "vec_b": pa.array([], pa.int64())}
+        )
+        b = group.column("bucket").to_numpy(zero_copy_only=False)
+        d = group.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(b) == 0:
+            return empty
+        order = np.lexsort((d, b))
+        b, d = b[order], d[order]
+        keep = np.r_[True, (b[1:] != b[:-1]) | (d[1:] != d[:-1])]
+        b, d = b[keep], d[keep]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        lens = np.diff(np.r_[starts, len(b)])
+        parts_a, parts_b = [], []
+        for si in np.flatnonzero(lens >= 2).tolist():
+            ids = d[starts[si]: starts[si] + lens[si]]
+            n = len(ids)
+            if n > bucket_cap:  # degenerate bucket: sub-split (see minhash)
+                n_sub = -(-n // bucket_cap)
+                with np.errstate(over="ignore"):
+                    sub = (
+                        (ids.astype(np.uint64) * _SALT) >> np.uint64(33)
+                    ) % np.uint64(n_sub)
+                for s in range(n_sub):
+                    members = ids[sub == s]
+                    if len(members) > 1:
+                        ia, ib = np.triu_indices(len(members), 1)
+                        parts_a.append(members[ia])
+                        parts_b.append(members[ib])
+            else:
+                ia, ib = np.triu_indices(n, 1)
+                parts_a.append(ids[ia])
+                parts_b.append(ids[ib])
+        if not parts_a:
+            return empty
         return pa.table(
             {
-                "vec_a": pa.array(out_a, pa.int64()),
-                "vec_b": pa.array(out_b, pa.int64()),
+                "vec_a": pa.array(np.concatenate(parts_a), pa.int64()),
+                "vec_b": pa.array(np.concatenate(parts_b), pa.int64()),
             }
         )
 
@@ -1161,8 +1254,8 @@ def embedding_near_dup(
 
     pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(_default_band_partitions())
-        .groupby("bucket")
+        .repartition(n_parts_lsh)
+        .groupby("part")
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(local_pair_dedup, batch_format="pyarrow")
         .materialize()
@@ -1901,6 +1994,10 @@ def incremental_dedup(sf_dir: str, n_shards: int = 8):
         ingest, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    P = _default_band_partitions()
+
     def new_wave_hash(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         new = np.flatnonzero(ids % 2 == 1)
@@ -1911,14 +2008,29 @@ def incremental_dedup(sf_dir: str, n_shards: int = 8):
             {
                 "doc_id": pa.array(ids[new], pa.int64()),
                 "text_hash": pa.array(h, pa.uint64()),
+                "part": pa.array(
+                    (_splitmix64(h) % np.uint64(P)).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
+    # hash-partitioned keep-first (the exact_dedup vectorized-segment
+    # kernel): per-group Python bounded by the partition count
     def keep_first(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
-        kept = group.take(idx[:1])
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("text_hash", "ascending"), ("doc_id", "ascending")],
+        )
+        g = group.take(idx)
+        hs = g.column("text_hash").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        lens = np.diff(np.r_[starts, len(hs)])
+        kept = g.take(pa.array(starts, pa.int64())).select(
+            ["doc_id", "text_hash"]
+        )
         return kept.append_column(
-            "n_new_copies", pa.array([group.num_rows], pa.int64())
+            "n_new_copies", pa.array(lens, pa.int64())
         )
 
     def probe(batch: pa.Table) -> pa.Table:
@@ -1940,7 +2052,7 @@ def incremental_dedup(sf_dir: str, n_shards: int = 8):
         docs.map_batches(
             new_wave_hash, batch_format="pyarrow", zero_copy_batch=True
         )
-        .groupby("text_hash")
+        .groupby("part")
         .map_groups(keep_first, batch_format="pyarrow")
         .map_batches(probe, batch_format="pyarrow")
     )

@@ -2159,21 +2159,21 @@ def oracle_sql() -> dict[str, str]:
             ), s2 AS (
                 SELECT doc_id, n_emails,
                        len(regexp_extract_all(
-                           t1, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'
+                           t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
                        )) AS n_ips,
                        regexp_replace(
-                           t1, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}',
+                           t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
                            '<IP>', 'g') AS t2
                 FROM s1
             )
             SELECT doc_id,
                    regexp_replace(
-                       t2, '\d{3}[-. ]\d{3}[-. ]\d{4}',
+                       t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
                        '<PHONE>', 'g') AS text_scrubbed,
                    cast(n_emails as bigint) AS n_emails,
                    cast(n_ips as bigint) AS n_ips,
                    cast(len(regexp_extract_all(
-                       t2, '\d{3}[-. ]\d{3}[-. ]\d{4}'
+                       t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'
                    )) as bigint) AS n_phones
             FROM s2 ORDER BY doc_id
         """,

@@ -395,10 +395,11 @@ def web_corpus_prep(sf_dir: str, min_tokens: int = 20):
 
     d = fixture_dir(fixture_size_for(sf_dir))
 
+    from crawl_ray.pipelines.dedup import _default_band_partitions
     from crawl_ray.pipelines.stats import _splitmix64
     import numpy as np
 
-    P = 64
+    P = _default_band_partitions()
 
     def extract_filter(batch: pa.Table) -> pa.Table:
         htmls = batch.column("html").to_pylist()

@@ -595,9 +595,10 @@ def minhash_lsh_pairs(
             return _EMPTY_PAIRS.select(["doc_a", "doc_b"])
         order = np.lexsort((d, b))
         b, d = b[order], d[order]
-        # drop duplicate (bucket, doc_id) rows (several bands can map a
-        # doc to the same bucket value only across partitions, but keep
-        # the guard exact)
+        # drop duplicate (bucket, doc_id) rows: several bands can map a
+        # doc to the same bucket value, and because partitioning is
+        # splitmix64(bucket) % P those duplicates land in THIS partition
+        # — the guard is load-bearing, not belt-and-braces
         keep = np.r_[True, (b[1:] != b[:-1]) | (d[1:] != d[:-1])]
         b, d = b[keep], d[keep]
         starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])

@@ -26,6 +26,12 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     """DuckDB-compatible rounding (numpy's round is half-to-even)."""
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
+
+# wedge-enumeration chunk for the threshold_graph_stats driver fast
+# path: transient index arrays stay ~8 B × 5M ≈ 40 MB per chunk even at
+# the 50M-wedge guard bound
+_WEDGE_CHUNK = 5_000_000
+
 __all__ = [
     "embedding_moments",
     "knn_brute", "knn_ivf", "build_ivf_index", "query_vector", "kmeans_embeddings", "semantic_dedup", "cluster_balanced_sample", "knn_batch", "label_centroids", "knn_graph_stats", "threshold_graph_stats"]
@@ -759,41 +765,44 @@ def threshold_graph_stats(sf_dir: str, threshold_milli: int = 450):
         )
         n_wedges = int((in_cnt.astype(np.int64) * out_cnt).sum())
         if n_wedges <= 50_000_000:
+            # enumerate (a, c) per middle with pure segment arithmetic
+            # (no per-mid Python fragments): wedge w of middle k is
+            # (in_start[k] + t // out_cnt[k], out_start[k] + t % out_cnt[k])
+            # for local t — processed in ≤5M-wedge chunks so transient
+            # arrays stay ~40 MB regardless of the 50M wedge guard
+            n_tri = 0
             if n_wedges:
-                # enumerate (a, c) per middle: repeat each incoming a by
-                # the middle's out-degree, tile outgoing c likewise
                 in_start = np.searchsorted(mid_in, mids, side="left")
                 out_start = np.searchsorted(mid_out, mids, side="left")
                 per_mid = in_cnt.astype(np.int64) * out_cnt
-                a_idx = np.concatenate(
-                    [
-                        np.repeat(
-                            np.arange(is_, is_ + ic, dtype=np.int64), oc
-                        )
-                        for is_, ic, oc in zip(in_start, in_cnt, out_cnt)
-                        if ic and oc
-                    ]
-                ) if per_mid.sum() else np.empty(0, np.int64)
-                c_idx = np.concatenate(
-                    [
-                        np.tile(
-                            np.arange(os_, os_ + oc, dtype=np.int64), ic
-                        )
-                        for os_, oc, ic in zip(out_start, out_cnt, in_cnt)
-                        if ic and oc
-                    ]
-                ) if per_mid.sum() else np.empty(0, np.int64)
-                wa, wc = a_in[a_idx], c_out[c_idx]
-                base = np.int64(max(int(va.max()), int(wc.max())) + 1)
+                base = np.int64(int(va.max()) + 1)  # va == all wedge c's
                 ecode = np.sort(ua * base + va)
-                wcode = wa * base + wc
-                loc = np.searchsorted(ecode, wcode)
-                hit = (loc < len(ecode)) & (
-                    ecode[np.minimum(loc, len(ecode) - 1)] == wcode
-                )
-                n_tri = int(hit.sum())
-            else:
-                n_tri = 0
+                act = np.flatnonzero(per_mid)
+                cum = np.cumsum(per_mid[act])
+                chunk = _WEDGE_CHUNK
+                bounds = [0]
+                while bounds[-1] < len(act):
+                    done = cum[bounds[-1] - 1] if bounds[-1] else 0
+                    nxt = int(np.searchsorted(
+                        cum, done + chunk, side="left")) + 1
+                    bounds.append(min(nxt, len(act)))
+                for lo, hi in zip(bounds[:-1], bounds[1:]):
+                    sel = act[lo:hi]
+                    pm = per_mid[sel]
+                    w = int(pm.sum())
+                    k = np.repeat(np.arange(len(sel), dtype=np.int64), pm)
+                    seg0 = np.concatenate(
+                        ([0], np.cumsum(pm)[:-1])).astype(np.int64)
+                    t = np.arange(w, dtype=np.int64) - seg0[k]
+                    oc_k = out_cnt[sel][k]
+                    wa = a_in[in_start[sel][k] + t // oc_k]
+                    wc = c_out[out_start[sel][k] + t % oc_k]
+                    wcode = wa * base + wc
+                    loc = np.searchsorted(ecode, wcode)
+                    hit = (loc < len(ecode)) & (
+                        ecode[np.minimum(loc, len(ecode) - 1)] == wcode
+                    )
+                    n_tri += int(hit.sum())
             trans = (n_tri * 1000) // n_wedges if n_wedges else 0
             return pa.table(
                 {

@@ -554,3 +554,43 @@ def test_pii_scrub_planted(tmp_path, ray_session):
     assert (out.loc[3, ["n_emails", "n_ips", "n_phones"]] == [1, 1, 0]).all()
     assert out.loc[4, "text_scrubbed"] == docs[4]
     assert (out.loc[4, ["n_emails", "n_ips", "n_phones"]] == [0, 0, 0]).all()
+
+
+def test_pii_scrub_word_boundary_oracle_parity(tmp_path, ray_session):
+    """Digit-adjacent look-alikes ('x1.2.3.4', '9555-123-4567z') must NOT
+    be redacted, and the oracle SQL must agree byte-for-byte: both the
+    Arrow kernels and the DuckDB oracle anchor IPv4/phone patterns with
+    \\b (ADVICE r3 latent-divergence fix)."""
+    import duckdb
+    from __ray_entry__ import oracle_sql
+
+    docs = {
+        0: "x1.2.3.4 is not an ip but 10.0.0.1 is",
+        1: "9555-123-4567z is not a phone but 555-123-4567 is",
+        2: "version1.2.3.4x and 123-456-78901 stay untouched",
+    }
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[i] for i in sorted(docs)],
+                                   pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    out = T.pii_scrub(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "text_scrubbed"] == "x1.2.3.4 is not an ip but <IP> is"
+    assert out.loc[0, "n_ips"] == 1
+    assert (out.loc[1, "text_scrubbed"]
+            == "9555-123-4567z is not a phone but <PHONE> is")
+    assert out.loc[1, "n_phones"] == 1
+    assert out.loc[2, "text_scrubbed"] == docs[2]
+    assert (out.loc[2, ["n_emails", "n_ips", "n_phones"]] == 0).all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ora = con.execute(oracle_sql()["pii_scrub"]).fetch_df().set_index(
+        "doc_id")
+    for i in docs:
+        assert ora.loc[i, "text_scrubbed"] == out.loc[i, "text_scrubbed"]
+        for c in ("n_emails", "n_ips", "n_phones"):
+            assert ora.loc[i, c] == out.loc[i, c]

@@ -92,6 +92,10 @@ class EngineConfig(CrawlConfig):
     # PER SHARD and fixed at construction for the cuckoo backend.
     seen_backend: str = "exact"
     seen_capacity: int = 1 << 16
+    # max rows per overflow-spill parquet part: bounds individual spill
+    # file sizes (resumable output — never one giant file) independent
+    # of how Ray's sort blocked the over-budget tail
+    spill_max_part_rows: int = 1 << 20
     checkpoint_interval: int = 1  # snapshot state every N rounds
     keep_trace: bool = True
 
@@ -487,9 +491,19 @@ class CrawlEngine:
                 if n_live > cfg.round_budget:
                     live = live.sort("order_key")
                     head, tail = live.split_at_indices([cfg.round_budget])
-                    spill_tbl = _collect(tail).select(FRONTIER_SCHEMA.names)
-                    _write(spill_tbl, wd / f"round={rnd + 1}" / "spill", "overflow.parquet")
-                    metrics["overflow_deferred"] = spill_tbl.num_rows
+                    # the over-budget tail can be frontier-sized (at a
+                    # 10^10-URL frontier with a millions-sized budget,
+                    # billions of rows) — written task-side, one part
+                    # per block; only per-part row counts reach the
+                    # driver (same pattern as _split_admission)
+                    next_spill = wd / f"round={rnd + 1}" / "spill"
+                    metrics["overflow_deferred"] = int(sum(ray.get([
+                        _spill_overflow.remote(
+                            ref, str(next_spill), i,
+                            cfg.spill_max_part_rows,
+                        )
+                        for i, ref in enumerate(tail.to_arrow_refs())
+                    ])))
                     live = head
                 live_block_refs = list(live.to_arrow_refs())
 
@@ -847,6 +861,22 @@ def _mask_count(mask) -> int:
 
 
 BADCANON = 6  # local admit code for disposition != "ok" rows (fused path)
+
+
+@ray.remote
+def _spill_overflow(
+    t: pa.Table, spill_dir: str, part: int, max_part_rows: int
+) -> int:
+    """Write one over-budget frontier tail block to the next round's
+    spill dir task-side (in ≤max_part_rows parquet parts); return only
+    the row count to the driver."""
+    if t.num_rows == 0:
+        return 0
+    t = t.select(FRONTIER_SCHEMA.names)
+    for j, off in enumerate(range(0, t.num_rows, max_part_rows)):
+        _write(t.slice(off, max_part_rows), pathlib.Path(spill_dir),
+               f"overflow-{part}-{j}.parquet")
+    return t.num_rows
 
 
 @ray.remote(num_returns=2)

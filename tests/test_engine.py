@@ -596,3 +596,68 @@ def test_cuckoo_backend_parity(fixture_tables, sim_result, ray_session, tmp_path
         assert [(r, u) for r, _, u in rows] == sim_result.trace
     finally:
         engine.shutdown_shards()
+
+
+def test_overflow_spill_written_task_side(ray_session, tmp_path):
+    """The O2 over-budget tail on the SLOW path (pending >
+    small_round_threshold and > round_budget) must be spilled task-side
+    in multiple parquet parts — never _collect-ed into one driver table
+    (the tail can be frontier-sized at scale).  Asserts engine ≡
+    simulator parity under the forced slow path AND that at least one
+    round's spill dir holds >1 overflow-* part with every part smaller
+    than that round's total (no driver-side concat)."""
+    import pyarrow.parquet as pq
+
+    pages = generate_pages(600, salt="overflow")
+    seeds = generate_seeds(pages)
+    robots = generate_robots(pages)
+    d = tmp_path / "web"
+    d.mkdir()
+    pq.write_table(pages, d / "pages.parquet")
+
+    base = dict(
+        round_budget=60, max_rounds=20, max_depth=5, virtual_t0=EPOCH_US
+    )
+    reg = HandlerRegistry()
+    flagship_spider(reg)
+    sim = simulate(pages, seeds, robots, reg, CrawlConfig(**base))
+
+    cfg = EngineConfig(
+        **base,
+        n_admission_shards=3,
+        extract_concurrency=2,
+        extract_batch_size=64,
+        small_round_threshold=0,  # force the distributed slow path
+        spill_max_part_rows=64,   # bound spill part files (multi-part)
+    )
+    engine = CrawlEngine([flagship_spider], cfg)
+    wd = tmp_path / "crawl"
+    try:
+        result = engine.run(str(d / "pages.parquet"), seeds, robots, str(wd))
+        trace = result.trace_table()
+        rows = sorted(
+            zip(
+                trace.column("round").to_pylist(),
+                trace.column("order_key").to_pylist(),
+                trace.column("url").to_pylist(),
+            )
+        )
+        assert [(r, u) for r, _, u in rows] == sim.trace
+    finally:
+        engine.shutdown_shards()
+
+    multi_part_rounds = 0
+    saw_overflow = False
+    for spill_dir in wd.glob("round=*/spill"):
+        parts = sorted(spill_dir.glob("overflow-*.parquet"))
+        if not parts:
+            continue
+        saw_overflow = True
+        sizes = [pq.read_metadata(p).num_rows for p in parts]
+        if len(parts) > 1:
+            multi_part_rounds += 1
+            assert max(sizes) < sum(sizes)  # no single driver-side concat
+    assert saw_overflow, "slow path never spilled — fixture too small"
+    assert multi_part_rounds >= 1, (
+        "every overflow spill was a single part — tail concatenated?"
+    )

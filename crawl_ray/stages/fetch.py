@@ -102,16 +102,38 @@ def _append_fetch_columns(
     htmls: list[bytes],
     set_cookies: list[str],
     proxies: list[str],
+    final_urls: list[str] | None = None,
+    error_kinds: list[str] | None = None,
+    errors: list[str] | None = None,
 ) -> pa.Table:
+    """Fetch-column contract: status int32, html binary, set_cookie
+    string, proxy string, final_url string (the POST-redirect response
+    URL — ``response.go:46-48``: link resolution runs against it),
+    fetch_error_kind / fetch_error strings (typed transport failures,
+    the ``RequestError`` channel analog — ``request_error.go:6-14``;
+    empty = the fetch produced a response)."""
+    n = batch.num_rows
     # proxied requests use a jar-less client (crawler.go:174-177): the
     # response's Set-Cookie is not stored
     set_cookies = [
         "" if p else sc for sc, p in zip(set_cookies, proxies)
     ]
+    if final_urls is None:  # no-redirect transports: final == requested
+        final_urls = batch.column("url").to_pylist()
     batch = batch.append_column("status", pa.array(status, pa.int32()))
     batch = batch.append_column("html", pa.array(htmls, pa.binary()))
     batch = batch.append_column("set_cookie", pa.array(set_cookies, pa.string()))
-    return batch.append_column("proxy", pa.array(proxies, pa.string()))
+    batch = batch.append_column("proxy", pa.array(proxies, pa.string()))
+    batch = batch.append_column("final_url", pa.array(final_urls, pa.string()))
+    batch = batch.append_column(
+        "fetch_error_kind",
+        pa.array(error_kinds if error_kinds is not None else [""] * n,
+                 pa.string()),
+    )
+    return batch.append_column(
+        "fetch_error",
+        pa.array(errors if errors is not None else [""] * n, pa.string()),
+    )
 
 
 class PageStoreFetchStage:
@@ -145,9 +167,20 @@ class HttpFetchStage:
     * proxied rows go through a FRESH jar-less opener for the picked
       proxy (crawler.go:167-178);
     * ``transport`` is injectable: ``fn(url, headers, proxy, timeout)
-      -> (status:int, body:bytes, set_cookie_json:str)`` — tests run a
-      deterministic fake; the default urllib transport is built lazily
-      (this sandbox has no network).
+      -> (status:int, body:bytes, set_cookie_json:str)`` or the full
+      6-tuple ``(status, body, set_cookie_json, final_url:str,
+      error_kind:str, error:str)`` — tests run a deterministic fake;
+      the default urllib transport is built lazily (this sandbox has
+      no network).
+    * transport failures are TYPED, not collapsed to a fake 404
+      (``request_error.go:6-14``): ``fetch_error_kind`` ∈ {"timeout",
+      "dns", "connection", "transport"} with the message in
+      ``fetch_error``; an HTTP error STATUS (4xx/5xx) is a real
+      response, not an error — exactly the reference's ``http.Client``
+      contract (crawler.go:180-182 only errors on transport failure).
+    * ``final_url`` records the post-redirect response URL
+      (``response.go:46-48``) so F9 link resolution matches a live
+      redirecting web.
     """
 
     def __init__(self, timeout_s: float = 30.0, transport=None) -> None:
@@ -158,6 +191,8 @@ class HttpFetchStage:
 
     # -- default transport (lazy; real network path) ------------------
     def _default_transport(self, url, headers, proxy, timeout):
+        import socket
+        import urllib.error
         import urllib.request
 
         if proxy:
@@ -184,9 +219,33 @@ class HttpFetchStage:
                     if sc
                     else ""
                 )
-                return int(resp.status), body, set_cookie
-        except Exception:
-            return 404, b"", ""
+                # geturl() is the POST-redirect URL (response.go:46-48)
+                return (int(resp.status), body, set_cookie,
+                        resp.geturl(), "", "")
+        except urllib.error.HTTPError as e:
+            # a status-coded response IS a response (crawler.go:180-182
+            # errors only on transport failure) — body may carry an
+            # error page; redirects to it are still reflected
+            try:
+                body = e.read()
+            except Exception:
+                body = b""
+            return int(e.code), body, "", e.geturl() or url, "", ""
+        except (socket.timeout, TimeoutError) as e:
+            return 0, b"", "", url, "timeout", str(e) or "timed out"
+        except urllib.error.URLError as e:
+            reason = getattr(e, "reason", e)
+            if isinstance(reason, (socket.timeout, TimeoutError)):
+                kind = "timeout"
+            elif isinstance(reason, socket.gaierror):
+                kind = "dns"
+            else:
+                kind = "connection"
+            return 0, b"", "", url, kind, str(reason)
+        except OSError as e:
+            return 0, b"", "", url, "connection", str(e)
+        except Exception as e:  # noqa: BLE001 - typed error channel
+            return 0, b"", "", url, "transport", str(e)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         transport = self._transport or self._default_transport
@@ -199,13 +258,27 @@ class HttpFetchStage:
         status = np.full(len(urls), 404, dtype=np.int32)
         htmls: list[bytes] = [b""] * len(urls)
         set_cookies: list[str] = [""] * len(urls)
+        final_urls: list[str] = list(urls)
+        err_kinds: list[str] = [""] * len(urls)
+        errs: list[str] = [""] * len(urls)
         for i, url in enumerate(urls):
             hdrs = json.loads(headers_col[i]) if headers_col[i] else {}
-            st, body, sc = transport(url, hdrs, proxies[i], self.timeout_s)
+            res = transport(url, hdrs, proxies[i], self.timeout_s)
+            if len(res) == 3:  # legacy injected transports
+                st, body, sc = res
+                fu, kind, msg = url, "", ""
+            else:
+                st, body, sc, fu, kind, msg = res
             status[i] = st
             htmls[i] = body
             set_cookies[i] = sc
-        return _append_fetch_columns(batch, status, htmls, set_cookies, proxies)
+            final_urls[i] = fu
+            err_kinds[i] = kind
+            errs[i] = msg
+        return _append_fetch_columns(
+            batch, status, htmls, set_cookies, proxies,
+            final_urls, err_kinds, errs,
+        )
 
 
 def make_fetch_stage(store) -> PageStoreFetchStage:

@@ -119,3 +119,135 @@ def test_engine_crawls_live_server(live_server, ray_session, tmp_path):
     # live bodies flowed through the real extraction kernel
     root = next(f for f in fields if f["title"] == "root")
     assert "root text" in root["text"]
+
+
+class _RedirHandler(_Handler):
+    def do_GET(self):
+        import time
+
+        if self.path == "/moved":
+            self.send_response(302)
+            self.send_header("Location", "/dir/page")
+            self.end_headers()
+            return
+        if self.path == "/dir/page":
+            data = (b'<html><title>moved-target</title><body>'
+                    b'<a href="leaf">L</a></body></html>')
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return
+        if self.path == "/slow":
+            time.sleep(3)
+            self.send_response(200)
+            self.end_headers()
+            return
+        super().do_GET()
+
+
+@pytest.fixture(scope="module")
+def redir_server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _RedirHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_final_url_follows_redirects(redir_server):
+    """response.go:46-48: the response URL is the POST-redirect URL and
+    relative links resolve against IT, not the request URL."""
+    stage = HttpFetchStage(timeout_s=10)
+    out = stage(_frontier_batch([f"{redir_server}/moved"]))
+    assert out.column("status").to_pylist() == [200]
+    assert out.column("final_url").to_pylist() == [f"{redir_server}/dir/page"]
+    assert out.column("fetch_error_kind").to_pylist() == [""]
+
+    # the extract stage resolves F9 links against final_url
+    from crawl_ray.stages.extract import ExtractActor
+
+    from crawl_ray.request import Request
+
+    def _spider(reg):
+        def page(resp, out_):
+            for link in resp.links("a"):
+                out_.schedule(Request(url=link, callbacks=["page"]))
+        reg.register("page", page)
+
+    n = out.num_rows
+    batch = out
+    for name, typ, val in [
+        ("method", pa.string(), ""), ("referer", pa.string(), ""),
+        ("form", pa.string(), ""), ("query", pa.string(), ""),
+        ("cookies", pa.string(), ""), ("raw", pa.bool_(), False),
+        ("depth", pa.int32(), 0), ("seq_path", pa.binary(), b""),
+        ("priority", pa.float32(), 0.0),
+    ]:
+        batch = batch.append_column(name, pa.array([val] * n, typ))
+    batch = batch.append_column(
+        "callbacks", pa.array([["page"]] * n, pa.list_(pa.string()))
+    )
+    union = ExtractActor([_spider])(batch)
+    links = union.filter(
+        pa.compute.equal(union.column("kind"), "link")
+    ).column("url").to_pylist()
+    assert links == [f"{redir_server}/dir/leaf"], (
+        "relative link must resolve against the post-redirect URL"
+    )
+
+
+def test_typed_transport_errors(redir_server):
+    """request_error.go:6-14: transport failures are typed error rows,
+    never fake 404 responses; an HTTP error STATUS stays a response."""
+    stage = HttpFetchStage(timeout_s=0.5)
+    out = stage(_frontier_batch([
+        f"{redir_server}/slow",          # read timeout
+        "http://127.0.0.1:9/",           # connection refused (discard port)
+        "http://no-such-host.invalid/",  # DNS failure
+        f"{redir_server}/missing",       # HTTP 404 — a RESPONSE, not an error
+    ]))
+    kinds = out.column("fetch_error_kind").to_pylist()
+    status = out.column("status").to_pylist()
+    assert kinds[0] == "timeout"
+    assert kinds[1] == "connection"
+    assert kinds[2] == "dns"
+    assert kinds[3] == "" and status[3] == 404
+    assert status[0] == 0 and status[1] == 0 and status[2] == 0
+    msgs = out.column("fetch_error").to_pylist()
+    assert msgs[0] and msgs[1] and msgs[2] and msgs[3] == ""
+
+
+def test_engine_surfaces_typed_fetch_errors(redir_server, ray_session, tmp_path):
+    """Engine-level: a timing-out URL lands on the errors stream with
+    its typed kind (the reference's Errors() channel, crawler.go:134-135)
+    and never produces a record."""
+    from crawl_ray.engine import CrawlEngine, EngineConfig
+    from crawl_ray.spiders import flagship_spider
+
+    dummy = tmp_path / "pages.parquet"
+    pq.write_table(
+        pa.table({"url": pa.array(["http://unused/"], pa.string()),
+                  "html": pa.array([b"<html></html>"], pa.binary())}),
+        dummy,
+    )
+    seeds = pa.table(
+        {"url": pa.array([f"{redir_server}/", f"{redir_server}/slow"],
+                         pa.string()),
+         "callbacks": pa.array([["page"], ["page"]], pa.list_(pa.string()))}
+    )
+    cfg = EngineConfig(max_rounds=4, page_store="broadcast")
+    engine = CrawlEngine(
+        [flagship_spider], cfg,
+        fetch_stage_factory=lambda _s: HttpFetchStage(timeout_s=0.5),
+    )
+    try:
+        res = engine.run(str(dummy), seeds, None, str(tmp_path / "wd"))
+        errors = res.errors_table()
+        assert errors is not None
+        kinds = dict(zip(errors.column("url").to_pylist(),
+                         errors.column("error_kind").to_pylist()))
+        assert kinds.get(f"{redir_server}/slow") == "timeout"
+        assert res.records == 3  # root + 2 leaves still extracted
+    finally:
+        engine.shutdown_shards()

@@ -279,6 +279,12 @@ class CrawlEngine:
         cfg = self.cfg
         if seeds is not None:
             _validate_seeds(seeds)
+        # frontier shards, spill, records and trace parts are written
+        # TASK-side under workdir — on a multi-node cluster it must be
+        # shared storage (crawl_ray.storage root-is-shared contract)
+        from crawl_ray.storage import check_multinode_storage
+
+        check_multinode_storage("CrawlEngine.run workdir", workdir)
         wd = pathlib.Path(workdir)
         # a workdir seeded via the `seed` CLI (round-0 frontier present,
         # no seeds table passed) is input, not stale state — keep it

@@ -693,7 +693,10 @@ def minhash_lsh_pairs_ds(
     token = hashlib.blake2b(
         f"{sf_dir}:{n_perm}:{k}:{bands}".encode(), digest_size=8
     ).hexdigest()
-    store_root = f"/tmp/crawl_ray_runs/shingles_{token}"
+    from crawl_ray.storage import ensure_store_dir
+
+    store_root = str(ensure_store_dir(
+        f"shingles_{token}", "the minhash shingle store"))
 
     _write_shingle_store(
         _docs(sf_dir, ["doc_id", "text"]), needed_ref, store_root, k,
@@ -1354,7 +1357,10 @@ def embedding_near_dup_ds(
         f"{sf_dir}:{threshold_milli}:{n_bits}:{n_tables}:units".encode(),
         digest_size=8,
     ).hexdigest()
-    store_root = f"/tmp/crawl_ray_runs/embunits_{token}"
+    from crawl_ray.storage import ensure_store_dir
+
+    store_root = str(ensure_store_dir(
+        f"embunits_{token}", "the embedding unit-vector store"))
 
     def write_units(batch: pa.Table) -> pa.Table:
         import pathlib
@@ -1925,7 +1931,10 @@ def containment_pairs(
     token = hashlib.blake2b(
         f"containment_v2:{sf_dir}:{t_milli}:{k}".encode(), digest_size=8
     ).hexdigest()
-    store_root = f"/tmp/crawl_ray_runs/shingles_{token}"
+    from crawl_ray.storage import ensure_store_dir
+
+    store_root = str(ensure_store_dir(
+        f"shingles_{token}", "the containment shingle store"))
 
     _write_store_from_postings(postings, needed_ref, store_root, n_buckets)
 

@@ -118,9 +118,12 @@ def build_ivf_index(sf_dir: str, n_lists: int = 16) -> str:
     token = hashlib.blake2b(
         f"{sf_dir}:{n_lists}".encode(), digest_size=8
     ).hexdigest()
-    root = pathlib.Path(f"/tmp/crawl_ray_runs/ivf_{token}")
+    from crawl_ray.storage import check_multinode_storage, store_root
+
+    root = store_root() / f"ivf_{token}"
     if (root / "_SUCCESS").exists():
         return str(root)
+    check_multinode_storage("the IVF index store", root)
     root.mkdir(parents=True, exist_ok=True)
 
     ds = _emb(sf_dir)

@@ -3013,9 +3013,12 @@ def build_inverted_index(sf_dir: str, n_buckets: int = 32) -> str:
     token = hashlib.blake2b(
         f"{sf_dir}:{n_buckets}:inv".encode(), digest_size=8
     ).hexdigest()
-    root = pathlib.Path(f"/tmp/crawl_ray_runs/inv_{token}")
+    from crawl_ray.storage import check_multinode_storage, store_root
+
+    root = store_root() / f"inv_{token}"
     if (root / "_SUCCESS").exists():
         return str(root)
+    check_multinode_storage("the inverted text index", root)
     root.mkdir(parents=True, exist_ok=True)
 
     def write_postings(batch: pa.Table) -> pa.Table:

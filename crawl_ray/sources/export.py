@@ -35,26 +35,23 @@ __all__ = [
 
 def _fresh_export_root(kind: str, sf_dir: str, n_shards: int):
     """Content-addressed export root with the sink discipline shared by
-    every corpus sink: single-node guard (parts are node-local /tmp —
-    multi-node must point at shared storage), finished root (``_SUCCESS``
-    present) returned as-is, unfinished root wiped before reuse (a dead
-    run's batch boundaries differ; stale parts would double-count).
-    Returns ``(root, finished)``."""
+    every corpus sink: root-is-shared assertion (a configured
+    ``CRAWL_RAY_STORE_ROOT`` attests shared storage; an unconfigured
+    node-local default refuses multi-node runs — crawl_ray.storage),
+    finished root (``_SUCCESS`` present) returned as-is, unfinished
+    root wiped before reuse (a dead run's batch boundaries differ;
+    stale parts would double-count).  Returns ``(root, finished)``."""
     import shutil
 
-    alive = [n for n in ray.nodes() if n.get("Alive")]
-    if len(alive) > 1:
-        raise RuntimeError(
-            f"export_corpus_{kind} writes shards to a node-local /tmp root; "
-            "on a multi-node cluster point the export root at shared "
-            "storage (parts would otherwise scatter across hosts)"
-        )
+    from crawl_ray.storage import check_multinode_storage, store_root
+
     token = hashlib.blake2b(
         f"{sf_dir}:{n_shards}".encode(), digest_size=8
     ).hexdigest()
-    root = pathlib.Path(f"/tmp/crawl_ray_runs/{kind}_{token}")
+    root = store_root() / f"{kind}_{token}"
     if (root / "_SUCCESS").exists():
         return root, True
+    check_multinode_storage(f"export_corpus_{kind}", root)
     if root.exists():
         shutil.rmtree(root)
     root.mkdir(parents=True, exist_ok=True)

@@ -1,0 +1,96 @@
+"""Shared-storage root for every task-side store (VERDICT r3 item 4).
+
+Several operators write bucketed parquet stores from Ray TASKS and read
+them back from OTHER tasks: the minhash/containment shingle stores, the
+embedding unit-vector store, the IVF index, the inverted text index,
+the corpus export sinks, and the engine's spill/frontier workdirs.  On
+one node any local path works; on a real cluster those paths MUST live
+on storage visible to every node (NFS, FUSE-mounted object store, ...).
+
+The contract is ONE knob:
+
+* ``CRAWL_RAY_STORE_ROOT`` env var (or :func:`set_store_root` for
+  programmatic use) — the directory all content-addressed stores are
+  created under.  Setting it is the operator's attestation that the
+  path is shared across the cluster.
+* Unset, the root defaults to node-local ``/tmp/crawl_ray_runs`` and
+  any MULTI-node run that needs a task-side store fails loudly at
+  store-creation time (:func:`check_multinode_storage`) instead of
+  scattering parts across hosts.
+
+The root is resolved ON THE DRIVER and the absolute path is captured
+into task closures — workers never re-read the env var, so a cluster
+only needs the variable set where the driver runs.
+
+Reference analog: the NSQ queue address in the reference consumer
+(nsq/consumer/app.go) is the same kind of deployment-realism knob —
+the one piece of config that turns "runs on my machine" into "runs on
+the cluster".
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+__all__ = [
+    "DEFAULT_STORE_ROOT",
+    "store_root",
+    "set_store_root",
+    "check_multinode_storage",
+    "ensure_store_dir",
+]
+
+DEFAULT_STORE_ROOT = "/tmp/crawl_ray_runs"
+_override: str | None = None
+
+
+def set_store_root(path: str | None) -> None:
+    """Programmatic override (tests, embedding applications); ``None``
+    restores env/default resolution."""
+    global _override
+    _override = str(path) if path is not None else None
+
+
+def store_root() -> pathlib.Path:
+    """The configured shared-storage root (driver-side resolution)."""
+    return pathlib.Path(
+        _override
+        or os.environ.get("CRAWL_RAY_STORE_ROOT", DEFAULT_STORE_ROOT)
+    )
+
+
+def _root_is_configured() -> bool:
+    return _override is not None or "CRAWL_RAY_STORE_ROOT" in os.environ
+
+
+def check_multinode_storage(what: str, path: str | os.PathLike) -> None:
+    """Refuse to build a task-side store on an UNCONFIGURED root when
+    the cluster has more than one alive node — the root-is-shared
+    assertion that replaces the old blanket single-node guards.  A
+    configured root is the operator's attestation of shared storage."""
+    import ray
+
+    if _root_is_configured():
+        return
+    try:
+        alive = [n for n in ray.nodes() if n.get("Alive")]
+    except Exception:  # Ray not initialised: single-process usage
+        return
+    if len(alive) > 1:
+        raise RuntimeError(
+            f"{what} writes task-side parts under node-local "
+            f"{os.fspath(path)!r}; on a {len(alive)}-node cluster set "
+            "CRAWL_RAY_STORE_ROOT (or crawl_ray.storage.set_store_root) "
+            "to a directory on storage shared by every node — parts "
+            "would otherwise scatter across hosts"
+        )
+
+
+def ensure_store_dir(name: str, what: str) -> pathlib.Path:
+    """Resolve ``store_root()/name``, run the multi-node assertion, and
+    create the directory.  ``what`` names the operator in the error."""
+    root = store_root() / name
+    check_multinode_storage(what, root)
+    root.mkdir(parents=True, exist_ok=True)
+    return root

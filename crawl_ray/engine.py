@@ -85,12 +85,14 @@ class EngineConfig(CrawlConfig):
     small_round_threshold: int = 65536
     page_store: str = "broadcast"  # "broadcast" | "bucketed"
     n_page_buckets: int = 64
-    # URL-seen backend: "exact" (full 64-bit keys; dump/parity-capable,
-    # the test default) or "cuckoo" (16-bit fingerprints, ~2.4 B/key —
-    # the SURVEY ST4 10^10 memory envelope; ≈1.2e-4 false-positive rate
-    # means a rare URL is silently never crawled).  seen_capacity is
-    # PER SHARD and fixed at construction for the cuckoo backend.
-    seen_backend: str = "exact"
+    # URL-seen backend: "auto" (the default — exact below 10^7 keys per
+    # shard, cuckoo at or above: the ST4 memory envelope is the DEFAULT
+    # behavior at the 10^10 design point, not an option), "exact" (full
+    # 64-bit keys; dump/parity-capable) or "cuckoo" (16-bit
+    # fingerprints, ~2.4 B/key; ≈1.2e-4 false-positive rate means a
+    # rare URL is silently never crawled).  seen_capacity is PER SHARD
+    # and fixed at construction for the cuckoo backend.
+    seen_backend: str = "auto"
     seen_capacity: int = 1 << 16
     # max rows per overflow-spill parquet part: bounds individual spill
     # file sizes (resumable output — never one giant file) independent

@@ -238,54 +238,100 @@ class CuckooSeenTable:
     def add(self, keys: np.ndarray) -> np.ndarray:
         """Insert a batch; returns a was-new mask (first occurrence in
         the batch counts as new once; a false-positive hit counts as
-        already-seen, the accepted semantics)."""
+        already-seen, the accepted semantics).
+
+        Bulk path: one vectorized pass over each candidate bucket
+        (primary, then alt) assigns per-bucket ranks with segment
+        arithmetic and writes every fitting key in two fancy-indexed
+        stores; only keys whose BOTH buckets are full (rare below ~0.8
+        load) fall back to the per-key kick loop — this is what makes a
+        10^8-key shard ingest seconds, not hours."""
         n = len(keys)
         new = np.zeros(n, dtype=bool)
         if n == 0:
             return new
         f, i1, i2 = self._derive(keys)
-        # vectorized pre-check: keys already present skip the loop
-        present = (self._table[i1] == f[:, None]).any(axis=1)
+        # vectorized pre-check: keys already present skip insertion.
+        # rows1 is reused for pass-1 round-1 free slots below — safe,
+        # nothing writes between the gather and those first writes
+        rows1 = self._table[i1]
+        present = (rows1 == f[:, None]).any(axis=1)
         present |= (self._table[i2] == f[:, None]).any(axis=1)
         if self._stash:
             present |= self._in_stash(f, i1, i2)
+        todo = np.flatnonzero(~present)
+        if not len(todo):
+            return new
+        # in-batch dedup: two rows with the same fingerprint AND the
+        # same (unordered) bucket pair are indistinguishable to the
+        # filter (duplicate key, or an in-batch false positive — both
+        # counted not-new, the pre-bulk semantics); i2 = i1 ^ h(f), so
+        # (f, min(i1, i2)) keys the unordered pair — packed into ONE
+        # uint64 (fp in the top 16 bits of a 40-bit-bucket layout) so
+        # the dedup is a 1-D unique, not a void-dtype row sort
+        pairkey = (
+            f[todo].astype(np.uint64) << np.uint64(40)
+        ) | np.minimum(i1[todo], i2[todo])
+        _, first = np.unique(pairkey, return_index=True)
+        todo = todo[first]
+
         tab = self._table
-        for j in np.flatnonzero(~present).tolist():
+        remaining = todo
+        first_round_free = rows1[todo] == 0  # reuse the gather
+        for bucket_arr in (i1, i2):
+            # scatter-retry rounds, no sorting: every key with a free
+            # slot in its bucket writes its fp into the FIRST free slot;
+            # colliding writers (same bucket+slot) are resolved by the
+            # store itself (last writer wins) and losers — whose fp is
+            # not visible in the bucket afterwards — retry next round.
+            # Expected rounds ≈ max same-bucket multiplicity (tiny for
+            # hash-spread keys); each round is pure gather/scatter.
+            while len(remaining):
+                b = bucket_arr[remaining]
+                if first_round_free is not None:
+                    free = first_round_free
+                    first_round_free = None
+                else:
+                    free = tab[b] == 0
+                hasf = free.any(axis=1)
+                if not hasf.any():
+                    break  # this bucket choice is full → next choice
+                cand = remaining[hasf]
+                bc = b[hasf]
+                slot = np.argmax(free[hasf], axis=1)
+                tab[bc, slot] = f[cand]
+                placed = (tab[bc] == f[cand][:, None]).any(axis=1)
+                remaining = np.concatenate(
+                    [cand[~placed], remaining[~hasf]]
+                )
+            if not len(remaining):
+                break
+
+        # both buckets full: per-key cuckoo kicks (rare below ~0.8 load)
+        for j in remaining.tolist():
             fj = int(f[j])
-            a, b = int(i1[j]), int(i2[j])
-            row_a, row_b = tab[a], tab[b]
-            # re-check: an earlier insert in THIS batch may have added
-            # the same fingerprint (duplicate key or in-batch FP)
-            if (row_a == fj).any() or (row_b == fj).any():
-                continue
+            a = int(i1[j])
             placed = False
-            for idx, row in ((a, row_a), (b, row_b)):
-                z = np.flatnonzero(row == 0)
+            cur_i, cur_f = a, fj
+            for kick in range(self.MAX_KICKS):
+                # deterministic scrambled slot pick (no RNG state)
+                slot = (cur_f * 0x9E37 + kick) & 3
+                cur_f, tab[cur_i, slot] = int(tab[cur_i, slot]), cur_f
+                cur_i = self._alt(cur_i, cur_f)
+                z = np.flatnonzero(tab[cur_i] == 0)
                 if len(z):
-                    tab[idx, z[0]] = fj
+                    tab[cur_i, z[0]] = cur_f
                     placed = True
                     break
             if not placed:
-                cur_i, cur_f = a, fj
-                for kick in range(self.MAX_KICKS):
-                    # deterministic scrambled slot pick (no RNG state)
-                    slot = (cur_f * 0x9E37 + kick) & 3
-                    cur_f, tab[cur_i, slot] = int(tab[cur_i, slot]), cur_f
-                    cur_i = self._alt(cur_i, cur_f)
-                    z = np.flatnonzero(tab[cur_i] == 0)
-                    if len(z):
-                        tab[cur_i, z[0]] = cur_f
-                        placed = True
-                        break
-                if not placed:
-                    self._stash.add((cur_i, cur_f))
-                    if len(self._stash) > self.STASH_MAX:
-                        raise RuntimeError(
-                            "CuckooSeenTable over capacity — size the "
-                            "table to the design point at construction"
-                        )
-            new[j] = True
-            self._count += 1
+                self._stash.add((cur_i, cur_f))
+                if len(self._stash) > self.STASH_MAX:
+                    raise RuntimeError(
+                        "CuckooSeenTable over capacity — size the "
+                        "table to the design point at construction"
+                    )
+        new[todo] = True
+        self._count += len(todo)
         return new
 
     # -- snapshot / restore (checkpoint protocol) --------------------
@@ -313,9 +359,27 @@ class CuckooSeenTable:
         return obj
 
 
+# per-SHARD capacity above which "auto" picks the cuckoo fingerprints:
+# below it the exact table costs < ~128 MB/shard (13 B/key at 0.6 load)
+# and keeps dump/parity; above it the 10^10 design point needs the
+# ≤4 B/key envelope — memory, not fidelity, is the binding constraint
+AUTO_CUCKOO_THRESHOLD = 10_000_000
+
+
+def resolve_seen_backend(backend: str, capacity: int) -> str:
+    """``"auto"`` → exact below :data:`AUTO_CUCKOO_THRESHOLD` keys per
+    shard (bit-parity, dump-capable), cuckoo at or above it (the ST4
+    memory envelope is the DEFAULT at scale, not an option)."""
+    if backend == "auto":
+        return "cuckoo" if capacity >= AUTO_CUCKOO_THRESHOLD else "exact"
+    return backend
+
+
 def make_seen_table(backend: str, capacity: int = 1 << 16):
-    """Backend dispatch: ``"exact"`` (full-key, dump/parity-capable) or
-    ``"cuckoo"`` (2.4 B/key fingerprints, the 10^10 memory envelope)."""
+    """Backend dispatch: ``"exact"`` (full-key, dump/parity-capable),
+    ``"cuckoo"`` (≤4 B/key fingerprints, the 10^10 memory envelope), or
+    ``"auto"`` (capacity-scaled — :func:`resolve_seen_backend`)."""
+    backend = resolve_seen_backend(backend, capacity)
     if backend == "exact":
         return SeenTable(capacity)
     if backend == "cuckoo":

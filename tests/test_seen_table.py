@@ -202,3 +202,57 @@ def test_cuckoo_superset_of_set_model(batches):
         expect = np.array([p in model for p in probe.tolist()])
         assert not (expect & ~got).any(), "false negative"
         assert int((got & ~expect).sum()) <= 2, "implausible FP count"
+
+
+def test_auto_backend_resolution():
+    """ST4 closure: 'auto' picks exact below 10^7 keys/shard (parity,
+    dump-capable) and cuckoo at or above (the 10^10 memory envelope is
+    the DEFAULT, not an option)."""
+    from crawl_ray.state.seen import (
+        AUTO_CUCKOO_THRESHOLD,
+        CuckooSeenTable,
+        SeenTable,
+        make_seen_table,
+        resolve_seen_backend,
+    )
+
+    assert resolve_seen_backend("auto", 1 << 16) == "exact"
+    assert resolve_seen_backend("auto", AUTO_CUCKOO_THRESHOLD) == "cuckoo"
+    assert resolve_seen_backend("exact", 10**9) == "exact"  # explicit wins
+    assert isinstance(make_seen_table("auto", 1 << 16), SeenTable)
+    assert isinstance(
+        make_seen_table("auto", AUTO_CUCKOO_THRESHOLD), CuckooSeenTable
+    )
+
+
+def test_cuckoo_1e8_ingest_envelope_and_snapshot():
+    """The SURVEY §2.4 ST4 design-point test: one shard ingests 10^8
+    URL hashes — the ≤4 B/key memory envelope holds, no key is ever
+    falsely absent, and snapshot/restore round-trips at that size.
+    (The bulk scatter-retry insert path makes this minutes, not hours:
+    ~1.5 µs/key, gather-bound.)"""
+    from crawl_ray.state.seen import CuckooSeenTable, _splitmix64
+
+    N = 100_000_000
+    B = 5_000_000
+    tab = CuckooSeenTable(N)
+    assert tab._table.nbytes <= 4 * N, "table alone busts the envelope"
+    for lo in range(0, N, B):
+        keys = _splitmix64(
+            np.arange(lo, lo + B, dtype=np.uint64) ^ np.uint64(0xABCDEF)
+        )
+        tab.add(keys)
+    # count is within the in-batch/false-positive dedup slack (~1e-4)
+    assert len(tab) > N * 0.999
+    # total footprint (table + stash) within 4 B/key
+    total_bytes = tab._table.nbytes + 16 * len(tab._stash)
+    assert total_bytes <= 4 * N, f"{total_bytes / N:.2f} B/key"
+    # never a false negative: a 2M-key sample of what was added
+    probe = _splitmix64(
+        np.arange(0, 2_000_000, dtype=np.uint64) ^ np.uint64(0xABCDEF)
+    )
+    assert bool(tab.contains(probe).all())
+    # snapshot/restore at size
+    restored = CuckooSeenTable.restore(tab.snapshot())
+    assert len(restored) == len(tab)
+    assert bool(restored.contains(probe).all())

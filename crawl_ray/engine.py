@@ -100,6 +100,14 @@ class EngineConfig(CrawlConfig):
     spill_max_part_rows: int = 1 << 20
     checkpoint_interval: int = 1  # snapshot state every N rounds
     keep_trace: bool = True
+    # Hosts promoted to TWO-LEVEL admission sharding (a handful of
+    # enormous hosts holding an outsized frontier share — see
+    # state/admission.py): their rows route by (host, url_hash-bucket)
+    # so screening spreads across shards; token/jar state stays on the
+    # home shard and is drawn once per round (phase 2).  MUST be static
+    # across a crawl including resumes — seen entries live on the
+    # bucket shards the routing picks.
+    hot_hosts: tuple[str, ...] = ()
 
 
 @dataclass
@@ -314,6 +322,7 @@ class CrawlEngine:
                 cfg.default_burst,
                 cfg.seen_backend,
                 cfg.seen_capacity,
+                tuple(cfg.hot_hosts),
             )
             for _ in range(cfg.n_admission_shards)
         ]
@@ -521,19 +530,30 @@ class CrawlEngine:
             # RPC covering all of its hosts.  No groupby shuffle: the
             # per-host map_groups version cost ~3 s/round of fixed
             # all-to-all overhead regardless of round size.
+            hot = tuple(cfg.hot_hosts)
             part_refs = [
                 _shard_partition.options(num_returns=n_shards + 1).remote(
-                    ref, n_shards
+                    ref, n_shards, hot
                 )
                 for ref in live_block_refs
             ]
             if part_refs:
-                admission_refs = [
-                    shards[s].admit_table.remote(
+                pairs = [
+                    shards[s].admit_table.options(num_returns=2).remote(
                         rnd, *[pr[s] for pr in part_refs]
                     )
                     for s in range(n_shards)
                 ]
+                admission_refs = [p[0] for p in pairs]
+                if hot:
+                    # phase 2 of two-level admission: tiny per-shard
+                    # metas (counts + burst-bounded top keys), never
+                    # the parked rows themselves
+                    hot_metas = ray.get([p[1] for p in pairs])
+                    if any(hot_metas):
+                        admission_refs.extend(
+                            _finalize_hot(shards, rnd, hot_metas)
+                        )
                 admission_refs.extend(pr[n_shards] for pr in part_refs)  # bad
             else:
                 admission_refs = []
@@ -828,12 +848,32 @@ def _gather_bucket(b: int, n_buckets: int, *tables: pa.Table):
     return out, out.num_rows
 
 
+# url_hash buckets per shard for promoted hot hosts: enough that the
+# fnv1a64(host#bucket) placement covers every shard with high
+# probability and balances within a few % by LLN
+HOT_BUCKETS_PER_SHARD = 8
+
+
+def _hot_route(host: str, n_shards: int) -> np.ndarray:
+    """bucket -> shard lookup table for one promoted host (the static
+    two-level routing both _shard_partition and tests must share)."""
+    nb = HOT_BUCKETS_PER_SHARD * n_shards
+    return (
+        fnv1a64_batch([f"{host}#{b}" for b in range(nb)])
+        % np.uint64(n_shards)
+    ).astype(np.int64)
+
+
 @ray.remote
-def _shard_partition(t: pa.Table, n_shards: int):
+def _shard_partition(t: pa.Table, n_shards: int, hot_hosts: tuple = ()):
     """Split one canonicalized block into per-shard live sub-tables
     (``fnv1a64(host) % n_shards`` — the same key the shards own) plus
-    the bad-canon rows tagged BADCANON.  Returns ``n_shards + 1``
-    tables via ``num_returns`` (set at call time)."""
+    the bad-canon rows tagged BADCANON.  Rows of ``hot_hosts`` (a
+    handful of enormous hosts) route two-level instead:
+    ``fnv1a64(host#bucket) % n_shards`` with ``bucket = url_hash %
+    (HOT_BUCKETS_PER_SHARD * n_shards)`` — within-round duplicates
+    share a url_hash so they still co-locate.  Returns ``n_shards +
+    1`` tables via ``num_returns`` (set at call time)."""
     if t.num_rows == 0 or "disposition" not in t.column_names:
         empty = t.slice(0, 0)
         return tuple([empty] * (n_shards + 1))
@@ -844,12 +884,71 @@ def _shard_partition(t: pa.Table, n_shards: int):
         bad = bad.append_column(
             "admit", pa.array([BADCANON] * bad.num_rows, pa.int8())
         )
-    shard_ids = fnv1a64_batch(live.column("host")) % np.uint64(n_shards)
+    shard_ids = (
+        fnv1a64_batch(live.column("host")) % np.uint64(n_shards)
+    ).astype(np.int64)
+    if hot_hosts and live.num_rows:
+        nb = HOT_BUCKETS_PER_SHARD * n_shards
+        bucket = None
+        host_col = live.column("host")
+        for hh in hot_hosts:
+            m = pc.equal(host_col, hh).to_numpy(zero_copy_only=False)
+            if not m.any():
+                continue
+            if bucket is None:
+                uh = live.column("url_hash").to_numpy(zero_copy_only=False)
+                bucket = (uh % np.uint64(nb)).astype(np.int64)
+            shard_ids = np.where(m, _hot_route(hh, n_shards)[bucket],
+                                 shard_ids)
     parts = [
-        live.filter(pa.array(shard_ids == np.uint64(s)))
+        live.filter(pa.array(shard_ids == s))
         for s in range(n_shards)
     ]
     return (*parts, bad)
+
+
+def _finalize_hot(shards, rnd: int, hot_metas: list[dict]) -> list:
+    """Phase 2 of two-level hot-host admission (state/admission.py):
+    sum per-shard candidate counts, draw tokens at each host's HOME
+    shard, merge the burst-bounded per-shard top order-keys into the
+    global admit threshold (exact: k <= burst and each shard returned
+    its burst smallest, so the k globally-smallest keys are all
+    present), then release each bucket shard's parked rows.  Returns
+    the finalize table refs — driver traffic is O(hot_hosts * burst)
+    keys, never rows."""
+    n_shards = len(shards)
+    totals: dict[str, int] = {}
+    keys: dict[str, list[bytes]] = {}
+    for m in hot_metas:
+        for host, info in m.items():
+            totals[host] = totals.get(host, 0) + info["n"]
+            keys.setdefault(host, []).extend(info["keys"])
+    per_home: dict[int, dict[str, int]] = {}
+    for host, tot in totals.items():
+        if tot:
+            s = int(fnv1a64_batch([host])[0] % np.uint64(n_shards))
+            per_home.setdefault(s, {})[host] = tot
+    draws: dict[str, tuple[int, str]] = {}
+    if per_home:
+        for d in ray.get([
+            shards[s].draw_hot.remote(rnd, req)
+            for s, req in per_home.items()
+        ]):
+            draws.update(d)
+    thresholds: dict[str, object] = {}
+    jars: dict[str, str] = {}
+    for host, tot in totals.items():
+        k, jar = draws.get(host, (0, ""))
+        if jar:
+            jars[host] = jar
+        if k <= 0:
+            continue  # absent from thresholds = admit none
+        thresholds[host] = "ALL" if k >= tot else sorted(keys[host])[k - 1]
+    return [
+        shards[s].finalize_hot.remote(rnd, thresholds, jars)
+        for s, m in enumerate(hot_metas)
+        if m
+    ]
 
 
 @ray.remote(num_returns=3)

@@ -8,10 +8,28 @@ frontier host-group needs, so the engine makes exactly **one** batch
 actor RPC per shard per round (:meth:`admit_table`) — no fan-out to
 every seen shard, no per-host RPCs, no groupby shuffle.
 
-Trade-off, documented: a single enormous host concentrates its seen
-entries on one shard.  Mitigation at 10^10 scale: promote such hosts to
-a two-level shard (host, url_hash bucket) with token state on bucket 0;
-not needed at sandbox scale.
+Trade-off: a single enormous host concentrates its seen entries AND
+its per-round admission work on one shard.  Mitigation (implemented —
+SURVEY §2.4/VERDICT r3 item 6): hosts named in ``hot_hosts`` are
+promoted to TWO-LEVEL sharding — their rows route by ``fnv1a64(host #
+url_hash-bucket) % n_shards`` so the O(rows) dup/seen/robots screening
+spreads across shards, while the tiny token-bucket + cookie-jar state
+stays on the host's HOME shard (``fnv1a64(host) % n_shards``).
+Admission for a promoted host is two-phase: each bucket shard screens
+locally and parks the candidates (within-round duplicates share a url
+hash ⇒ the same bucket shard, so local dup detection is globally
+exact), returning only its ``burst``-bounded smallest candidate
+order-keys; the engine sums candidate counts, draws ``k =
+min(floor(tokens), total)`` from the home shard, merges the tiny
+per-shard top-key lists, and finalizes each shard's parked rows —
+admit the globally k smallest, defer the rest.  Identical semantics to
+the one-shot path (canonical order = ascending order_key within a
+host), with per-round wall time bounded by rows/shard, not rows/host.
+
+``hot_hosts`` must be STATIC across a crawl (including resumes): a
+promoted host's seen entries live on its bucket shards, so changing
+the set mid-crawl would mis-route membership probes — the same
+contract as changing ``n_admission_shards``.
 
 Determinism: hosts are disjoint across groups, and within a shard all
 per-host state is independent, so concurrent calls for different hosts
@@ -48,11 +66,15 @@ class AdmissionShard:
         default_burst: int = 4,
         seen_backend: str = "exact",
         seen_capacity: int = 1 << 16,
+        hot_hosts: tuple[str, ...] = (),
     ) -> None:
         self.seen = make_seen_table(seen_backend, seen_capacity)
         self.disallow = robots_disallow or {}
         self.rates = robots_rates or {}
         self.default = (default_rate, default_burst)
+        self.hot_hosts = frozenset(hot_hosts)
+        # (round, host) -> parked candidate sub-table awaiting phase 2
+        self._pending_hot: dict = {}
         # host -> [tokens, last_refill_round]
         self.tokens: dict[str, list[float]] = {}
         # ST1 client cookie jar (crawler.go:87), sharded by host like
@@ -91,32 +113,8 @@ class AdmissionShard:
         Only admitted rows are marked seen (deferred rows must survive
         to a later round).
         """
-        n = len(url_hashes)
-        out = np.full(n, DEFER, dtype=np.int8)
         url_hashes = np.ascontiguousarray(url_hashes, dtype=np.uint64)
-
-        # within-round dedup: first occurrence in canonical order wins
-        _, first_idx = np.unique(url_hashes, return_index=True)
-        is_first = np.zeros(n, dtype=bool)
-        is_first[first_idx] = True
-        out[~is_first] = DUP
-
-        # already crawled in an earlier round
-        already = self.seen.contains(url_hashes)
-        seen_mask = is_first & already
-        out[seen_mask] = SEEN
-        candidates = np.flatnonzero(is_first & ~already)
-
-        # robots disallow prefixes
-        prefixes = self.disallow.get(host)
-        if prefixes:
-            keep = []
-            for i in candidates.tolist():
-                if any(paths[i].startswith(p) for p in prefixes):
-                    out[i] = ROBOTS
-                else:
-                    keep.append(i)
-            candidates = np.array(keep, dtype=np.int64)
+        out, candidates = self._screen(host, url_hashes, paths)
 
         # token bucket: admit the first floor(tokens) candidates
         tokens = self._bucket(host, rnd)
@@ -129,29 +127,71 @@ class AdmissionShard:
         # remaining candidates stay DEFER
         return out
 
+    def _screen(self, host: str, url_hashes: np.ndarray, paths):
+        """dup/seen/robots screening (phase 1 of admission; tokenless).
+        Returns (codes, candidate row indices in canonical order)."""
+        n = len(url_hashes)
+        out = np.full(n, DEFER, dtype=np.int8)
+
+        # within-round dedup: first occurrence in canonical order wins
+        _, first_idx = np.unique(url_hashes, return_index=True)
+        is_first = np.zeros(n, dtype=bool)
+        is_first[first_idx] = True
+        out[~is_first] = DUP
+
+        # already crawled in an earlier round
+        already = self.seen.contains(url_hashes)
+        out[is_first & already] = SEEN
+        candidates = np.flatnonzero(is_first & ~already)
+
+        # robots disallow prefixes
+        prefixes = self.disallow.get(host)
+        if prefixes:
+            keep = []
+            for i in candidates.tolist():
+                if any(paths[i].startswith(p) for p in prefixes):
+                    out[i] = ROBOTS
+                else:
+                    keep.append(i)
+            candidates = np.array(keep, dtype=np.int64)
+        return out, candidates
+
     def admit_table(self, rnd: int, *tables):
         """Batch admission for ALL of this shard's hosts in one RPC.
 
         ``tables`` are the per-block sub-tables routed to this shard
-        (``fnv1a64(host) % n_shards``).  Rows are sorted (host,
-        order_key) so each host's run is processed in canonical order —
-        identical per-host semantics to per-host :meth:`admit` calls,
-        with one RPC per shard per round instead of one per host (the
-        per-host ``groupby.map_groups`` shuffle cost ~3 s/round of
-        fixed overhead regardless of round size).
+        (``fnv1a64(host) % n_shards``; two-level for ``hot_hosts``).
+        Rows are sorted (host, order_key) so each host's run is
+        processed in canonical order — identical per-host semantics to
+        per-host :meth:`admit` calls, with one RPC per shard per round
+        instead of one per host (the per-host ``groupby.map_groups``
+        shuffle cost ~3 s/round of fixed overhead regardless of round
+        size).
+
+        Returns ``(table, hot_meta)``.  Rows of promoted hosts are NOT
+        in ``table`` — they are screened (phase 1), parked, and later
+        released by :meth:`finalize_hot`; ``hot_meta`` maps each parked
+        host to its candidate count and burst-bounded smallest
+        candidate order-keys (tiny — the engine merges these to pick
+        the global admit threshold).
         """
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        # a round that died between phase 1 and phase 2 replays in
+        # full — its parked rows are garbage
+        for key in [k for k in self._pending_hot if k[0] != rnd]:
+            del self._pending_hot[key]
+
         all_tables = list(tables)
         if not all_tables:
-            return None
+            return None, {}
         # empty blocks can surface with a pre-canonicalize schema
         # (engine _split_canon hedges likewise) — drop them BEFORE
         # concat or pa.concat_tables raises on the schema mismatch
         tables = [t for t in all_tables if t.num_rows]
         if not tables:
-            return all_tables[0].slice(0, 0)
+            return all_tables[0].slice(0, 0), {}
         t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
         t = t.combine_chunks()
         idx = pc.sort_indices(
@@ -163,22 +203,102 @@ class AdmissionShard:
         paths = t.column("path").to_pylist()
         n = len(hosts)
         out = np.empty(n, dtype=np.int8)
+        keep = np.ones(n, dtype=bool)
         jar_cookies = [""] * n
+        hot_meta: dict[str, dict] = {}
         start = 0
         for i in range(1, n + 1):
             if i == n or hosts[i] != hosts[start]:
-                out[start:i] = self.admit(
-                    hosts[start], hashes[start:i], paths[start:i], rnd
-                )
-                jar = self.jar.get(hosts[start])
-                if jar:
-                    enc = json.dumps(jar, sort_keys=True)
-                    jar_cookies[start:i] = [enc] * (i - start)
+                host = hosts[start]
+                if host in self.hot_hosts:
+                    run_hashes = np.ascontiguousarray(
+                        hashes[start:i], dtype=np.uint64
+                    )
+                    codes, cand = self._screen(host, run_hashes, paths[start:i])
+                    sub = t.slice(start, i - start)
+                    self._pending_hot[(rnd, host)] = (sub, codes, cand)
+                    burst = int(self.rates.get(host, self.default)[1])
+                    key_col = sub.column("order_key")
+                    hot_meta[host] = {
+                        "n": int(len(cand)),
+                        # candidates are already in canonical order
+                        "keys": [key_col[int(c)].as_py()
+                                 for c in cand[:burst]],
+                    }
+                    keep[start:i] = False
+                else:
+                    out[start:i] = self.admit(
+                        host, hashes[start:i], paths[start:i], rnd
+                    )
+                    jar = self.jar.get(host)
+                    if jar:
+                        enc = json.dumps(jar, sort_keys=True)
+                        jar_cookies[start:i] = [enc] * (i - start)
                 start = i
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            out = out[keep]
+            jar_cookies = [jc for jc, k in zip(jar_cookies, keep) if k]
         t = t.append_column("admit", pa.array(out, pa.int8()))
         return t.append_column(
             "jar_cookies", pa.array(jar_cookies, pa.string())
-        )
+        ), hot_meta
+
+    def draw_hot(self, rnd: int, requests: dict[str, int]) -> dict:
+        """Phase-2 token draw for promoted hosts whose token-bucket and
+        cookie-jar state lives on THIS (home) shard.  For each host:
+        refill per the closed form, draw ``k = min(floor(tokens),
+        candidates)``, and return ``(k, jar_json)`` — the same numbers
+        the one-shot path would have used."""
+        out = {}
+        for host, total in requests.items():
+            tokens = self._bucket(host, rnd)
+            k = min(int(tokens), int(total))
+            if k:
+                self.tokens[host][0] = tokens - k
+            jar = self.jar.get(host)
+            out[host] = (k, json.dumps(jar, sort_keys=True) if jar else "")
+        return out
+
+    def finalize_hot(self, rnd: int, thresholds: dict, jars: dict):
+        """Phase 2: finalize this shard's parked hot-host rows for
+        ``rnd`` and return them as one table (same schema as
+        :meth:`admit_table`'s).  ``thresholds[host]`` is the global
+        admit cut the engine derived from the merged top-key lists:
+        ``"ALL"`` admits every candidate, a ``bytes`` order-key admits
+        candidates with key <= it, absent admits none (tokens
+        exhausted).  Admitted rows are marked seen HERE — on the bucket
+        shard that owns their url-hash slice — so later-round probes
+        (routed identically) see them."""
+        import pyarrow as pa
+
+        parts = []
+        for key in sorted(k for k in self._pending_hot if k[0] == rnd):
+            _, host = key
+            sub, codes, cand = self._pending_hot.pop(key)
+            thr = thresholds.get(host)
+            if len(cand) and thr is not None:
+                if thr == "ALL":
+                    adm = cand
+                else:
+                    keys = sub.column("order_key").take(
+                        pa.array(cand)).to_pylist()
+                    adm = cand[np.array([k_ <= thr for k_ in keys],
+                                        dtype=bool)]
+                if len(adm):
+                    codes[adm] = ADMIT
+                    h = sub.column("url_hash").to_numpy(zero_copy_only=False)
+                    self.seen.add(np.ascontiguousarray(h[adm],
+                                                       dtype=np.uint64))
+            sub = sub.append_column("admit", pa.array(codes, pa.int8()))
+            sub = sub.append_column(
+                "jar_cookies",
+                pa.array([jars.get(host, "")] * sub.num_rows, pa.string()),
+            )
+            parts.append(sub)
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
     def update_cookies(self, updates: dict[str, dict[str, str]]) -> None:
         """Merge one round's harvested Set-Cookie payloads for this
@@ -205,3 +325,4 @@ class AdmissionShard:
         self.seen = restore_seen_table(state["seen"])
         self.tokens = {h: list(v) for h, v in state["tokens"].items()}
         self.jar = {h: dict(c) for h, c in state.get("jar", {}).items()}
+        self._pending_hot.clear()  # parked rows are round-transient

@@ -389,9 +389,14 @@ def web_corpus_prep(sf_dir: str, min_tokens: int = 20):
     keeping the lexicographically-first URL.  One shuffle total (the
     content-hash groupby); the extract+filter pass streams.
 
+    Dedup merges are confirmed on the full 128-bit digest (lo word
+    groups, hi word verifies — see ``exact_dedup``), so two distinct
+    texts colliding on the 64-bit group key stay distinct corpus rows
+    instead of silently merging (~3 expected at 10^10 docs otherwise).
+
     The product story of the engine in one query: crawl output in,
     deduplicated training corpus out."""
-    from crawl_ray.urlnorm import content_hash64_batch
+    from crawl_ray.urlnorm import content_hash128_batch
 
     d = fixture_dir(fixture_size_for(sf_dir))
 
@@ -409,12 +414,13 @@ def web_corpus_prep(sf_dir: str, min_tokens: int = 20):
         n_tokens = pc.list_value_length(
             pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
         ).cast(pa.int64())
-        h = content_hash64_batch(texts)
+        h, check = content_hash128_batch(texts)
         t = pa.table(
             {
                 "url": batch.column("url"),
                 "n_tokens": n_tokens,
                 "text_hash": pa.array(h, pa.uint64()),
+                "check": pa.array(check, pa.uint64()),
                 "part": pa.array(
                     (_splitmix64(h) % np.uint64(P)).astype(np.int64),
                     pa.int64(),
@@ -429,11 +435,15 @@ def web_corpus_prep(sf_dir: str, min_tokens: int = 20):
     def keep_first_part(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             group,
-            sort_keys=[("text_hash", "ascending"), ("url", "ascending")],
+            sort_keys=[("text_hash", "ascending"), ("check", "ascending"),
+                       ("url", "ascending")],
         )
         g = group.take(idx)
         hs = g.column("text_hash").to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        cs = g.column("check").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.r_[True, (hs[1:] != hs[:-1]) | (cs[1:] != cs[:-1])]
+        )
         lens = np.diff(np.r_[starts, len(hs)])
         kept = g.take(pa.array(starts, pa.int64())).select(
             ["url", "n_tokens"]

@@ -51,42 +51,97 @@ def _docs(sf_dir: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def exact_dedup(sf_dir: str, num_partitions: int | None = None):
-    """Exact text dedup: key = 64-bit content hash; keep the lowest
-    doc_id per key (deterministic).  Shuffle is keyed by
-    ``part = splitmix64(hash) % P`` — the url_hash-partition dedup
-    pattern (SURVEY.md §2.8) — so per-group Python is bounded by the
-    PARTITION count: one ``map_groups`` call sorts and segment-reduces
-    ALL hash groups of a partition (the streams.py vectorized-segment
-    pattern), instead of one 30-100 µs call per distinct text."""
+def _dedup_group_starts(g: pa.Table, verify: str) -> np.ndarray:
+    """Segment boundaries of a (text_hash [, check|text])-sorted
+    partition: a new group starts where the hash changes OR where the
+    verification layer says two same-hash rows are different texts.
+    ``verify="digest"`` confirms on the hi 64 bits of the 128-bit
+    digest; ``verify="text"`` compares the text bytes (vectorized Arrow
+    not_equal, no Python per row); ``verify="none"`` trusts the 64-bit
+    key (the r3 behavior)."""
+    h = g.column("text_hash").to_numpy(zero_copy_only=False)
+    new = np.r_[True, h[1:] != h[:-1]]
+    if verify == "digest" and g.num_rows > 1:
+        c = g.column("check").to_numpy(zero_copy_only=False)
+        new[1:] |= c[1:] != c[:-1]
+    elif verify == "text" and g.num_rows > 1:
+        t = g.column("text").combine_chunks()
+        neq = pc.not_equal(t.slice(1), t.slice(0, len(t) - 1))
+        new[1:] |= pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+    return np.flatnonzero(new)
+
+
+def exact_dedup(
+    sf_dir: str,
+    num_partitions: int | None = None,
+    verify: str = "digest",
+    _group_hash_fn=None,
+):
+    """Exact text dedup: keep the lowest doc_id per distinct text.
+
+    Shuffle is keyed by ``part = splitmix64(hash) % P`` — the
+    url_hash-partition dedup pattern (SURVEY.md §2.8) — so per-group
+    Python is bounded by the PARTITION count: one ``map_groups`` call
+    sorts and segment-reduces ALL hash groups of a partition (the
+    streams.py vectorized-segment pattern), instead of one 30-100 µs
+    call per distinct text.
+
+    A 64-bit key alone would silently merge ~3 distinct-text pairs at
+    the 10^10-doc design point (birthday bound), so merges are
+    VERIFIED within each co-partitioned hash group (VERDICT r3 item 7):
+
+    - ``verify="digest"`` (default): group by the lo word and confirm
+      on the hi word of one 128-bit blake2b per doc — +8 B/row shuffle
+      payload, collision now requires a blake2b-128 collision.
+    - ``verify="text"``: ship the text through the shuffle and compare
+      bytes — exact by construction, at full-corpus shuffle cost
+      (for modest corpora or a hash-distrusting threat model).
+    - ``verify="none"``: the bare 64-bit key (r3 behavior, benchmark
+      comparison only).
+
+    ``_group_hash_fn`` is a test seam: it overrides the GROUPING hash
+    (planted-collision tests force equal keys for distinct texts; the
+    verification layer must keep both docs).
+    """
     from crawl_ray.pipelines.stats import _splitmix64
+    from crawl_ray.urlnorm import content_hash128_batch
 
     P = num_partitions or _default_band_partitions()
 
     def add_hash(batch: pa.Table) -> pa.Table:
         # blake2b per row (one C call each): document text is long, so
         # the padded-matrix FNV kernel would cost rows × longest-doc
-        h = content_hash64_batch(batch.column("text"))
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id").cast(pa.int64()),
-                "text_hash": pa.array(h, pa.uint64()),
-                "part": pa.array(
-                    (_splitmix64(h) % np.uint64(P)).astype(np.int64),
-                    pa.int64(),
-                ),
-            }
-        )
+        if verify == "digest":
+            h, check = content_hash128_batch(batch.column("text"))
+        else:
+            h, check = content_hash64_batch(batch.column("text")), None
+        if _group_hash_fn is not None:
+            h = _group_hash_fn(batch.column("text"))
+        cols = {
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "text_hash": pa.array(h, pa.uint64()),
+            "part": pa.array(
+                (_splitmix64(h) % np.uint64(P)).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+        if check is not None:
+            cols["check"] = pa.array(check, pa.uint64())
+        if verify == "text":
+            cols["text"] = batch.column("text")
+        return pa.table(cols)
+
+    sort_keys = [("text_hash", "ascending")]
+    if verify == "digest":
+        sort_keys.append(("check", "ascending"))
+    elif verify == "text":
+        sort_keys.append(("text", "ascending"))
+    sort_keys.append(("doc_id", "ascending"))
 
     def keep_first_part(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group,
-            sort_keys=[("text_hash", "ascending"), ("doc_id", "ascending")],
-        )
-        g = group.take(idx)
-        h = g.column("text_hash").to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
-        lens = np.diff(np.r_[starts, len(h)])
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        starts = _dedup_group_starts(g, verify)
+        lens = np.diff(np.r_[starts, g.num_rows])
         kept = g.take(pa.array(starts, pa.int64())).select(["doc_id"])
         return kept.append_column("n_dups", pa.array(lens, pa.int64()))
 

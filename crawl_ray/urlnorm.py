@@ -22,7 +22,7 @@ from urllib.parse import urljoin, urlsplit
 
 __all__ = [
     "resolve_url", "url_host", "fnv1a64", "fnv1a64_batch",
-    "content_hash64_batch", "canonicalize",
+    "content_hash64_batch", "content_hash128_batch", "canonicalize",
 ]
 
 _FNV_OFFSET = 0xCBF29CE484222325
@@ -92,6 +92,29 @@ def content_hash64_batch(strings) -> np.ndarray:
             b2b(data, digest_size=8).digest(), "little"
         )
     return out
+
+
+def content_hash128_batch(strings) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content hash as two uint64 words (lo, hi) — one
+    ``blake2b(digest_size=16)`` C call per row, same O(total bytes)
+    cost as :func:`content_hash64_batch`.  The lo word serves as the
+    shuffle/group key; the hi word confirms merges, dropping the
+    collision probability from the 64-bit birthday regime (~3 expected
+    silent merges at 10^10 docs) to a blake2b-128 collision —
+    cryptographically negligible."""
+    import hashlib
+
+    if isinstance(strings, (pa.Array, pa.ChunkedArray)):
+        strings = strings.to_pylist()
+    lo = np.empty(len(strings), dtype=np.uint64)
+    hi = np.empty(len(strings), dtype=np.uint64)
+    b2b = hashlib.blake2b
+    for i, s in enumerate(strings):
+        data = s.encode("utf-8") if isinstance(s, str) else (s or b"")
+        d = b2b(data, digest_size=16).digest()
+        lo[i] = int.from_bytes(d[:8], "little")
+        hi[i] = int.from_bytes(d[8:], "little")
+    return lo, hi
 
 
 def fnv1a64_batch(strings) -> np.ndarray:

@@ -410,3 +410,55 @@ def test_near_dup_pair_set_never_stages_on_driver(ray_session, monkeypatch):
     # and the result still matches the driver fast path exactly
     fast = DD.dedup_clusters("/root/testdata/sf0.001").to_pandas()
     assert fast.equals(out)
+
+
+# -- planted 64-bit collision (VERDICT r3 item 7) ---------------------------
+
+
+def _const_group_hash(col):
+    """Adversarial grouping hash: EVERY text collides on the 64-bit
+    group key.  The verification layer alone must keep distinct texts
+    apart."""
+    return np.full(len(col), 12345, dtype=np.uint64)
+
+
+def test_dedup_group_starts_kernel_splits_collisions():
+    """Two distinct texts with an identical 64-bit group hash but
+    different 128-bit check words form two groups, not one."""
+    g = pa.table({
+        "text_hash": pa.array([7, 7], pa.uint64()),
+        "check": pa.array([1, 2], pa.uint64()),
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["alpha", "beta"], pa.string()),
+    })
+    assert DD._dedup_group_starts(g, "digest").tolist() == [0, 1]
+    assert DD._dedup_group_starts(g, "text").tolist() == [0, 1]
+    # the r3 behavior silently merged them — kept for benchmark parity
+    assert DD._dedup_group_starts(g, "none").tolist() == [0]
+
+
+@pytest.mark.parametrize("verify", ["digest", "text"])
+def test_exact_dedup_survives_planted_collision(corpus_dir, ray_session,
+                                                verify):
+    """Force every doc onto ONE 64-bit hash (the worst possible
+    collision storm): the verified modes must still produce exactly the
+    honest per-text dedup result."""
+    want = DD.exact_dedup(corpus_dir).to_pandas()
+    got = DD.exact_dedup(
+        corpus_dir, verify=verify, _group_hash_fn=_const_group_hash
+    ).to_pandas()
+    w = sorted(zip(want["doc_id"], want["n_dups"]))
+    g = sorted(zip(got["doc_id"], got["n_dups"]))
+    assert g == w
+    assert len(g) == 45  # 45 distinct texts survive, none merged
+
+
+def test_exact_dedup_unverified_merges_collision(corpus_dir, ray_session):
+    """Contrast case documenting why verification exists: with
+    verify="none" the planted collision folds the whole corpus into a
+    single survivor."""
+    got = DD.exact_dedup(
+        corpus_dir, verify="none", _group_hash_fn=_const_group_hash
+    ).to_pandas()
+    assert len(got) == 1
+    assert int(got["n_dups"].iloc[0]) == 50

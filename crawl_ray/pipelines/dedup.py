@@ -2090,33 +2090,49 @@ class _HashMembershipShard:
     (SURVEY.md §2.5 J3; admission shards hold the same open-addressing
     table for url hashes).  ``num_cpus=0``: the shards do O(bytes)
     table probes, not compute, and must never steal task slots from
-    the streaming scan that feeds them."""
+    the streaming scan that feeds them.
 
-    def __init__(self, backend: str = "exact") -> None:
-        from crawl_ray.state.seen import make_seen_table
+    Backends: ``"exact128"`` (default) stores the full 128-bit digest
+    (16 B/slot) — a wrong "already ingested" drop requires a blake2b
+    collision; ``"exact"`` keys on the lo word only (8 B/slot, ~5
+    wrongly-dropped new docs per 10^10 x 10^10 old x new — the 64-bit
+    birthday contract); ``"cuckoo"`` is the 2.4 B/key fingerprint
+    envelope (~1.2e-4 FP, documented like the frontier ST4 backend)."""
 
-        self.table = make_seen_table(backend)
+    def __init__(self, backend: str = "exact128") -> None:
+        from crawl_ray.state.seen import Seen128Table, make_seen_table
 
-    def add(self, keys: np.ndarray) -> int:
-        self.table.add(np.ascontiguousarray(keys, dtype=np.uint64))
+        self._wide = backend == "exact128"
+        self.table = Seen128Table() if self._wide else make_seen_table(backend)
+
+    def add(self, lo: np.ndarray, hi: np.ndarray) -> int:
+        lo = np.ascontiguousarray(lo, dtype=np.uint64)
+        if self._wide:
+            self.table.add(lo, np.ascontiguousarray(hi, dtype=np.uint64))
+        else:
+            self.table.add(lo)
         return len(self.table)
 
-    def contains(self, keys: np.ndarray) -> np.ndarray:
-        return self.table.contains(
-            np.ascontiguousarray(keys, dtype=np.uint64)
-        )
+    def contains(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        lo = np.ascontiguousarray(lo, dtype=np.uint64)
+        if self._wide:
+            return self.table.contains(
+                lo, np.ascontiguousarray(hi, dtype=np.uint64)
+            )
+        return self.table.contains(lo)
 
     def snapshot(self) -> dict:
         return self.table.snapshot()
 
 
-def incremental_dedup(sf_dir: str, n_shards: int = 8):
+def incremental_dedup(sf_dir: str, n_shards: int = 8,
+                      backend: str = "exact128"):
     """Dedup a NEW crawl wave against the already-ingested corpus
     WITHOUT reprocessing the old corpus rows — the continuous-ingestion
     path.  Re-running :func:`exact_dedup` over the full corpus each
     wave is O(corpus) per wave ⇒ quadratic over the crawl's lifetime;
-    at 100 TB the old side must contribute only its 8-byte content
-    hashes, held in sharded membership state that persists between
+    at 100 TB the old side must contribute only its 16-byte content
+    digests, held in sharded membership state that persists between
     waves (``snapshot()`` — the same checkpoint contract as the
     frontier seen-set, ``state/seen.py``).
 
@@ -2137,32 +2153,37 @@ def incremental_dedup(sf_dir: str, n_shards: int = 8):
        (one RPC per (batch, touched shard), vectorized masks); rows
        whose hash is already ingested drop.
 
-    Memory: exact table = ~16 B/key ⇒ 10^10 ingested docs ≈ 160 GB
-    cluster-wide across shards; pass ``backend="cuckoo"`` state for
-    the 2.4 B/key fingerprint variant where ~0.01% FP (a few extra
-    drops) is acceptable.
+    Collision contract (VERDICT r3 item 7 applied to the incremental
+    path): both the within-wave keep-first AND the cross-wave
+    membership carry the full 128-bit digest by default — the lo word
+    shards/groups, the hi word confirms — so a distinct new doc is
+    never silently merged or dropped short of a blake2b-128 collision.
+    Memory: exact128 table = ~27 B/key ⇒ 10^10 ingested docs ≈ 270 GB
+    cluster-wide across shards; ``backend="exact"`` halves that with
+    the documented 64-bit birthday contract (~5 wrong drops per 10^10
+    x 10^10), ``backend="cuckoo"`` is the 2.4 B/key envelope (~0.01%
+    FP) where a few extra drops are acceptable.
 
     Reference analog: the crawler never refetches a seen URL
     (crawler.go:137-156); here the corpus never re-ingests seen
     content.
     """
-    actors = [_HashMembershipShard.remote() for _ in range(n_shards)]
+    from crawl_ray.urlnorm import content_hash128_batch
 
-    def _hashes(batch: pa.Table) -> np.ndarray:
-        return content_hash64_batch(batch.column("text"))
+    actors = [_HashMembershipShard.remote(backend) for _ in range(n_shards)]
 
     def ingest(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         old = np.flatnonzero(ids % 2 == 0)
         n = 0
         if len(old):
-            h = content_hash64_batch(
+            h, check = content_hash128_batch(
                 batch.column("text").take(pa.array(old, pa.int64()))
             )
             shard = h % np.uint64(n_shards)
             ray.get(
                 [
-                    actors[int(s)].add.remote(h[shard == s])
+                    actors[int(s)].add.remote(h[shard == s], check[shard == s])
                     for s in np.unique(shard).tolist()
                 ]
             )
@@ -2182,13 +2203,14 @@ def incremental_dedup(sf_dir: str, n_shards: int = 8):
     def new_wave_hash(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         new = np.flatnonzero(ids % 2 == 1)
-        h = content_hash64_batch(
+        h, check = content_hash128_batch(
             batch.column("text").take(pa.array(new, pa.int64()))
         )
         return pa.table(
             {
                 "doc_id": pa.array(ids[new], pa.int64()),
                 "text_hash": pa.array(h, pa.uint64()),
+                "check": pa.array(check, pa.uint64()),
                 "part": pa.array(
                     (_splitmix64(h) % np.uint64(P)).astype(np.int64),
                     pa.int64(),
@@ -2197,18 +2219,19 @@ def incremental_dedup(sf_dir: str, n_shards: int = 8):
         )
 
     # hash-partitioned keep-first (the exact_dedup vectorized-segment
-    # kernel): per-group Python bounded by the partition count
+    # kernel, digest-verified): per-group Python bounded by the
+    # partition count
     def keep_first(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             group,
-            sort_keys=[("text_hash", "ascending"), ("doc_id", "ascending")],
+            sort_keys=[("text_hash", "ascending"), ("check", "ascending"),
+                       ("doc_id", "ascending")],
         )
         g = group.take(idx)
-        hs = g.column("text_hash").to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
-        lens = np.diff(np.r_[starts, len(hs)])
+        starts = _dedup_group_starts(g, "digest")
+        lens = np.diff(np.r_[starts, g.num_rows])
         kept = g.take(pa.array(starts, pa.int64())).select(
-            ["doc_id", "text_hash"]
+            ["doc_id", "text_hash", "check"]
         )
         return kept.append_column(
             "n_new_copies", pa.array(lens, pa.int64())
@@ -2219,11 +2242,13 @@ def incremental_dedup(sf_dir: str, n_shards: int = 8):
         if batch.num_rows == 0:
             return out
         h = batch.column("text_hash").to_numpy(zero_copy_only=False)
+        c = batch.column("check").to_numpy(zero_copy_only=False)
         shard = h % np.uint64(n_shards)
         seen = np.zeros(len(h), dtype=bool)
         touched = np.unique(shard).tolist()
         masks = ray.get(
-            [actors[int(s)].contains.remote(h[shard == s]) for s in touched]
+            [actors[int(s)].contains.remote(h[shard == s], c[shard == s])
+             for s in touched]
         )
         for s, m in zip(touched, masks):
             seen[shard == s] = m

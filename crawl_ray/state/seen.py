@@ -19,6 +19,7 @@ import numpy as np
 __all__ = [
     "SeenTable",
     "CuckooSeenTable",
+    "Seen128Table",
     "make_seen_table",
     "restore_seen_table",
 ]
@@ -373,6 +374,110 @@ def resolve_seen_backend(backend: str, capacity: int) -> str:
     if backend == "auto":
         return "cuckoo" if capacity >= AUTO_CUCKOO_THRESHOLD else "exact"
     return backend
+
+
+class Seen128Table:
+    """Exact 128-bit membership: open-addressing keyed by the LO word
+    with a parallel HI-word array confirming slot identity — 16 B/slot
+    (~27 B/key at the 0.6 load bound).  The content-membership backend
+    for :func:`crawl_ray.pipelines.dedup.incremental_dedup`: a false
+    "already ingested" now requires two distinct texts sharing a full
+    128-bit blake2b digest (cryptographically negligible), instead of
+    the 64-bit birthday bound (~5 new docs wrongly dropped per 10^10 ×
+    10^10 old×new at 64 bits).  Probe loops mirror :class:`SeenTable`;
+    lo == 0 remaps to 1 (0 is the empty-slot sentinel)."""
+
+    def __init__(self, initial_capacity: int = 1 << 16) -> None:
+        cap = 1 << max(4, (initial_capacity - 1).bit_length())
+        self._lo = np.zeros(cap, dtype=np.uint64)
+        self._hi = np.zeros(cap, dtype=np.uint64)
+        self._mask = np.uint64(cap - 1)
+        self._count = 0
+
+    def __len__(self) -> int:
+        return self._count
+
+    def _grow(self) -> None:
+        occ = self._lo != _EMPTY
+        old_lo, old_hi = self._lo[occ], self._hi[occ]
+        cap = len(self._lo) * 2
+        self._lo = np.zeros(cap, dtype=np.uint64)
+        self._hi = np.zeros(cap, dtype=np.uint64)
+        self._mask = np.uint64(cap - 1)
+        self._count = 0
+        if len(old_lo):
+            self.add(old_lo, old_hi)
+
+    @staticmethod
+    def _clean(lo: np.ndarray, hi: np.ndarray):
+        lo = np.ascontiguousarray(lo, dtype=np.uint64)
+        hi = np.ascontiguousarray(hi, dtype=np.uint64)
+        return np.where(lo == _EMPTY, np.uint64(1), lo), hi
+
+    def contains(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        lo, hi = self._clean(lo, hi)
+        n = len(lo)
+        result = np.zeros(n, dtype=bool)
+        if n == 0 or self._count == 0:
+            return result
+        idx = lo & self._mask
+        pending = np.arange(n)
+        while len(pending):
+            slo = self._lo[idx[pending]]
+            found = (slo == lo[pending]) & (self._hi[idx[pending]] == hi[pending])
+            empty = slo == _EMPTY
+            result[pending[found]] = True
+            pending = pending[~(found | empty)]
+            idx[pending] = (idx[pending] + np.uint64(1)) & self._mask
+        return result
+
+    def add(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        lo, hi = self._clean(lo, hi)
+        n = len(lo)
+        new = np.zeros(n, dtype=bool)
+        if n == 0:
+            return new
+        while (self._count + n) * 10 > len(self._lo) * 6:  # load > 0.6
+            self._grow()
+        idx = lo & self._mask
+        pending = np.arange(n)
+        while len(pending):
+            slo = self._lo[idx[pending]]
+            empty = slo == _EMPTY
+            if empty.any():
+                cand = pending[empty]
+                cand_idx = idx[cand]
+                # first pending key per empty slot wins the slot ...
+                _, first_pos = np.unique(cand_idx, return_index=True)
+                winners = cand[first_pos]
+                # ... and among winners, the first occurrence of each
+                # DISTINCT (lo, hi) pair wins (equal pairs probe
+                # identical sequences)
+                pair = np.stack([lo[winners], hi[winners]], axis=1)
+                _, kfirst = np.unique(pair, axis=0, return_index=True)
+                winners = winners[np.sort(kfirst)]
+                self._lo[idx[winners]] = lo[winners]
+                self._hi[idx[winners]] = hi[winners]
+                new[winners] = True
+                self._count += len(winners)
+            slo = self._lo[idx[pending]]
+            shi = self._hi[idx[pending]]
+            done = (slo == lo[pending]) & (shi == hi[pending])
+            pending = pending[~done]
+            idx[pending] = (idx[pending] + np.uint64(1)) & self._mask
+        return new
+
+    def snapshot(self) -> dict[str, np.ndarray]:
+        return {"lo": self._lo.copy(), "hi": self._hi.copy()}
+
+    @classmethod
+    def restore(cls, state: dict[str, np.ndarray]) -> "Seen128Table":
+        obj = cls.__new__(cls)
+        obj._lo = np.array(state["lo"], dtype=np.uint64, copy=True)
+        obj._hi = np.array(state["hi"], dtype=np.uint64, copy=True)
+        obj._mask = np.uint64(len(obj._lo) - 1)
+        obj._count = int((obj._lo != _EMPTY).sum())
+        return obj
 
 
 def make_seen_table(backend: str, capacity: int = 1 << 16):

@@ -256,3 +256,65 @@ def test_cuckoo_1e8_ingest_envelope_and_snapshot():
     restored = CuckooSeenTable.restore(tab.snapshot())
     assert len(restored) == len(tab)
     assert bool(restored.contains(probe).all())
+
+
+# -- Seen128Table (incremental-dedup membership) ----------------------------
+
+
+def test_seen128_basic_and_lo_collisions():
+    """Distinct 128-bit keys sharing a lo word must be independently
+    storable and distinguishable — the whole point of the hi word."""
+    from crawl_ray.state.seen import Seen128Table
+
+    t = Seen128Table(16)
+    lo = np.array([7, 7, 7, 9], dtype=np.uint64)
+    hi = np.array([1, 2, 3, 1], dtype=np.uint64)
+    new = t.add(lo, hi)
+    assert new.all() and len(t) == 4
+    assert t.contains(lo, hi).all()
+    # same lo, unseen hi -> NOT a member
+    assert not t.contains(
+        np.array([7], np.uint64), np.array([99], np.uint64)
+    ).any()
+    # unseen lo -> not a member
+    assert not t.contains(
+        np.array([8], np.uint64), np.array([1], np.uint64)
+    ).any()
+    # re-add: nothing new
+    assert not t.add(lo, hi).any()
+    assert len(t) == 4
+
+
+def test_seen128_batch_dups_and_growth():
+    from crawl_ray.state.seen import Seen128Table
+
+    rng = np.random.default_rng(42)
+    t = Seen128Table(16)  # force many growth cycles
+    lo = rng.integers(0, 1 << 40, size=5000).astype(np.uint64)
+    hi = rng.integers(0, 1 << 40, size=5000).astype(np.uint64)
+    # duplicate every pair: exactly the distinct pairs count as new
+    lo2 = np.r_[lo, lo]
+    hi2 = np.r_[hi, hi]
+    new = t.add(lo2, hi2)
+    distinct = len(np.unique(np.stack([lo, hi], axis=1), axis=0))
+    assert int(new.sum()) == distinct
+    assert len(t) == distinct
+    assert t.contains(lo, hi).all()
+    # zero-lo sentinel remap round-trips
+    z_lo = np.zeros(2, np.uint64)
+    z_hi = np.array([5, 6], np.uint64)
+    t.add(z_lo, z_hi)
+    assert t.contains(z_lo, z_hi).all()
+
+
+def test_seen128_snapshot_restore():
+    from crawl_ray.state.seen import Seen128Table
+
+    t = Seen128Table(16)
+    lo = np.arange(1, 300, dtype=np.uint64)
+    hi = lo * np.uint64(3)
+    t.add(lo, hi)
+    r = Seen128Table.restore(t.snapshot())
+    assert len(r) == len(t)
+    assert r.contains(lo, hi).all()
+    assert not r.contains(lo, hi + np.uint64(1)).any()

@@ -1536,15 +1536,17 @@ def _cc_label_propagation(
 ) -> pa.Table:
     """Driver-table entry over :func:`_cc_label_propagation_ds` — kept
     for bounded edge lists (unit tests, post-count driver callers)."""
-    return _cc_label_propagation_ds(
-        ray.data.from_arrow(edges), "src", "dst", max_iters
-    )
+    return collect_table(
+        _cc_label_propagation_ds(
+            ray.data.from_arrow(edges), "src", "dst", max_iters
+        )
+    ).sort_by([("node", "ascending")])
 
 
 def _cc_label_propagation_ds(
     pairs_ds, src_col: str = "src", dst_col: str = "dst",
     max_iters: int = 64,
-) -> pa.Table:
+):
     """Distributed min-label propagation: labels start at node id; each
     round every node broadcasts its label along its edges via a
     groupby-emulated join (label row + edge rows grouped on the same
@@ -1568,9 +1570,10 @@ def _cc_label_propagation_ds(
 
     Edges arrive as a Dataset and are symmetrized per BLOCK — the edge
     list never materializes on the driver (duplicate edges across
-    blocks only re-send the same min; correctness is unaffected).  Only
-    node-sized tables (the label fixpoint state itself) touch the
-    driver."""
+    blocks only re-send the same min; correctness is unaffected).  The
+    label fixpoint state is itself a (materialized) Dataset carried
+    between rounds; the driver holds ONE scalar per round (the
+    convergence sum).  Returns a ``(node, label)`` Dataset."""
     from ray.data.aggregate import Min
 
     from crawl_ray.pipelines.joins import _default_partitions
@@ -1611,27 +1614,38 @@ def _cc_label_propagation_ds(
     edge_ds = pairs_ds.map_batches(
         symmetrize, batch_format="pyarrow"
     ).materialize()
-    # node ids: per-block unique in tasks, union'd on the driver —
-    # node-sized, the same bound the per-round label table already has
-    node_parts = [
-        p for p in ray.get([
-            _unique_pair_ids.remote(ref, "key", "val")
-            for ref in edge_ds.to_arrow_refs()
-        ]) if len(p)
-    ]
-    if not node_parts:
-        return pa.table(
-            {"node": pa.array([], pa.int64()),
-             "label": pa.array([], pa.int64())}
-        )
-    nodes = np.unique(np.concatenate(node_parts))
-    labels = pa.table(
-        {"key": pa.array(nodes, pa.int64()),
-         "val": pa.array(nodes, pa.int64()),
-         "is_label": pa.array(np.ones(len(nodes), dtype=bool)),
-         "part": pa.array(part_of(nodes), pa.int64())}
+    _empty_lab = pa.table(
+        {"node": pa.array([], pa.int64()),
+         "label": pa.array([], pa.int64())}
     )
-    prev_sum = int(nodes.sum())
+    if edge_ds.count() == 0:
+        return ray.data.from_arrow(_empty_lab)
+
+    # initial labels = node id.  Node ids are extracted DISTRIBUTED:
+    # edges are symmetrized, so unique(key) per hash partition is the
+    # global node set (each key lives in exactly one partition) — the
+    # driver never holds a node-sized array.
+    def init_labels(group: pa.Table) -> pa.Table:
+        key = np.unique(
+            group.column("key").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {"key": pa.array(key, pa.int64()),
+             "val": pa.array(key, pa.int64()),
+             "is_label": pa.array(np.ones(len(key), dtype=bool)),
+             "part": pa.array(part_of(key), pa.int64())}
+        )
+
+    labels_ds = (
+        edge_ds.groupby("part")
+        .map_groups(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+    # convergence scalar: labels are monotone non-increasing, so an
+    # unchanged int64-wrapping label sum certifies the fixpoint (a
+    # false positive needs the round's total decrease to be an exact
+    # multiple of 2^64 — the same contract the numpy sum always had)
+    prev_sum = labels_ds.sum("val")
     int64_max = np.iinfo(np.int64).max
     _empty_msgs = pa.table(
         {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
@@ -1662,33 +1676,42 @@ def _cc_label_propagation_ds(
              "label": pa.array(out_lbls, pa.int64())}
         )
 
-    for _ in range(max_iters):
-        msgs = (
-            edge_ds.union(ray.data.from_arrow(labels))
-            .groupby("part")
-            .map_groups(propagate_part, batch_format="pyarrow")
+    def relabel(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
-        new_labels = collect_table(
-            msgs.groupby("node").aggregate(Min("label"))
-        )  # bounded: one row per dup-graph node
-        node_arr = new_labels.column("node").to_numpy(zero_copy_only=False)
-        lbl_arr = new_labels.column("min(label)").to_numpy(
+        lbl = batch.column("min(label)").to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
-        labels = pa.table(
-            {"key": pa.array(node_arr, pa.int64()),
-             "val": pa.array(lbl_arr, pa.int64()),
-             "is_label": pa.array(np.ones(len(node_arr), dtype=bool)),
-             "part": pa.array(part_of(node_arr), pa.int64())}
+        return pa.table(
+            {"key": pa.array(node, pa.int64()),
+             "val": pa.array(lbl, pa.int64()),
+             "is_label": pa.array(np.ones(len(node), dtype=bool)),
+             "part": pa.array(part_of(node), pa.int64())}
         )
-        cur_sum = int(lbl_arr.sum())
+
+    for _ in range(max_iters):
+        agg = (
+            edge_ds.union(labels_ds)
+            .groupby("part")
+            .map_groups(propagate_part, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label"))
+        ).materialize()
+        cur_sum = agg.sum("min(label)")  # driver holds ONE scalar
+        labels_ds = agg.map_batches(
+            relabel, batch_format="pyarrow"
+        ).materialize()
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     else:
         raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
-    return pa.table(
-        {"node": labels.column("key"), "label": labels.column("val")}
+    return labels_ds.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("key"), "label": b.column("val")}
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -1721,7 +1744,11 @@ def dedup_clusters(
     )
     n_edges = pairs_ds.count()  # metadata read — the ds is materialized
     if n_edges > CLUSTER_DRIVER_THRESHOLD or force_distributed:
-        lab = _cc_label_propagation_ds(pairs_ds, "vec_a", "vec_b")
+        # collect is the query SURFACE (one row per dup-graph node) —
+        # the propagation loop itself never stages through the driver
+        lab = collect_table(
+            _cc_label_propagation_ds(pairs_ds, "vec_a", "vec_b")
+        )
         node = lab.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
         label = lab.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
     else:
@@ -2048,9 +2075,19 @@ def dedup_corpus(sf_dir: str, threshold_milli: int = 500, num_partitions: int | 
     pairs_ds = minhash_lsh_pairs_ds(sf_dir, threshold=threshold_milli / 1000.0)
     n_edges = pairs_ds.count()  # metadata read — the ds is materialized
     if n_edges > CLUSTER_DRIVER_THRESHOLD:
-        lab = _cc_label_propagation_ds(pairs_ds, "doc_a", "doc_b")
-        node = lab.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-        label = lab.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        # loser ids (node != component min) stay a DATASET end-to-end:
+        # propagation labels -> per-block filter -> the anti-join's
+        # build side.  At web scale the drop set is corpus-sized; the
+        # driver never holds it.
+        drop_ds = _cc_label_propagation_ds(
+            pairs_ds, "doc_a", "doc_b"
+        ).map_batches(
+            lambda b: b.filter(
+                pc.not_equal(b.column("node"), b.column("label"))
+            ).select(["node"]).rename_columns(["drop_id"]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_drop = drop_ds.count()
     else:
         pairs = collect_table(pairs_ds)
         src = pairs.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64) if pairs.num_rows else np.empty(0, np.int64)
@@ -2058,15 +2095,15 @@ def dedup_corpus(sf_dir: str, threshold_milli: int = 500, num_partitions: int | 
         mapping = _cc_union_find(src, dst)
         node = np.array(sorted(mapping), dtype=np.int64)
         label = np.array([mapping[x] for x in node.tolist()], dtype=np.int64)
-    drop = node[node != label]
+        drop = node[node != label]
+        n_drop = len(drop)
+        drop_ds = ray.data.from_arrow(
+            pa.table({"drop_id": pa.array(drop, pa.int64())})
+        )
     docs = _docs(sf_dir, ["doc_id", "lang", "text"])
-    if len(drop) == 0:
+    if n_drop == 0:
         return docs.sort("doc_id")
     from crawl_ray.pipelines.joins import _default_partitions
-
-    drop_ds = ray.data.from_arrow(
-        pa.table({"drop_id": pa.array(drop, pa.int64())})
-    )
     P = num_partitions or _default_partitions()
     # block-coalesced anti-join (the joins.py _cjoin pattern): merging
     # the docs scan's many small blocks to P first halves the join's

@@ -462,3 +462,47 @@ def test_exact_dedup_unverified_merges_collision(corpus_dir, ray_session):
     ).to_pandas()
     assert len(got) == 1
     assert int(got["n_dups"].iloc[0]) == 50
+
+
+def test_cc_label_propagation_loop_never_touches_driver(
+    ray_session, monkeypatch
+):
+    """100 TB guard: the distributed propagation loop must carry its
+    label state as Datasets — collect_table must not be reachable from
+    inside `_cc_label_propagation_ds` (only driver-table SURFACES may
+    collect the node-sized result)."""
+    import ray.data as rd
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "label propagation staged a table on the driver"
+        )
+
+    monkeypatch.setattr(DD, "collect_table", _boom)
+    edges = pa.table(
+        {"src": pa.array([1, 2, 3, 4, 10], pa.int64()),
+         "dst": pa.array([2, 3, 4, 5, 11], pa.int64())}
+    )
+    lab_ds = DD._cc_label_propagation_ds(
+        rd.from_arrow(edges), "src", "dst"
+    )
+    assert isinstance(lab_ds, rd.Dataset)
+    got = dict(zip(
+        (r["node"] for r in lab_ds.take_all()),
+        (r["label"] for r in lab_ds.take_all()),
+    ))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_corpus_distributed_branch_matches_driver(
+    ray_session, monkeypatch
+):
+    """Forcing the distributed CC + Dataset loser-side branch (by
+    zeroing the driver threshold) must yield the exact same surviving
+    corpus as the driver union-find fast path."""
+    sf = "/root/testdata/sf0.001"
+    fast = DD.dedup_corpus(sf).to_pandas()
+    monkeypatch.setattr(DD, "CLUSTER_DRIVER_THRESHOLD", 0)
+    dist = DD.dedup_corpus(sf).to_pandas()
+    assert len(fast) > 0
+    assert fast.reset_index(drop=True).equals(dist.reset_index(drop=True))

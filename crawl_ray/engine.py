@@ -108,6 +108,11 @@ class EngineConfig(CrawlConfig):
     # across a crawl including resumes — seen entries live on the
     # bucket shards the routing picks.
     hot_hosts: tuple[str, ...] = ()
+    # Fire one async no-op fetch+extract setup task per cluster CPU at
+    # run start so module import + page-store deref happen OFF the
+    # round loop's critical path (cold first run measured 2.2x the warm
+    # one; the warmup otherwise lands inside the first big rounds).
+    prewarm_workers: bool = True
 
 
 @dataclass
@@ -338,6 +343,19 @@ class CrawlEngine:
         # _fetch_extract_task); box the store ref so it ships by
         # reference, not by value, with every task submission
         store_box = [store]
+
+        if cfg.prewarm_workers:
+            # async: refs held on the engine (dropping them would let
+            # Ray cancel queued warmup tasks), never ray.get — the
+            # warmup overlaps the early small rounds
+            n_warm = min(int(ray.cluster_resources().get("CPU", 8)), 64)
+            self._prewarm_refs = [
+                _prewarm_worker.remote(
+                    store_box, self.spiders, cfg.max_depth,
+                    self.fetch_stage_factory,
+                )
+                for _ in range(n_warm)
+            ]
 
         start_round = 0
         if resume:
@@ -740,6 +758,7 @@ class CrawlEngine:
         for s in getattr(self, "_shards", []):
             ray.kill(s)
         self._shards = []
+        self._prewarm_refs = []
 
 
 class _FetchExtractWorker:
@@ -793,16 +812,11 @@ def _store_cache_key(store) -> object:
     return ("handle", root) if root is not None else ("handle", id(store))
 
 
-@ray.remote
-def _fetch_extract_task(
-    block: pa.Table, offset: int, length: int,
-    store_box: list, spiders: list, max_depth: int,
-    fetch_factory=None,
-) -> pa.Table:
-    """One fetch+extract work unit. ``store_box`` wraps the store (or
-    its ObjectRef) in a list so Ray does NOT auto-deref it — the task
-    derefs lazily and caches the built worker for the process
-    lifetime."""
+def _get_worker(
+    store_box: list, spiders: list, max_depth: int, fetch_factory=None
+) -> "_FetchExtractWorker":
+    """Build (or fetch from the per-process cache) the fetch+extract
+    worker for this store/spider/config combination."""
     store = store_box[0]
     key = (
         _store_cache_key(store), max_depth,
@@ -819,7 +833,34 @@ def _fetch_extract_task(
         # pin one full page index per run in every worker process
         _WORKER_CACHE.clear()
         _WORKER_CACHE[key] = worker
+    return worker
+
+
+@ray.remote
+def _fetch_extract_task(
+    block: pa.Table, offset: int, length: int,
+    store_box: list, spiders: list, max_depth: int,
+    fetch_factory=None,
+) -> pa.Table:
+    """One fetch+extract work unit. ``store_box`` wraps the store (or
+    its ObjectRef) in a list so Ray does NOT auto-deref it — the task
+    derefs lazily and caches the built worker for the process
+    lifetime."""
+    worker = _get_worker(store_box, spiders, max_depth, fetch_factory)
     return worker.process(block, offset, length)
+
+
+@ray.remote
+def _prewarm_worker(
+    store_box: list, spiders: list, max_depth: int, fetch_factory=None
+) -> int:
+    """Async warmup unit: pay module import + store deref + parser
+    construction on an idle worker process BEFORE the first real
+    fetch+extract task lands there.  Submitted once per cluster CPU at
+    run start and never waited on — concurrent submission spreads the
+    tasks across distinct worker processes."""
+    _get_worker(store_box, spiders, max_depth, fetch_factory)
+    return 0
 
 
 # -- per-block split tasks --------------------------------------------------

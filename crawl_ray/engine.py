@@ -445,6 +445,7 @@ class CrawlEngine:
                 pq.read_metadata(f).num_rows for f in frontier_files
             )
             n_shards = len(shards)
+            inline_tbl: pa.Table | None = None
             if pending_meta <= cfg.small_round_threshold:
                 # SMALL ROUND: canonicalize + budget split inline on the
                 # driver — one ray.put instead of a Dataset execution.
@@ -474,7 +475,8 @@ class CrawlEngine:
                            "overflow.parquet")
                     metrics["overflow_deferred"] = spill_tbl.num_rows
                     live_tbl = live_tbl.slice(0, cfg.round_budget)
-                live_block_refs = [ray.put(live_tbl)]
+                inline_tbl = live_tbl  # admission partitions it inline
+                live_block_refs = []
             elif pending_meta <= cfg.round_budget:
                 # FAST PATH: the priority split can never trigger;
                 # blocks go straight to shard partitioning.
@@ -549,43 +551,82 @@ class CrawlEngine:
             # per-host map_groups version cost ~3 s/round of fixed
             # all-to-all overhead regardless of round size.
             hot = tuple(cfg.hot_hosts)
-            part_refs = [
-                _shard_partition.options(num_returns=n_shards + 1).remote(
-                    ref, n_shards, hot
-                )
-                for ref in live_block_refs
-            ]
-            if part_refs:
+            if inline_tbl is not None:
+                # SMALL ROUND: shard-partition inline on the driver
+                # (bounded by small_round_threshold by construction) —
+                # skips one task-dispatch hop per round; the shard RPCs
+                # themselves still run on the state-owning actors.  The
+                # bad-canon part is empty here: inline_tbl was filtered
+                # to disposition == "ok" above.
+                parts = _shard_partition_fn(inline_tbl, n_shards, hot)
                 pairs = [
                     shards[s].admit_table.options(num_returns=2).remote(
-                        rnd, *[pr[s] for pr in part_refs]
+                        rnd, parts[s]
                     )
                     for s in range(n_shards)
                 ]
                 admission_refs = [p[0] for p in pairs]
                 if hot:
-                    # phase 2 of two-level admission: tiny per-shard
-                    # metas (counts + burst-bounded top keys), never
-                    # the parked rows themselves
                     hot_metas = ray.get([p[1] for p in pairs])
                     if any(hot_metas):
                         admission_refs.extend(
                             _finalize_hot(shards, rnd, hot_metas)
                         )
-                admission_refs.extend(pr[n_shards] for pr in part_refs)  # bad
             else:
-                admission_refs = []
+                part_refs = [
+                    _shard_partition.options(num_returns=n_shards + 1).remote(
+                        ref, n_shards, hot
+                    )
+                    for ref in live_block_refs
+                ]
+                if part_refs:
+                    pairs = [
+                        shards[s].admit_table.options(num_returns=2).remote(
+                            rnd, *[pr[s] for pr in part_refs]
+                        )
+                        for s in range(n_shards)
+                    ]
+                    admission_refs = [p[0] for p in pairs]
+                    if hot:
+                        # phase 2 of two-level admission: tiny per-shard
+                        # metas (counts + burst-bounded top keys), never
+                        # the parked rows themselves
+                        hot_metas = ray.get([p[1] for p in pairs])
+                        if any(hot_metas):
+                            admission_refs.extend(
+                                _finalize_hot(shards, rnd, hot_metas)
+                            )
+                    admission_refs.extend(
+                        pr[n_shards] for pr in part_refs
+                    )  # bad
+                else:
+                    admission_refs = []
 
             # One pass of split tasks: deferred spill written task-side
             # (never concatenated on the driver — it can be frontier-sized);
-            # admitted stays in the object store as block refs.
+            # admitted stays in the object store as block refs.  Small
+            # rounds split inline instead: the whole round is bounded by
+            # small_round_threshold, so the driver-side write is too.
             spill_dir = wd / f"round={rnd + 1}" / "spill"
-            admitted_refs, rest_refs = [], []
-            for i, ref in enumerate(admission_refs):
-                a_ref, r_ref = _split_admission.remote(ref, str(spill_dir), i)
-                admitted_refs.append(a_ref)
-                rest_refs.append(r_ref)
-            rests = ray.get(rest_refs)
+            admitted_refs, rests = [], []
+            if inline_tbl is not None:
+                for i, t in enumerate(ray.get(admission_refs)):
+                    admitted, rest = _split_admission_fn(
+                        t, str(spill_dir), i
+                    )
+                    admitted_refs.append(
+                        ray.put(admitted) if rest["n_admitted"] else None
+                    )
+                    rests.append(rest)
+            else:
+                rest_refs = []
+                for i, ref in enumerate(admission_refs):
+                    a_ref, r_ref = _split_admission.remote(
+                        ref, str(spill_dir), i
+                    )
+                    admitted_refs.append(a_ref)
+                    rest_refs.append(r_ref)
+                rests = ray.get(rest_refs)
             _lap("t_admission")
 
             metrics["pending"] = sum(r["n_ok"] for r in rests)
@@ -905,8 +946,7 @@ def _hot_route(host: str, n_shards: int) -> np.ndarray:
     ).astype(np.int64)
 
 
-@ray.remote
-def _shard_partition(t: pa.Table, n_shards: int, hot_hosts: tuple = ()):
+def _shard_partition_fn(t: pa.Table, n_shards: int, hot_hosts: tuple = ()):
     """Split one canonicalized block into per-shard live sub-tables
     (``fnv1a64(host) % n_shards`` — the same key the shards own) plus
     the bad-canon rows tagged BADCANON.  Rows of ``hot_hosts`` (a
@@ -914,7 +954,8 @@ def _shard_partition(t: pa.Table, n_shards: int, hot_hosts: tuple = ()):
     ``fnv1a64(host#bucket) % n_shards`` with ``bucket = url_hash %
     (HOT_BUCKETS_PER_SHARD * n_shards)`` — within-round duplicates
     share a url_hash so they still co-locate.  Returns ``n_shards +
-    1`` tables via ``num_returns`` (set at call time)."""
+    1`` tables.  Pure function: big rounds run it as a Ray task
+    (``_shard_partition``), small rounds inline it on the driver."""
     if t.num_rows == 0 or "disposition" not in t.column_names:
         empty = t.slice(0, 0)
         return tuple([empty] * (n_shards + 1))
@@ -946,6 +987,9 @@ def _shard_partition(t: pa.Table, n_shards: int, hot_hosts: tuple = ()):
         for s in range(n_shards)
     ]
     return (*parts, bad)
+
+
+_shard_partition = ray.remote(_shard_partition_fn)
 
 
 def _finalize_hot(shards, rnd: int, hot_metas: list[dict]) -> list:
@@ -1027,8 +1071,13 @@ def _spill_overflow(
     return t.num_rows
 
 
-@ray.remote(num_returns=2)
-def _split_admission(t: pa.Table, spill_dir: str, part: int):
+def _split_admission_fn(t: pa.Table, spill_dir: str, part: int):
+    """Split one shard's admission result into the admitted block plus
+    the per-category rest dict; deferred rows are written to the next
+    round's spill dir.  Pure function: big rounds run it as a Ray task
+    (``_split_admission``, spill written task-side because the deferred
+    set can be frontier-sized), small rounds inline it on the driver
+    (bounded by ``small_round_threshold`` by construction)."""
     if t.num_rows == 0 or "admit" not in t.column_names:
         empty = t.slice(0, 0)
         return empty, {
@@ -1067,6 +1116,9 @@ def _split_admission(t: pa.Table, spill_dir: str, part: int):
         "trace": trace,
     }
     return admitted, rest
+
+
+_split_admission = ray.remote(num_returns=2)(_split_admission_fn)
 
 
 @ray.remote

@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mixture": T.corpus_mixture,
         "repetition_stats": T.repetition_stats,
         "unigram_logprob": T.unigram_logprob,
+        "bigram_logprob": T.bigram_logprob,
+        "ngram_diversity": T.ngram_diversity,
         "ccnet_buckets": T.ccnet_buckets,
         "lang_length_regression": T.lang_length_regression,
         "zipf_fit": T.zipf_fit,
@@ -2248,6 +2250,72 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(nll) // (count(*) * 1000) as bigint)
                        AS avg_nll_milli
             FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        # Conditional bigram LM, same floor-quantized micro-nat protocol:
+        # P(w2|w1) = c2/c1 over the top-65536 bigram + prefix tables,
+        # 0.5 OOV floors (prefix-absent rule fires first)
+        "bigram_logprob": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+                WHERE len(t) >= 2
+            ), bc AS (
+                SELECT w1, w2, cast(count(*) as bigint) AS c2
+                FROM pairs GROUP BY w1, w2
+            ), tb AS (SELECT cast(sum(c2) as bigint) AS n FROM bc),
+            pv AS (
+                SELECT w1, c1 FROM (
+                    SELECT w1, cast(sum(c2) as bigint) AS c1
+                    FROM bc GROUP BY w1
+                ) ORDER BY c1 DESC, w1 LIMIT 65536
+            ), bv AS (
+                SELECT w1, w2, c2 FROM bc
+                ORDER BY c2 DESC, w1, w2 LIMIT 65536
+            ), scored AS (
+                SELECT p.doc_id,
+                       CASE WHEN v.w1 IS NULL
+                            THEN (SELECT cast(floor(-1000000 * ln(0.5 / n))
+                                              as bigint) FROM tb)
+                            ELSE cast(floor(-1000000 * ln(
+                                     coalesce(b.c2, 0.5) / v.c1))
+                                 as bigint)
+                       END AS nll
+                FROM pairs p
+                LEFT JOIN pv v ON v.w1 = p.w1
+                LEFT JOIN bv b ON b.w1 = p.w1 AND b.w2 = p.w2
+            ), perdoc AS (
+                SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+                       cast(sum(nll) as bigint) AS nll2_micro
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   cast(coalesce(s.n_bigrams, 0) as bigint) AS n_bigrams,
+                   cast(coalesce(s.nll2_micro, 0) as bigint) AS nll2_micro,
+                   cast(CASE WHEN coalesce(s.n_bigrams, 0) > 0
+                             THEN s.nll2_micro // (s.n_bigrams * 1000)
+                             ELSE 0 END as bigint) AS avg_nll2_milli
+            FROM documents d LEFT JOIN perdoc s ON s.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # per-source distinct-n diversity (word bigrams)
+        "ngram_diversity": r"""
+            WITH toks AS (
+                SELECT source, string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT source, t[i] || ' ' || t[i + 1] AS g
+                FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+                WHERE len(t) >= 2
+            )
+            SELECT source,
+                   cast(count(*) as bigint) AS total_ngrams,
+                   cast(count(DISTINCT g) as bigint) AS distinct_ngrams,
+                   cast(count(DISTINCT g) * 1000000 // count(*)
+                        as bigint) AS distinct_ppm
+            FROM grams GROUP BY source ORDER BY source
         """,
         # CCNet-style per-language perplexity terciles (value-threshold
         # buckets; thresholds = value at 1-indexed position ceil(k·n/3))

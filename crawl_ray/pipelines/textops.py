@@ -1359,6 +1359,317 @@ def ccnet_buckets(sf_dir: str, top_v: int = 65536):
     return scored.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _pair_index(lens: np.ndarray):
+    """Vectorized adjacent-pair layout over a batch's flat token array:
+    returns (idx of each pair's FIRST token, doc-row index per pair,
+    per-doc pair counts).  Pair j of doc d = tokens[d][j], tokens[d][j+1]
+    — identical to the oracle's ``t[i] || ' ' || t[i+1]``."""
+    n_p = np.maximum(lens - 1, 0)
+    starts = np.repeat(np.cumsum(lens) - lens, n_p)
+    offs = np.arange(int(n_p.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(n_p) - n_p, n_p
+    )
+    return starts + offs, np.repeat(
+        np.arange(len(lens), dtype=np.int64), n_p
+    ), n_p
+
+
+def bigram_logprob(sf_dir: str, top_v: int = 65536):
+    """Conditional **bigram**-LM scoring — the CCNet-perplexity
+    companion one order up from :func:`unigram_logprob`:
+    ``P(w2 | w1) = c(w1 w2) / c1(w1)`` with ``c1`` the exact count of
+    bigram occurrences starting with ``w1``.  Only the top-``top_v``
+    bigrams AND top-``top_v`` prefixes (count desc, key asc) are
+    broadcast — the 100 TB-bounded model; everything else floors:
+
+    - prefix in the table: ``nll = floor(-1e6·ln(ĉ2 / c1))`` with
+      ``ĉ2`` the exact bigram count if broadcast else the 0.5 OOV
+      floor;
+    - prefix absent: ``nll = floor(-1e6·ln(0.5 / TB))``, ``TB`` =
+      total corpus bigram occurrences.
+
+    Floor-quantized integer micro-nats BEFORE summing, so partial-sum
+    order can never move the result and the DuckDB oracle (same rule,
+    same libm ``ln``) hashes identically.  One row per document — docs
+    with < 2 tokens score 0.
+
+    Scale shape: one corpus read → vocab-sized per-batch partials
+    (materialized once, reused for the bigram groupby, the
+    prefix-marginal groupby AND the exact total); both model tables are
+    bounded by ``top_v`` on the driver and broadcast once
+    (``ray.put``); scoring is one vectorized searchsorted pass."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from crawl_ray.util import collect_table
+
+    empty_counts = pa.table(
+        {"big": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, lens = _token_lists(batch)
+        idx, _, _ = _pair_index(lens)
+        if not len(idx):
+            return empty_counts
+        big = pc.binary_join_element_wise(
+            pa.array(flat[idx], pa.string()),
+            pa.array(flat[idx + 1], pa.string()),
+            " ",
+        )
+        t = pa.table(
+            {"big": big,
+             "cnt": pa.array(np.ones(len(idx), dtype=np.int64), pa.int64())}
+        )
+        out = t.group_by("big").aggregate([("cnt", "sum")])
+        return rename_select(out, {"big": "big", "cnt_sum": "cnt"})
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    total = int(partials.sum("cnt") or 0)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        keys = batch.column(batch.column_names[0]).to_numpy(zero_copy_only=False)
+        cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((keys, -cnt))[:top_v]
+        return pa.table(
+            {"key": pa.array(keys[order], pa.string()),
+             "cnt": pa.array(cnt[order], pa.int64())}
+        )
+
+    def _merge_topk(ds) -> tuple[np.ndarray, np.ndarray]:
+        t = collect_table(
+            ds.map_batches(local_topk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        )
+        keys = t.column("key").to_numpy(zero_copy_only=False)
+        cnts = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((keys, -cnts))[:top_v]
+        return keys[order], cnts[order]
+
+    def prefix_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"big": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        w1 = pc.list_element(
+            pc.split_pattern(batch.column("big"), " ", max_splits=1), 0
+        )
+        t = pa.table({"big": w1, "cnt": batch.column("sum(cnt)")})
+        out = t.group_by("big").aggregate([("cnt", "sum")])
+        return rename_select(out, {"big": "big", "cnt_sum": "cnt"})
+
+    if total:
+        bigram_ds = partials.groupby("big").aggregate(Sum("cnt")).materialize()
+        b_keys, b_cnts = _merge_topk(bigram_ds)
+        p_toks, p_cnts = _merge_topk(
+            bigram_ds.map_batches(prefix_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            .groupby("big").aggregate(Sum("cnt"))
+        )
+        oov_full = math.floor(-1e6 * math.log(0.5 / total))
+    else:
+        b_keys = np.array([], dtype=object)
+        b_cnts = np.array([], dtype=np.int64)
+        p_toks = np.array([], dtype=object)
+        p_cnts = np.array([], dtype=np.int64)
+        oov_full = 0
+    # sort both tables by key for searchsorted; per-entry NLLs are
+    # floor-quantized HERE (driver, top_v-bounded) with math.log — the
+    # same libm the oracle's ln() hits
+    ps = np.argsort(p_toks)
+    p_toks, p_cnts = p_toks[ps], p_cnts[ps]
+    p_miss = np.array(
+        [math.floor(-1e6 * math.log(0.5 / c)) for c in p_cnts.tolist()],
+        dtype=np.int64,
+    )
+    bs = np.argsort(b_keys)
+    b_keys, b_cnts = b_keys[bs], b_cnts[bs]
+    b_pref = np.array(
+        [k.split(" ", 1)[0] for k in b_keys.tolist()], dtype=object
+    )
+    bp = np.searchsorted(p_toks, b_pref) if len(p_toks) else np.zeros(
+        len(b_pref), dtype=np.int64
+    )
+    bp = np.clip(bp, 0, max(len(p_toks) - 1, 0))
+    hit_p = p_toks[bp] == b_pref if len(p_toks) else np.zeros(
+        len(b_pref), dtype=bool
+    )
+    # entries whose prefix fell outside the prefix table are unreachable
+    # (the prefix-absent rule fires first) — placeholder denominator 1
+    denom = np.where(hit_p, p_cnts[bp] if len(p_cnts) else 1, 1)
+    b_nll = np.array(
+        [
+            math.floor(-1e6 * math.log(c / d)) if h else 0
+            for c, d, h in zip(
+                b_cnts.tolist(), denom.tolist(), hit_p.tolist()
+            )
+        ],
+        dtype=np.int64,
+    )
+    lm_ref = ray.put(
+        {"b_keys": b_keys, "b_nll": b_nll, "p_toks": p_toks,
+         "p_miss": p_miss, "oov": np.int64(oov_full)}
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        lm = ray.get(lm_ref)
+        doc_ids, flat, lens = _token_lists(batch)
+        n = len(doc_ids)
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_bigrams": pa.array([], pa.int64()),
+                 "nll2_micro": pa.array([], pa.int64()),
+                 "avg_nll2_milli": pa.array([], pa.int64())}
+            )
+        idx, didx, n_p = _pair_index(lens)
+        sums = np.zeros(n, dtype=np.int64)
+        if len(idx):
+            w1 = flat[idx]
+            key = pc.binary_join_element_wise(
+                pa.array(w1, pa.string()),
+                pa.array(flat[idx + 1], pa.string()),
+                " ",
+            ).to_numpy(zero_copy_only=False)
+            if len(lm["p_toks"]):
+                pp = np.clip(
+                    np.searchsorted(lm["p_toks"], w1),
+                    0, len(lm["p_toks"]) - 1,
+                )
+                hit1 = lm["p_toks"][pp] == w1
+                miss_nll = lm["p_miss"][pp]
+            else:
+                pp = np.zeros(len(idx), dtype=np.int64)
+                hit1 = np.zeros(len(idx), dtype=bool)
+                miss_nll = np.zeros(len(idx), dtype=np.int64)
+            if len(lm["b_keys"]):
+                bb = np.clip(
+                    np.searchsorted(lm["b_keys"], key),
+                    0, len(lm["b_keys"]) - 1,
+                )
+                hit2 = lm["b_keys"][bb] == key
+                hit_nll = lm["b_nll"][bb]
+            else:
+                hit2 = np.zeros(len(idx), dtype=bool)
+                hit_nll = np.zeros(len(idx), dtype=np.int64)
+            nll = np.where(
+                ~hit1, lm["oov"], np.where(hit2, hit_nll, miss_nll)
+            )
+            # NLL ≤ ~2e7 micro-nats/pair ⇒ doc sums ≪ 2^53: float64-exact
+            sums = np.bincount(
+                didx, weights=nll.astype(np.float64), minlength=n
+            ).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "n_bigrams": pa.array(n_p, pa.int64()),
+             "nll2_micro": pa.array(sums, pa.int64()),
+             "avg_nll2_milli": pa.array(
+                 np.where(n_p > 0, sums // (np.maximum(n_p, 1) * 1000), 0),
+                 pa.int64(),
+             )}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ngram_diversity(sf_dir: str, n: int = 2):
+    """Per-source word-``n``-gram diversity (the corpus-level
+    "distinct-n" generation/diversity metric): total n-gram
+    occurrences, globally-distinct n-grams, and distinct-per-million.
+
+    Scale shape: per-batch ``(source, gram)`` partial counts (Arrow
+    group_by inside the map — batch-bounded) → ONE distributed groupby
+    on the combined ``source\\x1fgram`` key (each distinct gram
+    surfaces exactly once globally) → per-block source partials →
+    bounded driver fold over the handful of sources.  The combined key
+    uses ``\\x1f`` (non-whitespace control char, so it never appears in
+    a whitespace-split token of any sane corpus — documented
+    assumption)."""
+    from ray.data.aggregate import Sum
+
+    from crawl_ray.util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"key": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        _, flat, lens = _token_lists(batch)
+        grams, doc_idx = _gram_arrays(flat, lens, n)
+        if not len(doc_idx):
+            return empty
+        src = batch.column("source").take(pa.array(doc_idx, pa.int64()))
+        key = pc.binary_join_element_wise(src, grams, "\x1f")
+        t = pa.table(
+            {"key": key,
+             "cnt": pa.array(np.ones(len(doc_idx), dtype=np.int64))}
+        )
+        out = t.group_by("key").aggregate([("cnt", "sum")])
+        return rename_select(out, {"key": "key", "cnt_sum": "cnt"})
+
+    per_gram = (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("cnt"))
+    )
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "total": pa.array([], pa.int64()),
+             "distinct": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0 or "key" not in batch.column_names:
+            return empty
+        src = pc.list_element(
+            pc.split_pattern(batch.column("key"), "\x1f", max_splits=1), 0
+        )
+        t = pa.table(
+            {"source": src,
+             "total": batch.column("sum(cnt)"),
+             "distinct": pa.array(
+                 np.ones(batch.num_rows, dtype=np.int64)
+             )}
+        )
+        out = t.group_by("source").aggregate(
+            [("total", "sum"), ("distinct", "sum")]
+        )
+        return rename_select(
+            out,
+            {"source": "source", "total_sum": "total",
+             "distinct_sum": "distinct"},
+        )
+
+    parts = collect_table(
+        per_gram.map_batches(src_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    )
+    combined = parts.group_by("source").aggregate(
+        [("total", "sum"), ("distinct", "sum")]
+    )
+    combined = rename_select(
+        combined,
+        {"source": "source", "total_sum": "total_ngrams",
+         "distinct_sum": "distinct_ngrams"},
+    )
+    tot = combined.column("total_ngrams").to_numpy().astype(np.int64)
+    dis = combined.column("distinct_ngrams").to_numpy().astype(np.int64)
+    combined = combined.append_column(
+        "distinct_ppm",
+        pa.array(dis * 1_000_000 // np.maximum(tot, 1), pa.int64()),
+    )
+    return combined.sort_by("source")
+
+
 def lang_length_regression(sf_dir: str):
     """Per-language exact-integer OLS of ``n_chars`` on ``n_tokens`` —
     the distributed **moment-matrix** shape: every statistic the fit

@@ -594,3 +594,47 @@ def test_pii_scrub_word_boundary_oracle_parity(tmp_path, ray_session):
         assert ora.loc[i, "text_scrubbed"] == out.loc[i, "text_scrubbed"]
         for c in ("n_emails", "n_ips", "n_phones"):
             assert ora.loc[i, c] == out.loc[i, c]
+
+
+def test_bigram_logprob_truncated_model(ray_session, tmp_path):
+    """top_v=1 forces every backoff branch: bigram hit, prefix-miss
+    floor, and the prefix-absent full-OOV floor (hand-computed)."""
+    import math
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a b a b a c", "z"], pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        T.bigram_logprob(str(tmp_path), top_v=1)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # model: B = {"a b": 2} (count tie with "b a" broken by key asc),
+    # P = {"a": 3} (count tie a=3 beats b=2), TB = 5
+    hit = math.floor(-1e6 * math.log(2 / 3))       # (a,b) in B, a in P
+    miss = math.floor(-1e6 * math.log(0.5 / 3))    # (a,c): a in P only
+    oov = math.floor(-1e6 * math.log(0.5 / 5))     # (b,a): b not in P
+    assert out.loc[0, "n_bigrams"] == 5
+    assert out.loc[0, "nll2_micro"] == 2 * hit + 2 * oov + miss
+    assert out.loc[0, "avg_nll2_milli"] == (2 * hit + 2 * oov + miss) // 5000
+    # single-token doc: zero bigrams, zero score
+    assert out.loc[1, "n_bigrams"] == 0
+    assert out.loc[1, "nll2_micro"] == 0
+    assert out.loc[1, "avg_nll2_milli"] == 0
+
+
+def test_ngram_diversity_per_source(ray_session, tmp_path):
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["a b a b", "a b c", "c"], pa.string()),
+                  "source": pa.array(["s1", "s2", "s2"], pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    out = T.ngram_diversity(str(tmp_path), n=2).to_pandas().set_index("source")
+    assert out.loc["s1", "total_ngrams"] == 3       # a b, b a, a b
+    assert out.loc["s1", "distinct_ngrams"] == 2
+    assert out.loc["s1", "distinct_ppm"] == 2_000_000 // 3
+    assert out.loc["s2", "total_ngrams"] == 2       # a b, b c ("c" has none)
+    assert out.loc["s2", "distinct_ngrams"] == 2
+    assert out.loc["s2", "distinct_ppm"] == 1_000_000

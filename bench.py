@@ -81,7 +81,7 @@ def _flagship_run(sf_dir: str, num_cpus: int = 32) -> dict:
         virtual_t0=EPOCH_US,
         default_rate=1e9,
         default_burst=1 << 30,
-        n_admission_shards=max(4, num_cpus // 4),
+        n_admission_shards=max(4, num_cpus // 2),
         extract_concurrency=0,  # uncapped
     )
     engine = CrawlEngine([flagship_spider], cfg)
@@ -142,7 +142,7 @@ def _steady_state_run(num_cpus: int, n_pages: int = 50_000,
         virtual_t0=EPOCH_US,
         default_rate=1e9,
         default_burst=1 << 30,
-        n_admission_shards=max(4, num_cpus // 4),
+        n_admission_shards=max(4, num_cpus // 2),
         # this workload models the 10^10-URL regime where every round is
         # huge: always take the distributed canonicalize path, never the
         # driver-side small-round shortcut

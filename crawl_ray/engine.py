@@ -77,12 +77,19 @@ class EngineConfig(CrawlConfig):
     # crawl's CPU footprint on a shared cluster.
     extract_concurrency: int = 0
     extract_batch_size: int = 256
-    canonicalize_batch_size: int = 4096
     # rounds at or below this many pending rows canonicalize + budget-split
     # on the driver (one ray.put) instead of paying a Ray Data execution
     # (~1.5 s fixed per round); large rounds — the 10^10 design point —
     # stream through the distributed path
     small_round_threshold: int = 65536
+    # target rows per fused read+canonicalize task on the distributed
+    # path (consecutive row groups are grouped up to this size; a row
+    # group larger than it stays one task)
+    canon_chunk_rows: int = 32768
+    # max rows per round-0 frontier part: seeds are written in multiple
+    # parquet parts so the first round's canonicalize fans out across
+    # the cluster instead of reading one giant file
+    seed_part_rows: int = 8192
     page_store: str = "broadcast"  # "broadcast" | "bucketed"
     n_page_buckets: int = 64
     # URL-seen backend: "auto" (the default — exact below 10^7 keys per
@@ -219,7 +226,10 @@ class CrawlEngine:
         seeds = seeds.append_column(
             "seq_path", pa.array([seq_root(i) for i in range(n)], pa.binary())
         )
-        _write(seeds, pathlib.Path(workdir) / "round=0" / "frontier")
+        front = pathlib.Path(workdir) / "round=0" / "frontier"
+        step = max(1, int(self.cfg.seed_part_rows))
+        for j, off in enumerate(range(0, max(n, 1), step)):
+            _write(seeds.slice(off, step), front, f"part-{j}.parquet")
 
     # -- checkpoint helpers ------------------------------------------
     @staticmethod
@@ -440,9 +450,10 @@ class CrawlEngine:
                 metrics[name] = round(now - t_phase, 3)
                 t_phase = now
 
-            # frontier size from parquet metadata — no execution needed
-            pending_meta = sum(
-                pq.read_metadata(f).num_rows for f in frontier_files
+            # frontier size + fused-task chunk plan from parquet
+            # metadata — no execution needed
+            pending_meta, canon_chunks = _plan_canon_chunks(
+                frontier_files, cfg.canon_chunk_rows
             )
             n_shards = len(shards)
             inline_tbl: pa.Table | None = None
@@ -479,32 +490,34 @@ class CrawlEngine:
                 live_block_refs = []
             elif pending_meta <= cfg.round_budget:
                 # FAST PATH: the priority split can never trigger;
-                # blocks go straight to shard partitioning.
-                canon = ray.data.read_parquet(frontier_files).map_batches(
-                    canonicalize_batch,
-                    fn_kwargs={"now_us": now_us, "spiders": self.spiders},
-                    batch_format="pyarrow",
-                    batch_size=cfg.canonicalize_batch_size,
-                    zero_copy_batch=True,
-                )
-                mat = canon.materialize()  # one execution, NO shuffle
+                # blocks go straight to shard partitioning.  Read +
+                # canonicalize are FUSED into one plain task per
+                # row-group chunk: the equivalent read_parquet →
+                # map_batches → materialize() Dataset execution costs a
+                # measured ~0.5 s of fixed planning/scheduling overhead
+                # per round for zero streaming benefit (the blocks are
+                # needed as refs immediately), and the downstream
+                # _shard_partition tasks pipeline naturally as each
+                # canon task finishes.  The per-chunk transform is the
+                # same vectorized Arrow kernel.
+                live_block_refs = [
+                    _read_canon.remote(p, rgs, now_us, self.spiders)
+                    for p, rgs in canon_chunks
+                ]
                 _lap("t_canon")
-                live_block_refs = list(mat.to_arrow_refs())
             else:
                 # SLOW PATH (big over-budget round): count the live
                 # side, then O2 priority sort + budget split before
-                # admission.
-                canon = ray.data.read_parquet(frontier_files).map_batches(
-                    canonicalize_batch,
-                    fn_kwargs={"now_us": now_us, "spiders": self.spiders},
-                    batch_format="pyarrow",
-                    batch_size=cfg.canonicalize_batch_size,
-                    zero_copy_batch=True,
-                )
-                mat = canon.materialize()
+                # admission.  Same fused read+canon tasks as the fast
+                # path; the sort below builds its Dataset from the
+                # already-canonicalized block refs.
+                canon_refs = [
+                    _read_canon.remote(p, rgs, now_us, self.spiders)
+                    for p, rgs in canon_chunks
+                ]
                 _lap("t_canon")
                 live_refs, bad_refs, n_refs = [], [], []
-                for ref in mat.to_arrow_refs():
+                for ref in canon_refs:
                     l_ref, b_ref, n_ref = _split_canon.remote(ref)
                     live_refs.append(l_ref)
                     bad_refs.append(b_ref)
@@ -1034,6 +1047,46 @@ def _finalize_hot(shards, rnd: int, hot_metas: list[dict]) -> list:
         for s, m in enumerate(hot_metas)
         if m
     ]
+
+
+def _plan_canon_chunks(files: list[str], target_rows: int):
+    """One metadata pass: total pending rows + the fused-task plan.
+
+    Consecutive row groups of a file are grouped until ``target_rows``
+    is reached; each (file, row-group tuple) becomes one
+    :func:`_read_canon` task.  A row group larger than the target stays
+    a single task — part sizes are bounded by our own writers
+    (``seed_part_rows``, ``spill_max_part_rows``, per-task frontier
+    parts), so chunks stay near the target at scale."""
+    total = 0
+    chunks: list[tuple[str, tuple[int, ...]]] = []
+    for f in files:
+        md = pq.read_metadata(f)
+        total += md.num_rows
+        cur: list[int] = []
+        cur_rows = 0
+        for i in range(md.num_row_groups):
+            g = md.row_group(i).num_rows
+            if g == 0:
+                continue
+            cur.append(i)
+            cur_rows += g
+            if cur_rows >= target_rows:
+                chunks.append((f, tuple(cur)))
+                cur, cur_rows = [], 0
+        if cur:
+            chunks.append((f, tuple(cur)))
+    return total, chunks
+
+
+@ray.remote
+def _read_canon(
+    path: str, row_groups: tuple, now_us: int, spiders: list
+) -> pa.Table:
+    """Fused frontier read + canonicalize (M1/M2/M3) for one row-group
+    chunk — the distributed path's per-block unit of work."""
+    t = pq.ParquetFile(path).read_row_groups(list(row_groups))
+    return canonicalize_batch(t, now_us=now_us, spiders=spiders)
 
 
 @ray.remote(num_returns=3)

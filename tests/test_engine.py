@@ -214,10 +214,10 @@ def test_distributed_path_equals_simulator(
     fixture_tables, sim_result, ray_session, tmp_path_factory
 ):
     """Force the distributed canonicalize paths (small_round_threshold=0
-    → Ray Data execution every round; round_budget < pending in later
-    rounds → the priority-sort slow path) and re-check trace equality —
-    the small fixtures otherwise exercise only the driver-side small
-    round shortcut."""
+    → fused read+canonicalize tasks every round; round_budget < pending
+    in later rounds → the priority-sort slow path) and re-check trace
+    equality — the small fixtures otherwise exercise only the
+    driver-side small round shortcut."""
     pages, seeds, robots, pages_path = fixture_tables
     cfg = EngineConfig(
         **CFG,
@@ -661,3 +661,83 @@ def test_overflow_spill_written_task_side(ray_session, tmp_path):
     assert multi_part_rounds >= 1, (
         "every overflow spill was a single part — tail concatenated?"
     )
+
+
+def test_plan_canon_chunks_groups_row_groups(tmp_path):
+    """_plan_canon_chunks: one metadata pass returns the exact pending
+    row count and groups consecutive row groups up to the target —
+    multi-row-group files split, small files stay one chunk, empty
+    files contribute nothing."""
+    import pyarrow.parquet as pq
+
+    from crawl_ray.engine import _plan_canon_chunks
+
+    big = pa.table({"x": list(range(1000))})
+    small = pa.table({"x": [1, 2, 3]})
+    empty = big.slice(0, 0)
+    f_big = tmp_path / "big.parquet"
+    f_small = tmp_path / "small.parquet"
+    f_empty = tmp_path / "empty.parquet"
+    pq.write_table(big, f_big, row_group_size=100)  # 10 row groups
+    pq.write_table(small, f_small)
+    pq.write_table(empty, f_empty)
+
+    total, chunks = _plan_canon_chunks(
+        [str(f_big), str(f_small), str(f_empty)], target_rows=250
+    )
+    assert total == 1003
+    big_chunks = [rgs for p, rgs in chunks if p == str(f_big)]
+    # 10 groups of 100 rows, target 250 → chunks of 3,3,3,1 row groups
+    assert [len(r) for r in big_chunks] == [3, 3, 3, 1]
+    assert [rgs for p, rgs in chunks if p == str(f_small)] == [(0,)]
+    assert not [rgs for p, rgs in chunks if p == str(f_empty)]
+    # chunks must partition each file's row groups in order
+    assert [i for rgs in big_chunks for i in rgs] == list(range(10))
+
+
+def test_multipart_seeds_equal_simulator(ray_session, tmp_path):
+    """Seeds written in many round-0 frontier parts (seed_part_rows
+    forced tiny) must crawl identically to the simulator — the fused
+    read+canonicalize fan-out over multiple parts is a physical layout
+    choice, not a semantic one."""
+    import pyarrow.parquet as pq
+
+    pages = generate_pages(120, salt="multipart")
+    seeds = generate_seeds(pages)
+    robots = generate_robots(pages)
+    d = tmp_path / "web"
+    d.mkdir()
+    pq.write_table(pages, d / "pages.parquet")
+
+    base = dict(
+        round_budget=40, max_rounds=12, max_depth=4, virtual_t0=EPOCH_US
+    )
+    reg = HandlerRegistry()
+    flagship_spider(reg)
+    sim = simulate(pages, seeds, robots, reg, CrawlConfig(**base))
+
+    cfg = EngineConfig(
+        **base,
+        n_admission_shards=3,
+        seed_part_rows=4,          # force many round-0 parts
+        small_round_threshold=0,   # force the distributed fused path
+        canon_chunk_rows=8,        # force multi-chunk plans too
+    )
+    engine = CrawlEngine([flagship_spider], cfg)
+    wd = tmp_path / "crawl"
+    try:
+        parts = None
+        result = engine.run(str(d / "pages.parquet"), seeds, robots, str(wd))
+        parts = sorted((wd / "round=0" / "frontier").glob("part-*.parquet"))
+        trace = result.trace_table()
+        rows = sorted(
+            zip(
+                trace.column("round").to_pylist(),
+                trace.column("order_key").to_pylist(),
+                trace.column("url").to_pylist(),
+            )
+        )
+        assert [(r, u) for r, _, u in rows] == sim.trace
+    finally:
+        engine.shutdown_shards()
+    assert parts is not None and len(parts) > 1, "seeds stayed one part"

@@ -95,10 +95,12 @@ class EngineConfig(CrawlConfig):
     # URL-seen backend: "auto" (the default — exact below 10^7 keys per
     # shard, cuckoo at or above: the ST4 memory envelope is the DEFAULT
     # behavior at the 10^10 design point, not an option), "exact" (full
-    # 64-bit keys; dump/parity-capable) or "cuckoo" (16-bit
-    # fingerprints, ~2.4 B/key; ≈1.2e-4 false-positive rate means a
-    # rare URL is silently never crawled).  seen_capacity is PER SHARD
-    # and fixed at construction for the cuckoo backend.
+    # 64-bit keys; dump/parity-capable), "cuckoo" (16-bit fingerprints,
+    # ~2.4 B/key; ≈1.2e-4 false-positive rate means a rare URL is
+    # silently never crawled) or "bloom" (2 B/key bit array, ≈4.6e-4
+    # FPR, no overflow cliff — degrades smoothly past capacity).
+    # seen_capacity is PER SHARD and fixed at construction for the
+    # cuckoo and bloom backends.
     seen_backend: str = "auto"
     seen_capacity: int = 1 << 16
     # max rows per overflow-spill parquet part: bounds individual spill

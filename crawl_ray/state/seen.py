@@ -19,6 +19,7 @@ import numpy as np
 __all__ = [
     "SeenTable",
     "CuckooSeenTable",
+    "BloomSeenTable",
     "Seen128Table",
     "make_seen_table",
     "restore_seen_table",
@@ -360,6 +361,112 @@ class CuckooSeenTable:
         return obj
 
 
+class BloomSeenTable:
+    """Classic blocked-free Bloom filter — the other half of the north
+    rule's "bloom/cuckoo URL-seen" pair.
+
+    ``bits_per_key`` bits per advertised capacity key (default 16 →
+    2 B/key, k = 11 double-hashed probes, false-positive rate ≈ 4.6e-4
+    at full capacity); storage is a flat ``uint64`` word array.  Like
+    the cuckoo backend a false "seen" means a rare URL is silently
+    never crawled; unlike cuckoo there is no stash/overflow cliff —
+    past-capacity inserts just degrade the FPR smoothly, so it suits
+    deployments that prefer graceful saturation to a hard bound.
+    Deletion is impossible (no per-key cells), which the URL-seen set
+    never needs.
+
+    Same batch API as :class:`SeenTable` (``contains`` / ``add`` /
+    ``snapshot`` / ``restore`` / ``__len__``); ``dump`` raises — bits
+    cannot reconstruct keys.  ``__len__`` counts keys whose insert was
+    definitely new (first occurrence, not already all-bits-set), an
+    undercount by exactly the FPR.
+    """
+
+    BITS_PER_KEY = 16
+    K = 11  # round(BITS_PER_KEY * ln 2)
+
+    def __init__(self, capacity: int = 1 << 16) -> None:
+        bits = 1 << max(9, int(capacity * self.BITS_PER_KEY - 1).bit_length())
+        self._words = np.zeros(bits >> 6, dtype=np.uint64)
+        self._bitmask = np.uint64(bits - 1)
+        self._count = 0
+
+    def __len__(self) -> int:
+        return self._count
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        """(n, K) bit positions via Kirsch–Mitzenmacher double hashing:
+        h_i = h1 + i*h2, h2 forced odd so the probe stride is a unit
+        mod the power-of-two bit count (full-period)."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        h1 = _splitmix64(keys)
+        h2 = _splitmix64(keys ^ np.uint64(0xA076_1D64_78BD_642F)) | np.uint64(1)
+        i = np.arange(self.K, dtype=np.uint64)[None, :]
+        with np.errstate(over="ignore"):
+            return (h1[:, None] + i * h2[:, None]) & self._bitmask
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership (false positives at the documented
+        rate; never false negatives)."""
+        if len(keys) == 0 or self._count == 0:
+            return np.zeros(len(keys), dtype=bool)
+        pos = self._positions(keys)
+        bits = (self._words[pos >> np.uint64(6)]
+                >> (pos & np.uint64(63))) & np.uint64(1)
+        return bits.all(axis=1)
+
+    def add(self, keys: np.ndarray) -> np.ndarray:
+        """Insert a batch; returns a was-new mask (first occurrence in
+        the batch counts as new once; a false-positive hit counts as
+        already-seen — the cuckoo backend's semantics)."""
+        n = len(keys)
+        new = np.zeros(n, dtype=bool)
+        if n == 0:
+            return new
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        pos = self._positions(keys)
+        word, bit = pos >> np.uint64(6), pos & np.uint64(63)
+        present = (
+            ((self._words[word] >> bit) & np.uint64(1)).all(axis=1)
+            if self._count
+            else np.zeros(n, dtype=bool)
+        )
+        todo = np.flatnonzero(~present)
+        if not len(todo):
+            return new
+        # first occurrence of each distinct key counts new once
+        _, first = np.unique(keys[todo], return_index=True)
+        todo = todo[np.sort(first)]
+        np.bitwise_or.at(
+            self._words, word[todo].ravel(),
+            np.uint64(1) << bit[todo].ravel(),
+        )
+        new[todo] = True
+        self._count += len(todo)
+        return new
+
+    # -- snapshot / restore (checkpoint protocol) --------------------
+    def dump(self) -> np.ndarray:
+        raise NotImplementedError(
+            "BloomSeenTable stores bits, not keys; use the exact "
+            "backend where dump_seen is needed"
+        )
+
+    def snapshot(self) -> dict[str, np.ndarray]:
+        return {
+            "bloom_words": self._words.copy(),
+            "count": np.array([self._count], dtype=np.int64),
+        }
+
+    @classmethod
+    def restore(cls, state: dict[str, np.ndarray]) -> "BloomSeenTable":
+        obj = cls.__new__(cls)
+        obj._words = np.array(state["bloom_words"], dtype=np.uint64, copy=True)
+        obj._bitmask = np.uint64(len(obj._words) * 64 - 1)
+        obj._count = int(state["count"][0])
+        return obj
+
+
 # per-SHARD capacity above which "auto" picks the cuckoo fingerprints:
 # below it the exact table costs < ~128 MB/shard (13 B/key at 0.6 load)
 # and keeps dump/parity; above it the 10^10 design point needs the
@@ -482,19 +589,22 @@ class Seen128Table:
 
 def make_seen_table(backend: str, capacity: int = 1 << 16):
     """Backend dispatch: ``"exact"`` (full-key, dump/parity-capable),
-    ``"cuckoo"`` (≤4 B/key fingerprints, the 10^10 memory envelope), or
-    ``"auto"`` (capacity-scaled — :func:`resolve_seen_backend`)."""
+    ``"cuckoo"`` (≤4 B/key fingerprints, the 10^10 memory envelope),
+    ``"bloom"`` (2 B/key bit array, no overflow cliff), or ``"auto"``
+    (capacity-scaled — :func:`resolve_seen_backend`)."""
     backend = resolve_seen_backend(backend, capacity)
     if backend == "exact":
         return SeenTable(capacity)
     if backend == "cuckoo":
         return CuckooSeenTable(capacity)
+    if backend == "bloom":
+        return BloomSeenTable(capacity)
     raise ValueError(f"unknown seen-table backend: {backend!r}")
 
 
 def restore_seen_table(state: dict):
-    return (
-        CuckooSeenTable.restore(state)
-        if "cuckoo_table" in state
-        else SeenTable.restore(state)
-    )
+    if "cuckoo_table" in state:
+        return CuckooSeenTable.restore(state)
+    if "bloom_words" in state:
+        return BloomSeenTable.restore(state)
+    return SeenTable.restore(state)

@@ -318,3 +318,108 @@ def test_seen128_snapshot_restore():
     assert len(r) == len(t)
     assert r.contains(lo, hi).all()
     assert not r.contains(lo, hi + np.uint64(1)).any()
+
+
+# -- bloom backend (the north rule's "bloom/cuckoo" other half) -------------
+
+
+def test_bloom_basic_add_contains():
+    from crawl_ray.state.seen import BloomSeenTable
+
+    t = BloomSeenTable(64)
+    keys = np.array([5, 7, 5, 9], dtype=np.uint64)
+    new = t.add(keys)
+    assert new.tolist() == [True, True, False, True]
+    assert t.contains(np.array([5, 7, 9], dtype=np.uint64)).all()
+    assert len(t) == 3
+    assert not t.add(keys).any()  # re-add: nothing new
+
+
+def test_bloom_no_false_negatives_50k_and_fpr():
+    from crawl_ray.state.seen import BloomSeenTable
+
+    rng = np.random.default_rng(13)
+    keys = rng.choice(1 << 62, size=50_000, replace=False).astype(np.uint64)
+    t = BloomSeenTable(60_000)
+    new = t.add(keys)
+    # in-batch double-hash collisions are astronomically unlikely here
+    assert int(new.sum()) >= 49_998
+    assert len(t) == int(new.sum())
+    # bloom guarantee: every added key IS contained
+    assert t.contains(keys).all()
+    # false positives bounded: ≈4.6e-4 at FULL capacity, lower here
+    probe = (keys.max() + 1 + np.arange(100_000)).astype(np.uint64)
+    fp = int(t.contains(probe).sum())
+    assert fp < 150, f"false-positive rate too high: {fp}/100000"
+
+
+def test_bloom_memory_per_key_and_graceful_overflow():
+    """2 B/key at a power-of-two-aligned capacity, and — unlike the
+    cuckoo backend's stash cliff — inserts far past capacity still
+    succeed (the FPR degrades instead)."""
+    from crawl_ray.state.seen import BloomSeenTable
+
+    cap = 1 << 16
+    t = BloomSeenTable(cap)
+    rng = np.random.default_rng(7)
+    keys = rng.choice(1 << 62, size=2 * cap, replace=False).astype(np.uint64)
+    t.add(keys)  # 2x advertised capacity: must not raise
+    assert t.contains(keys).all()
+    per_key = t._words.nbytes / cap
+    assert per_key <= 2.0, f"{per_key:.2f} B/key exceeds the bloom budget"
+
+
+def test_bloom_snapshot_restore():
+    from crawl_ray.state.seen import BloomSeenTable, restore_seen_table
+
+    t = BloomSeenTable(256)
+    keys = np.array([3, 1 << 50, 42], dtype=np.uint64)
+    t.add(keys)
+    r = restore_seen_table(t.snapshot())
+    assert type(r) is BloomSeenTable
+    assert len(r) == len(t)
+    assert r.contains(keys).all()
+    assert not r.add(keys).any()
+
+
+def test_bloom_dump_raises():
+    from crawl_ray.state.seen import BloomSeenTable
+
+    t = BloomSeenTable(64)
+    t.add(np.array([1, 2], dtype=np.uint64))
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        t.dump()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=200), min_size=0, max_size=80),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bloom_superset_of_set_model(batches):
+    """No false negatives ever; false positives essentially never at
+    this key count (deterministic hashing makes any outcome stable)."""
+    from crawl_ray.state.seen import BloomSeenTable
+
+    t = BloomSeenTable(512)
+    model: set[int] = set()
+    for batch in batches:
+        arr = np.array(batch, dtype=np.uint64)
+        t.add(arr)
+        model |= set(batch)
+        probe = np.arange(0, 210, dtype=np.uint64)
+        got = t.contains(probe)
+        expect = np.array([p in model for p in probe.tolist()])
+        assert not (expect & ~got).any(), "false negative"
+        assert int((got & ~expect).sum()) <= 2, "implausible FP count"
+
+
+def test_bloom_backend_dispatch():
+    from crawl_ray.state.seen import BloomSeenTable, make_seen_table
+
+    assert type(make_seen_table("bloom", 128)) is BloomSeenTable

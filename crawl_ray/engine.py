@@ -503,8 +503,8 @@ class CrawlEngine:
                 # canon task finishes.  The per-chunk transform is the
                 # same vectorized Arrow kernel.
                 live_block_refs = [
-                    _read_canon.remote(p, rgs, now_us, self.spiders)
-                    for p, rgs in canon_chunks
+                    _read_canon.remote(chunk, now_us, self.spiders)
+                    for chunk in canon_chunks
                 ]
                 _lap("t_canon")
             else:
@@ -514,8 +514,8 @@ class CrawlEngine:
                 # path; the sort below builds its Dataset from the
                 # already-canonicalized block refs.
                 canon_refs = [
-                    _read_canon.remote(p, rgs, now_us, self.spiders)
-                    for p, rgs in canon_chunks
+                    _read_canon.remote(chunk, now_us, self.spiders)
+                    for chunk in canon_chunks
                 ]
                 _lap("t_canon")
                 live_refs, bad_refs, n_refs = [], [], []
@@ -1054,40 +1054,55 @@ def _finalize_hot(shards, rnd: int, hot_metas: list[dict]) -> list:
 def _plan_canon_chunks(files: list[str], target_rows: int):
     """One metadata pass: total pending rows + the fused-task plan.
 
-    Consecutive row groups of a file are grouped until ``target_rows``
-    is reached; each (file, row-group tuple) becomes one
-    :func:`_read_canon` task.  A row group larger than the target stays
-    a single task — part sizes are bounded by our own writers
-    (``seed_part_rows``, ``spill_max_part_rows``, per-task frontier
-    parts), so chunks stay near the target at scale."""
+    A chunk is a tuple of ``(path, row_group_tuple)`` pairs holding
+    ~``target_rows`` rows: large multi-row-group files SPLIT into
+    several chunks, and many small files COALESCE into one — so the
+    task count is bounded by total rows / target, never by file count
+    (a big round's frontier arrives as one small part per upstream
+    fetch task, which at the 10^10 design point is millions of files).
+    A single row group larger than the target stays one task — part
+    sizes are bounded by our own writers (``seed_part_rows``,
+    ``spill_max_part_rows``, per-task frontier parts)."""
     total = 0
-    chunks: list[tuple[str, tuple[int, ...]]] = []
+    chunks: list[tuple[tuple[str, tuple[int, ...]], ...]] = []
+    cur: list[tuple[str, list[int]]] = []
+    cur_rows = 0
+
+    def _flush():
+        nonlocal cur, cur_rows
+        if cur:
+            chunks.append(tuple((p, tuple(r)) for p, r in cur))
+            cur, cur_rows = [], 0
+
     for f in files:
         md = pq.read_metadata(f)
         total += md.num_rows
-        cur: list[int] = []
-        cur_rows = 0
         for i in range(md.num_row_groups):
             g = md.row_group(i).num_rows
             if g == 0:
                 continue
-            cur.append(i)
+            if cur and cur[-1][0] == f:
+                cur[-1][1].append(i)
+            else:
+                cur.append((f, [i]))
             cur_rows += g
             if cur_rows >= target_rows:
-                chunks.append((f, tuple(cur)))
-                cur, cur_rows = [], 0
-        if cur:
-            chunks.append((f, tuple(cur)))
+                _flush()
+    _flush()
     return total, chunks
 
 
 @ray.remote
-def _read_canon(
-    path: str, row_groups: tuple, now_us: int, spiders: list
-) -> pa.Table:
-    """Fused frontier read + canonicalize (M1/M2/M3) for one row-group
-    chunk — the distributed path's per-block unit of work."""
-    t = pq.ParquetFile(path).read_row_groups(list(row_groups))
+def _read_canon(chunk: tuple, now_us: int, spiders: list) -> pa.Table:
+    """Fused frontier read + canonicalize (M1/M2/M3) for one chunk of
+    ``(path, row_group_tuple)`` pairs — the distributed path's
+    per-block unit of work."""
+    parts = [
+        pq.ParquetFile(p).read_row_groups(list(rgs)) for p, rgs in chunk
+    ]
+    t = parts[0] if len(parts) == 1 else pa.concat_tables(
+        parts, promote_options="default"
+    )
     return canonicalize_batch(t, now_us=now_us, spiders=spiders)
 
 

@@ -663,11 +663,11 @@ def test_overflow_spill_written_task_side(ray_session, tmp_path):
     )
 
 
-def test_plan_canon_chunks_groups_row_groups(tmp_path):
+def test_plan_canon_chunks_split_and_coalesce(tmp_path):
     """_plan_canon_chunks: one metadata pass returns the exact pending
-    row count and groups consecutive row groups up to the target —
-    multi-row-group files split, small files stay one chunk, empty
-    files contribute nothing."""
+    row count; large multi-row-group files SPLIT into several chunks
+    and many small files COALESCE into one (task count bounded by
+    rows/target, never file count); empty files contribute nothing."""
     import pyarrow.parquet as pq
 
     from crawl_ray.engine import _plan_canon_chunks
@@ -676,23 +676,33 @@ def test_plan_canon_chunks_groups_row_groups(tmp_path):
     small = pa.table({"x": [1, 2, 3]})
     empty = big.slice(0, 0)
     f_big = tmp_path / "big.parquet"
-    f_small = tmp_path / "small.parquet"
+    smalls = [tmp_path / f"small-{i}.parquet" for i in range(40)]
     f_empty = tmp_path / "empty.parquet"
     pq.write_table(big, f_big, row_group_size=100)  # 10 row groups
-    pq.write_table(small, f_small)
+    for f in smalls:
+        pq.write_table(small, f)
     pq.write_table(empty, f_empty)
 
-    total, chunks = _plan_canon_chunks(
-        [str(f_big), str(f_small), str(f_empty)], target_rows=250
-    )
-    assert total == 1003
-    big_chunks = [rgs for p, rgs in chunks if p == str(f_big)]
-    # 10 groups of 100 rows, target 250 → chunks of 3,3,3,1 row groups
-    assert [len(r) for r in big_chunks] == [3, 3, 3, 1]
-    assert [rgs for p, rgs in chunks if p == str(f_small)] == [(0,)]
-    assert not [rgs for p, rgs in chunks if p == str(f_empty)]
-    # chunks must partition each file's row groups in order
-    assert [i for rgs in big_chunks for i in rgs] == list(range(10))
+    files = [str(f_big)] + [str(f) for f in smalls] + [str(f_empty)]
+    total, chunks = _plan_canon_chunks(files, target_rows=250)
+    assert total == 1000 + 40 * 3
+    # the big file splits: chunks of 3,3,3 row groups, then its last
+    # row group coalesces with the first small files
+    big_rgs = [rgs for c in chunks for p, rgs in c if p == str(f_big)]
+    assert [i for rgs in big_rgs for i in rgs] == list(range(10))
+    # 40 small files (120 rows) coalesce into ~1 chunk, not 40
+    small_chunks = {
+        id(c) for c in chunks for p, _ in c if p in {str(f) for f in smalls}
+    }
+    assert len(small_chunks) <= 2
+    assert not [rgs for c in chunks for p, rgs in c if p == str(f_empty)]
+    # every chunk except possibly the last holds >= target rows
+    sizes = []
+    md_rows = {str(f_big): [100] * 10, **{str(f): [3] for f in smalls}}
+    for c in chunks:
+        sizes.append(sum(md_rows[p][i] for p, rgs in c for i in rgs))
+    assert all(s >= 250 for s in sizes[:-1])
+    assert sum(sizes) == total
 
 
 def test_multipart_seeds_equal_simulator(ray_session, tmp_path):

@@ -89,7 +89,11 @@ class Node:
     ``:first-child``-style pseudos) see ``None``.  All in-repo callers
     hold the root (the response/form object owns the parsed doc)."""
 
-    __slots__ = ("tag", "attrs", "children", "_parent", "data", "_order", "__weakref__")
+    __slots__ = (
+        "tag", "attrs", "children", "_parent", "data", "_order",
+        "_tagindex",  # set lazily on #document roots only (see find())
+        "__weakref__",
+    )
 
     def __init__(
         self,
@@ -564,6 +568,37 @@ def compile_selector(selector: str) -> Selector:
     return sel
 
 
+def _build_tag_index(root: Node) -> dict[str, list[Node]]:
+    """tag → descendant elements in document order, plus "*" → all
+    elements.  Built lazily on the FIRST root-anchored find against a
+    document and cached on the root: every handler typically runs
+    several selectors per page (title, body text, price, links), and
+    one indexed walk replaces a full-tree walk per selector.  Parsed
+    trees are read-only by contract (nothing in-repo mutates a DOM
+    after parse), so the cache cannot go stale."""
+    index: dict[str, list[Node]] = {"*": []}
+    all_nodes = index["*"]
+    stack = [iter(root.children)]
+    while stack:
+        try:
+            node = next(stack[-1])
+        except StopIteration:
+            stack.pop()
+            continue
+        tag = node.tag
+        if tag[0] == "#":  # text node; no element children
+            continue
+        all_nodes.append(node)
+        bucket = index.get(tag)
+        if bucket is None:
+            index[tag] = [node]
+        else:
+            bucket.append(node)
+        if node.children:
+            stack.append(iter(node.children))
+    return index
+
+
 def find(anchors: Node | list[Node], selector: str | Selector) -> list[Node]:
     """goquery ``Find``: matching **descendants** of the anchor node(s),
     in document order, deduplicated (``html_utils.go:22-24`` Finder)."""
@@ -581,6 +616,25 @@ def find(anchors: Node | list[Node], selector: str | Selector) -> list[Node]:
         tag = compound.tag if compound.tag != "*" else None
         preds = compound.preds
         fast = (tag, preds)
+
+    # fastest path: single-compound selector anchored at the document
+    # root — serve from the lazy per-document tag index (O(matches),
+    # not O(nodes); walk order == document order, so no sort needed)
+    if (
+        fast is not None
+        and len(anchors) == 1
+        and anchors[0].tag == "#document"
+    ):
+        root = anchors[0]
+        try:
+            index = root._tagindex
+        except AttributeError:
+            index = root._tagindex = _build_tag_index(root)
+        tag, preds = fast
+        nodes = index.get(tag if tag is not None else "*", [])
+        if preds:
+            return [n for n in nodes if all(p(n) for p in preds)]
+        return list(nodes)
 
     seen: set[int] = set()
     out: list[Node] = []

@@ -634,10 +634,13 @@ class CrawlEngine:
                     )
                     rests.append(rest)
             else:
+                trace_dir = (
+                    str(round_dir / "trace") if cfg.keep_trace else None
+                )
                 rest_refs = []
                 for i, ref in enumerate(admission_refs):
                     a_ref, r_ref = _split_admission.remote(
-                        ref, str(spill_dir), i
+                        ref, str(spill_dir), i, trace_dir, rnd
                     )
                     admitted_refs.append(a_ref)
                     rest_refs.append(r_ref)
@@ -666,14 +669,16 @@ class CrawlEngine:
             metrics["admitted"] = n_admitted
             result.admitted += n_admitted
 
-            if cfg.keep_trace and n_admitted:
-                trace = pa.concat_tables(
-                    [r["trace"] for r in rests if r["trace"].num_rows]
-                )
-                trace = trace.append_column(
-                    "round", pa.array([rnd] * trace.num_rows, pa.int32())
-                )
-                _write(trace, round_dir / "trace")
+            if cfg.keep_trace and n_admitted and inline_tbl is not None:
+                # small rounds only: trace is threshold-bounded here;
+                # big-round split tasks already wrote theirs task-side
+                traces = [r["trace"] for r in rests if r["trace"].num_rows]
+                if traces:
+                    trace = pa.concat_tables(traces)
+                    trace = trace.append_column(
+                        "round", pa.array([rnd] * trace.num_rows, pa.int32())
+                    )
+                    _write(trace, round_dir / "trace")
 
             if n_admitted:
                 # Fetch + extract as plain tasks over batch-size slices
@@ -1141,13 +1146,16 @@ def _spill_overflow(
     return t.num_rows
 
 
-def _split_admission_fn(t: pa.Table, spill_dir: str, part: int):
+def _split_admission_fn(t: pa.Table, spill_dir: str, part: int,
+                        trace_dir: str | None = None, rnd: int = 0):
     """Split one shard's admission result into the admitted block plus
     the per-category rest dict; deferred rows are written to the next
     round's spill dir.  Pure function: big rounds run it as a Ray task
     (``_split_admission``, spill written task-side because the deferred
-    set can be frontier-sized), small rounds inline it on the driver
-    (bounded by ``small_round_threshold`` by construction)."""
+    set can be frontier-sized, and — when ``trace_dir`` is given — the
+    round-budget-sized trace written task-side too, so the driver never
+    receives a budget-sized table per round), small rounds inline it on
+    the driver (bounded by ``small_round_threshold`` by construction)."""
     if t.num_rows == 0 or "admit" not in t.column_names:
         empty = t.slice(0, 0)
         return empty, {
@@ -1175,6 +1183,16 @@ def _split_admission_fn(t: pa.Table, spill_dir: str, part: int):
             pa.string(),
         ),
     )
+    if trace_dir is not None:
+        if trace.num_rows:
+            _write(
+                trace.append_column(
+                    "round", pa.array([rnd] * trace.num_rows, pa.int32())
+                ),
+                pathlib.Path(trace_dir),
+                f"trace-{part}.parquet",
+            )
+        trace = trace.slice(0, 0)
     rest = {
         "robots": t.filter(pc.equal(adm, ROBOTS)),
         "bad": bad,

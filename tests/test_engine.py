@@ -815,3 +815,59 @@ def test_bloom_backend_survives_resume(fixture_tables, ray_session, tmp_path):
     res = sorted(zip(r_res.trace_table().column("url").to_pylist(),
                      r_res.trace_table().column("order_key").to_pylist()))
     assert full == res
+
+
+def test_resume_after_shard_actor_death(fixture_tables, ray_session,
+                                        tmp_path_factory):
+    """A LIVE actor failure (ray.kill on an admission shard mid-crawl)
+    surfaces as an error from run(); a fresh engine resuming the same
+    workdir from the last committed manifest must reproduce the
+    uninterrupted run exactly — actor state is checkpointed per round,
+    never the source of truth."""
+    import ray as _ray
+
+    pages, seeds, robots, pages_path = fixture_tables
+
+    def make_engine(max_rounds):
+        cfg = EngineConfig(
+            **{**CFG, "max_rounds": max_rounds},
+            n_admission_shards=2,
+        )
+        return CrawlEngine([flagship_spider], cfg)
+
+    wd_full = str(tmp_path_factory.mktemp("afull"))
+    e_full = make_engine(CFG["max_rounds"])
+    r_full = e_full.run(pages_path, seeds, robots, wd_full)
+    seen_full = set(e_full.dump_seen().tolist())
+    e_full.shutdown_shards()
+
+    # kill one shard actor from inside the round loop via the stop
+    # callback (fires between rounds — the actor dies while the next
+    # round's admission RPCs are in flight)
+    wd = str(tmp_path_factory.mktemp("adeath"))
+    e_die = make_engine(CFG["max_rounds"])
+    state = {"rounds": 0}
+
+    def killer():
+        state["rounds"] += 1
+        if state["rounds"] == 4:
+            _ray.kill(e_die._shards[0])
+        return False
+
+    with pytest.raises(Exception):  # RayActorError or wrapped
+        e_die.run(pages_path, seeds, robots, wd, stop=killer)
+    e_die.shutdown_shards()
+
+    e_res = make_engine(CFG["max_rounds"])
+    r_res = e_res.run(pages_path, None, robots, wd, resume=True)
+    seen_res = set(e_res.dump_seen().tolist())
+    e_res.shutdown_shards()
+
+    t_full = r_full.trace_table()
+    t_res = r_res.trace_table()
+    full_rows = sorted(zip(t_full.column("url").to_pylist(),
+                           t_full.column("order_key").to_pylist()))
+    res_rows = sorted(zip(t_res.column("url").to_pylist(),
+                          t_res.column("order_key").to_pylist()))
+    assert full_rows == res_rows
+    assert seen_res == seen_full

@@ -240,15 +240,25 @@ _RAW_END_RE = {
 
 def _fast_parse(html: str) -> Node | None:
     """One-pass tokenizer; returns the root, or None to request the
-    html.parser fallback."""
+    html.parser fallback.
+
+    Nodes are created in document pre-order, so ``_order`` is assigned
+    at creation and the per-document tag index (see ``find``) is built
+    inline — no post-parse tree walks."""
     from html import unescape
 
     root = Node("#document")
     stack = [root]
+    order = [1]  # root keeps _order 0
+    index: dict[str, list[Node]] = {"*": []}
+    all_nodes = index["*"]
 
     def add_text(data: str) -> None:
         parent = stack[-1]
-        parent.children.append(Node("#text", parent=parent, data=data))
+        node = Node("#text", parent=parent, data=data)
+        node._order = order[0]
+        order[0] += 1
+        parent.children.append(node)
 
     def open_tag(name: str, attrs: dict, push: bool) -> None:
         closes = _AUTOCLOSE.get(name)
@@ -256,7 +266,15 @@ def _fast_parse(html: str) -> Node | None:
             while len(stack) > 1 and stack[-1].tag in closes:
                 stack.pop()
         node = Node(name, attrs, parent=stack[-1])
+        node._order = order[0]
+        order[0] += 1
         stack[-1].children.append(node)
+        all_nodes.append(node)
+        bucket = index.get(name)
+        if bucket is None:
+            index[name] = [node]
+        else:
+            bucket.append(node)
         if push:
             stack.append(node)
 
@@ -336,6 +354,7 @@ def _fast_parse(html: str) -> Node | None:
             # bare '<' not opening a construct: html.parser emits it as data
             add_text("<")
             pos = lt + 1
+    root._tagindex = index
     return root
 
 
@@ -349,11 +368,14 @@ def parse_html(html: bytes | str) -> Node:
     if isinstance(html, bytes):
         html = html.decode("utf-8", errors="replace")
     root = _fast_parse(html)
-    if root is None:
-        builder = _TreeBuilder()
-        builder.feed(html)
-        builder.close()
-        root = builder.root
+    if root is not None:
+        # fast tokenizer assigned _order at creation (pre-order) and
+        # built the tag index inline — no post-parse walk needed
+        return root
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    root = builder.root
     order = 0
     stack = [root]
     while stack:

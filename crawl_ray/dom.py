@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import re
 import weakref
+from html import unescape
 from html.parser import HTMLParser
 
 __all__ = ["Node", "parse_html", "find", "compile_selector"]
@@ -245,8 +246,6 @@ def _fast_parse(html: str) -> Node | None:
     Nodes are created in document pre-order, so ``_order`` is assigned
     at creation and the per-document tag index (see ``find``) is built
     inline — no post-parse tree walks."""
-    from html import unescape
-
     root = Node("#document")
     stack = [root]
     order = [1]  # root keeps _order 0

@@ -458,7 +458,9 @@ class CrawlEngine:
                 frontier_files, cfg.canon_chunk_rows
             )
             n_shards = len(shards)
+            hot = tuple(cfg.hot_hosts)
             inline_tbl: pa.Table | None = None
+            fast_part_refs: list | None = None
             if pending_meta <= cfg.small_round_threshold:
                 # SMALL ROUND: canonicalize + budget split inline on the
                 # driver — one ray.put instead of a Dataset execution.
@@ -491,21 +493,23 @@ class CrawlEngine:
                 inline_tbl = live_tbl  # admission partitions it inline
                 live_block_refs = []
             elif pending_meta <= cfg.round_budget:
-                # FAST PATH: the priority split can never trigger;
-                # blocks go straight to shard partitioning.  Read +
-                # canonicalize are FUSED into one plain task per
-                # row-group chunk: the equivalent read_parquet →
-                # map_batches → materialize() Dataset execution costs a
-                # measured ~0.5 s of fixed planning/scheduling overhead
-                # per round for zero streaming benefit (the blocks are
-                # needed as refs immediately), and the downstream
-                # _shard_partition tasks pipeline naturally as each
-                # canon task finishes.  The per-chunk transform is the
-                # same vectorized Arrow kernel.
-                live_block_refs = [
-                    _read_canon.remote(chunk, now_us, self.spiders)
+                # FAST PATH: the priority split can never trigger, and
+                # the un-partitioned canon block is never needed — so
+                # read + canonicalize + shard-partition are FUSED into
+                # ONE task per row-group chunk.  (The equivalent
+                # read_parquet → map_batches → materialize() Dataset
+                # execution costs a measured ~0.5 s of fixed planning
+                # overhead per round for zero streaming benefit, and a
+                # separate partition hop adds a scheduling round trip
+                # per block.)  The per-chunk transform is the same
+                # vectorized Arrow kernel.
+                fast_part_refs = [
+                    _read_canon_partition.options(
+                        num_returns=n_shards + 1
+                    ).remote(chunk, now_us, self.spiders, n_shards, hot)
                     for chunk in canon_chunks
                 ]
+                live_block_refs = []
                 _lap("t_canon")
             else:
                 # SLOW PATH (big over-budget round): count the live
@@ -561,11 +565,11 @@ class CrawlEngine:
 
             # Admission: explicit hash partition by host shard — each
             # block is split into per-shard sub-tables (plus bad-canon
-            # rows) by a parallel task, then each shard gets ONE batch
-            # RPC covering all of its hosts.  No groupby shuffle: the
+            # rows) by a parallel task (fused into the canon task on
+            # the fast path), then each shard gets ONE batch RPC
+            # covering all of its hosts.  No groupby shuffle: the
             # per-host map_groups version cost ~3 s/round of fixed
             # all-to-all overhead regardless of round size.
-            hot = tuple(cfg.hot_hosts)
             if inline_tbl is not None:
                 # SMALL ROUND: shard-partition inline on the driver
                 # (bounded by small_round_threshold by construction) —
@@ -588,7 +592,7 @@ class CrawlEngine:
                             _finalize_hot(shards, rnd, hot_metas)
                         )
             else:
-                part_refs = [
+                part_refs = fast_part_refs if fast_part_refs is not None else [
                     _shard_partition.options(num_returns=n_shards + 1).remote(
                         ref, n_shards, hot
                     )
@@ -1097,18 +1101,38 @@ def _plan_canon_chunks(files: list[str], target_rows: int):
     return total, chunks
 
 
+def _read_chunk(chunk: tuple) -> pa.Table:
+    parts = [
+        pq.ParquetFile(p).read_row_groups(list(rgs)) for p, rgs in chunk
+    ]
+    return parts[0] if len(parts) == 1 else pa.concat_tables(
+        parts, promote_options="default"
+    )
+
+
 @ray.remote
 def _read_canon(chunk: tuple, now_us: int, spiders: list) -> pa.Table:
     """Fused frontier read + canonicalize (M1/M2/M3) for one chunk of
     ``(path, row_group_tuple)`` pairs — the distributed path's
     per-block unit of work."""
-    parts = [
-        pq.ParquetFile(p).read_row_groups(list(rgs)) for p, rgs in chunk
-    ]
-    t = parts[0] if len(parts) == 1 else pa.concat_tables(
-        parts, promote_options="default"
+    return canonicalize_batch(
+        _read_chunk(chunk), now_us=now_us, spiders=spiders
     )
-    return canonicalize_batch(t, now_us=now_us, spiders=spiders)
+
+
+@ray.remote
+def _read_canon_partition(
+    chunk: tuple, now_us: int, spiders: list, n_shards: int, hot: tuple
+):
+    """FAST-path unit of work: read + canonicalize + shard-partition in
+    ONE task (``num_returns = n_shards + 1``) — the separate partition
+    hop costs a scheduling round trip per block, and the fast path
+    never needs the un-partitioned canon block (only the priority-sort
+    slow path does)."""
+    t = canonicalize_batch(
+        _read_chunk(chunk), now_us=now_us, spiders=spiders
+    )
+    return _shard_partition_fn(t, n_shards, hot)
 
 
 @ray.remote(num_returns=3)

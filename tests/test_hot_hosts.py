@@ -283,3 +283,29 @@ def test_engine_hot_hosts_resume(hot_web, ray_session, tmp_path_factory):
         assert res == full
     finally:
         e_res.shutdown_shards()
+
+
+def test_engine_hot_hosts_distributed_path(hot_web, ray_session,
+                                           tmp_path_factory):
+    """Same full-engine parity with promotion on, but FORCING the
+    distributed fast path (small_round_threshold=0) — exercises the
+    fused read+canonicalize+partition task's hot routing and the
+    task-branch phase-2 finalize, which the inline small-round tests
+    never reach."""
+    pages, seeds, robots, pages_path, hot = hot_web
+    reg = HandlerRegistry()
+    flagship_spider(reg)
+    sim = simulate(pages, seeds, robots, reg, CrawlConfig(**HOT_CFG))
+
+    cfg = EngineConfig(**HOT_CFG, n_admission_shards=3,
+                       extract_concurrency=2, extract_batch_size=64,
+                       hot_hosts=hot, small_round_threshold=0,
+                       canon_chunk_rows=32, seed_part_rows=16)
+    engine = CrawlEngine([flagship_spider], cfg)
+    wd = str(tmp_path_factory.mktemp("hotdist"))
+    try:
+        result = engine.run(pages_path, seeds, robots, wd)
+        assert _trace_rows(result) == sim.trace
+        assert set(engine.dump_seen().tolist()) == sim.seen
+    finally:
+        engine.shutdown_shards()

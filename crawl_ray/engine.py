@@ -78,9 +78,10 @@ class EngineConfig(CrawlConfig):
     extract_concurrency: int = 0
     extract_batch_size: int = 256
     # rounds at or below this many pending rows canonicalize + budget-split
-    # on the driver (one ray.put) instead of paying a Ray Data execution
-    # (~1.5 s fixed per round); large rounds — the 10^10 design point —
-    # stream through the distributed path
+    # on the driver (one ray.put) instead of paying the distributed
+    # task chain's scheduling round trips; large rounds — the 10^10
+    # design point — fan out as fused read+canonicalize(+partition)
+    # tasks per row-group chunk
     small_round_threshold: int = 65536
     # target rows per fused read+canonicalize task on the distributed
     # path (consecutive row groups are grouped up to this size; a row

@@ -2272,8 +2272,12 @@ def oracle_sql() -> dict[str, str]:
                     FROM bc GROUP BY w1
                 ) ORDER BY c1 DESC, w1 LIMIT 65536
             ), bv AS (
+                -- tie-break on the JOINED 'w1 w2' key — the impl's
+                -- top-k sorts the joined bigram string, and (w1, w2)
+                -- column order differs from it when a token holds a
+                -- char below 0x20 (control chars survive \s+ splits)
                 SELECT w1, w2, c2 FROM bc
-                ORDER BY c2 DESC, w1, w2 LIMIT 65536
+                ORDER BY c2 DESC, w1 || ' ' || w2 LIMIT 65536
             ), scored AS (
                 SELECT p.doc_id,
                        CASE WHEN v.w1 IS NULL

@@ -632,7 +632,7 @@ class CrawlEngine:
             if inline_tbl is not None:
                 for i, t in enumerate(ray.get(admission_refs)):
                     admitted, rest = _split_admission_fn(
-                        t, str(spill_dir), i
+                        t, str(spill_dir), i, want_trace=cfg.keep_trace
                     )
                     admitted_refs.append(
                         ray.put(admitted) if rest["n_admitted"] else None
@@ -1020,19 +1020,20 @@ _shard_partition = ray.remote(_shard_partition_fn)
 def _finalize_hot(shards, rnd: int, hot_metas: list[dict]) -> list:
     """Phase 2 of two-level hot-host admission (state/admission.py):
     sum per-shard candidate counts, draw tokens at each host's HOME
-    shard, merge the burst-bounded per-shard top order-keys into the
-    global admit threshold (exact: k <= burst and each shard returned
-    its burst smallest, so the k globally-smallest keys are all
-    present), then release each bucket shard's parked rows.  Returns
-    the finalize table refs — driver traffic is O(hot_hosts * burst)
-    keys, never rows."""
+    shard; hosts whose draw covers every candidate admit "ALL" with no
+    key traffic at all (the steady state of a generous budget).  Only
+    an OVER-draw host (k < total) pulls keys: each bucket shard returns
+    its k smallest parked order-keys (exact — each of the k globally
+    smallest is within the k smallest of its own shard), the driver
+    merges them into the global admit threshold, then releases each
+    shard's parked rows.  Driver traffic is O(over-draw hosts × k)
+    keys — bounded by the token draw, never by burst or candidate
+    count, and never rows."""
     n_shards = len(shards)
     totals: dict[str, int] = {}
-    keys: dict[str, list[bytes]] = {}
     for m in hot_metas:
         for host, info in m.items():
             totals[host] = totals.get(host, 0) + info["n"]
-            keys.setdefault(host, []).extend(info["keys"])
     per_home: dict[int, dict[str, int]] = {}
     for host, tot in totals.items():
         if tot:
@@ -1047,13 +1048,33 @@ def _finalize_hot(shards, rnd: int, hot_metas: list[dict]) -> list:
             draws.update(d)
     thresholds: dict[str, object] = {}
     jars: dict[str, str] = {}
+    key_wants: dict[str, int] = {}
     for host, tot in totals.items():
         k, jar = draws.get(host, (0, ""))
         if jar:
             jars[host] = jar
         if k <= 0:
             continue  # absent from thresholds = admit none
-        thresholds[host] = "ALL" if k >= tot else sorted(keys[host])[k - 1]
+        if k >= tot:
+            thresholds[host] = "ALL"
+        else:
+            key_wants[host] = k
+    if key_wants:
+        # only shards that parked rows for an over-draw host are asked
+        per_shard_wants = [
+            {h: k for h, k in key_wants.items() if h in m}
+            for m in hot_metas
+        ]
+        key_lists = ray.get([
+            shards[s].hot_keys.remote(rnd, w)
+            for s, w in enumerate(per_shard_wants) if w
+        ])
+        keys: dict[str, list[bytes]] = {h: [] for h in key_wants}
+        for kl in key_lists:
+            for host, ks in kl.items():
+                keys[host].extend(ks)
+        for host, k in key_wants.items():
+            thresholds[host] = sorted(keys[host])[k - 1]
     return [
         shards[s].finalize_hot.remote(rnd, thresholds, jars)
         for s, m in enumerate(hot_metas)
@@ -1172,7 +1193,8 @@ def _spill_overflow(
 
 
 def _split_admission_fn(t: pa.Table, spill_dir: str, part: int,
-                        trace_dir: str | None = None, rnd: int = 0):
+                        trace_dir: str | None = None, rnd: int = 0,
+                        want_trace: bool = False):
     """Split one shard's admission result into the admitted block plus
     the per-category rest dict; deferred rows are written to the next
     round's spill dir.  Pure function: big rounds run it as a Ray task
@@ -1195,19 +1217,24 @@ def _split_admission_fn(t: pa.Table, spill_dir: str, part: int,
     bad = t.filter(pc.equal(adm, BADCANON))
     # M5: the deterministic proxy pick is a pure function of
     # (url_hash, metadata), so the trace records it at admission time
-    # — the same choice the fetch stage will make (stages/fetch.py)
-    from crawl_ray.stages.fetch import pick_proxy_batch
+    # — the same choice the fetch stage will make (stages/fetch.py).
+    # Computed ONLY when tracing is on: with keep_trace=False the
+    # per-row proxy pick (metadata .to_pylist() over the whole budget)
+    # and the budget-sized driver transfer would be pure waste.
+    trace = admitted.select(["url", "order_key", "depth"]).slice(0, 0)
+    if trace_dir is not None or want_trace:
+        from crawl_ray.stages.fetch import pick_proxy_batch
 
-    trace = admitted.select(["url", "order_key", "depth"]).append_column(
-        "proxy",
-        pa.array(
-            pick_proxy_batch(
-                admitted.column("url_hash").to_numpy(zero_copy_only=False),
-                admitted.column("metadata").to_pylist(),
+        trace = admitted.select(["url", "order_key", "depth"]).append_column(
+            "proxy",
+            pa.array(
+                pick_proxy_batch(
+                    admitted.column("url_hash").to_numpy(zero_copy_only=False),
+                    admitted.column("metadata").to_pylist(),
+                ),
+                pa.string(),
             ),
-            pa.string(),
-        ),
-    )
+        )
     if trace_dir is not None:
         if trace.num_rows:
             _write(

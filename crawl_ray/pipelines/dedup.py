@@ -58,16 +58,23 @@ def _dedup_group_starts(g: pa.Table, verify: str) -> np.ndarray:
     ``verify="digest"`` confirms on the hi 64 bits of the 128-bit
     digest; ``verify="text"`` compares the text bytes (vectorized Arrow
     not_equal, no Python per row); ``verify="none"`` trusts the 64-bit
-    key (the r3 behavior)."""
+    key (the r3 behavior).
+
+    Null text is defined as ≡ empty text in EVERY mode: the hash
+    kernels (urlnorm.content_hash*_batch) already map both to ``b""``,
+    so the text comparison fills nulls with ``""`` too — otherwise a
+    null-vs-null pair would read as "different" (Arrow not_equal is
+    null-propagating) and the verify modes would disagree on the same
+    input."""
     h = g.column("text_hash").to_numpy(zero_copy_only=False)
     new = np.r_[True, h[1:] != h[:-1]]
     if verify == "digest" and g.num_rows > 1:
         c = g.column("check").to_numpy(zero_copy_only=False)
         new[1:] |= c[1:] != c[:-1]
     elif verify == "text" and g.num_rows > 1:
-        t = g.column("text").combine_chunks()
+        t = pc.fill_null(g.column("text").combine_chunks(), "")
         neq = pc.not_equal(t.slice(1), t.slice(0, len(t) - 1))
-        new[1:] |= pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+        new[1:] |= neq.to_numpy(zero_copy_only=False)
     return np.flatnonzero(new)
 
 

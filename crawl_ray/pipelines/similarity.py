@@ -773,11 +773,15 @@ def threshold_graph_stats(sf_dir: str, threshold_milli: int = 450):
         )
         n_wedges = int((in_cnt.astype(np.int64) * out_cnt).sum())
         if n_wedges <= 50_000_000:
-            # enumerate (a, c) per middle with pure segment arithmetic
-            # (no per-mid Python fragments): wedge w of middle k is
-            # (in_start[k] + t // out_cnt[k], out_start[k] + t % out_cnt[k])
-            # for local t — processed in ≤5M-wedge chunks so transient
-            # arrays stay ~40 MB regardless of the 50M wedge guard
+            # enumerate (a, c) with pure segment arithmetic over the
+            # GLOBAL wedge index space [0, n_wedges): wedge g belongs
+            # to middle k = searchsorted(cum, g) at local offset
+            # t = g - gstart[k], and maps to
+            # (in_start[k] + t // out_cnt[k], out_start[k] + t % out_cnt[k]).
+            # Chunking the flat index (not whole middles) bounds every
+            # transient array at _WEDGE_CHUNK even when a single hub
+            # middle holds ~all 50M guard wedges — the per-middle
+            # variant made the "~40 MB/chunk" claim false on stars.
             n_tri = 0
             if n_wedges:
                 in_start = np.searchsorted(mid_in, mids, side="left")
@@ -787,24 +791,19 @@ def threshold_graph_stats(sf_dir: str, threshold_milli: int = 450):
                 ecode = np.sort(ua * base + va)
                 act = np.flatnonzero(per_mid)
                 cum = np.cumsum(per_mid[act])
-                chunk = _WEDGE_CHUNK
-                bounds = [0]
-                while bounds[-1] < len(act):
-                    done = cum[bounds[-1] - 1] if bounds[-1] else 0
-                    nxt = int(np.searchsorted(
-                        cum, done + chunk, side="left")) + 1
-                    bounds.append(min(nxt, len(act)))
-                for lo, hi in zip(bounds[:-1], bounds[1:]):
-                    sel = act[lo:hi]
-                    pm = per_mid[sel]
-                    w = int(pm.sum())
-                    k = np.repeat(np.arange(len(sel), dtype=np.int64), pm)
-                    seg0 = np.concatenate(
-                        ([0], np.cumsum(pm)[:-1])).astype(np.int64)
-                    t = np.arange(w, dtype=np.int64) - seg0[k]
-                    oc_k = out_cnt[sel][k]
-                    wa = a_in[in_start[sel][k] + t // oc_k]
-                    wc = c_out[out_start[sel][k] + t % oc_k]
+                gstart = np.concatenate(
+                    ([0], cum[:-1])).astype(np.int64)
+                for g0 in range(0, n_wedges, _WEDGE_CHUNK):
+                    g = np.arange(
+                        g0, min(g0 + _WEDGE_CHUNK, n_wedges),
+                        dtype=np.int64,
+                    )
+                    k = np.searchsorted(cum, g, side="right")
+                    t = g - gstart[k]
+                    sel = act[k]
+                    oc_k = out_cnt[sel]
+                    wa = a_in[in_start[sel] + t // oc_k]
+                    wc = c_out[out_start[sel] + t % oc_k]
                     wcode = wa * base + wc
                     loc = np.searchsorted(ecode, wcode)
                     hit = (loc < len(ecode)) & (

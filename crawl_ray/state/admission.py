@@ -171,9 +171,10 @@ class AdmissionShard:
         Returns ``(table, hot_meta)``.  Rows of promoted hosts are NOT
         in ``table`` — they are screened (phase 1), parked, and later
         released by :meth:`finalize_hot`; ``hot_meta`` maps each parked
-        host to its candidate count and burst-bounded smallest
-        candidate order-keys (tiny — the engine merges these to pick
-        the global admit threshold).
+        host to its candidate count (tiny).  When the engine's token
+        draw for a host is below its candidate total it pulls the
+        draw-bounded smallest order-keys via :meth:`hot_keys` to pick
+        the global admit threshold.
         """
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -217,14 +218,13 @@ class AdmissionShard:
                     codes, cand = self._screen(host, run_hashes, paths[start:i])
                     sub = t.slice(start, i - start)
                     self._pending_hot[(rnd, host)] = (sub, codes, cand)
-                    burst = int(self.rates.get(host, self.default)[1])
-                    key_col = sub.column("order_key")
-                    hot_meta[host] = {
-                        "n": int(len(cand)),
-                        # candidates are already in canonical order
-                        "keys": [key_col[int(c)].as_py()
-                                 for c in cand[:burst]],
-                    }
+                    # phase-1 meta is the candidate COUNT only — keys
+                    # are pulled in phase 2 (hot_keys) and only for
+                    # hosts whose token draw is below their candidate
+                    # total, bounded by the draw k, never by burst
+                    # (burst can be 1<<30; shipping burst-bounded key
+                    # lists here would be candidate-sized)
+                    hot_meta[host] = {"n": int(len(cand))}
                     keep[start:i] = False
                 else:
                     out[start:i] = self.admit(
@@ -258,6 +258,31 @@ class AdmissionShard:
                 self.tokens[host][0] = tokens - k
             jar = self.jar.get(host)
             out[host] = (k, json.dumps(jar, sort_keys=True) if jar else "")
+        return out
+
+    def hot_keys(self, rnd: int, wants: dict[str, int]) -> dict:
+        """Phase-2 key pull for OVER-DRAW hosts only: for each host,
+        return this shard's ``min(want, candidates)`` smallest parked
+        candidate order-keys (candidates are already in canonical
+        order).  ``want`` is the host's actual token draw ``k`` — the
+        engine needs the global k-th smallest key, and each of the k
+        globally-smallest keys is within the k smallest of its own
+        shard, so this bounded pull is exact.  Vectorized ``take``;
+        driver traffic is O(k) keys per shard, independent of burst
+        and of the candidate total."""
+        import pyarrow as pa
+
+        out = {}
+        for host, want in wants.items():
+            parked = self._pending_hot.get((rnd, host))
+            if parked is None:
+                continue
+            sub, _, cand = parked
+            head = cand[: max(0, int(want))]
+            if len(head):
+                out[host] = sub.column("order_key").take(
+                    pa.array(head)
+                ).to_pylist()
         return out
 
     def finalize_hot(self, rnd: int, thresholds: dict, jars: dict):

@@ -64,14 +64,33 @@ def _root_is_configured() -> bool:
     return _override is not None or "CRAWL_RAY_STORE_ROOT" in os.environ
 
 
+def _under_configured_root(path: str | os.PathLike) -> bool:
+    """True iff ``path`` lives under the attested shared root.
+
+    The attestation covers exactly the tree rooted at the configured
+    directory — an arbitrary path elsewhere (e.g. a user-supplied
+    engine workdir on node-local ``/tmp``) is NOT made shared by an
+    unrelated ``CRAWL_RAY_STORE_ROOT`` setting.
+    """
+    if not _root_is_configured():
+        return False
+    try:
+        root = store_root().resolve()
+        return pathlib.Path(path).resolve().is_relative_to(root)
+    except (OSError, ValueError):
+        return False
+
+
 def check_multinode_storage(what: str, path: str | os.PathLike) -> None:
-    """Refuse to build a task-side store on an UNCONFIGURED root when
-    the cluster has more than one alive node — the root-is-shared
-    assertion that replaces the old blanket single-node guards.  A
-    configured root is the operator's attestation of shared storage."""
+    """Refuse to write task-side parts to ``path`` when the cluster has
+    more than one alive node, UNLESS the path lives under the attested
+    shared root — the root-is-shared assertion that replaces the old
+    blanket single-node guards.  A configured root attests only the
+    tree under it, not unrelated paths (a workdir outside the root on
+    a multi-node cluster still fails loudly)."""
     import ray
 
-    if _root_is_configured():
+    if _under_configured_root(path):
         return
     try:
         alive = [n for n in ray.nodes() if n.get("Alive")]
@@ -79,11 +98,13 @@ def check_multinode_storage(what: str, path: str | os.PathLike) -> None:
         return
     if len(alive) > 1:
         raise RuntimeError(
-            f"{what} writes task-side parts under node-local "
-            f"{os.fspath(path)!r}; on a {len(alive)}-node cluster set "
-            "CRAWL_RAY_STORE_ROOT (or crawl_ray.storage.set_store_root) "
-            "to a directory on storage shared by every node — parts "
-            "would otherwise scatter across hosts"
+            f"{what} writes task-side parts under "
+            f"{os.fspath(path)!r}, which is not under the attested "
+            f"shared root ({store_root()}); on a {len(alive)}-node "
+            "cluster set CRAWL_RAY_STORE_ROOT (or "
+            "crawl_ray.storage.set_store_root) to a directory on "
+            "storage shared by every node and place this path under "
+            "it — parts would otherwise scatter across hosts"
         )
 
 

@@ -437,6 +437,26 @@ def test_dedup_group_starts_kernel_splits_collisions():
     assert DD._dedup_group_starts(g, "none").tolist() == [0]
 
 
+def test_dedup_group_starts_null_text_merges_in_every_mode():
+    """Null text ≡ empty text in ALL verify modes: two null-text docs
+    (and a null/empty pair) merge identically under digest and text
+    verification — Arrow's null-propagating not_equal must not turn a
+    null-null pair into a new segment (the modes would disagree)."""
+    from crawl_ray.urlnorm import content_hash128_batch
+
+    texts = pa.array([None, None, ""], pa.string())
+    lo, hi = content_hash128_batch(texts)
+    assert len(set(lo.tolist())) == 1  # null and "" share the group key
+    g = pa.table({
+        "text_hash": pa.array(lo, pa.uint64()),
+        "check": pa.array(hi, pa.uint64()),
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": texts,
+    })
+    for mode in ("digest", "text", "none"):
+        assert DD._dedup_group_starts(g, mode).tolist() == [0], mode
+
+
 @pytest.mark.parametrize("verify", ["digest", "text"])
 def test_exact_dedup_survives_planted_collision(corpus_dir, ray_session,
                                                 verify):

@@ -33,9 +33,35 @@ def test_multinode_refuses_unconfigured_root(monkeypatch, ray_session):
     monkeypatch.setattr(ray_mod, "nodes", lambda: two_nodes)
     with pytest.raises(RuntimeError, match="CRAWL_RAY_STORE_ROOT"):
         ST.check_multinode_storage("the test store", "/tmp/x")
-    # a configured root is the operator's shared-storage attestation
+    # a configured root is the operator's shared-storage attestation —
+    # but it covers exactly the tree under the root, nothing else
     ST.set_store_root("/mnt/shared/crawl")
     ST.check_multinode_storage("the test store", "/mnt/shared/crawl/x")
+    with pytest.raises(RuntimeError, match="not under the attested"):
+        ST.check_multinode_storage("the test store", "/tmp/unrelated_wd")
+
+
+def test_engine_workdir_outside_attested_root_refused(
+    monkeypatch, ray_session, tmp_path
+):
+    """Setting CRAWL_RAY_STORE_ROOT for the dedup stores must NOT
+    silently bless an engine workdir on node-local /tmp: on a
+    multi-node cluster a workdir outside the attested root still
+    fails loudly (the exact silent-URL-drop the guard prevents)."""
+    import ray as ray_mod
+
+    ST.set_store_root(str(tmp_path / "nfs"))
+    monkeypatch.setattr(
+        ray_mod, "nodes", lambda: [{"Alive": True}, {"Alive": True}]
+    )
+    with pytest.raises(RuntimeError, match="not under the attested"):
+        ST.check_multinode_storage(
+            "CrawlEngine.run workdir", "/tmp/some_local_wd"
+        )
+    # under the attested root: fine
+    ST.check_multinode_storage(
+        "CrawlEngine.run workdir", str(tmp_path / "nfs" / "run1")
+    )
 
 
 def test_minhash_store_lands_under_configured_root(

@@ -245,38 +245,27 @@ class CrawlEngine:
         return best
 
     def _snapshot(self, shards, round_dir: pathlib.Path) -> None:
+        # each shard writes its own npz (seen-table state keyed by
+        # backend: "table" for exact, "cuckoo_table"/"stash"/"count"
+        # for ST4) under the shared workdir — the seen tables are
+        # GB-sized at the 10^10-key design point and must never ship
+        # through the driver; compression runs on the shards in
+        # parallel instead of serially here
         state_dir = round_dir / "state"
         state_dir.mkdir(parents=True, exist_ok=True)
-        snaps = ray.get([s.snapshot.remote() for s in shards])
-        for i, snap in enumerate(snaps):
-            np.savez_compressed(
-                state_dir / f"shard_{i}.npz",
-                tokens=json.dumps(snap["tokens"]),
-                jar=json.dumps(snap["jar"]),
-                # seen-table state keyed by backend ("table" for exact,
-                # "cuckoo_table"/"stash"/"count" for the ST4 backend)
-                **{f"seen_{k}": v for k, v in snap["seen"].items()},
-            )
+        ray.get([
+            s.snapshot_to.remote(str(state_dir / f"shard_{i}.npz"))
+            for i, s in enumerate(shards)
+        ])
 
     @staticmethod
     def _restore(shards, round_dir: pathlib.Path) -> None:
-        futures = []
-        for i, shard in enumerate(shards):
-            with np.load(round_dir / "state" / f"shard_{i}.npz") as z:
-                seen_state = {
-                    k[len("seen_"):]: z[k]
-                    for k in z.files
-                    if k.startswith("seen_")
-                }
-                if not seen_state:  # pre-round-3 checkpoint layout
-                    seen_state = {"table": z["table"]}
-                state = {
-                    "seen": seen_state,
-                    "tokens": json.loads(str(z["tokens"])),
-                    "jar": json.loads(str(z["jar"])) if "jar" in z else {},
-                }
-            futures.append(shard.restore.remote(state))
-        ray.get(futures)
+        ray.get([
+            shard.restore_from.remote(
+                str(round_dir / "state" / f"shard_{i}.npz")
+            )
+            for i, shard in enumerate(shards)
+        ])
 
     # -- the loop ----------------------------------------------------
     def build_store(self, pages_path: str):

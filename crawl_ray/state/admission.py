@@ -18,11 +18,12 @@ stays on the host's HOME shard (``fnv1a64(host) % n_shards``).
 Admission for a promoted host is two-phase: each bucket shard screens
 locally and parks the candidates (within-round duplicates share a url
 hash ⇒ the same bucket shard, so local dup detection is globally
-exact), returning only its ``burst``-bounded smallest candidate
-order-keys; the engine sums candidate counts, draws ``k =
-min(floor(tokens), total)`` from the home shard, merges the tiny
-per-shard top-key lists, and finalizes each shard's parked rows —
-admit the globally k smallest, defer the rest.  Identical semantics to
+exact), returning only its candidate COUNT; the engine sums counts,
+draws ``k = min(floor(tokens), total)`` from the home shard, and — only
+when ``k < total`` — pulls each shard's ``k`` smallest candidate
+order-keys (:meth:`AdmissionShard.hot_keys`) to derive the global admit
+threshold, then finalizes each shard's parked rows — admit the
+globally k smallest, defer the rest.  Identical semantics to
 the one-shot path (canonical order = ascending order_key within a
 host), with per-round wall time bounded by rows/shard, not rows/host.
 
@@ -41,6 +42,7 @@ per-round refill loop exactly.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 
@@ -351,3 +353,44 @@ class AdmissionShard:
         self.tokens = {h: list(v) for h, v in state["tokens"].items()}
         self.jar = {h: dict(c) for h, c in state.get("jar", {}).items()}
         self._pending_hot.clear()  # parked rows are round-transient
+
+    def snapshot_to(self, path: str) -> None:
+        """Write this shard's checkpoint npz SHARD-side — ``path`` is
+        under the engine workdir, which the run-start storage guard
+        requires to be cluster-shared on multi-node.  The driver never
+        receives the seen table (at the 10^10-key design point a
+        shard's table is GBs; shipping it through ``ray.get`` every
+        checkpointed round was the last driver-sized transfer in the
+        loop) and the npz compression runs on the shards in parallel
+        instead of serially on the driver.  Atomic tmp+rename so a
+        crash mid-write can't leave a torn file under a
+        manifest-committed round."""
+        snap = self.snapshot()
+        tmp = f"{path}.tmp"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(
+                f,
+                tokens=json.dumps(snap["tokens"]),
+                jar=json.dumps(snap["jar"]),
+                **{f"seen_{k}": v for k, v in snap["seen"].items()},
+            )
+        os.replace(tmp, path)
+
+    def restore_from(self, path: str) -> None:
+        """Load this shard's checkpoint npz SHARD-side (reverse of
+        :meth:`snapshot_to`; understands the pre-round-3 single-array
+        layout too) — the driver sends only the path."""
+        with np.load(path) as z:
+            seen_state = {
+                k[len("seen_"):]: z[k]
+                for k in z.files
+                if k.startswith("seen_")
+            }
+            if not seen_state:  # pre-round-3 checkpoint layout
+                seen_state = {"table": z["table"]}
+            state = {
+                "seen": seen_state,
+                "tokens": json.loads(str(z["tokens"])),
+                "jar": json.loads(str(z["jar"])) if "jar" in z.files else {},
+            }
+        self.restore(state)

@@ -512,18 +512,16 @@ class CrawlEngine:
                     for chunk in canon_chunks
                 ]
                 _lap("t_canon")
-                live_refs, bad_refs, n_refs = [], [], []
-                for ref in canon_refs:
-                    l_ref, b_ref, n_ref = _split_canon.remote(ref)
+                live_refs, nbad_refs, n_refs = [], [], []
+                for i, ref in enumerate(canon_refs):
+                    l_ref, nb_ref, n_ref = _split_canon.remote(
+                        ref, str(round_dir / "errors"), i
+                    )
                     live_refs.append(l_ref)
-                    bad_refs.append(b_ref)
+                    nbad_refs.append(nb_ref)
                     n_refs.append(n_ref)
                 live_counts = ray.get(n_refs)
-                bad_tables = [t for t in ray.get(bad_refs) if t.num_rows]
-                if bad_tables:
-                    err = _union_to_errors_from_canon(bad_tables)
-                    _write(err, round_dir / "errors", "canon.parquet")
-                    result.errors += err.num_rows
+                result.errors += int(sum(ray.get(nbad_refs)))
 
                 n_live = int(sum(live_counts))
                 if n_live == 0:
@@ -617,11 +615,13 @@ class CrawlEngine:
             # rounds split inline instead: the whole round is bounded by
             # small_round_threshold, so the driver-side write is too.
             spill_dir = wd / f"round={rnd + 1}" / "spill"
+            errors_dir = round_dir / "errors"
             admitted_refs, rests = [], []
             if inline_tbl is not None:
                 for i, t in enumerate(ray.get(admission_refs)):
                     admitted, rest = _split_admission_fn(
-                        t, str(spill_dir), i, want_trace=cfg.keep_trace
+                        t, str(spill_dir), str(errors_dir), i,
+                        want_trace=cfg.keep_trace,
                     )
                     admitted_refs.append(
                         ray.put(admitted) if rest["n_admitted"] else None
@@ -634,7 +634,8 @@ class CrawlEngine:
                 rest_refs = []
                 for i, ref in enumerate(admission_refs):
                     a_ref, r_ref = _split_admission.remote(
-                        ref, str(spill_dir), i, trace_dir, rnd
+                        ref, str(spill_dir), str(errors_dir), i,
+                        trace_dir, rnd,
                     )
                     admitted_refs.append(a_ref)
                     rest_refs.append(r_ref)
@@ -642,20 +643,9 @@ class CrawlEngine:
             _lap("t_admission")
 
             metrics["pending"] = sum(r["n_ok"] for r in rests)
-            bad_tables = [r["bad"] for r in rests if r["bad"].num_rows]
-            if bad_tables:
-                err = _union_to_errors_from_canon(bad_tables)
-                _write(err, round_dir / "errors", "canon.parquet")
-                result.errors += err.num_rows
-            robots_tables = [r["robots"] for r in rests if r["robots"].num_rows]
-            if robots_tables:
-                robots_rows = pa.concat_tables(robots_tables)
-                _write(
-                    _canon_rows_to_errors(robots_rows, "robots", "disallowed"),
-                    round_dir / "errors",
-                    "robots.parquet",
-                )
-                result.errors += robots_rows.num_rows
+            # robots/bad-canon rows were written to errors_dir where the
+            # split ran; only their counts travel
+            result.errors += sum(r["n_bad"] + r["n_robots"] for r in rests)
             metrics["dup_dropped"] = sum(r["dup"] for r in rests)
             metrics["seen_dropped"] = sum(r["seen"] for r in rests)
             metrics["deferred"] = sum(r["deferred"] for r in rests)
@@ -743,7 +733,8 @@ class CrawlEngine:
                 records_dir = round_dir / "records"
                 u_refs = [
                     _split_union.remote(ref, str(frontier_dir),
-                                        str(records_dir), i)
+                                        str(records_dir),
+                                        str(errors_dir), i)
                     for i, ref in enumerate(out_refs)
                 ]
                 u_rests = ray.get(u_refs)
@@ -751,11 +742,7 @@ class CrawlEngine:
                 n_records = sum(r["n_records"] for r in u_rests)
                 result.records += n_records
                 metrics["records"] = n_records
-                error_tables = [r["errors"] for r in u_rests if r["errors"].num_rows]
-                if error_tables:
-                    errors = pa.concat_tables(error_tables)
-                    _write(errors, round_dir / "errors", "extract.parquet")
-                    result.errors += errors.num_rows
+                result.errors += sum(r["n_errors"] for r in u_rests)
                 n_links = sum(r["n_links"] for r in u_rests)
                 metrics["links"] = n_links
                 result.links += n_links
@@ -1147,14 +1134,20 @@ def _read_canon_partition(
 
 
 @ray.remote(num_returns=3)
-def _split_canon(t: pa.Table):
+def _split_canon(t: pa.Table, errors_dir: str, part: int):
+    """Slow-path live/bad split; bad-canon rows are written to the
+    errors dir task-side (a frontier of malformed URLs would make the
+    bad side frontier-sized) — only counts reach the driver."""
     # empty shuffle/map blocks can surface with the pre-stage schema
     if t.num_rows == 0 or "disposition" not in t.column_names:
-        empty = t.slice(0, 0)
-        return empty, empty, 0
+        return t.slice(0, 0), 0, 0
     ok = pc.equal(t.column("disposition"), "ok")
     live = t.filter(ok)
-    return live, t.filter(pc.invert(ok)), live.num_rows
+    bad = t.filter(pc.invert(ok))
+    if bad.num_rows:
+        _write(_union_to_errors_from_canon([bad]),
+               pathlib.Path(errors_dir), f"canon-slow-{part}.parquet")
+    return live, bad.num_rows, live.num_rows
 
 
 def _mask_count(mask) -> int:
@@ -1181,21 +1174,23 @@ def _spill_overflow(
     return t.num_rows
 
 
-def _split_admission_fn(t: pa.Table, spill_dir: str, part: int,
-                        trace_dir: str | None = None, rnd: int = 0,
-                        want_trace: bool = False):
+def _split_admission_fn(t: pa.Table, spill_dir: str, errors_dir: str,
+                        part: int, trace_dir: str | None = None,
+                        rnd: int = 0, want_trace: bool = False):
     """Split one shard's admission result into the admitted block plus
     the per-category rest dict; deferred rows are written to the next
-    round's spill dir.  Pure function: big rounds run it as a Ray task
-    (``_split_admission``, spill written task-side because the deferred
-    set can be frontier-sized, and — when ``trace_dir`` is given — the
-    round-budget-sized trace written task-side too, so the driver never
-    receives a budget-sized table per round), small rounds inline it on
-    the driver (bounded by ``small_round_threshold`` by construction)."""
+    round's spill dir, robots-blocked and bad-canon rows to the round's
+    errors dir.  Pure function: big rounds run it as a Ray task
+    (``_split_admission`` — spill, errors and trace are all written
+    WHERE THE SPLIT RUNS because each can be budget- or frontier-sized
+    in a pathological round, e.g. a robots file blocking the whole
+    frontier; only counts reach the driver), small rounds inline it on
+    the driver (bounded by ``small_round_threshold`` by construction,
+    same file layout)."""
     if t.num_rows == 0 or "admit" not in t.column_names:
         empty = t.slice(0, 0)
         return empty, {
-            "robots": empty, "bad": empty, "dup": 0, "seen": 0,
+            "n_robots": 0, "n_bad": 0, "dup": 0, "seen": 0,
             "deferred": 0, "n_admitted": 0, "n_ok": 0, "trace": empty,
         }
     adm = t.column("admit")
@@ -1204,6 +1199,13 @@ def _split_admission_fn(t: pa.Table, spill_dir: str, part: int,
     if deferred.num_rows:
         _write(deferred, pathlib.Path(spill_dir), f"deferred-{part}.parquet")
     bad = t.filter(pc.equal(adm, BADCANON))
+    if bad.num_rows:
+        _write(_union_to_errors_from_canon([bad]),
+               pathlib.Path(errors_dir), f"canon-{part}.parquet")
+    robots = t.filter(pc.equal(adm, ROBOTS))
+    if robots.num_rows:
+        _write(_canon_rows_to_errors(robots, "robots", "disallowed"),
+               pathlib.Path(errors_dir), f"robots-{part}.parquet")
     # M5: the deterministic proxy pick is a pure function of
     # (url_hash, metadata), so the trace records it at admission time
     # — the same choice the fetch stage will make (stages/fetch.py).
@@ -1235,8 +1237,8 @@ def _split_admission_fn(t: pa.Table, spill_dir: str, part: int,
             )
         trace = trace.slice(0, 0)
     rest = {
-        "robots": t.filter(pc.equal(adm, ROBOTS)),
-        "bad": bad,
+        "n_robots": robots.num_rows,
+        "n_bad": bad.num_rows,
         "dup": _mask_count(pc.equal(adm, DUP)),
         "seen": _mask_count(pc.equal(adm, SEEN)),
         "deferred": deferred.num_rows,
@@ -1252,10 +1254,9 @@ _split_admission = ray.remote(num_returns=2)(_split_admission_fn)
 
 @ray.remote
 def _split_union(t: pa.Table, frontier_dir: str, records_dir: str,
-                 part: int) -> dict:
+                 errors_dir: str, part: int) -> dict:
     if t.num_rows == 0 or "kind" not in t.column_names:
-        empty = t.slice(0, 0)
-        return {"n_records": 0, "errors": empty, "n_links": 0, "cookies": {}}
+        return {"n_records": 0, "n_errors": 0, "n_links": 0, "cookies": {}}
     kind = t.column("kind")
     links = t.filter(pc.equal(kind, "link"))
     if links.num_rows:
@@ -1269,11 +1270,18 @@ def _split_union(t: pa.Table, frontier_dir: str, records_dir: str,
     )
     if records.num_rows:
         _write(records, pathlib.Path(records_dir), f"records-{part}.parquet")
+    # fetch/extract error rows are written task-side too — a fetch
+    # storm (host down, robots flip, parser bug) makes the error
+    # stream budget-sized, the same regime the records stream hit
+    errors = t.filter(pc.equal(kind, "error")).select(
+        ["url", "method", "depth", "seq_path", "error_kind", "error"]
+    )
+    if errors.num_rows:
+        _write(errors, pathlib.Path(errors_dir),
+               f"extract-{part}.parquet")
     return {
         "n_records": records.num_rows,
-        "errors": t.filter(pc.equal(kind, "error")).select(
-            ["url", "method", "depth", "seq_path", "error_kind", "error"]
-        ),
+        "n_errors": errors.num_rows,
         "n_links": links.num_rows,
         # ST1 jar harvest, pre-folded per task to (host, name) → the
         # canonically-LAST value (max order key), so the driver-side

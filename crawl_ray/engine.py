@@ -1058,18 +1058,57 @@ def _finalize_hot(shards, rnd: int, hot_metas: list[dict]) -> list:
     ]
 
 
+# footer reads per metadata task; also the serial/parallel cutover —
+# below it one round trip of task dispatch would cost more than the
+# footer reads themselves
+_META_BATCH = 256
+
+
+@ray.remote
+def _read_meta_batch(paths: list) -> list:
+    """Parquet footer scan for one batch of frontier parts: per file,
+    ``(num_rows, per-row-group row counts)``.  A big round's frontier
+    arrives as one small part per upstream fetch task — millions of
+    files at the 10^10 design point — so the footer pass must fan out
+    instead of running serially on the driver."""
+    out = []
+    for p in paths:
+        md = pq.read_metadata(p)
+        out.append(
+            (md.num_rows,
+             tuple(md.row_group(i).num_rows
+                   for i in range(md.num_row_groups)))
+        )
+    return out
+
+
 def _plan_canon_chunks(files: list[str], target_rows: int):
     """One metadata pass: total pending rows + the fused-task plan.
 
     A chunk is a tuple of ``(path, row_group_tuple)`` pairs holding
     ~``target_rows`` rows: large multi-row-group files SPLIT into
     several chunks, and many small files COALESCE into one — so the
-    task count is bounded by total rows / target, never by file count
-    (a big round's frontier arrives as one small part per upstream
-    fetch task, which at the 10^10 design point is millions of files).
+    task count is bounded by total rows / target, never by file count.
     A single row group larger than the target stays one task — part
     sizes are bounded by our own writers (``seed_part_rows``,
-    ``spill_max_part_rows``, per-task frontier parts)."""
+    ``spill_max_part_rows``, per-task frontier parts).  Above
+    ``_META_BATCH`` files the footer reads fan out as Ray tasks (the
+    driver keeps only the integer row counts: O(files) ints, not
+    O(files) serial I/O round trips)."""
+    if len(files) > _META_BATCH:
+        metas: list = []
+        for part in ray.get([
+            _read_meta_batch.remote(files[i:i + _META_BATCH])
+            for i in range(0, len(files), _META_BATCH)
+        ]):
+            metas.extend(part)
+    else:
+        metas = [
+            (md.num_rows,
+             tuple(md.row_group(i).num_rows
+                   for i in range(md.num_row_groups)))
+            for md in (pq.read_metadata(f) for f in files)
+        ]
     total = 0
     chunks: list[tuple[tuple[str, tuple[int, ...]], ...]] = []
     cur: list[tuple[str, list[int]]] = []
@@ -1081,11 +1120,9 @@ def _plan_canon_chunks(files: list[str], target_rows: int):
             chunks.append(tuple((p, tuple(r)) for p, r in cur))
             cur, cur_rows = [], 0
 
-    for f in files:
-        md = pq.read_metadata(f)
-        total += md.num_rows
-        for i in range(md.num_row_groups):
-            g = md.row_group(i).num_rows
+    for f, (n_rows, group_rows) in zip(files, metas):
+        total += n_rows
+        for i, g in enumerate(group_rows):
             if g == 0:
                 continue
             if cur and cur[-1][0] == f:

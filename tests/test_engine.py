@@ -705,6 +705,29 @@ def test_plan_canon_chunks_split_and_coalesce(tmp_path):
     assert sum(sizes) == total
 
 
+def test_plan_canon_chunks_parallel_meta_matches_serial(
+    ray_session, tmp_path, monkeypatch
+):
+    """Above _META_BATCH files the footer scan fans out as Ray tasks
+    (a big round's frontier is millions of one-part files at the
+    design point); the fanned-out plan must be IDENTICAL to the
+    serial one."""
+    import pyarrow.parquet as pq
+
+    import crawl_ray.engine as E
+
+    files = []
+    for i in range(30):
+        f = tmp_path / f"part-{i}.parquet"
+        pq.write_table(pa.table({"x": list(range(5 + i % 7))}), f)
+        files.append(str(f))
+
+    serial = E._plan_canon_chunks(files, target_rows=40)
+    monkeypatch.setattr(E, "_META_BATCH", 8)  # force the task fan-out
+    parallel = E._plan_canon_chunks(files, target_rows=40)
+    assert parallel == serial
+
+
 def test_multipart_seeds_equal_simulator(ray_session, tmp_path):
     """Seeds written in many round-0 frontier parts (seed_part_rows
     forced tiny) must crawl identically to the simulator — the fused

@@ -131,7 +131,12 @@ class AdmissionShard:
 
     def _screen(self, host: str, url_hashes: np.ndarray, paths):
         """dup/seen/robots screening (phase 1 of admission; tokenless).
-        Returns (codes, candidate row indices in canonical order)."""
+        Returns (codes, candidate row indices in canonical order).
+
+        ``paths`` may be a Python list OR an Arrow array slice — it is
+        materialized to Python strings only when the host actually has
+        robots prefixes, so hosts without robots rules (the vast
+        majority) never pay a per-row ``.as_py`` conversion."""
         n = len(url_hashes)
         out = np.full(n, DEFER, dtype=np.int8)
 
@@ -149,6 +154,8 @@ class AdmissionShard:
         # robots disallow prefixes
         prefixes = self.disallow.get(host)
         if prefixes:
+            if not isinstance(paths, list):
+                paths = paths.to_pylist()
             keep = []
             for i in candidates.tolist():
                 if any(paths[i].startswith(p) for p in prefixes):
@@ -201,46 +208,58 @@ class AdmissionShard:
             t, sort_keys=[("host", "ascending"), ("order_key", "ascending")]
         )
         t = t.take(idx)
-        hosts = t.column("host").to_pylist()
+        n = t.num_rows
+        # host-run detection stays vectorized: dictionary-encode the
+        # sorted host column and diff the integer codes — per-row
+        # Python (a full to_pylist + string-compare loop) would make
+        # this RPC O(rows) Python at a millions-row round budget.
+        # Per-host work below is O(distinct hosts) Python.
+        enc = pc.dictionary_encode(t.column("host")).combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        host_dict = enc.dictionary
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], n]
         hashes = t.column("url_hash").to_numpy(zero_copy_only=False)
-        paths = t.column("path").to_pylist()
-        n = len(hosts)
+        path_col = t.column("path")
         out = np.empty(n, dtype=np.int8)
         keep = np.ones(n, dtype=bool)
-        jar_cookies = [""] * n
+        jar_spans: list[tuple[int, int, str]] = []
         hot_meta: dict[str, dict] = {}
-        start = 0
-        for i in range(1, n + 1):
-            if i == n or hosts[i] != hosts[start]:
-                host = hosts[start]
-                if host in self.hot_hosts:
-                    run_hashes = np.ascontiguousarray(
-                        hashes[start:i], dtype=np.uint64
+        for s0, s1 in zip(starts.tolist(), ends.tolist()):
+            host = host_dict[int(codes[s0])].as_py()
+            if host in self.hot_hosts:
+                run_hashes = np.ascontiguousarray(
+                    hashes[s0:s1], dtype=np.uint64
+                )
+                h_codes, cand = self._screen(
+                    host, run_hashes, path_col.slice(s0, s1 - s0)
+                )
+                sub = t.slice(s0, s1 - s0)
+                self._pending_hot[(rnd, host)] = (sub, h_codes, cand)
+                # phase-1 meta is the candidate COUNT only — keys
+                # are pulled in phase 2 (hot_keys) and only for
+                # hosts whose token draw is below their candidate
+                # total, bounded by the draw k, never by burst
+                # (burst can be 1<<30; shipping burst-bounded key
+                # lists here would be candidate-sized)
+                hot_meta[host] = {"n": int(len(cand))}
+                keep[s0:s1] = False
+            else:
+                out[s0:s1] = self.admit(
+                    host, hashes[s0:s1], path_col.slice(s0, s1 - s0), rnd
+                )
+                jar = self.jar.get(host)
+                if jar:
+                    jar_spans.append(
+                        (s0, s1, json.dumps(jar, sort_keys=True))
                     )
-                    codes, cand = self._screen(host, run_hashes, paths[start:i])
-                    sub = t.slice(start, i - start)
-                    self._pending_hot[(rnd, host)] = (sub, codes, cand)
-                    # phase-1 meta is the candidate COUNT only — keys
-                    # are pulled in phase 2 (hot_keys) and only for
-                    # hosts whose token draw is below their candidate
-                    # total, bounded by the draw k, never by burst
-                    # (burst can be 1<<30; shipping burst-bounded key
-                    # lists here would be candidate-sized)
-                    hot_meta[host] = {"n": int(len(cand))}
-                    keep[start:i] = False
-                else:
-                    out[start:i] = self.admit(
-                        host, hashes[start:i], paths[start:i], rnd
-                    )
-                    jar = self.jar.get(host)
-                    if jar:
-                        enc = json.dumps(jar, sort_keys=True)
-                        jar_cookies[start:i] = [enc] * (i - start)
-                start = i
+        jar_cookies = np.full(n, "", dtype=object)
+        for s0, s1, enc_json in jar_spans:
+            jar_cookies[s0:s1] = enc_json
         if not keep.all():
             t = t.filter(pa.array(keep))
             out = out[keep]
-            jar_cookies = [jc for jc, k in zip(jar_cookies, keep) if k]
+            jar_cookies = jar_cookies[keep]
         t = t.append_column("admit", pa.array(out, pa.int8()))
         return t.append_column(
             "jar_cookies", pa.array(jar_cookies, pa.string())

@@ -1064,22 +1064,23 @@ def _finalize_hot(shards, rnd: int, hot_metas: list[dict]) -> list:
 _META_BATCH = 256
 
 
+def _file_meta(path: str) -> tuple[int, tuple[int, ...]]:
+    """One parquet footer read: ``(num_rows, per-row-group row counts)``
+    — the single definition both the serial and fanned-out planning
+    paths share (the plan-equality test depends on them agreeing)."""
+    md = pq.read_metadata(path)
+    return md.num_rows, tuple(
+        md.row_group(i).num_rows for i in range(md.num_row_groups)
+    )
+
+
 @ray.remote
 def _read_meta_batch(paths: list) -> list:
-    """Parquet footer scan for one batch of frontier parts: per file,
-    ``(num_rows, per-row-group row counts)``.  A big round's frontier
-    arrives as one small part per upstream fetch task — millions of
-    files at the 10^10 design point — so the footer pass must fan out
-    instead of running serially on the driver."""
-    out = []
-    for p in paths:
-        md = pq.read_metadata(p)
-        out.append(
-            (md.num_rows,
-             tuple(md.row_group(i).num_rows
-                   for i in range(md.num_row_groups)))
-        )
-    return out
+    """Parquet footer scan for one batch of frontier parts.  A big
+    round's frontier arrives as one small part per upstream fetch task
+    — millions of files at the 10^10 design point — so the footer pass
+    must fan out instead of running serially on the driver."""
+    return [_file_meta(p) for p in paths]
 
 
 def _plan_canon_chunks(files: list[str], target_rows: int):
@@ -1103,12 +1104,7 @@ def _plan_canon_chunks(files: list[str], target_rows: int):
         ]):
             metas.extend(part)
     else:
-        metas = [
-            (md.num_rows,
-             tuple(md.row_group(i).num_rows
-                   for i in range(md.num_row_groups)))
-            for md in (pq.read_metadata(f) for f in files)
-        ]
+        metas = [_file_meta(f) for f in files]
     total = 0
     chunks: list[tuple[tuple[str, tuple[int, ...]], ...]] = []
     cur: list[tuple[str, list[int]]] = []

@@ -105,7 +105,7 @@ class AdmissionShard:
         self,
         host: str,
         url_hashes: np.ndarray,
-        paths: list[str],
+        paths,  # list[str] | pa.Array slice (see _screen)
         rnd: int,
     ) -> np.ndarray:
         """Disposition per row, rows given in canonical order.

@@ -17,6 +17,10 @@ The contract is ONE knob:
   any MULTI-node run that needs a task-side store fails loudly at
   store-creation time (:func:`check_multinode_storage`) instead of
   scattering parts across hosts.
+* The attestation covers exactly the tree under the configured root.
+  A deployment whose engine workdir lives on a *different* shared
+  mount attests it via ``CRAWL_RAY_ATTESTED_ROOTS`` (colon-separated
+  extra roots).
 
 The root is resolved ON THE DRIVER and the absolute path is captured
 into task closures — workers never re-read the env var, so a cluster
@@ -64,19 +68,31 @@ def _root_is_configured() -> bool:
     return _override is not None or "CRAWL_RAY_STORE_ROOT" in os.environ
 
 
-def _under_configured_root(path: str | os.PathLike) -> bool:
-    """True iff ``path`` lives under the attested shared root.
+def _attested_roots() -> list[pathlib.Path]:
+    """Every directory tree the operator has attested as cluster-shared:
+    the configured store root plus any extra roots in
+    ``CRAWL_RAY_ATTESTED_ROOTS`` (colon-separated) — for deployments
+    whose engine workdir lives on a second shared mount distinct from
+    the store root."""
+    roots: list[pathlib.Path] = []
+    if _root_is_configured():
+        roots.append(store_root())
+    extra = os.environ.get("CRAWL_RAY_ATTESTED_ROOTS", "")
+    roots.extend(pathlib.Path(p) for p in extra.split(":") if p)
+    return roots
 
-    The attestation covers exactly the tree rooted at the configured
-    directory — an arbitrary path elsewhere (e.g. a user-supplied
+
+def _under_attested_root(path: str | os.PathLike) -> bool:
+    """True iff ``path`` lives under an attested shared root.
+
+    The attestation covers exactly the trees rooted at the configured
+    directories — an arbitrary path elsewhere (e.g. a user-supplied
     engine workdir on node-local ``/tmp``) is NOT made shared by an
     unrelated ``CRAWL_RAY_STORE_ROOT`` setting.
     """
-    if not _root_is_configured():
-        return False
     try:
-        root = store_root().resolve()
-        return pathlib.Path(path).resolve().is_relative_to(root)
+        p = pathlib.Path(path).resolve()
+        return any(p.is_relative_to(r.resolve()) for r in _attested_roots())
     except (OSError, ValueError):
         return False
 
@@ -90,21 +106,30 @@ def check_multinode_storage(what: str, path: str | os.PathLike) -> None:
     a multi-node cluster still fails loudly)."""
     import ray
 
-    if _under_configured_root(path):
+    if _under_attested_root(path):
         return
     try:
         alive = [n for n in ray.nodes() if n.get("Alive")]
     except Exception:  # Ray not initialised: single-process usage
         return
     if len(alive) > 1:
+        roots = ", ".join(str(r) for r in _attested_roots())
+        if roots:
+            hint = (
+                f"it is not under any attested shared root ({roots}); "
+                "place it under one, or attest its mount via "
+                "CRAWL_RAY_ATTESTED_ROOTS (colon-separated)"
+            )
+        else:
+            hint = (
+                "no shared root is configured; set CRAWL_RAY_STORE_ROOT "
+                "(or crawl_ray.storage.set_store_root) to a directory "
+                "on storage shared by every node"
+            )
         raise RuntimeError(
-            f"{what} writes task-side parts under "
-            f"{os.fspath(path)!r}, which is not under the attested "
-            f"shared root ({store_root()}); on a {len(alive)}-node "
-            "cluster set CRAWL_RAY_STORE_ROOT (or "
-            "crawl_ray.storage.set_store_root) to a directory on "
-            "storage shared by every node and place this path under "
-            "it — parts would otherwise scatter across hosts"
+            f"{what} writes task-side parts under {os.fspath(path)!r} "
+            f"on a {len(alive)}-node cluster, but {hint} — parts would "
+            "otherwise scatter across hosts"
         )
 
 

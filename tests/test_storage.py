@@ -37,7 +37,7 @@ def test_multinode_refuses_unconfigured_root(monkeypatch, ray_session):
     # but it covers exactly the tree under the root, nothing else
     ST.set_store_root("/mnt/shared/crawl")
     ST.check_multinode_storage("the test store", "/mnt/shared/crawl/x")
-    with pytest.raises(RuntimeError, match="not under the attested"):
+    with pytest.raises(RuntimeError, match="not under any attested"):
         ST.check_multinode_storage("the test store", "/tmp/unrelated_wd")
 
 
@@ -54,7 +54,7 @@ def test_engine_workdir_outside_attested_root_refused(
     monkeypatch.setattr(
         ray_mod, "nodes", lambda: [{"Alive": True}, {"Alive": True}]
     )
-    with pytest.raises(RuntimeError, match="not under the attested"):
+    with pytest.raises(RuntimeError, match="not under any attested"):
         ST.check_multinode_storage(
             "CrawlEngine.run workdir", "/tmp/some_local_wd"
         )
@@ -62,6 +62,22 @@ def test_engine_workdir_outside_attested_root_refused(
     ST.check_multinode_storage(
         "CrawlEngine.run workdir", str(tmp_path / "nfs" / "run1")
     )
+    # a second shared mount (workdir on a different NFS than the store
+    # root) is attestable via CRAWL_RAY_ATTESTED_ROOTS
+    monkeypatch.setenv(
+        "CRAWL_RAY_ATTESTED_ROOTS",
+        f"{tmp_path / 'other-nfs'}:{tmp_path / 'third'}",
+    )
+    ST.check_multinode_storage(
+        "CrawlEngine.run workdir", str(tmp_path / "other-nfs" / "run2")
+    )
+    ST.check_multinode_storage(
+        "CrawlEngine.run workdir", str(tmp_path / "third" / "x")
+    )
+    with pytest.raises(RuntimeError, match="not under any attested"):
+        ST.check_multinode_storage(
+            "CrawlEngine.run workdir", "/tmp/still_unattested"
+        )
 
 
 def test_minhash_store_lands_under_configured_root(

@@ -239,6 +239,17 @@ def test_distributed_path_equals_simulator(
         )
     )
     assert [(r, u) for r, _, u in rows] == sim_result.trace
+    # error streams are written task-side on this path (per-part files,
+    # never a driver concat) and must still equal the simulator's
+    errors = result.errors_table()
+    assert errors is not None
+    engine_errs = sorted(
+        zip(errors.column("error_kind").to_pylist(),
+            errors.column("url").to_pylist())
+    )
+    sim_errs = sorted((e["error_kind"], e["url"]) for e in sim_result.errors)
+    assert engine_errs == sim_errs
+    assert result.errors == len(sim_errs)  # the count-only accounting
 
 
 def test_resume_equals_uninterrupted(fixture_tables, ray_session, tmp_path_factory):

@@ -235,11 +235,11 @@ def _lang_counts_sql() -> tuple[str, str, str]:
     return score_cols, case, greatest
 
 
-def _jaccard_pairs_sql(k: int, thr_milli: int) -> str:
-    """Exact all-pairs k-token-shingle Jaccard ≥ threshold (the ground
-    truth the LSH candidates-then-verify pipeline must reproduce).
-    Same shingle definition as ``dedup._shingle_hashes``: distinct
-    k-token windows; whole-doc shingle when fewer than k tokens."""
+def _shingle_cte_sql(k: int) -> str:
+    """Shared shingle CTEs: per-doc DISTINCT k-token shingles (same
+    definition as ``dedup._shingle_hashes``; whole-doc shingle when
+    fewer than k tokens), their per-doc counts (``sz``), and the
+    exploded (doc_id, shingle) rows (``g``) for inverted joins."""
     return rf"""
         WITH t AS (
             SELECT doc_id,
@@ -254,42 +254,61 @@ def _jaccard_pairs_sql(k: int, thr_milli: int) -> str:
                             i -> array_to_string(toks[i:i+{k - 1}], ' ')))
                    END AS sh
             FROM t
+        ), sz AS (
+            SELECT doc_id, len(sh) AS n FROM s
+        ), g AS (
+            SELECT doc_id, unnest(sh) AS gr FROM s
+        )"""
+
+
+def _jaccard_pairs_sql(k: int, thr_milli: int) -> str:
+    """Exact all-pairs k-token-shingle Jaccard ≥ threshold (the ground
+    truth the LSH candidates-then-verify pipeline must reproduce).
+
+    Formulated as an INVERTED self-join on the exploded shingles
+    (intersections via one equi-join + GROUP BY; the union size is
+    |A| + |B| − |A∩B| since per-doc shingles are distinct) instead of
+    the doc×doc cross join with per-pair list ops — the cross join is
+    quadratic in documents and blew the 90 s oracle watchdog at sf0.1,
+    while this form is Σ df² over shingles (~2.8M rows there).  Pairs
+    with an empty intersection never materialize, which is exact for
+    every threshold ≥ 1 milli (all uses are ≥ 300)."""
+    return rf"""
+        {_shingle_cte_sql(k)}, inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   cast(count(*) as bigint) AS c
+            FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               cast(len(list_intersect(a.sh, b.sh)) * 1000
-                    // len(list_distinct(list_concat(a.sh, b.sh)))
-                    as bigint) AS jaccard_milli
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh)) * 1000
-              >= {thr_milli} * len(list_distinct(list_concat(a.sh, b.sh)))
+        SELECT doc_a, doc_b,
+               cast(i.c * 1000 // (na.n + nb.n - i.c) as bigint)
+                   AS jaccard_milli
+        FROM inter i
+        JOIN sz na ON na.doc_id = i.doc_a
+        JOIN sz nb ON nb.doc_id = i.doc_b
+        WHERE i.c * 1000 >= {thr_milli} * (na.n + nb.n - i.c)
         ORDER BY doc_a, doc_b
     """
 
 
 def _dedup_corpus_sql(k: int, thr_milli: int) -> str:
     """Ground truth for ``dedup.dedup_corpus``: exact all-pairs shingle
-    Jaccard (same definition as :func:`_jaccard_pairs_sql`) → recursive
-    min-label connected components → drop every non-min member →
-    surviving corpus rows ordered by doc_id."""
+    Jaccard (same inverted-join formulation as
+    :func:`_jaccard_pairs_sql`) → recursive min-label connected
+    components → drop every non-min member → surviving corpus rows
+    ordered by doc_id."""
     return rf"""
-        WITH t AS (
-            SELECT doc_id,
-                   regexp_split_to_array(trim(text), '\s+') AS toks
-            FROM documents
-        ), s AS (
-            SELECT doc_id,
-                   CASE WHEN len(toks) < {k}
-                        THEN [array_to_string(toks, ' ')]
-                        ELSE list_distinct(list_transform(
-                            range(1, len(toks) - {k - 2}),
-                            i -> array_to_string(toks[i:i+{k - 1}], ' ')))
-                   END AS sh
-            FROM t
+        {_shingle_cte_sql(k)}, inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   cast(count(*) as bigint) AS c
+            FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
         ), p AS (
-            SELECT a.doc_id AS va, b.doc_id AS vb
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh)) * 1000
-                  >= {thr_milli} * len(list_distinct(list_concat(a.sh, b.sh)))
+            SELECT i.doc_a AS va, i.doc_b AS vb
+            FROM inter i
+            JOIN sz na ON na.doc_id = i.doc_a
+            JOIN sz nb ON nb.doc_id = i.doc_b
+            WHERE i.c * 1000 >= {thr_milli} * (na.n + nb.n - i.c)
         ), edges AS (
             SELECT va AS src, vb AS dst FROM p
             UNION ALL SELECT vb, va FROM p
@@ -2591,31 +2610,27 @@ def oracle_sql() -> dict[str, str]:
             FROM g ORDER BY doc_id
         """,
         # fuzzy decontamination: best-Jaccard bench doc per contaminated
-        # corpus doc (threshold 0.3, ties → lowest bench_id)
-        "fuzzy_decontam": r"""
-            WITH t AS (
-                SELECT doc_id,
-                       regexp_split_to_array(trim(text), '\s+') AS toks
-                FROM documents
-            ), s AS (
-                SELECT doc_id,
-                       CASE WHEN len(toks) < 3
-                            THEN [array_to_string(toks, ' ')]
-                            ELSE list_distinct(list_transform(
-                                range(1, len(toks) - 1),
-                                i -> array_to_string(toks[i:i+2], ' ')))
-                       END AS sh
-                FROM t
-            ), bench AS (
-                SELECT * FROM s WHERE doc_id % 10 = 0
-            ), corp AS (
-                SELECT * FROM s WHERE doc_id % 10 != 0
+        # corpus doc (threshold 0.3, ties → lowest bench_id).  Inverted
+        # join on exploded shingles (see _jaccard_pairs_sql): exact for
+        # the ≥300 filter — every row that can win rn=1 AND pass the
+        # threshold has a non-empty intersection, so dropping
+        # zero-intersection candidates cannot change the winner.
+        "fuzzy_decontam": rf"""
+            {_shingle_cte_sql(3)}, bgr AS (
+                SELECT doc_id AS bench_id, gr FROM g WHERE doc_id % 10 = 0
+            ), cgr AS (
+                SELECT doc_id, gr FROM g WHERE doc_id % 10 != 0
+            ), inter AS (
+                SELECT c.doc_id, b.bench_id, cast(count(*) as bigint) AS c
+                FROM cgr c JOIN bgr b ON c.gr = b.gr
+                GROUP BY c.doc_id, b.bench_id
             ), j AS (
-                SELECT c.doc_id, b.doc_id AS bench_id,
-                       cast(len(list_intersect(c.sh, b.sh)) * 1000
-                            // len(list_distinct(list_concat(c.sh, b.sh)))
-                            as bigint) AS jaccard_milli
-                FROM corp c CROSS JOIN bench b
+                SELECT i.doc_id, i.bench_id,
+                       cast(i.c * 1000 // (na.n + nb.n - i.c) as bigint)
+                           AS jaccard_milli
+                FROM inter i
+                JOIN sz na ON na.doc_id = i.doc_id
+                JOIN sz nb ON nb.doc_id = i.bench_id
             )
             SELECT doc_id, bench_id, jaccard_milli FROM (
                 SELECT *, row_number() OVER (
@@ -2625,28 +2640,19 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 AND jaccard_milli >= 300
         """,
         # exact all-ORDERED-pairs containment |Sa∩Sb|/|Sa| ≥ 0.8 over
-        # the same shingle definition (prefix-filtered on the Ray side)
-        "containment_pairs": r"""
-            WITH t AS (
-                SELECT doc_id,
-                       regexp_split_to_array(trim(text), '\s+') AS toks
-                FROM documents
-            ), s AS (
-                SELECT doc_id,
-                       CASE WHEN len(toks) < 3
-                            THEN [array_to_string(toks, ' ')]
-                            ELSE list_distinct(list_transform(
-                                range(1, len(toks) - 1),
-                                i -> array_to_string(toks[i:i+2], ' ')))
-                       END AS sh
-                FROM t
+        # the same shingle definition (prefix-filtered on the Ray side);
+        # inverted-join formulation as in _jaccard_pairs_sql
+        "containment_pairs": rf"""
+            {_shingle_cte_sql(3)}, inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       cast(count(*) as bigint) AS c
+                FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id != b.doc_id
+                GROUP BY a.doc_id, b.doc_id
             )
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   cast(len(list_intersect(a.sh, b.sh)) * 1000
-                        // len(a.sh) as bigint) AS containment_milli
-            FROM s a JOIN s b ON a.doc_id != b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh)) * 1000
-                  >= 800 * len(a.sh)
+            SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+                   cast(i.c * 1000 // na.n as bigint) AS containment_milli
+            FROM inter i JOIN sz na ON na.doc_id = i.doc_a
+            WHERE i.c * 1000 >= 800 * na.n
         """,
         # simhash recomputed in SQL: md5 token hashes, per-bit majority
         # vote, big-endian nibble construction

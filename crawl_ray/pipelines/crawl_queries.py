@@ -360,7 +360,11 @@ def recrawl_schedule(
 
     parts = ray.data.read_parquet(
         f"{d}/pages.parquet", columns=["url", "warc_ts"]
-    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # count() below is then metadata-only — without
+    # this, the gate's count() would execute the lazy read+top-k plan
+    # once and the consumer below would re-execute it from scratch
 
     if force_distributed or parts.count() > RECRAWL_DRIVER_THRESHOLD:
         # frontier-scale host count: re-rank inside each host group
@@ -402,7 +406,6 @@ def web_corpus_prep(sf_dir: str, min_tokens: int = 20):
 
     from crawl_ray.pipelines.dedup import _default_band_partitions
     from crawl_ray.pipelines.stats import _splitmix64
-    import numpy as np
 
     P = _default_band_partitions()
 

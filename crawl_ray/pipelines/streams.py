@@ -67,7 +67,7 @@ def _np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
-def events_asof_join(sf_dir: str) -> pa.Table:
+def events_asof_join(sf_dir: str) -> ray.data.Dataset:
     """For every ``purchase`` event, the latest ``click`` by the same
     user at or before it (classic as-of join).  Tie-break on equal
     timestamps: highest ``event_id`` wins (both sides order by
@@ -634,7 +634,7 @@ def events_sliding_window(sf_dir: str) -> pa.Table:
     )
 
 
-def sessionize(sf_dir: str) -> pa.Table:
+def sessionize(sf_dir: str) -> ray.data.Dataset:
     """Gap-based sessionization: per user, a new session starts when
     the gap to the previous event exceeds 30 min.  Emits one row per
     session with count / span / value sum.
@@ -675,7 +675,9 @@ def sessionize(sf_dir: str) -> pa.Table:
     return out.sort(["user_id", "session_idx"])
 
 
-def sessionize_bucketed(sf_dir: str, bucket_us: int = 86_400_000_000) -> pa.Table:
+def sessionize_bucketed(
+    sf_dir: str, bucket_us: int = 86_400_000_000
+) -> ray.data.Dataset:
     """Hot-key-safe sessionization — the scale path for
     :func:`sessionize` (same output, same oracle).
 
@@ -1122,6 +1124,8 @@ def events_window_distinct(sf_dir: str, num_partitions: int = 32) -> pa.Table:
     (windows × P rows)."""
     from crawl_ray.util import collect_table
 
+    from crawl_ray.pipelines.stats import _splitmix64
+
     n_cover = WINDOW_SIZE_US // WINDOW_SLIDE_US
     P = num_partitions
     _M1 = np.uint64(0x9E3779B97F4A7C15)
@@ -1136,7 +1140,13 @@ def events_window_distinct(sf_dir: str, num_partitions: int = 32) -> pa.Table:
         users = np.repeat(user, n_cover)
         pairs = np.unique(np.stack([starts, users], axis=1), axis=0)
         with np.errstate(over="ignore"):
-            h = (
+            # window_start is a multiple of WINDOW_SLIDE_US (= 2^11·odd
+            # µs), so the raw product has 11+ known-zero low bits — the
+            # splitmix64 finalizer spreads the window component into the
+            # low bits `% P` reads; without it, power-of-two P degrades
+            # the partition key to user_id low bits (hot-partition risk
+            # for strided/sharded user ids)
+            h = _splitmix64(
                 pairs[:, 0].astype(np.uint64) * _M1
                 ^ pairs[:, 1].astype(np.uint64) * _M2
             )

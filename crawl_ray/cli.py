@@ -171,7 +171,13 @@ def _run_follow(engine, args, seeds, robots) -> None:
             # round's frontier; resume picks them up from there
             from crawl_ray.engine import CrawlEngine as _CE
 
-            committed = _CE._committed_round(wd)
+            # inject at the round resume will continue from: the last
+            # SNAPSHOT-complete commit + 1 (with checkpoint_interval > 1
+            # a later manifest-only round re-runs on resume, so parts
+            # injected past the snapshot would be wiped by its cleanup)
+            committed = _CE._resumable_round(
+                wd, engine.cfg.n_admission_shards
+            )
             nxt = 0 if committed is None else committed + 1
             dst = wd / f"round={nxt}" / "frontier"
             dst.mkdir(parents=True, exist_ok=True)

@@ -244,6 +244,37 @@ class CrawlEngine:
                 best = k if best is None else max(best, k)
         return best
 
+    @staticmethod
+    def _resumable_round(workdir: pathlib.Path, n_shards: int) -> int | None:
+        """Latest manifest-committed round whose state snapshot is
+        COMPLETE for this engine's shard count — the round
+        ``run(resume=True)`` restores from.  ``checkpoint_interval > 1``
+        leaves committed rounds WITHOUT state; those re-run
+        deterministically from the older snapshot instead of restoring
+        a seen-set that is missing their additions (or crashing on the
+        absent npz).  A snapshot written with a DIFFERENT shard count
+        is a hard error: seen entries are sharded ``fnv1a64(host) %
+        n_shards``, so restoring a subset would silently re-crawl —
+        the shard count is static across a crawl including resumes."""
+        best = None
+        for d in workdir.glob("round=*"):
+            if not (d / "manifest.json").exists():
+                continue
+            state = d / "state"
+            have = len(list(state.glob("shard_*.npz"))) if state.exists() else 0
+            if have == 0:
+                continue  # committed between checkpoints — re-runnable
+            if have != n_shards:
+                raise ValueError(
+                    f"{d / 'state'} holds {have} shard snapshot(s) but the "
+                    f"engine is configured with n_admission_shards="
+                    f"{n_shards} — the shard count must be static across "
+                    "a crawl, including resumes"
+                )
+            k = int(d.name.split("=")[1])
+            best = k if best is None else max(best, k)
+        return best
+
     def _snapshot(self, shards, round_dir: pathlib.Path) -> None:
         # each shard writes its own npz (seen-table state keyed by
         # backend: "table" for exact, "cuckoo_table"/"stash"/"count"
@@ -304,10 +335,12 @@ class CrawlEngine:
         check_multinode_storage("CrawlEngine.run workdir", workdir)
         wd = pathlib.Path(workdir)
         # a workdir seeded via the `seed` CLI (round-0 frontier present,
-        # no seeds table passed) is input, not stale state — keep it
+        # no seeds table passed) is input, not stale state — keep it.
+        # Also reached by resume=True when NO round ever committed
+        # (seeded but never run): start fresh from the seeds rather
+        # than refusing.
         pre_seeded = (
             seeds is None
-            and not resume
             and any((wd / "round=0" / "frontier").glob("*.parquet"))
         )
         if not resume and wd.exists() and not pre_seeded:
@@ -361,7 +394,7 @@ class CrawlEngine:
 
         start_round = 0
         if resume:
-            committed = self._committed_round(wd)
+            committed = self._resumable_round(wd, cfg.n_admission_shards)
             if committed is not None:
                 self._restore(shards, wd / f"round={committed}")
                 start_round = committed + 1

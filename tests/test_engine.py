@@ -905,3 +905,81 @@ def test_resume_after_shard_actor_death(fixture_tables, ray_session,
                           t_res.column("order_key").to_pylist()))
     assert full_rows == res_rows
     assert seen_res == seen_full
+
+
+def test_resume_with_sparse_checkpoints(
+    fixture_tables, ray_session, tmp_path_factory
+):
+    """checkpoint_interval > 1: a kill after a manifest-only commit (no
+    state snapshot for that round) must resume from the older
+    snapshot-complete round, deterministically re-run the gap, and
+    match the uninterrupted run — not restore a seen-set missing the
+    gap rounds' additions (or crash on the absent npz)."""
+    pages, seeds, robots, pages_path = fixture_tables
+
+    def make_engine(max_rounds, interval=1):
+        cfg = EngineConfig(
+            **{**CFG, "max_rounds": max_rounds},
+            n_admission_shards=2,
+            extract_concurrency=2,
+            checkpoint_interval=interval,
+        )
+        return CrawlEngine([flagship_spider], cfg)
+
+    wd_full = str(tmp_path_factory.mktemp("ckfull"))
+    e_full = make_engine(CFG["max_rounds"])
+    r_full = e_full.run(pages_path, seeds, robots, wd_full)
+    seen_full = set(e_full.dump_seen().tolist())
+    e_full.shutdown_shards()
+
+    # interval=3 → snapshots at rounds 0 and 3 only; "kill" after
+    # round 4 commits its manifest without a state snapshot
+    wd = pathlib.Path(str(tmp_path_factory.mktemp("ckpart")))
+    e_part = make_engine(4, interval=3)
+    e_part.run(pages_path, seeds, robots, str(wd))
+    e_part.shutdown_shards()
+    assert (wd / "round=4" / "manifest.json").exists()
+    assert not (wd / "round=4" / "state").exists()
+
+    e_res = make_engine(CFG["max_rounds"], interval=3)
+    r_res = e_res.run(pages_path, None, robots, str(wd), resume=True)
+    seen_res = set(e_res.dump_seen().tolist())
+    e_res.shutdown_shards()
+
+    for getter in ("trace_table", "records_table"):
+        t_full = getattr(r_full, getter)()
+        t_res = getattr(r_res, getter)()
+        cols = ["url"] + (
+            ["order_key"] if getter == "trace_table" else ["fields"]
+        )
+        full_rows = sorted(zip(*(t_full.column(c).to_pylist() for c in cols)))
+        res_rows = sorted(zip(*(t_res.column(c).to_pylist() for c in cols)))
+        assert full_rows == res_rows, getter
+    assert seen_res == seen_full
+
+
+def test_resume_shard_count_change_raises(
+    fixture_tables, ray_session, tmp_path_factory
+):
+    """The admission shard count is static across a crawl: seen entries
+    are sharded by fnv1a64(host) % n_shards, so resuming with a
+    different count would silently re-crawl.  Must fail loudly."""
+    pages, seeds, robots, pages_path = fixture_tables
+
+    def make_engine(n_shards):
+        cfg = EngineConfig(
+            **{**CFG, "max_rounds": 3},
+            n_admission_shards=n_shards,
+            extract_concurrency=2,
+        )
+        return CrawlEngine([flagship_spider], cfg)
+
+    wd = str(tmp_path_factory.mktemp("shardchg"))
+    e_part = make_engine(2)
+    e_part.run(pages_path, seeds, robots, wd)
+    e_part.shutdown_shards()
+
+    e_res = make_engine(3)
+    with pytest.raises(ValueError, match="n_admission_shards"):
+        e_res.run(pages_path, None, robots, wd, resume=True)
+    e_res.shutdown_shards()

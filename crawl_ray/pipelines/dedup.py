@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from crawl_ray.util import collect_table, list_col_to_matrix
+from crawl_ray.util import collect_table, round_half_away, list_col_to_matrix
 
 from crawl_ray.urlnorm import content_hash64_batch, fnv1a64_batch
 
@@ -163,6 +163,22 @@ def exact_dedup(
 # -- MinHash / LSH ---------------------------------------------------------
 
 
+def _table_fingerprint(path: str) -> str:
+    """Cheap parquet-footer fingerprint (rows + byte sizes) for store
+    cache tokens: regenerating a corpus file in place then re-running
+    an operator must MISS the task-side store cache — a stale store
+    would union old and new part files into silently wrong shingle /
+    unit sets (and the per-worker bucket-map caches are keyed by store
+    root, so a changed root is also what invalidates them)."""
+    import pyarrow.parquet as pq_
+
+    md = pq_.read_metadata(path)
+    total = sum(
+        md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+    )
+    return f"{md.num_rows}:{md.serialized_size}:{total}"
+
+
 def _minhash_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
     """xor-multiply family h_i(x) = (x ^ b_i) * a_i in wrapping uint64
     (a_i odd ⇒ the multiply is a bijection on Z/2^64) — fully
@@ -192,7 +208,9 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     once (FNV-1a), then combine each window of k token-hashes with a
     polynomial mix — identical token sequences map to identical shingle
     hashes, with no per-shingle string joins."""
-    toks = text.split()
+    # null text ≡ empty text — the documents-table contract the hash
+    # kernels (_dedup_group_starts) already honor
+    toks = text.split() if text else []
     if not toks:
         return np.zeros(1, dtype=np.uint64)
     th = fnv1a64_batch(toks)
@@ -229,7 +247,7 @@ def _shingle_windows_flat(texts: list, k: int):
     once.  Duplicate shingles are kept (the per-permutation min is
     unchanged by duplicates, so signatures match the unique'd per-doc
     path bit-for-bit)."""
-    toks_per_doc = [t.split() for t in texts]
+    toks_per_doc = [t.split() if t else [] for t in texts]  # null ≡ empty
     lens = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
     all_toks = [tok for ts in toks_per_doc for tok in ts]
     th = (
@@ -454,7 +472,7 @@ def _verify_cos_pairs_batch(
     ua = np.stack([units[x] for x in a.tolist()])
     ub = np.stack([units[x] for x in b.tolist()])
     cos = np.einsum("ij,ij->i", ua, ub)
-    milli = (np.sign(cos) * np.floor(np.abs(cos) * 1000 + 0.5)).astype(np.int64)
+    milli = round_half_away(cos * 1000).astype(np.int64)
     keep = milli >= thr_milli
     return pa.table(
         {
@@ -611,6 +629,14 @@ def minhash_lsh_pairs_ds(
     verified output equals the exact-Jaccard oracle on corpora whose
     near-dups sit well above the threshold (the driver fixture's do).
     """
+    if bands <= 0 or n_perm % bands:
+        # silent truncation would band only n_perm - n_perm % bands
+        # permutations (recall formula no longer holds); bands > n_perm
+        # would make every band hash the constant seed — all docs in one
+        # bucket per band, a corpus-sized candidate explosion
+        raise ValueError(
+            f"n_perm={n_perm} must be a positive multiple of bands={bands}"
+        )
     rows_per_band = n_perm // bands
     sigs = minhash_signatures(sf_dir, n_perm=n_perm, k=k)
     from crawl_ray.pipelines.stats import _splitmix64
@@ -752,8 +778,12 @@ def minhash_lsh_pairs_ds(
     import hashlib
 
     n_buckets = 8
+    # bucket_cap changes the candidate set (and so the needed-id set the
+    # store holds); the fingerprint invalidates on corpus regeneration
     token = hashlib.blake2b(
-        f"{sf_dir}:{n_perm}:{k}:{bands}".encode(), digest_size=8
+        f"{sf_dir}:{n_perm}:{k}:{bands}:{bucket_cap}:"
+        f"{_table_fingerprint(f'{sf_dir}/documents.parquet')}".encode(),
+        digest_size=8,
     ).hexdigest()
     from crawl_ray.storage import ensure_store_dir
 
@@ -887,7 +917,7 @@ def simhash_64(sf_dir: str):
         out = []
         md5 = hashlib.md5
         for text in texts:
-            toks = text.split()
+            toks = text.split() if text else []  # null ≡ empty
             if not toks:
                 out.append("0" * 16)
                 continue
@@ -1136,7 +1166,7 @@ def embedding_near_dup_exact(sf_dir: str, threshold_milli: int = 450):
         bn = np.linalg.norm(bmat, axis=1)
         bn[bn == 0] = 1.0
         cos = (bmat / bn[:, None]) @ unit_f.T
-        milli = (np.sign(cos) * np.floor(np.abs(cos) * 1000 + 0.5)).astype(np.int64)
+        milli = round_half_away(cos * 1000).astype(np.int64)
         keep = (milli >= threshold_milli) & (bids[:, None] < ids_f[None, :])
         bi, fj = np.nonzero(keep)
         return pa.table(
@@ -1245,9 +1275,7 @@ def embedding_near_dup_ds(
             for lo in range(0, len(ids), 2048):
                 hi = lo + 2048
                 cos = unit[lo:hi] @ unit.T
-                milli = (
-                    np.sign(cos) * np.floor(np.abs(cos) * 1000 + 0.5)
-                ).astype(np.int64)
+                milli = round_half_away(cos * 1000).astype(np.int64)
                 keep = (milli >= threshold_milli) & (
                     ids[lo:hi, None] < ids[None, :]
                 )
@@ -1416,7 +1444,8 @@ def embedding_near_dup_ds(
 
     n_buckets = 8
     token = hashlib.blake2b(
-        f"{sf_dir}:{threshold_milli}:{n_bits}:{n_tables}:units".encode(),
+        f"{sf_dir}:{threshold_milli}:{n_bits}:{n_tables}:{bucket_cap}:units:"
+        f"{_table_fingerprint(f'{sf_dir}/embeddings.parquet')}".encode(),
         digest_size=8,
     ).hexdigest()
     from crawl_ray.storage import ensure_store_dir
@@ -1934,12 +1963,27 @@ def containment_pairs(
             return _empty_pairs2
         pseg = seg_of[probe_pos]
         out_a, out_b = [], []
-        # chunk probe rows so cartesian memory stays bounded
-        for s in range(0, len(probe_pos), probe_chunk):
-            pp = probe_pos[s : s + probe_chunk]
-            ps = pseg[s : s + probe_chunk]
-            counts = lens[ps]
+        # chunk by EMITTED-pair volume, not probe-row count: degenerate
+        # grams (df ≈ corpus size on a near-dup-heavy corpus — the
+        # exact input this operator targets) would make a row-count
+        # chunk materialize probe_rows × df pairs at once.  Boundaries
+        # bound cumsum(counts) per chunk; a single over-budget probe
+        # row forms its own chunk (its posting list is bounded by the
+        # hash partition).
+        counts_all = lens[pseg].astype(np.int64)
+        cum = np.cumsum(counts_all)
+        pair_budget = np.int64(1 << 22)
+        n_probe = len(probe_pos)
+        s = 0
+        while s < n_probe:
+            base = cum[s - 1] if s else np.int64(0)
+            e = int(np.searchsorted(cum, base + pair_budget, side="right"))
+            e = min(max(e, s + 1), s + probe_chunk, n_probe)
+            pp = probe_pos[s:e]
+            ps = pseg[s:e]
+            counts = counts_all[s:e]
             tot = int(counts.sum())
+            s = e
             if not tot:
                 continue
             pa_doc = np.repeat(d[pp], counts)
@@ -2018,7 +2062,9 @@ def containment_pairs(
 
     n_buckets = 8
     token = hashlib.blake2b(
-        f"containment_v2:{sf_dir}:{t_milli}:{k}".encode(), digest_size=8
+        f"containment_v2:{sf_dir}:{t_milli}:{k}:"
+        f"{_table_fingerprint(f'{sf_dir}/documents.parquet')}".encode(),
+        digest_size=8,
     ).hexdigest()
     from crawl_ray.storage import ensure_store_dir
 
@@ -2086,13 +2132,25 @@ def dedup_corpus(sf_dir: str, threshold_milli: int = 500, num_partitions: int | 
         # propagation labels -> per-block filter -> the anti-join's
         # build side.  At web scale the drop set is corpus-sized; the
         # driver never holds it.
-        drop_ds = _cc_label_propagation_ds(
-            pairs_ds, "doc_a", "doc_b"
-        ).map_batches(
-            lambda b: b.filter(
-                pc.not_equal(b.column("node"), b.column("label"))
-            ).select(["node"]).rename_columns(["drop_id"]),
-            batch_format="pyarrow",
+        from crawl_ray.pipelines.joins import _default_partitions as _dp
+        from crawl_ray.util import normalize_schema
+
+        # normalize_schema before the anti-join below: the propagation
+        # chain's groupby stages emit ZERO-COLUMN blocks for empty hash
+        # partitions and Ray short-circuits empty blocks past the
+        # lambda — the aggregator's Arrow join dies on them (same guard
+        # as knn_graph_stats / threshold_graph_stats)
+        drop_ds = normalize_schema(
+            _cc_label_propagation_ds(
+                pairs_ds, "doc_a", "doc_b"
+            ).map_batches(
+                lambda b: b.filter(
+                    pc.not_equal(b.column("node"), b.column("label"))
+                ).select(["node"]).rename_columns(["drop_id"]),
+                batch_format="pyarrow",
+            ),
+            {"drop_id": pa.int64()},
+            coalesce=num_partitions or _dp(),
         ).materialize()
         n_drop = drop_ds.count()
     else:

@@ -22,9 +22,7 @@ from crawl_ray.util import collect_table, list_col_to_matrix
 from crawl_ray.urlnorm import fnv1a64_batch
 
 
-def _round_half_away(x: np.ndarray) -> np.ndarray:
-    """DuckDB-compatible rounding (numpy's round is half-to-even)."""
-    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+from crawl_ray.util import round_half_away as _round_half_away  # noqa: E402
 
 
 # wedge-enumeration chunk for the threshold_graph_stats driver fast
@@ -50,6 +48,10 @@ def query_vector(sf_dir: str, query_id: int = 0) -> np.ndarray:
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     idx = pc_.index(t.column("vec_id"), pa.scalar(query_id, t.column("vec_id").type)).as_py()
+    if idx < 0:
+        # pc.index returns -1 on a miss; without this guard the
+        # negative index silently wraps to the LAST row's embedding
+        raise KeyError(f"vec_id {query_id} not found in {sf_dir}/embeddings.parquet")
     return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
 
 
@@ -113,10 +115,17 @@ def build_ivf_index(sf_dir: str, n_lists: int = 16) -> str:
     100 TB this runs once as its own job, like the page-store
     bucketing."""
     import hashlib
-    import pathlib
+    import shutil
 
+    import pyarrow.parquet as pq_meta
+
+    # token includes a corpus fingerprint (rows + on-disk byte size) so
+    # regenerating embeddings.parquet in place invalidates the cache
+    # instead of _SUCCESS silently serving the old corpus
+    md = pq_meta.read_metadata(f"{sf_dir}/embeddings.parquet")
+    fp = f"{md.num_rows}:{md.serialized_size}:{sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))}"
     token = hashlib.blake2b(
-        f"{sf_dir}:{n_lists}".encode(), digest_size=8
+        f"{sf_dir}:{n_lists}:{fp}".encode(), digest_size=8
     ).hexdigest()
     from crawl_ray.storage import check_multinode_storage, store_root
 
@@ -124,6 +133,11 @@ def build_ivf_index(sf_dir: str, n_lists: int = 16) -> str:
     if (root / "_SUCCESS").exists():
         return str(root)
     check_multinode_storage("the IVF index store", root)
+    if root.exists():
+        # an interrupted build leaves stale list parts whose names can
+        # differ on the retry (block boundaries depend on CPU count) —
+        # duplicated vectors would evict true neighbors from the top-k
+        shutil.rmtree(root)
     root.mkdir(parents=True, exist_ok=True)
 
     ds = _emb(sf_dir)
@@ -541,7 +555,10 @@ def knn_batch(sf_dir: str, k: int = 5, n_queries: int = 8) -> pa.Table:
     qs, ids, sims = qs[o], ids[o], sims[o]
     seg = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
     rnk = np.arange(len(qs)) - np.repeat(seg, np.diff(np.r_[seg, len(qs)])) + 1
-    keep = rnk <= k
+    # a query with fewer than k real neighbors (corpus ≤ k rows) keeps
+    # its masked self-hit (-inf) through the per-batch cut; -inf sorts
+    # last in its segment so dropping it leaves ranks contiguous
+    keep = (rnk <= k) & np.isfinite(sims)
     return pa.table(
         {"query_id": pa.array(qs[keep], pa.int64()),
          "rank": pa.array(rnk[keep].astype(np.int64), pa.int64()),
@@ -667,7 +684,7 @@ def knn_graph_stats(sf_dir: str, k: int = 10):
                              "v": pa.array([], pa.int64())})
         bmat = _unit(list_col_to_matrix(batch.column("embedding")).astype(np.float64))
         cos = bmat @ unit_f.T
-        milli = (np.sign(cos) * np.floor(np.abs(cos) * 1000 + 0.5)).astype(np.int64)
+        milli = _round_half_away(cos * 1000).astype(np.int64)
         ncol = len(ids_f)
         # composite rank key: higher milli first, then neighbor id asc
         # (column order IS id order — broadcast matrix sorted by id)
@@ -759,7 +776,15 @@ def threshold_graph_stats(sf_dir: str, threshold_milli: int = 450):
         pairs = collect_table(pairs_ds)
         ua = pairs.column("vec_a").to_numpy(zero_copy_only=False).astype(np.int64)
         va = pairs.column("vec_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        n_nodes = len(np.unique(np.concatenate([ua, va])))
+        # dense-relabel node ids before the ua*base+va edge encodings:
+        # raw vec_ids above ~3e9 would overflow int64 in the products
+        # (silent numpy wraparound → corrupt triangle counts); after
+        # relabeling base ≤ n_nodes ≤ 2·edges ≤ 1e6, so products stay
+        # ≤ ~1e12.  Only counts leave this path, never ids.
+        nodes = np.unique(np.concatenate([ua, va]))
+        n_nodes = len(nodes)
+        ua = np.searchsorted(nodes, ua)
+        va = np.searchsorted(nodes, va)
         order = np.lexsort((ua, va))  # group incoming by middle v
         mid_in, a_in = va[order], ua[order]
         order2 = np.lexsort((va, ua))  # group outgoing by middle u
@@ -832,11 +857,22 @@ def threshold_graph_stats(sf_dir: str, threshold_milli: int = 450):
             )
         return pa.table({"u": b.column("vec_a"), "v": b.column("vec_b")})
 
+    from crawl_ray.util import normalize_schema
+
+    i64 = pa.int64()
+    num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
     if pairs is not None:
         edges = ray.data.from_arrow(_rename(pairs)).materialize()
     else:
-        edges = pairs_ds.map_batches(
-            _rename, batch_format="pyarrow", zero_copy_batch=True
+        # normalize_schema, not a bare map_batches rename: the pair
+        # Dataset's upstream groupby stages emit ZERO-COLUMN blocks for
+        # empty hash partitions and Ray short-circuits empty blocks
+        # past the UDF — the joins below would die in the aggregator's
+        # Arrow join (same guard as knn_graph_stats above)
+        edges = normalize_schema(
+            pairs_ds, {"u": i64, "v": i64},
+            rename={"vec_a": "u", "vec_b": "v"},
+            coalesce=num_partitions,
         ).materialize()
         # node count: per-block unique in tasks, node-sized driver union
         node_parts = [
@@ -848,16 +884,14 @@ def threshold_graph_stats(sf_dir: str, threshold_milli: int = 450):
         n_nodes = (
             len(np.unique(np.concatenate(node_parts))) if node_parts else 0
         )
-    num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
-    e2 = edges.map_batches(
-        lambda b: pa.table({"u2": b.column("u"), "v2": b.column("v")}),
-        batch_format="pyarrow", zero_copy_batch=True,
+    e2 = normalize_schema(
+        edges, {"u2": i64, "v2": i64}, rename={"u": "u2", "v": "v2"},
+        coalesce=num_partitions,
     )
-    wedges = edges.join(
-        e2, "inner", num_partitions, on=("v",), right_on=("u2",)
-    ).map_batches(
-        lambda b: pa.table({"a": b.column("u"), "c": b.column("v2")}),
-        batch_format="pyarrow", zero_copy_batch=True,
+    wedges = normalize_schema(
+        edges.join(e2, "inner", num_partitions, on=("v",), right_on=("u2",)),
+        {"a": i64, "c": i64}, rename={"u": "a", "v2": "c"},
+        coalesce=num_partitions,
     ).materialize()
     n_wedges = wedges.count()
     if n_wedges:

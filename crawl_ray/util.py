@@ -8,8 +8,17 @@ import ray
 
 __all__ = [
     "collect_table", "normalize_schema", "rename_select",
-    "list_col_to_matrix",
+    "list_col_to_matrix", "round_half_away",
 ]
+
+
+def round_half_away(x):
+    """DuckDB-compatible rounding (numpy's ``round`` is half-to-even) —
+    the ONE definition of the oracle-parity milli quantization; callers
+    do ``round_half_away(cos * 1000).astype(np.int64)``."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
 
 def rename_select(t: pa.Table, cols: dict[str, str]) -> pa.Table:

@@ -526,3 +526,51 @@ def test_dedup_corpus_distributed_branch_matches_driver(
     dist = DD.dedup_corpus(sf).to_pandas()
     assert len(fast) > 0
     assert fast.reset_index(drop=True).equals(dist.reset_index(drop=True))
+
+
+@pytest.fixture(scope="module")
+def null_text_dir(tmp_path_factory):
+    """Corpus with null, empty, and real texts: null ≡ empty is the
+    documents-table contract (the exact-dedup hash kernels honor it;
+    the shingle/simhash kernels must not crash on it)."""
+    d = tmp_path_factory.mktemp("nulltext")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [_base_text(0), None, "", _base_text(0), None],
+                pa.string(),
+            ),
+        }),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_minhash_survives_null_text(null_text_dir, ray_session):
+    pairs = DD.minhash_lsh_pairs(null_text_dir, threshold=0.5)
+    got = set(zip(pairs.column("doc_a").to_pylist(),
+                  pairs.column("doc_b").to_pylist()))
+    assert (0, 3) in got  # the real duplicate pair still found
+
+
+def test_simhash_survives_null_text(null_text_dir, ray_session):
+    t = DD.simhash_64(null_text_dir).to_pandas()
+    hx = dict(zip(t["doc_id"], t["simhash_hex"]))
+    # null and empty text share the all-zero simhash; real dups match
+    assert hx[1] == hx[2] == hx[4] == "0" * 16
+    assert hx[0] == hx[3] != "0" * 16
+
+
+def test_containment_survives_null_text(null_text_dir, ray_session):
+    t = DD.containment_pairs(null_text_dir, t_milli=800)
+    got = set(zip(t.column("doc_a").to_pylist(),
+                  t.column("doc_b").to_pylist()))
+    assert (0, 3) in got and (3, 0) in got
+
+
+def test_minhash_rejects_bad_band_config(corpus_dir, ray_session):
+    with pytest.raises(ValueError, match="multiple of bands"):
+        DD.minhash_lsh_pairs(corpus_dir, n_perm=24, bands=16)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        DD.minhash_lsh_pairs(corpus_dir, n_perm=8, bands=16)

@@ -90,3 +90,32 @@ def test_kmeans_matches_serial_reference(ray_session, tmp_path):
     got = kmeans_embeddings(str(d), k=k, iterations=iters).to_pandas()
     assert (got.cluster.to_numpy() == a).all()
     assert (got.dist_q.to_numpy() == dist).all()
+
+
+def test_query_vector_missing_id_raises(tiny_emb_dir, ray_session):
+    """pc.index returns -1 on a miss; without the guard the negative
+    index silently wraps to the LAST row's embedding — a plausible
+    top-k for the wrong query."""
+    from crawl_ray.pipelines.similarity import query_vector
+
+    assert query_vector(tiny_emb_dir, 0)[0] == 0.0
+    with pytest.raises(KeyError, match="999"):
+        query_vector(tiny_emb_dir, 999)
+
+
+def test_knn_batch_small_corpus_drops_self_hits(tiny_emb_dir, ray_session):
+    """Corpus (5 rows) smaller than k+1: the -inf-masked self row used
+    to survive the per-batch cut and int64-cast to garbage cos_milli."""
+    from crawl_ray.pipelines.similarity import knn_batch
+
+    t = knn_batch(tiny_emb_dir, k=8, n_queries=3)
+    qs = t.column("query_id").to_pylist()
+    vs = t.column("vec_id").to_pylist()
+    cm = t.column("cos_milli").to_pylist()
+    assert all(q != v for q, v in zip(qs, vs)), "self-hit leaked"
+    assert all(-1000 <= c <= 1000 for c in cm), "non-cosine milli value"
+    # each query pairs with every OTHER vector exactly once
+    for q in set(qs):
+        assert sorted(v for qq, v in zip(qs, vs) if qq == q) == sorted(
+            set(range(5)) - {q}
+        )

@@ -97,10 +97,12 @@ def events_value_quantiles(sf_dir: str) -> pa.Table:
     )
 
 
-def value_quantiles_per_type(sf_dir: str) -> pa.Table:
-    """Exact grouped quantiles (p50 / p95 of ``value`` per event_type)
-    via the same shuffle-free histogram: key space is (types × cents
-    domain) — still bounded by the value domain, not the row count."""
+def _type_cents_hist(sf_dir: str):
+    """ONE shuffle-free (event_type, cents) → count histogram combine,
+    bounded by types × cents domain — shared by the grouped quantile /
+    MAD / outlier family so the histogram definition cannot drift
+    between the statistic and its monitors.  Returns (types, cents,
+    counts) driver arrays."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def hist(batch: pa.Table) -> pa.Table:
@@ -119,25 +121,31 @@ def value_quantiles_per_type(sf_dir: str) -> pa.Table:
     partials = collect_table(
         ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
     )
-    combined = partials.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+    combined = partials.group_by(["event_type", "cents"]).aggregate(
+        [("n", "sum")]
+    )
     types = np.array(combined.column("event_type").to_pylist(), dtype=object)
-    cents = combined.column("cents").to_numpy()
-    counts = combined.column("n_sum").to_numpy()
+    cents = combined.column("cents").to_numpy(zero_copy_only=False)
+    counts = combined.column("n_sum").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    return types, cents, counts
+
+
+def value_quantiles_per_type(sf_dir: str) -> pa.Table:
+    """Exact grouped quantiles (p50 / p95 of ``value`` per event_type)
+    via the same shuffle-free histogram: key space is (types × cents
+    domain) — still bounded by the value domain, not the row count."""
+    types, cents, counts = _type_cents_hist(sf_dir)
 
     out_type, out_q, out_v = [], [], []
     for t in sorted(set(types)):
         mask = types == t
-        c, n_arr = cents[mask], counts[mask]
-        order = np.argsort(c)
-        c, n_arr = c[order], n_arr[order]
-        cum = np.cumsum(n_arr)
-        n = int(cum[-1])
-        for pct in (50, 95):
-            rank = max(-(-pct * n // 100) - 1, 0)
-            idx = int(np.searchsorted(cum, rank + 1))
+        for pct, v in zip((50, 95), _weighted_rank_quantiles(
+                cents[mask], counts[mask], (50, 95))):
             out_type.append(str(t))
             out_q.append(f"p{pct}")
-            out_v.append(int(c[idx]))
+            out_v.append(int(v))
     return pa.table(
         {
             "event_type": pa.array(out_type, pa.string()),
@@ -424,6 +432,24 @@ def events_cube(sf_dir: str) -> pa.Table:
 RETENTION_SPLIT_US = 1705363200000000  # 2024-01-16T00:00:00Z — mid-month split
 
 
+def _user_half_pairs(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct (user, half-of-month) pairs — the ONE
+    retention/churn encoding (half = ts ≥ RETENTION_SPLIT_US,
+    bit-packed so one np.unique dedups the pair): retained_users and
+    churned_users must partition the first-half-active users, so they
+    share this exactly."""
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    half = (us >= RETENTION_SPLIT_US).astype(np.int64)
+    uk = np.unique(uid * 2 + half)
+    return pa.table(
+        {"user_id": pa.array(uk >> 1, pa.int64()),
+         "half": pa.array(uk & 1, pa.int64())}
+    )
+
+
 def retained_users(sf_dir: str) -> pa.Table:
     """Set INTERSECTION at user grain (retention: users active in BOTH
     the first and second half of the month) — the ``INTERSECT`` shape.
@@ -432,20 +458,8 @@ def retained_users(sf_dir: str) -> pa.Table:
     pairs; a user survives when both halves are present."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        half = (us >= RETENTION_SPLIT_US).astype(np.int64)
-        uk = np.unique(uid * 2 + half)
-        return pa.table(
-            {"user_id": pa.array(uk >> 1, pa.int64()),
-             "half": pa.array(uk & 1, pa.int64())}
-        )
-
     both = (
-        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(_user_half_pairs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["user_id", "half"])
         .count()
         .groupby("user_id")
@@ -472,20 +486,8 @@ def churned_users(sf_dir: str) -> pa.Table:
     half is present and it is the first."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        half = (us >= RETENTION_SPLIT_US).astype(np.int64)
-        uk = np.unique(uid * 2 + half)
-        return pa.table(
-            {"user_id": pa.array(uk >> 1, pa.int64()),
-             "half": pa.array(uk & 1, pa.int64())}
-        )
-
     agg = (
-        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(_user_half_pairs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["user_id", "half"])
         .count()
     )
@@ -794,40 +796,11 @@ def events_mad(sf_dir: str) -> pa.Table:
     median (|c − med| with summed counts), so the second quantile
     costs no second corpus pass.  Rank convention ≡ DuckDB
     ``quantile_disc`` throughout."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def hist(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "event_type": batch.column("event_type"),
-                "cents": _cents(batch.column("value")),
-                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
-            }
-        )
-        out = t.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
-        return rename_select(
-            out, {"event_type": "event_type", "cents": "cents", "n_sum": "n"}
-        )
-
-    partials = collect_table(
-        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    combined = partials.group_by(["event_type", "cents"]).aggregate(
-        [("n", "sum")]
-    )
-    types = np.array(combined.column("event_type").to_pylist(), dtype=object)
-    cents = combined.column("cents").to_numpy(zero_copy_only=False)
-    counts = combined.column("n_sum").to_numpy(zero_copy_only=False).astype(
-        np.int64
-    )
+    types, cents, counts = _type_cents_hist(sf_dir)
 
     def disc_median(c: np.ndarray, n_arr: np.ndarray) -> int:
-        order = np.argsort(c)
-        c, n_arr = c[order], n_arr[order]
-        cum = np.cumsum(n_arr)
-        n = int(cum[-1])
-        rank = max(-(-50 * n // 100) - 1, 0)
-        return int(c[int(np.searchsorted(cum, rank + 1))])
+        # the shared quantile_disc rank convention, weights = counts
+        return int(_weighted_rank_quantiles(c, n_arr, (50,))[0])
 
     out_t, out_med, out_mad = [], [], []
     for t in sorted(set(types)):
@@ -860,28 +833,7 @@ def events_outliers(sf_dir: str) -> pa.Table:
     the predicate both cost one histogram pass; the driver arithmetic
     is Python bigints (the squares exceed int64 — DuckDB mirrors with
     hugeint)."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def hist(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "event_type": batch.column("event_type"),
-                "cents": _cents(batch.column("value")),
-                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
-            }
-        )
-        out = t.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
-        return rename_select(
-            out, {"event_type": "event_type", "cents": "cents", "n_sum": "n"}
-        )
-
-    partials = collect_table(
-        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    combined = partials.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
-    types = np.array(combined.column("event_type").to_pylist(), dtype=object)
-    cents = combined.column("cents").to_numpy()
-    counts = combined.column("n_sum").to_numpy()
+    types, cents, counts = _type_cents_hist(sf_dir)
 
     out_t, out_o, out_n = [], [], []
     for t in sorted(set(types)):
@@ -1004,7 +956,6 @@ def cohort_retention(sf_dir: str, num_partitions: int = 32) -> pa.Table:
     exactly (users are partition-disjoint); the (cohort, offset) cell
     partials are bounded by weeks² → driver combine.  All integer
     (epoch µs // week)."""
-    from crawl_ray.pipelines.stats import _splitmix64
 
     P = num_partitions
     WEEK = 7 * 86_400_000_000
@@ -1092,7 +1043,6 @@ def rfm_segments(sf_dir: str, num_partitions: int = 32) -> pa.Table:
     final labeling is a second cheap pass over the per-user triples
     with broadcast thresholds — nothing user-sized ever lands on the
     driver except the 8-row result."""
-    from crawl_ray.pipelines.stats import _splitmix64
 
     P = num_partitions
     DAY = 86_400_000_000

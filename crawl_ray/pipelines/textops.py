@@ -17,6 +17,53 @@ import ray.data
 
 from crawl_ray.util import collect_table, rename_select
 
+
+def _tdiv(a: int, b: int) -> int:
+    """DuckDB-semantics integer division (truncate toward zero) over
+    Python bigints — the one shared definition for the regression /
+    Zipf-fit oracle parity paths."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _topv_by_count(ds, key_col: str, cnt_col: str, top_v: int,
+                   extra_cols: tuple[str, ...] = ()):
+    """Bounded-vocab truncation with the shared (count desc, key asc)
+    tie-break: per-block local top-``top_v`` (map_batches) then the
+    identical driver merge.  The cut boundary is ORACLE-VISIBLE — every
+    LM/vocab operator must truncate exactly where its SQL oracle does,
+    so there is ONE definition.  Returns ``(keys, counts, *extras)``
+    numpy arrays; ``extra_cols`` ride along through both cuts."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        cnt = batch.column(cnt_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        order = np.lexsort((keys, -cnt))[:top_v]
+        cols = {"key": pa.array(keys[order], pa.string()),
+                "cnt": pa.array(cnt[order], pa.int64())}
+        for c in extra_cols:
+            e = batch.column(c).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            cols[c] = pa.array(e[order], pa.int64())
+        return pa.table(cols)
+
+    t = collect_table(
+        ds.map_batches(local_topk, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    keys = t.column("key").to_numpy(zero_copy_only=False)
+    cnts = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((keys, -cnts))[:top_v]
+    out = [keys[order], cnts[order]]
+    for c in extra_cols:
+        out.append(
+            t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        )
+    return tuple(out)
+
 __all__ = [
     "normalize_whitespace",
     "token_stats",
@@ -120,18 +167,11 @@ def quality_score(sf_dir: str):
         alpha = pc.utf8_length(
             pc.replace_substring_regex(text, r"[^A-Za-z]", "")
         ).cast(pa.int64())
-        spaces = pc.utf8_length(
-            pc.replace_substring_regex(text, r"[^ ]", "")
-        ).cast(pa.int64())
-        tokens = pc.list_value_length(
-            pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
-        ).cast(pa.int64())
-        # mean token length in milli-chars, integer arithmetic
-        mean_tok_len_milli = pc.if_else(
-            pc.greater(tokens, 0),
-            pc.divide(pc.multiply(pc.subtract(n_chars, spaces), 1000), tokens),
-            pa.scalar(0, pa.int64()),
-        )
+        spaces = _space_count(text)
+        tokens = _ws_token_count(text)
+        # mean token length in milli-chars, integer arithmetic — the
+        # shared contract (parts already computed here, so no re-scan)
+        mean_tok_len_milli = _mean_tok_len_from_parts(n_chars, spaces, tokens)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id").cast(pa.int64()),
@@ -157,23 +197,33 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _lang_score_matrix(text, n_rows: int) -> np.ndarray:
+    """Marker-word score matrix (``n_rows × len(LANG_MARKERS)``) — the
+    ONE definition of the language-ID classifier, shared by
+    :func:`language_id` (the deployed stage), :func:`langid_confusion`
+    (its accuracy audit — auditing a drifted copy would be silent) and
+    :func:`training_corpus_prep` (its filter).  The shared tie-break is
+    ``np.argmax(..., axis=1)``: first max wins, in
+    ``list(LANG_MARKERS)`` order."""
+    padded = pc.binary_join_element_wise(
+        pa.array([" "] * n_rows), text, pa.array([" "] * n_rows), ""
+    )
+    scores = []
+    for markers in LANG_MARKERS.values():
+        total = None
+        for w in markers:
+            c = pc.count_substring(padded, f" {w} ").cast(pa.int64())
+            total = c if total is None else pc.add(total, c)
+        scores.append(total.to_numpy(zero_copy_only=False))
+    return np.stack(scores, axis=1)
+
+
 def language_id(sf_dir: str):
     """N-gram/marker-word language-ID heuristic (deterministic)."""
     order = list(LANG_MARKERS)
 
     def lang(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        padded = pc.binary_join_element_wise(
-            pa.array([" "] * batch.num_rows), text, pa.array([" "] * batch.num_rows), ""
-        )
-        scores = []
-        for markers in LANG_MARKERS.values():
-            total = None
-            for w in markers:
-                c = pc.count_substring(padded, f" {w} ").cast(pa.int64())
-                total = c if total is None else pc.add(total, c)
-            scores.append(total.to_numpy(zero_copy_only=False))
-        mat = np.stack(scores, axis=1)
+        mat = _lang_score_matrix(batch.column("text"), batch.num_rows)
         best = np.argmax(mat, axis=1)  # first max wins = order tie-break
         langs = np.array(order, dtype=object)[best]
         return pa.table(
@@ -450,21 +500,37 @@ def topk_sketch(sf_dir: str, capacity: int = 1024, top_k: int = 20):
     )
 
 
-def _mean_tok_len_milli(text: pa.ChunkedArray) -> pa.ChunkedArray:
-    """The quality_score kernel's headline signal (integer milli-chars
-    per token) — shared between quality_score and quality_gate."""
-    n_chars = pc.utf8_length(text).cast(pa.int64())
-    spaces = pc.utf8_length(
+def _space_count(text) -> pa.ChunkedArray:
+    return pc.utf8_length(
         pc.replace_substring_regex(text, r"[^ ]", "")
     ).cast(pa.int64())
-    tokens = pc.list_value_length(
+
+
+def _ws_token_count(text) -> pa.ChunkedArray:
+    return pc.list_value_length(
         pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
     ).cast(pa.int64())
+
+
+def _mean_tok_len_from_parts(n_chars, spaces, tokens) -> pa.ChunkedArray:
+    """The milli-chars-per-token rule (zero tokens → 0) — the ONE
+    definition of the quality-score contract; callers that already hold
+    the parts (quality_score) use this, others use the text wrapper."""
     return pc.if_else(
         pc.greater(tokens, 0),
         pc.divide(pc.multiply(pc.subtract(n_chars, spaces), 1000), tokens),
         pa.scalar(0, pa.int64()),
     ).cast(pa.int64())
+
+
+def _mean_tok_len_milli(text: pa.ChunkedArray) -> pa.ChunkedArray:
+    """The quality_score kernel's headline signal (integer milli-chars
+    per token) — shared by quality_score / quality_gate /
+    quality_percentile / quality_ks_test."""
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    return _mean_tok_len_from_parts(
+        n_chars, _space_count(text), _ws_token_count(text)
+    )
 
 
 def _lang_score_hist(batch: pa.Table) -> pa.Table:
@@ -712,7 +778,6 @@ def ngram_counts(
         .groupby("part")
         .map_groups(combine_topk, batch_format="pyarrow")
     )
-    from crawl_ray.util import collect_table
 
     t = collect_table(ds)  # bounded: ≤ top_k rows per partition
     grams = t.column("ngram").to_numpy(zero_copy_only=False)
@@ -937,7 +1002,6 @@ def _pack_from_counts(
             keep = (ids * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MODULUS) < thr
         return pa.table({"doc_id": pa.array(ids[keep].astype(np.int64), pa.int64())})
 
-    from crawl_ray.util import collect_table
 
     samp = collect_table(
         counts.map_batches(sample_ids, batch_format="pyarrow", zero_copy_batch=True)
@@ -1190,7 +1254,6 @@ def unigram_logprob(sf_dir: str, top_v: int = 65536, passthrough: tuple = ()):
 
     from ray.data.aggregate import Sum
 
-    from crawl_ray.util import collect_table
 
     def partial(batch: pa.Table) -> pa.Table:
         _, flat, _ = _token_lists(batch)
@@ -1205,26 +1268,15 @@ def unigram_logprob(sf_dir: str, top_v: int = 65536, passthrough: tuple = ()):
     partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    total = int(partials.sum("cnt"))
+    total = int(partials.sum("cnt") or 0)  # Dataset.sum -> None on 0 rows
+    if total == 0:
+        total = 1  # empty corpus: zero docs to score; any finite LM
+        # placeholder works and avoids log(0/0) building oov_nll
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        toks = batch.column("token").to_numpy(zero_copy_only=False)
-        cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((toks, -cnt))[:top_v]
-        return pa.table(
-            {"token": pa.array(toks[order], pa.string()),
-             "cnt": pa.array(cnt[order], pa.int64())}
-        )
-
-    vt = collect_table(
-        partials.groupby("token")
-        .aggregate(Sum("cnt"))
-        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    toks, cnts = _topv_by_count(
+        partials.groupby("token").aggregate(Sum("cnt")),
+        "token", "sum(cnt)", top_v,
     )
-    toks = vt.column("token").to_numpy(zero_copy_only=False)
-    cnts = vt.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((toks, -cnts))[:top_v]
-    toks, cnts = toks[order], cnts[order]
     # floor-quantized NLL per vocab entry (micro-nats); math.log is the
     # same libm the oracle's ln() hits, and floor kills rounding-mode
     # divergence (Python round() is banker's, DuckDB's is half-away)
@@ -1402,7 +1454,6 @@ def bigram_logprob(sf_dir: str, top_v: int = 65536):
 
     from ray.data.aggregate import Sum
 
-    from crawl_ray.util import collect_table
 
     empty_counts = pa.table(
         {"big": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
@@ -1430,25 +1481,6 @@ def bigram_logprob(sf_dir: str, top_v: int = 65536):
     ).materialize()
     total = int(partials.sum("cnt") or 0)
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        keys = batch.column(batch.column_names[0]).to_numpy(zero_copy_only=False)
-        cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((keys, -cnt))[:top_v]
-        return pa.table(
-            {"key": pa.array(keys[order], pa.string()),
-             "cnt": pa.array(cnt[order], pa.int64())}
-        )
-
-    def _merge_topk(ds) -> tuple[np.ndarray, np.ndarray]:
-        t = collect_table(
-            ds.map_batches(local_topk, batch_format="pyarrow",
-                           zero_copy_batch=True)
-        )
-        keys = t.column("key").to_numpy(zero_copy_only=False)
-        cnts = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((keys, -cnts))[:top_v]
-        return keys[order], cnts[order]
-
     def prefix_partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
@@ -1464,11 +1496,12 @@ def bigram_logprob(sf_dir: str, top_v: int = 65536):
 
     if total:
         bigram_ds = partials.groupby("big").aggregate(Sum("cnt")).materialize()
-        b_keys, b_cnts = _merge_topk(bigram_ds)
-        p_toks, p_cnts = _merge_topk(
+        b_keys, b_cnts = _topv_by_count(bigram_ds, "big", "sum(cnt)", top_v)
+        p_toks, p_cnts = _topv_by_count(
             bigram_ds.map_batches(prefix_partial, batch_format="pyarrow",
                                   zero_copy_batch=True)
-            .groupby("big").aggregate(Sum("cnt"))
+            .groupby("big").aggregate(Sum("cnt")),
+            "big", "sum(cnt)", top_v,
         )
         oov_full = math.floor(-1e6 * math.log(0.5 / total))
     else:
@@ -1593,7 +1626,6 @@ def ngram_diversity(sf_dir: str, n: int = 2):
     assumption)."""
     from ray.data.aggregate import Sum
 
-    from crawl_ray.util import collect_table
 
     def partial(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -1724,10 +1756,6 @@ def lang_length_regression(sf_dir: str):
         count_name="n_docs",
     )
 
-    def _tdiv(a: int, b: int) -> int:
-        q = abs(a) // abs(b)
-        return q if (a >= 0) == (b >= 0) else -q
-
     langs = agg.column("lang").to_pylist()
     order = np.argsort(np.array(langs, dtype=object))
     out_lang, out_n, out_slope, out_icpt = [], [], [], []
@@ -1778,30 +1806,13 @@ def zipf_fit(sf_dir: str, top_v: int = 1000):
              "cnt": pa.array(counts.astype(np.int64), pa.int64())}
         )
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        toks = batch.column("token").to_numpy(zero_copy_only=False)
-        cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((toks, -cnt))[:top_v]
-        return pa.table(
-            {"token": pa.array(toks[order], pa.string()),
-             "cnt": pa.array(cnt[order], pa.int64())}
-        )
-
-    vt = collect_table(
+    _, cnts = _topv_by_count(
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("token")
-        .aggregate(Sum("cnt"))
-        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("cnt")),
+        "token", "sum(cnt)", top_v,
     )
-    toks = vt.column("token").to_numpy(zero_copy_only=False)
-    cnts = vt.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((toks, -cnts))[:top_v]
-    cnts = cnts[order]
-
-    def _tdiv(a: int, b: int) -> int:
-        q = abs(a) // abs(b)
-        return q if (a >= 0) == (b >= 0) else -q
 
     n = len(cnts)
     sx = sy = sxy = sxx = 0
@@ -1835,19 +1846,7 @@ def langid_confusion(sf_dir: str):
     order = list(LANG_MARKERS)
 
     def pred(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        padded = pc.binary_join_element_wise(
-            pa.array([" "] * batch.num_rows), text,
-            pa.array([" "] * batch.num_rows), ""
-        )
-        scores = []
-        for markers in LANG_MARKERS.values():
-            total = None
-            for w in markers:
-                c = pc.count_substring(padded, f" {w} ").cast(pa.int64())
-                total = c if total is None else pc.add(total, c)
-            scores.append(total.to_numpy(zero_copy_only=False))
-        mat = np.stack(scores, axis=1)
+        mat = _lang_score_matrix(batch.column("text"), batch.num_rows)
         best = np.argmax(mat, axis=1)  # first max wins = order tie-break
         langs = np.array(order, dtype=object)[best]
         return pa.table(
@@ -1879,26 +1878,15 @@ def quality_ks_test(sf_dir: str):
     ``max |cumA·nB − cumB·nA|`` over the union of score values, reported
     as ``ks_milli = 1000·max // (nA·nB)`` — no float CDFs, byte-equal to
     the DuckDB oracle."""
-    from crawl_ray.util import collect_table as _ct
 
     def hist(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        n_chars = pc.utf8_length(text).cast(pa.int64())
-        spaces = pc.utf8_length(
-            pc.replace_substring_regex(text, r"[^ ]", "")
-        ).cast(pa.int64())
-        tokens = pc.list_value_length(
-            pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
-        ).cast(pa.int64())
-        score = pc.if_else(
-            pc.greater(tokens, 0),
-            pc.divide(pc.multiply(pc.subtract(n_chars, spaces), 1000), tokens),
-            pa.scalar(0, pa.int64()),
-        )
+        # the drift detector MUST score the same statistic the quality
+        # gate filters on — one shared kernel, not a re-derivation
+        score = _mean_tok_len_milli(batch.column("text"))
         t = pa.table(
             {
                 "source": batch.column("source"),
-                "score": score.cast(pa.int64()),
+                "score": score,
                 "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
             }
         )
@@ -1907,7 +1895,7 @@ def quality_ks_test(sf_dir: str):
             out, {"source": "source", "score": "score", "n_sum": "n"}
         )
 
-    partials = _ct(
+    partials = collect_table(
         _docs(sf_dir, ["text", "source"]).map_batches(
             hist, batch_format="pyarrow", zero_copy_batch=True
         )
@@ -2097,7 +2085,6 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, top_v: int = 65536):
     """
     from ray.data.aggregate import Sum
 
-    from crawl_ray.util import collect_table
 
     def df_partial(batch: pa.Table) -> pa.Table:
         doc_ids, flat, lens = _token_lists(batch)
@@ -2124,25 +2111,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, top_v: int = 65536):
     ).materialize()
     n_docs = int(partials.sum("n_docs") or 0)
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        terms = batch.column("term").to_numpy(zero_copy_only=False)
-        df = batch.column("sum(df)").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((terms, -df))[:top_v]
-        return pa.table(
-            {"term": pa.array(terms[order], pa.string()),
-             "df": pa.array(df[order], pa.int64())}
-        )
-
-    vt = collect_table(
-        partials.drop_columns(["n_docs"])
-        .groupby("term")
-        .aggregate(Sum("df"))
-        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    terms, dfs = _topv_by_count(
+        partials.drop_columns(["n_docs"]).groupby("term").aggregate(Sum("df")),
+        "term", "sum(df)", top_v,
     )
-    terms = vt.column("term").to_numpy(zero_copy_only=False)
-    dfs = vt.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((terms, -dfs))[:top_v]
-    terms, dfs = terms[order], dfs[order]
     sidx = np.argsort(terms)
     df_ref = ray.put({"terms": terms[sidx], "df": dfs[sidx]})
 
@@ -2210,26 +2182,15 @@ def training_corpus_prep(
 
     def filt(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
-        n_chars = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        spaces = pc.utf8_length(
-            pc.replace_substring_regex(text, r"[^ ]", "")
-        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        nt = pc.list_value_length(
-            pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
-        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        mtl = (n_chars - spaces) * 1000 // nt
-        padded = pc.binary_join_element_wise(
-            pa.array([" "] * batch.num_rows), text,
-            pa.array([" "] * batch.num_rows), ""
-        )
-        scores = []
-        for markers in LANG_MARKERS.values():
-            total = None
-            for w in markers:
-                c = pc.count_substring(padded, f" {w} ").cast(pa.int64())
-                total = c if total is None else pc.add(total, c)
-            scores.append(total.to_numpy(zero_copy_only=False))
-        best = np.argmax(np.stack(scores, axis=1), axis=1)
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        tokens = _ws_token_count(text)
+        nt = tokens.to_numpy(zero_copy_only=False)
+        # shared quality contract (zero tokens → 0, dropped by the
+        # min_tokens gate) — previously an inline copy that div-by-zero'd
+        mtl = _mean_tok_len_from_parts(
+            n_chars, _space_count(text), tokens
+        ).to_numpy(zero_copy_only=False)
+        best = np.argmax(_lang_score_matrix(text, batch.num_rows), axis=1)
         keep = (
             (np.array(order, dtype=object)[best] == lang)
             & (mtl >= mtl_lo) & (mtl <= mtl_hi) & (nt >= min_tokens)
@@ -2850,7 +2811,6 @@ def dsir_weights(sf_dir: str, target_lang: str = "en", top_v: int = 65536):
 
     from ray.data.aggregate import Sum
 
-    from crawl_ray.util import collect_table
 
     def partial(batch: pa.Table) -> pa.Table:
         doc_ids, flat, lens = _token_lists(batch)
@@ -2879,8 +2839,8 @@ def dsir_weights(sf_dir: str, target_lang: str = "en", top_v: int = 65536):
     partials = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    total_raw = int(partials.sum("cnt"))
-    total_tgt = int(partials.sum("cnt_tgt"))
+    total_raw = int(partials.sum("cnt") or 0)  # None on a 0-row corpus
+    total_tgt = int(partials.sum("cnt_tgt") or 0)
     if total_raw == 0 or total_tgt == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()),
@@ -2888,27 +2848,10 @@ def dsir_weights(sf_dir: str, target_lang: str = "en", top_v: int = 65536):
              "dsir_micro": pa.array([], pa.int64())}
         )
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        toks = batch.column("token").to_numpy(zero_copy_only=False)
-        cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
-        ct = batch.column("sum(cnt_tgt)").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((toks, -cnt))[:top_v]
-        return pa.table(
-            {"token": pa.array(toks[order], pa.string()),
-             "cnt": pa.array(cnt[order], pa.int64()),
-             "cnt_tgt": pa.array(ct[order], pa.int64())}
-        )
-
-    vt = collect_table(
-        partials.groupby("token")
-        .aggregate(Sum("cnt"), Sum("cnt_tgt"))
-        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    toks, cnts, ctgt = _topv_by_count(
+        partials.groupby("token").aggregate(Sum("cnt"), Sum("cnt_tgt")),
+        "token", "sum(cnt)", top_v, extra_cols=("sum(cnt_tgt)",),
     )
-    toks = vt.column("token").to_numpy(zero_copy_only=False)
-    cnts = vt.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
-    ctgt = vt.column("cnt_tgt").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((toks, -cnts))[:top_v]
-    toks, cnts, ctgt = toks[order], cnts[order], ctgt[order]
     diff = np.array(
         [
             math.floor(-1e6 * math.log(cr / total_raw))
@@ -3275,7 +3218,6 @@ def source_quota_sample(sf_dir: str, cap: int = 10):
             }
         )
 
-    from crawl_ray.util import collect_table
 
     partials = collect_table(
         _docs(sf_dir, ["doc_id", "source"]).map_batches(
@@ -3317,7 +3259,6 @@ def build_inverted_index(sf_dir: str, n_buckets: int = 32) -> str:
     (:func:`term_postings`) read ONLY the probed term's bucket:
     1/n_buckets of the index, the IVF probed-lists property."""
     import hashlib
-    import pathlib
 
     from crawl_ray.urlnorm import fnv1a64_batch
 
@@ -3383,7 +3324,6 @@ def term_postings(sf_dir: str, term: str = "spark", n_buckets: int = 32):
     ``(doc_id, tf)`` rows for the term, doc_id-ordered."""
     import pathlib
 
-    import pyarrow.parquet as pq_
 
     from crawl_ray.urlnorm import fnv1a64_batch
 
@@ -3406,7 +3346,6 @@ def term_postings(sf_dir: str, term: str = "spark", n_buckets: int = 32):
         )
 
     out = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
-    from crawl_ray.util import collect_table
 
     t = collect_table(out)
     if t.num_rows == 0 or "doc_id" not in t.column_names:
@@ -3436,7 +3375,6 @@ def search_topk(
     import pyarrow.parquet as pq_
 
     from crawl_ray.urlnorm import fnv1a64_batch
-    from crawl_ray.util import collect_table
 
     terms = sorted(set(query.split()))
     empty = pa.table(
@@ -3457,7 +3395,6 @@ def search_topk(
     ]
     if not parts:
         return empty
-    term_set = set(terms)
 
     def pick(batch: pa.Table) -> pa.Table:
         hit = batch.filter(

@@ -118,8 +118,13 @@ def test_unigram_logprob_oov_cap(tiny_dir, ray_session):
     (count 0.5) — the 100-TB bounded-broadcast path."""
     import math
 
-    full = T.unigram_logprob(tiny_dir).to_pandas().set_index("doc_id")
-    capped = T.unigram_logprob(tiny_dir, top_v=2).to_pandas().set_index("doc_id")
+    # sort_index: Dataset block order is not deterministic across runs,
+    # and pandas refuses to compare differently-ordered Series
+    full = T.unigram_logprob(tiny_dir).to_pandas().set_index("doc_id").sort_index()
+    capped = (
+        T.unigram_logprob(tiny_dir, top_v=2)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
     # corpus: a×3 b×4 c×1 x×1 tie×2 alpha×2 beta×2 → T=15, top2 = b, a
     total = 15
     oov = math.floor(-1e6 * math.log(0.5 / total))

@@ -333,7 +333,7 @@ def _pagerank_sql(iterations: int = 3, k: int = 20) -> str:
     150000 + (850·Σ) // 1000), one CTE pair per iteration."""
     sql = """
         WITH pairs AS (
-            SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS s
+            SELECT DISTINCT l_partkey AS p, l_suppkey + 10000000000000 AS s
             FROM lineitem
         ),
         edges AS (
@@ -358,7 +358,7 @@ def _pagerank_sql(iterations: int = 3, k: int = 20) -> str:
             FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
         )"""
     sql += f"""
-        SELECT node, node >= 1000000 AS is_supplier,
+        SELECT node, node >= 10000000000000 AS is_supplier,
                cast(rank as bigint) AS rank_micro
         FROM r{iterations}
         ORDER BY rank DESC, node LIMIT {k}
@@ -984,14 +984,14 @@ def oracle_sql() -> dict[str, str]:
         "supplier_bfs_distance": """
             WITH e AS (
                 SELECT DISTINCT l_partkey AS p,
-                       l_suppkey + 1000000 AS s
+                       l_suppkey + 10000000000000 AS s
                 FROM lineitem
             ), edges AS (
                 SELECT p AS src, s AS dst FROM e
                 UNION
                 SELECT s, p FROM e
             ), d0 AS (
-                SELECT min(s_suppkey) + 1000000 AS node FROM supplier
+                SELECT min(s_suppkey) + 10000000000000 AS node FROM supplier
             ), d1 AS (
                 SELECT DISTINCT dst AS node FROM edges
                 WHERE src IN (SELECT node FROM d0)
@@ -1015,7 +1015,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT dist,
                    cast(count(*) as bigint) AS n_nodes,
-                   cast(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END)
+                   cast(sum(CASE WHEN node >= 10000000000000 THEN 1 ELSE 0 END)
                         as bigint) AS n_suppliers
             FROM lv GROUP BY 1 ORDER BY 1
         """,

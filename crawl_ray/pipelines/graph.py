@@ -46,12 +46,22 @@ __all__ = ["supplier_pagerank", "supplier_bfs_distance"]
 BASE_RANK = 1_000_000
 TELEPORT = 150_000  # 0.15 in micro-units
 DAMP_MILLI = 850
-SUPPLIER_OFFSET = 1_000_000  # disambiguate supplier ids from part ids
+# Disambiguate supplier node ids from part node ids.  1e13 sits far
+# above any key domain (TPC-H partkey reaches 1e10 only at sf 50k);
+# the old 1_000_000 collided with partkeys from sf ~5 up, silently
+# merging distinct part/supplier nodes.  Must match the oracle SQL.
+SUPPLIER_OFFSET = 10_000_000_000_000
 
 
 def _unique_edges(raw: pa.Table) -> pa.Table:
     """Driver-side (src, dst) dedup of a collected batch-deduped edge
     list — the small-graph replacement for the global groupby shuffle."""
+    if raw.num_rows == 0 or "src" not in raw.column_names:
+        # an all-empty edge stream keeps the pre-map read schema (Ray
+        # short-circuits empty blocks past the UDF)
+        return pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
     ab = np.unique(
         np.stack(
             [raw.column("src").to_numpy(zero_copy_only=False).astype(np.int64),
@@ -145,6 +155,9 @@ def supplier_pagerank(
         coalesce=num_partitions,
     )
     edges = edges.materialize()  # reused every iteration — keep in object store
+    del raw  # drop the O(lineitem)-sized batch-deduped stream: holding
+    # the ref would pin its blocks in the object store for every
+    # PageRank iteration (it only existed to serve the count gate)
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -368,6 +381,8 @@ def supplier_bfs_distance(
         {"src": pa.int64(), "dst": pa.int64()},
         coalesce=num_partitions,
     ).materialize()
+    del raw  # same as supplier_pagerank: don't pin the raw stream
+    # through the hop iterations
 
     seed_t = pa.table(
         {"node": pa.array([seed], pa.int64()),

@@ -85,7 +85,8 @@ def _default_partitions() -> int:
     return max(4, cpus // 4)
 
 
-def _cjoin(left, right, join_type, num_partitions, on, right_on=None):
+def _cjoin(left, right, join_type, num_partitions, on, right_on=None,
+           coalesce_left=True):
     """Native hash join with block-coalesced inputs: Ray's join pays
     per-input-block overhead in its partitioning stage (same shape as
     the sort-shuffle), so narrow-merging each side's many small
@@ -93,8 +94,13 @@ def _cjoin(left, right, join_type, num_partitions, on, right_on=None):
     at sf0.1/32 (Q14's join stage ran 31s raw vs 7s coalesced in one
     window; ~3.9s vs ~1.7s warm).  The repartition is a streaming
     narrow pass over the already-projected streams — volume
-    proportional to the join's own exchange, never the raw input."""
-    return left.repartition(num_partitions).join(
+    proportional to the join's own exchange, never the raw input.
+    Pass ``coalesce_left=False`` when the left side was just emitted
+    by ``normalize_schema(..., coalesce=num_partitions)`` — a second
+    repartition of the same stream is a pure waste pass."""
+    if coalesce_left:
+        left = left.repartition(num_partitions)
+    return left.join(
         right.repartition(num_partitions),
         join_type,
         num_partitions,
@@ -1310,6 +1316,7 @@ def nations_trade_volume(
     j2 = _cjoin(
         j1, cust, "inner", num_partitions,
         on=("o_custkey",), right_on=("c_custkey",),
+        coalesce_left=False,  # j1 was just coalesced by normalize_schema
     )
     # integer-key pair filter first (vectorized), names resolved via a
     # nationkey-indexed lookup array on the survivors only
@@ -1448,6 +1455,7 @@ def small_quantity_revenue(
     j = _cjoin(
         per_part_rev, pt, "inner", num_partitions,
         on=("pk",), right_on=("p_partkey",),
+        coalesce_left=False,  # upstream already coalesced to num_partitions
     )
     return partial_then_final_sum(
         j, ["p_brand"],
@@ -2632,6 +2640,7 @@ def product_profit(
     j2 = _cjoin(
         j1, orders, "inner", num_partitions,
         on=("l_orderkey",), right_on=("o_orderkey",),
+        coalesce_left=False,  # j1 was just coalesced by normalize_schema
     )
 
     def resolve(b: pa.Table) -> pa.Table:

@@ -393,7 +393,12 @@ class FrameSampler:
                 pos += 6 + frame_size
             n_f = len(frames)
             for i in range(self.n_out):
-                idx = (i * (n_f - 1)) // (self.n_out - 1)
+                # n_out == 1 → the middle frame (the even-spacing
+                # formula divides by n_out - 1)
+                idx = (
+                    (n_f - 1) // 2 if self.n_out == 1
+                    else (i * (n_f - 1)) // (self.n_out - 1)
+                )
                 out_doc.append(int(doc_id))
                 out_i.append(i)
                 out_idx.append(idx)

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
+from urllib.parse import urlsplit
 
 import pyarrow as pa
 
@@ -212,7 +213,12 @@ def simulate(
             if row.url_hash in res.seen:
                 seen_dropped += 1
                 continue  # already crawled (silent drop)
-            path = "/" + row.url.split("/", 3)[3] if row.url.count("/") >= 3 else "/"
+            # robots match key = path INCLUDING query (RFC 9309) — the
+            # identical rule canonicalize_batch computes for the engine
+            _parts = urlsplit(row.url)
+            path = (_parts.path or "/") + (
+                f"?{_parts.query}" if _parts.query else ""
+            )
             if any(path.startswith(p) for p in disallow.get(row.host, [])):
                 res.errors.append(_err(row, "robots", f"disallowed: {path}"))
                 continue

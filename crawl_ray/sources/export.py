@@ -60,6 +60,71 @@ def _fresh_export_root(kind: str, sf_dir: str, n_shards: int):
     return root, False
 
 
+def _commit_manifest(root: pathlib.Path, parts: pa.Table) -> None:
+    """Aggregate per-block (shard, n_rows) partials, write
+    manifest.json, and drop the _SUCCESS marker — the ONE commit
+    sequence both export sinks share (shard accounting must not drift
+    between the jsonl and parquet layouts)."""
+    manifest = parts.group_by(["shard"]).aggregate([("n_rows", "sum")])
+    manifest = rename_select(
+        manifest, {"shard": "shard", "n_rows_sum": "n_rows"}
+    ).sort_by("shard")
+    with open(root / "manifest.json", "w") as f:
+        json.dump(
+            {int(s): int(n) for s, n in zip(
+                manifest.column("shard").to_pylist(),
+                manifest.column("n_rows").to_pylist())},
+            f, sort_keys=True)
+    (root / "_SUCCESS").touch()
+
+
+def _manifest_table(root: pathlib.Path) -> pa.Table:
+    m = json.loads((root / "manifest.json").read_text())
+    shards = sorted(int(k) for k in m)
+    return pa.table(
+        {"shard": pa.array(shards, pa.int64()),
+         "n_rows": pa.array([m[str(s)] for s in shards], pa.int64())}
+    )
+
+
+def _roundtrip_shard_stats(ds, n_shards: int) -> pa.Table:
+    """Per-shard doc/char counts over a re-read export — the shared
+    roundtrip proof for both sink formats."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_chars = pc.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        shard = ids % n_shards
+        t = pa.table(
+            {"shard": pa.array(shard, pa.int64()),
+             "n_docs": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+             "n_chars": pa.array(n_chars, pa.int64())}
+        )
+        g = t.group_by(["shard"]).aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum")]
+        )
+        return rename_select(
+            g, {"shard": "shard", "n_docs_sum": "n_docs",
+                "n_chars_sum": "n_chars"}
+        )
+
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out = parts.group_by(["shard"]).aggregate(
+        [("n_docs", "sum"), ("n_chars", "sum")]
+    )
+    return rename_select(
+        out, {"shard": "shard", "n_docs_sum": "n_docs",
+              "n_chars_sum": "n_chars"}
+    ).sort_by("shard")
+
+
 def export_corpus_jsonl(sf_dir: str, n_shards: int = 8) -> str:
     """Write the documents corpus as ``shard=K/part-*.jsonl`` under a
     content-addressed /tmp root; returns the root path.  Idempotent:
@@ -82,14 +147,18 @@ def export_corpus_jsonl(sf_dir: str, n_shards: int = 8) -> str:
         out_s, out_n = [], []
         for s in np.unique(shard).tolist():
             m = shard == s
-            # part name from the block's smallest+largest doc_id:
-            # deterministic → a retried task overwrites its own file,
-            # never duplicates; the min+max pair keeps two blocks from
-            # clobbering one part even if doc_id were ever non-unique
-            # across blocks (ADVICE r2)
+            # part name = min/max doc_id + a content token over the
+            # shard's id vector: deterministic → a retried task
+            # overwrites its own file, never duplicates; the token is
+            # what actually prevents two DIFFERENT blocks that share a
+            # min/max (possible when doc_id is non-unique) from
+            # clobbering one part (min/max alone could not)
+            tok = hashlib.blake2b(
+                ids[m].tobytes(), digest_size=6
+            ).hexdigest()
             part = (
                 root / f"shard={s}"
-                / f"part-{int(ids[m].min())}-{int(ids[m].max())}.jsonl"
+                / f"part-{int(ids[m].min())}-{int(ids[m].max())}-{tok}.jsonl"
             )
             # write-to-tmp + atomic rename: a task cancelled or killed
             # mid-write (retry, limit-cancelled re-execution) must never
@@ -114,17 +183,7 @@ def export_corpus_jsonl(sf_dir: str, n_shards: int = 8) -> str:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
         ).map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True)
     )
-    manifest = parts.group_by(["shard"]).aggregate([("n_rows", "sum")])
-    manifest = rename_select(
-        manifest, {"shard": "shard", "n_rows_sum": "n_rows"}
-    ).sort_by("shard")
-    with open(root / "manifest.json", "w") as f:
-        json.dump(
-            {int(s): int(n) for s, n in zip(
-                manifest.column("shard").to_pylist(),
-                manifest.column("n_rows").to_pylist())},
-            f, sort_keys=True)
-    (root / "_SUCCESS").touch()
+    _commit_manifest(root, parts)
     return str(root)
 
 
@@ -133,12 +192,7 @@ def corpus_export_manifest(sf_dir: str, n_shards: int = 8) -> pa.Table:
     driver-oracled view of :func:`export_corpus_jsonl` (counts must
     equal the source's ``doc_id % n_shards`` histogram)."""
     root = pathlib.Path(export_corpus_jsonl(sf_dir, n_shards))
-    m = json.loads((root / "manifest.json").read_text())
-    shards = sorted(int(k) for k in m)
-    return pa.table(
-        {"shard": pa.array(shards, pa.int64()),
-         "n_rows": pa.array([m[str(s)] for s in shards], pa.int64())}
-    )
+    return _manifest_table(root)
 
 
 def jsonl_corpus_stats(sf_dir: str, n_shards: int = 8) -> pa.Table:
@@ -147,38 +201,9 @@ def jsonl_corpus_stats(sf_dir: str, n_shards: int = 8) -> pa.Table:
     SURVEY.md §2.1) and aggregate per-shard doc and char counts; the
     oracle computes the same histogram from the parquet source, so a
     lossy export OR a broken JSON read breaks the match."""
-    import pyarrow.compute as pc
-
     root = pathlib.Path(export_corpus_jsonl(sf_dir, n_shards))
     files = sorted(str(f) for f in root.glob("shard=*/part-*.jsonl"))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        n_chars = pc.utf8_length(batch.column("text")).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        shard = ids % n_shards
-        t = pa.table(
-            {"shard": pa.array(shard, pa.int64()),
-             "n_docs": pa.array(np.ones(len(ids), np.int64), pa.int64()),
-             "n_chars": pa.array(n_chars, pa.int64())}
-        )
-        g = t.group_by(["shard"]).aggregate([("n_docs", "sum"), ("n_chars", "sum")])
-        return rename_select(
-            g, {"shard": "shard", "n_docs_sum": "n_docs", "n_chars_sum": "n_chars"}
-        )
-
-    parts = collect_table(
-        ray.data.read_json(files).map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        )
-    )
-    out = parts.group_by(["shard"]).aggregate(
-        [("n_docs", "sum"), ("n_chars", "sum")]
-    )
-    return rename_select(
-        out, {"shard": "shard", "n_docs_sum": "n_docs", "n_chars_sum": "n_chars"}
-    ).sort_by("shard")
+    return _roundtrip_shard_stats(ray.data.read_json(files), n_shards)
 
 def export_corpus_parquet(sf_dir: str, n_shards: int = 8) -> str:
     """Parquet twin of :func:`export_corpus_jsonl`: the documents corpus
@@ -205,7 +230,13 @@ def export_corpus_parquet(sf_dir: str, n_shards: int = 8) -> str:
             m = shard == s
             part = (
                 root / f"shard={s}"
-                / f"part-{int(ids[m].min())}-{int(ids[m].max())}.parquet"
+                / (
+                    f"part-{int(ids[m].min())}-{int(ids[m].max())}-"
+                    + hashlib.blake2b(
+                        ids[m].tobytes(), digest_size=6
+                    ).hexdigest()
+                    + ".parquet"
+                )
             )
             tmp = part.with_suffix(".parquet.tmp")
             # Arrow filter is zero-copy-ish per column; no row loop
@@ -221,17 +252,7 @@ def export_corpus_parquet(sf_dir: str, n_shards: int = 8) -> str:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
         ).map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True)
     )
-    manifest = parts.group_by(["shard"]).aggregate([("n_rows", "sum")])
-    manifest = rename_select(
-        manifest, {"shard": "shard", "n_rows_sum": "n_rows"}
-    ).sort_by("shard")
-    with open(root / "manifest.json", "w") as f:
-        json.dump(
-            {int(s): int(n) for s, n in zip(
-                manifest.column("shard").to_pylist(),
-                manifest.column("n_rows").to_pylist())},
-            f, sort_keys=True)
-    (root / "_SUCCESS").touch()
+    _commit_manifest(root, parts)
     return str(root)
 
 
@@ -239,12 +260,7 @@ def parquet_export_manifest(sf_dir: str, n_shards: int = 8) -> pa.Table:
     """Manifest view of :func:`export_corpus_parquet` (shard, n_rows) —
     oracled against the source's ``doc_id % n_shards`` histogram."""
     root = pathlib.Path(export_corpus_parquet(sf_dir, n_shards))
-    m = json.loads((root / "manifest.json").read_text())
-    shards = sorted(int(k) for k in m)
-    return pa.table(
-        {"shard": pa.array(shards, pa.int64()),
-         "n_rows": pa.array([m[str(s)] for s in shards], pa.int64())}
-    )
+    return _manifest_table(root)
 
 
 def parquet_corpus_stats(sf_dir: str, n_shards: int = 8) -> pa.Table:
@@ -252,35 +268,6 @@ def parquet_corpus_stats(sf_dir: str, n_shards: int = 8) -> pa.Table:
     and aggregate per-shard doc/char counts — a lossy export or a
     truncated part breaks the oracle match, so this is the roundtrip
     proof for the parquet sink (the JSONL twin proves read_json)."""
-    import pyarrow.compute as pc
-
     root = pathlib.Path(export_corpus_parquet(sf_dir, n_shards))
     files = sorted(str(f) for f in root.glob("shard=*/part-*.parquet"))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        n_chars = pc.utf8_length(batch.column("text")).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        shard = ids % n_shards
-        t = pa.table(
-            {"shard": pa.array(shard, pa.int64()),
-             "n_docs": pa.array(np.ones(len(ids), np.int64), pa.int64()),
-             "n_chars": pa.array(n_chars, pa.int64())}
-        )
-        g = t.group_by(["shard"]).aggregate([("n_docs", "sum"), ("n_chars", "sum")])
-        return rename_select(
-            g, {"shard": "shard", "n_docs_sum": "n_docs", "n_chars_sum": "n_chars"}
-        )
-
-    parts = collect_table(
-        ray.data.read_parquet(files).map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        )
-    )
-    out = parts.group_by(["shard"]).aggregate(
-        [("n_docs", "sum"), ("n_chars", "sum")]
-    )
-    return rename_select(
-        out, {"shard": "shard", "n_docs_sum": "n_docs", "n_chars_sum": "n_chars"}
-    ).sort_by("shard")
+    return _roundtrip_shard_stats(ray.data.read_parquet(files), n_shards)

@@ -177,11 +177,13 @@ class BucketedPageStore:
         self.root = pathlib.Path(root)
         self.n_buckets = int((self.root / "_META").read_text())
         self._cache: dict[int, tuple[np.ndarray, pa.Table]] = {}
-        self._cache_cap = cache_buckets
+        self._cache_cap = max(1, int(cache_buckets))  # 0 would crash eviction
 
     def _bucket_table(self, b: int) -> tuple[np.ndarray, pa.Table]:
-        hit = self._cache.get(b)
+        hit = self._cache.pop(b, None)
         if hit is not None:
+            self._cache[b] = hit  # re-insert = move to MRU end (dicts
+            # preserve insertion order, so eviction pops true LRU)
             return hit
         table = _with_set_cookie(
             pq.read_table(self.root / f"bucket={b}" / "part.parquet")

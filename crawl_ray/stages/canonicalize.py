@@ -5,7 +5,8 @@ are filled with defaults (so the seeds table flows in unchanged —
 the ``crawl-schedule`` analog, ``nsq/crawl-schedule/main.go:98-104``).
 
 Output: full frontier schema + ``order_key`` (binary, lexicographic =
-canonical order) + ``path`` (url path, for robots) + ``disposition``
+canonical order) + ``path`` (url path+query, the RFC 9309 robots
+match key) + ``disposition``
 ("ok" / "badurl" / "expired" / "middleware").
 
 M1 is applied here — on EVERY request, like ``crawler.go:150-165``:
@@ -109,7 +110,7 @@ def canonicalize_batch(
     batch: pa.Table, *, now_us: int, spiders: list | None = None
 ) -> pa.Table:
     """Resolve + hash + order-key one frontier batch (M1/M2/M3)."""
-    from urllib.parse import urljoin, urlsplit
+    from urllib.parse import urlsplit
 
     batch = _ensure_columns(batch)
     n = batch.num_rows
@@ -154,8 +155,15 @@ def canonicalize_batch(
         pc.fill_null(_absent(batch.column("form")), True),
         pc.fill_null(_absent(batch.column("query")), True),
     )
+    # ONE regex pass over the referer column yields prefix, netloc and
+    # the parseable mask (three separate kernels before — this is the
+    # hot path); the prefix group matching ⟺ _SAFE_URL matching, since
+    # _SAFE_URL's path group is [^?#]* (can match empty)
+    ref_ex = pc.extract_regex(
+        ref_col, pattern=r"^(?P<prefix>https?://(?P<netloc>[^/?#]+))"
+    )
     ref_parseable = pc.and_(
-        pc.fill_null(pc.match_substring_regex(ref_col, _SAFE_URL), False),
+        pc.fill_null(pc.is_valid(ref_ex), False),
         _no(ref_col, _UNSAFE_CH),
     )
     ref_safe = pc.or_(pc.fill_null(_absent(ref_col), True), ref_parseable)
@@ -174,15 +182,10 @@ def canonicalize_batch(
         pc.and_(rel_shape, pc.and_(u_clean, no_dotseg)),
         pc.and_(ref_parseable, no_req_mods),
     )
-    ref_prefix = pc.struct_field(
-        pc.extract_regex(ref_col, pattern=r"^(?P<prefix>https?://[^/?#]+)"),
-        "prefix",
-    )
-    ref_netloc = pc.struct_field(
-        pc.extract_regex(ref_col, pattern=_SAFE_URL), "netloc"
-    )
+    ref_prefix = pc.struct_field(ref_ex, "prefix")
+    ref_netloc = pc.struct_field(ref_ex, "netloc")
     u_pathpart = pc.struct_field(
-        pc.extract_regex(u_col, pattern=r"^(?P<path>[^?#]*)"), "path"
+        pc.extract_regex(u_col, pattern=r"^(?P<path>[^#]*)"), "path"
     )
 
     # as-scheduled URL: preserved across spill/re-canonicalization so
@@ -204,10 +207,22 @@ def canonicalize_batch(
         ),
     )
     host_col = pc.if_else(abs_mask, pc.struct_field(extracted, "netloc"), ref_netloc)
-    abs_path = pc.struct_field(extracted, "path")
+    # robots key = path INCLUDING the query string (RFC 9309 matches
+    # the path-and-query; the simulator computes the same rule): after
+    # the netloc, "" → "/", "?…" → "/?…", else the remainder up to the
+    # fragment.  Fragments/";" rows are slow-path by the u_clean guard.
+    abs_pq = pc.struct_field(
+        pc.extract_regex(
+            u_col, pattern=r"^https?://[^/?#]+(?P<pq>[^#]*)"
+        ),
+        "pq",
+    )
+    pq_fixed = pc.replace_substring_regex(
+        pc.fill_null(abs_pq, ""), pattern=r"^\?", replacement="/?"
+    )
     path_col = pc.if_else(
         abs_mask,
-        pc.if_else(pc.equal(pc.fill_null(abs_path, ""), ""), "/", abs_path),
+        pc.if_else(pc.equal(pq_fixed, ""), pa.scalar("/"), pq_fixed),
         u_pathpart,  # rel rows: starts with "/", never empty
     )
     disposition_col = pa.array(["ok"] * n, pa.string())
@@ -241,17 +256,17 @@ def canonicalize_batch(
                     )
                     s_eff[i] = m
                 else:
-                    if ref:
-                        u = urljoin(ref, u)
-                    frag = u.find("#")
-                    if frag >= 0:
-                        u = u[:frag]
+                    from crawl_ray.urlnorm import canonicalize
+
+                    u = canonicalize(u, ref)
                 parts = urlsplit(u)
                 if not parts.netloc:
                     raise ValueError(f"no host in {u!r}")
                 s_canon[i] = u
                 s_hosts[i] = parts.netloc
-                s_paths[i] = parts.path or "/"
+                s_paths[i] = (parts.path or "/") + (
+                    f"?{parts.query}" if parts.query else ""
+                )
             except ValueError as exc:
                 s_disp[i] = "badurl"
                 s_canon[i] = u

@@ -125,8 +125,13 @@ class ExtractActor:
             # typed transport failure (request_error.go:6-14 +
             # crawler.go:134-135): the RequestError goes to the errors
             # channel and NO handlers run — no response ever existed
+            # error rows carry the RAW request URL (req_url), matching
+            # the simulator's _err(row.req.url) and the canonicalize
+            # stage's own error rows — the canonical url and the raw
+            # url differ for relative/re-encoded child requests
+            err_url = cols.get("req_url", cols["url"])[i] or cols["url"][i]
             if fetch_err_kind_col and fetch_err_kind_col[i]:
-                emit("error", url=cols["url"][i], method=req.get_method(),
+                emit("error", url=err_url, method=req.get_method(),
                      depth=req.depth, seq_path=req.seq_path,
                      error_kind=fetch_err_kind_col[i],
                      error=fetch_err_col[i] if fetch_err_col else "")
@@ -173,7 +178,7 @@ class ExtractActor:
                 try:
                     handler(resp, one)
                 except Exception as exc:  # noqa: BLE001 - handler error path
-                    emit("error", url=cols["url"][i], method=req.get_method(),
+                    emit("error", url=err_url, method=req.get_method(),
                          depth=req.depth, seq_path=req.seq_path,
                          error_kind="handler", error=str(exc))
                     break

@@ -190,7 +190,8 @@ class HttpFetchStage:
         self._transport = transport
 
     # -- default transport (lazy; real network path) ------------------
-    def _default_transport(self, url, headers, proxy, timeout):
+    def _default_transport(self, url, headers, proxy, timeout,
+                           method="GET", body=b""):
         import socket
         import urllib.error
         import urllib.request
@@ -203,24 +204,28 @@ class HttpFetchStage:
             opener = getattr(self, "_opener", None)
             if opener is None:
                 opener = self._opener = urllib.request.build_opener()
-        req = urllib.request.Request(url, headers=dict(headers or {}))
+        # method + form body come from the M1-constructed request —
+        # Form ⇒ POST must reach the live server as a POST with the
+        # urlencoded body, not a bare GET
+        req = urllib.request.Request(
+            url, data=body or None, headers=dict(headers or {}),
+            method=method or "GET",
+        )
         try:
             with opener.open(req, timeout=timeout) as resp:
-                body = resp.read()
-                sc = resp.headers.get("Set-Cookie", "")
-                set_cookie = (
-                    json.dumps(
-                        dict(
-                            p.split("=", 1)
-                            for p in [sc.split(";", 1)[0]]
-                            if "=" in p
-                        )
-                    )
-                    if sc
-                    else ""
-                )
+                body_out = resp.read()
+                # get_all: EVERY Set-Cookie header, each first
+                # name=value pair — a single .get() dropped all but the
+                # first cookie of multi-cookie responses
+                pairs: dict[str, str] = {}
+                for sc in resp.headers.get_all("Set-Cookie") or []:
+                    first = sc.split(";", 1)[0]
+                    if "=" in first:
+                        k, v = first.split("=", 1)
+                        pairs[k.strip()] = v
+                set_cookie = json.dumps(pairs) if pairs else ""
                 # geturl() is the POST-redirect URL (response.go:46-48)
-                return (int(resp.status), body, set_cookie,
+                return (int(resp.status), body_out, set_cookie,
                         resp.geturl(), "", "")
         except urllib.error.HTTPError as e:
             # a status-coded response IS a response (crawler.go:180-182
@@ -248,9 +253,30 @@ class HttpFetchStage:
             return 0, b"", "", url, "transport", str(e)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import inspect
+
+        from crawl_ray.request import cookie_header, encode_values
+
         transport = self._transport or self._default_transport
+        try:
+            legacy4 = len(
+                inspect.signature(transport).parameters
+            ) <= 4 and transport is not self._default_transport
+        except (TypeError, ValueError):
+            legacy4 = False
+        names = set(batch.column_names)
+
+        def _col(name):
+            return (
+                batch.column(name).to_pylist() if name in names else None
+            )
+
         urls = batch.column("url").to_pylist()
-        headers_col = batch.column("headers").to_pylist()
+        headers_col = _col("headers")
+        methods = _col("method")
+        forms = _col("form")
+        cookies_col = _col("cookies")
+        jar_col = _col("jar_cookies")
         proxies = pick_proxy_batch(
             batch.column("url_hash").to_numpy(zero_copy_only=False),
             batch.column("metadata").to_pylist(),
@@ -262,15 +288,48 @@ class HttpFetchStage:
         err_kinds: list[str] = [""] * len(urls)
         errs: list[str] = [""] * len(urls)
         for i, url in enumerate(urls):
-            hdrs = json.loads(headers_col[i]) if headers_col[i] else {}
-            res = transport(url, hdrs, proxies[i], self.timeout_s)
+            hdrs = (
+                json.loads(headers_col[i])
+                if headers_col and headers_col[i] else {}
+            )
+            # ST1 on the wire: explicit request cookies + admission-
+            # stamped jar cookies (jar-less when proxied) — the same
+            # merge ExtractActor surfaces to handlers afterwards
+            req_cookies = (
+                json.loads(cookies_col[i])
+                if cookies_col and cookies_col[i] else {}
+            )
+            jar = (
+                json.loads(jar_col[i])
+                if jar_col and jar_col[i] and not proxies[i] else None
+            )
+            ch = cookie_header(req_cookies, jar)
+            if ch:
+                hdrs = dict(hdrs)
+                hdrs["Cookie"] = ch
+            # M1 on the wire: effective method + urlencoded form body
+            # (canonicalize already folded the query re-encode and the
+            # Form⇒POST default into the url/method columns)
+            method = (methods[i] or "GET") if methods else "GET"
+            body = b""
+            if forms and forms[i]:
+                body = encode_values(json.loads(forms[i])).encode()
+                hdrs.setdefault(
+                    "Content-Type", "application/x-www-form-urlencoded"
+                )
+            if legacy4:
+                res = transport(url, hdrs, proxies[i], self.timeout_s)
+            else:
+                res = transport(
+                    url, hdrs, proxies[i], self.timeout_s, method, body
+                )
             if len(res) == 3:  # legacy injected transports
-                st, body, sc = res
+                st, body_out, sc = res
                 fu, kind, msg = url, "", ""
             else:
-                st, body, sc, fu, kind, msg = res
+                st, body_out, sc, fu, kind, msg = res
             status[i] = st
-            htmls[i] = body
+            htmls[i] = body_out
             set_cookies[i] = sc
             final_urls[i] = fu
             err_kinds[i] = kind

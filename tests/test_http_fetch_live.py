@@ -251,3 +251,74 @@ def test_engine_surfaces_typed_fetch_errors(redir_server, ray_session, tmp_path)
         assert res.records == 3  # root + 2 leaves still extracted
     finally:
         engine.shutdown_shards()
+
+
+_ECHO: dict = {"rows": []}
+
+
+class _EchoHandler(http.server.BaseHTTPRequestHandler):
+    def _respond(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(n) if n else b""
+        _ECHO["rows"].append({
+            "method": self.command,
+            "path": self.path,
+            "cookie": self.headers.get("Cookie", ""),
+            "content_type": self.headers.get("Content-Type", ""),
+            "body": body.decode(),
+        })
+        data = b"<html><body>ok</body></html>"
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(data)))
+        self.send_header("Set-Cookie", "a=1; Path=/")
+        self.send_header("Set-Cookie", "b=2; Path=/")
+        self.end_headers()
+        self.wfile.write(data)
+
+    do_GET = _respond
+    do_POST = _respond
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def echo_server():
+    _ECHO["rows"] = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _EchoHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_live_post_body_cookies_and_multi_set_cookie(echo_server):
+    """The live transport must send the M1-constructed request — POST
+    method + urlencoded form body + the merged Cookie header (request
+    cookies + admission jar) — and harvest EVERY Set-Cookie header."""
+    import json as _json
+
+    stage = HttpFetchStage(timeout_s=10)
+    url = f"{echo_server}/submit"
+    batch = pa.table({
+        "url": pa.array([url], pa.string()),
+        "url_hash": pa.array([fnv1a64(url)], pa.uint64()),
+        "headers": pa.array([""], pa.string()),
+        "metadata": pa.array([""], pa.string()),
+        "method": pa.array(["POST"], pa.string()),
+        "form": pa.array([_json.dumps({"q": ["x y"], "s": ["Go"]})],
+                         pa.string()),
+        "cookies": pa.array([_json.dumps({"pref": ["1"]})], pa.string()),
+        "jar_cookies": pa.array([_json.dumps({"sid": "abc"})], pa.string()),
+    })
+    out = stage(batch)
+    assert out.column("status").to_pylist() == [200]
+    row = _ECHO["rows"][0]
+    assert row["method"] == "POST"
+    assert row["content_type"].startswith("application/x-www-form-urlencoded")
+    assert row["body"] == "q=x+y&s=Go"
+    assert "pref=1" in row["cookie"] and "sid=abc" in row["cookie"]
+    # every Set-Cookie header harvested, not just the first
+    assert _json.loads(out.column("set_cookie").to_pylist()[0]) == {
+        "a": "1", "b": "2"
+    }

@@ -138,7 +138,12 @@ def _ref_canon_row(u, ref, req_url):
         parts = urlsplit(u)
         if not parts.netloc:
             raise ValueError(f"no host in {u!r}")
-        return u, parts.netloc, parts.path or "/", "ok"
+        # robots key = path INCLUDING query (RFC 9309) — the rule
+        # canonicalize_batch and the simulator both compute
+        pathq = (parts.path or "/") + (
+            f"?{parts.query}" if parts.query else ""
+        )
+        return u, parts.netloc, pathq, "ok"
     except ValueError as exc:
         return req_url, "", str(exc), "badurl"
 

@@ -503,7 +503,10 @@ def _parse_compound(token: str) -> _Compound:
             preds.append(_pred_attr(part.group("attr")))
         elif part.group("pseudo"):
             preds.append(_pred_pseudo(part.group("pseudo"), part.group("arg")))
-    return _Compound(m.group("tag"), preds)
+    tag = m.group("tag")
+    # node tags are stored lowercased; CSS tag matching is
+    # case-insensitive (cascadia/goquery semantics)
+    return _Compound(tag.lower() if tag else tag, preds)
 
 
 _TOKEN_RE = re.compile(r"\s*(>)\s*|\s+")
@@ -540,6 +543,37 @@ def _parse_group(group: str) -> list[tuple[str, _Compound]]:
     return [(c, _parse_compound(t)) for c, t in tokens]
 
 
+def _split_groups(source: str) -> list[str]:
+    """Split on top-level commas only — a comma inside a quoted
+    attribute value or brackets (``a[title="x,y"]``) is part of the
+    group, not a separator."""
+    groups: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    quote = ""
+    for ch in source:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = ""
+        elif ch in "\"'":
+            quote = ch
+            buf.append(ch)
+        elif ch in "[(":
+            depth += 1
+            buf.append(ch)
+        elif ch in "])":
+            depth = max(0, depth - 1)
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            groups.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    groups.append("".join(buf))
+    return groups
+
+
 class Selector:
     """A compiled selector (comma groups of combinator chains)."""
 
@@ -547,7 +581,9 @@ class Selector:
 
     def __init__(self, source: str) -> None:
         self.source = source
-        self.groups = [_parse_group(g) for g in source.split(",") if g.strip()]
+        self.groups = [
+            _parse_group(g) for g in _split_groups(source) if g.strip()
+        ]
 
     def matches(self, node: Node) -> bool:
         return any(self._match_chain(chain, node) for chain in self.groups)
@@ -556,25 +592,34 @@ class Selector:
     def _match_chain(chain: list[tuple[str, _Compound]], node: Node) -> bool:
         if not chain or not chain[-1][1].matches(node):
             return False
-        # walk remaining compounds right-to-left up the ancestor chain
-        idx = len(chain) - 1
-        current = node
-        while idx > 0:
-            comb = chain[idx][0]
-            idx -= 1
-            compound = chain[idx][1]
-            if comb == ">":
-                current = current.parent
-                if current is None or not compound.matches(current):
-                    return False
-            else:  # descendant: any ancestor may match
-                anc = current.parent
-                while anc is not None and not compound.matches(anc):
-                    anc = anc.parent
-                if anc is None:
-                    return False
-                current = anc
-        return True
+        return Selector._match_up(chain, len(chain) - 1, node)
+
+    @staticmethod
+    def _match_up(chain, idx: int, current: Node) -> bool:
+        """chain[idx] matched at ``current``; match the rest upward.
+        Descendant steps BACKTRACK across candidate ancestors — greedy
+        nearest-ancestor binding falsely rejects ``X > Y Z`` when a
+        nested Y matches Z's nearest Y-ancestor but only an outer Y is
+        the child of X (CSS requires any consistent assignment)."""
+        if idx == 0:
+            return True
+        comb = chain[idx][0]
+        compound = chain[idx - 1][1]
+        if comb == ">":
+            p = current.parent
+            return (
+                p is not None
+                and compound.matches(p)
+                and Selector._match_up(chain, idx - 1, p)
+            )
+        anc = current.parent
+        while anc is not None:
+            if compound.matches(anc) and Selector._match_up(
+                chain, idx - 1, anc
+            ):
+                return True
+            anc = anc.parent
+        return False
 
 
 _SELECTOR_CACHE: dict[str, Selector] = {}

@@ -11,7 +11,7 @@ import json
 from dataclasses import dataclass, field
 from urllib.parse import quote_plus
 
-from crawl_ray.urlnorm import resolve_url
+from crawl_ray.urlnorm import canonicalize, resolve_url
 
 __all__ = [
     "Request",
@@ -152,11 +152,15 @@ def construct_request(req: Request, default_headers: dict[str, str] | None = Non
         body = encode_values(req.form)
 
     if req.query:
+        # drop the fragment BEFORE appending the query (same rule as
+        # effective_fetch_key): '/p#f' + query must yield '/p?...',
+        # not '/p#f?...' where the query hides inside the fragment
+        frag = url.find("#")
+        if frag >= 0:
+            url = url[:frag]
         base, _, _ = url.partition("?")
         url = base + "?" + encode_values(req.query)
 
-    if not method and req.form:
-        method = "POST"
     if not method:
         method = "GET"
 
@@ -173,11 +177,7 @@ def construct_request(req: Request, default_headers: dict[str, str] | None = Non
     if req.referer:
         headers[canonical_header_key("Referer")] = req.referer
 
-    # default-header merge (crawler.go:160-165): only when not already set
-    for key, value in (default_headers or DEFAULT_HEADERS).items():
-        ckey = canonical_header_key(key)
-        if ckey not in headers:
-            headers[ckey] = value
+    merge_default_headers(headers, default_headers)
 
     return {"url": url, "method": method, "headers": headers, "body": body}
 
@@ -200,10 +200,7 @@ def effective_fetch_key(
     only for the Form⇒POST default so the frontier row records the
     method that was actually used.
     """
-    u = resolve_url(url, referer)
-    frag = u.find("#")
-    if frag >= 0:
-        u = u[:frag]
+    u = canonicalize(url, referer)
     if query:
         base, _, _ = u.partition("?")
         u = base + "?" + encode_values(query)

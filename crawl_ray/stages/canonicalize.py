@@ -148,7 +148,12 @@ def canonicalize_batch(
 
     extracted = pc.extract_regex(u_col, pattern=_SAFE_URL)
     u_clean = pc.and_(
-        _no(u_col, _UNSAFE_CH),
+        pc.and_(
+            _no(u_col, _UNSAFE_CH),
+            # userinfo URLs ("http://u:p@h/") take the slow path, where
+            # the host strips the userinfo (url_host contract)
+            _no(u_col, r"^https?://[^/?#]*@"),
+        ),
         pc.fill_null(pc.invert(pc.ends_with(u_col, "?")), False),
     )
     no_req_mods = pc.and_(
@@ -163,7 +168,10 @@ def canonicalize_batch(
         ref_col, pattern=r"^(?P<prefix>https?://(?P<netloc>[^/?#]+))"
     )
     ref_parseable = pc.and_(
-        pc.fill_null(pc.is_valid(ref_ex), False),
+        pc.and_(
+            pc.fill_null(pc.is_valid(ref_ex), False),
+            _no(ref_col, r"^https?://[^/?#]*@"),  # userinfo → slow path
+        ),
         _no(ref_col, _UNSAFE_CH),
     )
     ref_safe = pc.or_(pc.fill_null(_absent(ref_col), True), ref_parseable)
@@ -260,10 +268,11 @@ def canonicalize_batch(
 
                     u = canonicalize(u, ref)
                 parts = urlsplit(u)
-                if not parts.netloc:
+                host = parts.netloc.rpartition("@")[2]  # no userinfo
+                if not host:  # covers netloc == "" AND bare-userinfo "@"
                     raise ValueError(f"no host in {u!r}")
                 s_canon[i] = u
-                s_hosts[i] = parts.netloc
+                s_hosts[i] = host
                 s_paths[i] = (parts.path or "/") + (
                     f"?{parts.query}" if parts.query else ""
                 )

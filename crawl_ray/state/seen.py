@@ -607,4 +607,6 @@ def restore_seen_table(state: dict):
         return CuckooSeenTable.restore(state)
     if "bloom_words" in state:
         return BloomSeenTable.restore(state)
+    if "lo" in state and "hi" in state:  # exact128 (incremental dedup)
+        return Seen128Table.restore(state)
     return SeenTable.restore(state)

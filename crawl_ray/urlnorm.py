@@ -40,9 +40,12 @@ def resolve_url(url: str, referer: str = "") -> str:
 
 
 def url_host(url: str) -> str:
-    """netloc (host[:port]) — the politeness / partition key."""
+    """host[:port] — the politeness / partition key.  Userinfo is
+    STRIPPED (Go's ``u.Host`` excludes it): ``http://a@h/`` and
+    ``http://b@h/`` hit the same server, so they must share one token
+    bucket / robots entry / admission shard."""
     try:
-        return urlsplit(url).netloc
+        return urlsplit(url).netloc.rpartition("@")[2]
     except ValueError:
         return ""
 

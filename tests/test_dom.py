@@ -98,3 +98,31 @@ def test_find_does_not_match_self():
 def test_stray_end_tag_ignored():
     root = parse_html(b"<div></span><p>x</p></div>")
     assert find(root, "div p")[0].text() == "x"
+
+
+def test_descendant_combinator_backtracks():
+    """'X > Y Z' must try every Y-ancestor of Z, not just the nearest:
+    here only the OUTER <ul> is the child of <div>."""
+    from crawl_ray.dom import find, parse_html
+
+    root = parse_html("<div><ul><ul><a href=x>t</a></ul></ul></div>")
+    assert [n.tag for n in find(root, "div > ul a")] == ["a"]
+    # control: an impossible chain still rejects
+    assert not find(root, "a > ul div")
+
+
+def test_selector_tag_case_insensitive():
+    from crawl_ray.dom import find, parse_html
+
+    root = parse_html("<div><A href=x>t</A></div>")
+    assert [n.tag for n in find(root, "DIV")] == ["div"]
+    assert [n.tag for n in find(root, "A")] == ["a"]
+
+
+def test_selector_comma_inside_quoted_attr():
+    from crawl_ray.dom import find, parse_html
+
+    root = parse_html('<a title="x,y">t</a><b title="z">u</b>')
+    assert [n.tag for n in find(root, 'a[title="x,y"], b[title="z"]')] == [
+        "a", "b"
+    ]

@@ -136,14 +136,15 @@ def _ref_canon_row(u, ref, req_url):
         if frag >= 0:
             u = u[:frag]
         parts = urlsplit(u)
-        if not parts.netloc:
+        host = parts.netloc.rpartition("@")[2]  # userinfo stripped
+        if not host:
             raise ValueError(f"no host in {u!r}")
         # robots key = path INCLUDING query (RFC 9309) — the rule
         # canonicalize_batch and the simulator both compute
         pathq = (parts.path or "/") + (
             f"?{parts.query}" if parts.query else ""
         )
-        return u, parts.netloc, pathq, "ok"
+        return u, host, pathq, "ok"
     except ValueError as exc:
         return req_url, "", str(exc), "badurl"
 

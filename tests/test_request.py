@@ -220,3 +220,27 @@ def test_cookie_header_empty():
 
     assert cookie_header(None, None) == ""
     assert cookie_header({}, {}) == ""
+
+
+def test_construct_request_query_drops_fragment():
+    """The fragment must be dropped BEFORE the query is appended —
+    'p#f' + query yields 'p?a=1', never 'p#f?a=1' (where the query
+    would hide inside the fragment).  Same rule as effective_fetch_key."""
+    from crawl_ray.request import Request, construct_request, effective_fetch_key
+
+    r = construct_request(
+        Request(url="http://ex.com/p#frag", query={"a": ["1"]}, callbacks=[])
+    )
+    assert r["url"] == "http://ex.com/p?a=1"
+    u, _ = effective_fetch_key("http://ex.com/p#frag", "", "", None,
+                               {"a": ["1"]})
+    assert u == r["url"]
+
+
+def test_url_host_strips_userinfo():
+    """http://a@h/ and http://b@h/ hit the same server: one token
+    bucket, one robots entry, one admission shard."""
+    from crawl_ray.urlnorm import url_host
+
+    assert url_host("http://user:pw@example.com/p") == "example.com"
+    assert url_host("http://user@example.com:8080/p") == "example.com:8080"

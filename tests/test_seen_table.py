@@ -423,3 +423,19 @@ def test_bloom_backend_dispatch():
     from crawl_ray.state.seen import BloomSeenTable, make_seen_table
 
     assert type(make_seen_table("bloom", 128)) is BloomSeenTable
+
+
+def test_restore_dispatch_seen128():
+    """restore_seen_table must route {'lo','hi'} snapshots to the
+    exact-128 backend (the incremental-dedup membership checkpoint)."""
+    import numpy as np
+
+    from crawl_ray.state.seen import Seen128Table, restore_seen_table
+
+    t = Seen128Table()
+    lo = np.array([1, 2, 3], dtype=np.uint64)
+    hi = np.array([7, 8, 9], dtype=np.uint64)
+    t.add(lo, hi)
+    r = restore_seen_table(t.snapshot())
+    assert isinstance(r, Seen128Table)
+    assert r.contains(lo, hi).all()

@@ -341,21 +341,45 @@ def run_scaling(sf_dir: str, lo: int, hi: int, repeats: int = 2,
     window as that repeat's engine runs."""
     if repeats < 1:
         raise SystemExit("--repeats must be >= 1")
+    if hi <= lo:
+        # lo == hi collapses runs{} to ONE key: every pair would compare
+        # a run against itself and fabricate a perfect 1.0 into the
+        # scaling evidence — refuse instead
+        raise SystemExit(
+            f"--scaling needs hi > lo (got lo={lo}, hi={hi}; raise --cpus "
+            "or lower --scaling-lo)"
+        )
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     calibs: list[dict] = []
     for _ in range(repeats):
         for cpus in (lo, hi):
             env = dict(os.environ)
             env.pop("RAY_ADDRESS", None)
-            proc = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"),
-                 "--_crawl-once", "--mode", mode, "--store", store,
-                 "--cpus", str(cpus), "--sf-dir", sf_dir,
-                 "--pages", str(n_pages)],
-                capture_output=True, text=True, env=env, cwd=REPO, check=True,
-            )
-            runs[cpus].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+            # NOT check=True: one child failure (e.g. the Ray 2.49
+            # ref-counting abort the default mode retries for) must not
+            # discard every completed run and swallow the stderr
+            for attempt in (1, 2):
+                proc = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py"),
+                     "--_crawl-once", "--mode", mode, "--store", store,
+                     "--cpus", str(cpus), "--sf-dir", sf_dir,
+                     "--pages", str(n_pages)],
+                    capture_output=True, text=True, env=env, cwd=REPO,
+                )
+                if proc.returncode == 0:
+                    runs[cpus].append(
+                        json.loads(proc.stdout.strip().splitlines()[-1])
+                    )
+                    break
+                sys.stderr.write(
+                    f"scaling child (cpus={cpus}, attempt {attempt}) "
+                    f"failed rc={proc.returncode}:\n{proc.stderr[-2000:]}\n"
+                )
+            # a twice-failed level contributes no run; the best-of
+            # aggregation below works over whatever completed
         calibs.append(_hw_calibration(lo, hi, passes=1))
+    if not runs[lo] or not runs[hi]:
+        raise SystemExit("scaling run has an empty level after retries")
     best = {c: max(rs, key=lambda r: r["urls_per_s"]) for c, rs in runs.items()}
     t_lo = best[lo]["urls_per_s"]
     t_hi = best[hi]["urls_per_s"]

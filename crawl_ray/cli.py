@@ -67,7 +67,20 @@ def cmd_seed(args) -> None:
             "seq_path": pa.array([seq_root(offset)], pa.binary()),
         }
     )
-    pq.write_table(row, wd / f"seed-{len(existing)}.parquet")
+    # tmp + atomic rename: the --follow daemon polls this dir, and a
+    # half-written parquet (no footer) would crash its read.  The
+    # content token keeps two concurrent `seed` invocations that both
+    # observed the same part count from overwriting each other.
+    import hashlib
+    import os
+
+    tok = hashlib.blake2b(
+        f"{args.url}:{offset}:{metadata}:{form}".encode(), digest_size=6
+    ).hexdigest()
+    part = wd / f"seed-{len(existing)}-{tok}.parquet"
+    tmp = wd / f".seed-{tok}.tmp"
+    pq.write_table(row, tmp)
+    os.replace(tmp, part)
     print(json.dumps({"seeded": args.url, "seq": offset, "workdir": args.workdir}))
 
 
@@ -123,9 +136,11 @@ def _run_follow(engine, args, seeds, robots) -> None:
     wave via resume.  SIGINT = graceful drain (finish the in-flight
     round, commit its checkpoint, exit — ``Queue.Close`` semantics);
     a later ``run --follow --resume`` continues where it stopped."""
-    import shutil
     import signal
     import time
+
+    from crawl_ray.schemas import FRONTIER_SCHEMA
+    from crawl_ray.stages.canonicalize import _DEFAULTS
 
     stop = {"flag": False}
 
@@ -140,6 +155,7 @@ def _run_follow(engine, args, seeds, robots) -> None:
     # per-WAVE round budget: a long-lived daemon would otherwise exhaust
     # the absolute max_rounds cap after the first deep crawl
     base_max_rounds = engine.cfg.max_rounds
+    injected = {"n": 0}
 
     def _crawl(seeds_tbl, resume: bool) -> None:
         result = engine.run(
@@ -152,13 +168,56 @@ def _run_follow(engine, args, seeds, robots) -> None:
             totals[k] += getattr(result, k)
         print(json.dumps({"event": "drained", **totals}), flush=True)
 
+    def _resumable():
+        return engine._resumable_round(wd, engine.cfg.n_admission_shards)
+
+    def _inject(files: list[str], nxt: int) -> None:
+        """Copy seed parts into round ``nxt``'s frontier, normalized to
+        explicit frontier defaults (a later-round frontier dir mixes
+        these rows with link files, and a schema-promoting concat would
+        null the missing columns instead of defaulting them)."""
+        dst = wd / f"round={nxt}" / "frontier"
+        dst.mkdir(parents=True, exist_ok=True)
+        for f in files:
+            t = pq.read_table(f)
+            for name, default in _DEFAULTS.items():
+                if name == "req_url":
+                    continue
+                if name not in t.column_names:
+                    t = t.append_column(
+                        name,
+                        pa.array([default] * t.num_rows,
+                                 FRONTIER_SCHEMA.field(name).type),
+                    )
+            pq.write_table(t, dst / f"follow-{injected['n']}.parquet")
+            injected["n"] += 1
+
     try:
-        processed = set(str(f) for f in r0.glob("*.parquet"))
+        processed: set[str] = set()
+        startup = sorted(str(f) for f in r0.glob("*.parquet"))
+        resumable = _resumable() if args.resume else None
+        if seeds is not None and startup and resumable is None:
+            raise SystemExit(
+                "--follow with --seeds on a pre-seeded workdir would wipe "
+                "the seeded round-0 parts: seed via the `seed` CLI, or "
+                "drop --seeds / add --resume"
+            )
+        if resumable is not None and startup:
+            # resume never re-reads round-0, so parts appended while
+            # the daemon was down would be silently lost — re-inject
+            # them ALL into the resume round.  Idempotent: already-
+            # crawled seeds are in the restored seen-set and drop.
+            _inject(startup, resumable + 1)
+            # the previous daemon may have exhausted max_rounds: give
+            # this wave a fresh per-wave budget like the poll loop does
+            engine.cfg.max_rounds = resumable + 1 + base_max_rounds
         # wave 0: whatever is present now (seeds table or pre-seeded dir)
-        if seeds is not None or processed or args.resume:
+        if seeds is not None or startup or args.resume:
             _crawl(seeds, args.resume)
-            processed.update(str(f) for f in r0.glob("*.parquet"))
-        injected = 0
+            # only parts that existed BEFORE the wave are consumed:
+            # ones appended mid-wave may have missed round 0's read and
+            # must be re-injected by the loop (idempotent via seen-set)
+            processed.update(startup)
         while not stop["flag"]:
             new = sorted(
                 f for f in (str(p) for p in r0.glob("*.parquet"))
@@ -167,41 +226,14 @@ def _run_follow(engine, args, seeds, robots) -> None:
             if not new:
                 time.sleep(args.poll_interval)
                 continue
-            # inject the appended seed parts into the next uncommitted
-            # round's frontier; resume picks them up from there
-            from crawl_ray.engine import CrawlEngine as _CE
-
             # inject at the round resume will continue from: the last
             # SNAPSHOT-complete commit + 1 (with checkpoint_interval > 1
             # a later manifest-only round re-runs on resume, so parts
             # injected past the snapshot would be wiped by its cleanup)
-            committed = _CE._resumable_round(
-                wd, engine.cfg.n_admission_shards
-            )
+            committed = _resumable()
             nxt = 0 if committed is None else committed + 1
-            dst = wd / f"round={nxt}" / "frontier"
-            dst.mkdir(parents=True, exist_ok=True)
-            for f in new:
-                # normalize to explicit frontier defaults: a later-round
-                # frontier dir mixes these rows with link files, and a
-                # schema-promoting concat would null the missing columns
-                # (depth etc.) instead of defaulting them
-                from crawl_ray.schemas import FRONTIER_SCHEMA
-                from crawl_ray.stages.canonicalize import _DEFAULTS
-
-                t = pq.read_table(f)
-                for name, default in _DEFAULTS.items():
-                    if name == "req_url":
-                        continue
-                    if name not in t.column_names:
-                        t = t.append_column(
-                            name,
-                            pa.array([default] * t.num_rows,
-                                     FRONTIER_SCHEMA.field(name).type),
-                        )
-                pq.write_table(t, dst / f"follow-{injected}.parquet")
-                injected += 1
-                processed.add(f)
+            _inject(new, nxt)
+            processed.update(new)
             engine.cfg.max_rounds = nxt + base_max_rounds
             # committed=None → nothing ran yet: a fresh (pre-seeded)
             # run, not a resume
@@ -236,14 +268,26 @@ def cmd_corpus_prep(args) -> None:
     import ray
 
     from crawl_ray.pipelines.textops import training_corpus_prep
-    from crawl_ray.sources.export import export_corpus_parquet
+    from crawl_ray.sources.export import export_prepped_parquet
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
     prep = training_corpus_prep(args.sf_dir)
-    n_prepped = prep.num_rows if hasattr(prep, "num_rows") else prep.count()
-    root = export_corpus_parquet(args.sf_dir, n_shards=args.shards)
+    if hasattr(prep, "num_rows"):  # pa.Table → Dataset for the join
+        import ray.data as rd
+
+        n_prepped = prep.num_rows
+        prep = rd.from_arrow(prep)
+    else:
+        prep = prep.materialize()
+        n_prepped = prep.count()
+    # export the SURVIVING corpus (docs joined back to their text +
+    # bin assignment), not a re-read of the raw documents table
+    root = export_prepped_parquet(args.sf_dir, prep, n_shards=args.shards)
     manifest = json.loads((pathlib.Path(root) / "manifest.json").read_text())
+    assert sum(manifest.values()) == int(n_prepped), (
+        "export row count must equal the prepped survivor count"
+    )
     print(json.dumps({
         "sf_dir": args.sf_dir,
         "prepped_rows": int(n_prepped),

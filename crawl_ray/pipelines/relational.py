@@ -50,6 +50,14 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     )
 
 
+def _dense_names(keys: np.ndarray, names: list) -> np.ndarray:
+    """key → name as a dense object array for vectorized take (keys are
+    small ints by TPC-H construction)."""
+    arr = np.empty(int(keys.max()) + 1 if len(keys) else 0, dtype=object)
+    arr[keys] = names
+    return arr
+
+
 def partial_then_final_sum(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -82,6 +90,20 @@ def partial_then_final_sum(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     )
     value_names = list(int_exprs) + ([count_name] if count_name else [])
+    if partials.num_rows == 0 and any(
+        k not in partials.column_names for k in keys
+    ):
+        # all-empty input: Ray short-circuits empty blocks past the
+        # partial UDF, so the lone empty block keeps the SOURCE schema
+        # — synthesize the result schema instead of KeyError-ing
+        cols = {}
+        for k in keys:
+            t = (partials.schema.field(k).type
+                 if k in partials.column_names else pa.string())
+            cols[k] = pa.array([], t)
+        for name in value_names:
+            cols[name] = pa.array([], pa.int64())
+        return pa.table(cols)
     aggs = [(name, "sum") for name in value_names]
     out = partials.group_by(keys).aggregate(aggs)
     renames = {f"{name}_sum": name for name in value_names}
@@ -176,11 +198,9 @@ def orders_per_nation(sf_dir: str):
         {
             "cust_sorted": cust_key[order],
             "nation_of_cust": cust_nation[order],
-            "nation_names": dict(
-                zip(
-                    nation.column("n_nationkey").to_pylist(),
-                    nation.column("n_name").to_pylist(),
-                )
+            "nation_names_arr": _dense_names(
+                nation.column("n_nationkey").to_numpy(),
+                nation.column("n_name").to_pylist(),
             ),
         }
     )
@@ -188,6 +208,11 @@ def orders_per_nation(sf_dir: str):
     def annotate(batch: pa.Table) -> pa.Table:
         lk = ray.get(lookup_ref)
         keys = batch.column("o_custkey").to_numpy()
+        if batch.num_rows and not len(lk["cust_sorted"]):
+            # empty customer table: clip to -1 would silently index the
+            # end — fail with the FK diagnostic instead of IndexError
+            raise ValueError("orders.o_custkey not in customer: "
+                             "customer table is empty")
         pos = np.searchsorted(lk["cust_sorted"], keys)
         pos = np.clip(pos, 0, len(lk["cust_sorted"]) - 1)
         # FK integrity guard: a custkey missing from customer would
@@ -196,7 +221,9 @@ def orders_per_nation(sf_dir: str):
             missing = keys[lk["cust_sorted"][pos] != keys]
             raise ValueError(f"orders.o_custkey not in customer: {missing[:5]}")
         nk = lk["nation_of_cust"][pos]
-        names = [lk["nation_names"][int(x)] for x in nk]
+        # dense numpy take, not a per-row dict lookup (nation keys are
+        # small ints; this runs per order row on the hot path)
+        names = lk["nation_names_arr"][nk]
         return pa.table(
             {
                 "n_name": pa.array(names, pa.string()),
@@ -266,6 +293,9 @@ def top_order_per_segment(sf_dir: str):
     def annotate(batch: pa.Table) -> pa.Table:
         lk = ray.get(seg_ref)
         keys = batch.column("o_custkey").to_numpy()
+        if batch.num_rows and not len(lk["cust_sorted"]):
+            raise ValueError("orders.o_custkey not in customer: "
+                             "customer table is empty")
         pos = np.clip(np.searchsorted(lk["cust_sorted"], keys), 0, len(lk["cust_sorted"]) - 1)
         if not np.array_equal(lk["cust_sorted"][pos], keys):
             missing = keys[lk["cust_sorted"][pos] != keys]

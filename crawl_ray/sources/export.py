@@ -28,6 +28,7 @@ __all__ = [
     "corpus_export_manifest",
     "jsonl_corpus_stats",
     "export_corpus_parquet",
+    "export_prepped_parquet",
     "parquet_export_manifest",
     "parquet_corpus_stats",
 ]
@@ -205,22 +206,16 @@ def jsonl_corpus_stats(sf_dir: str, n_shards: int = 8) -> pa.Table:
     files = sorted(str(f) for f in root.glob("shard=*/part-*.jsonl"))
     return _roundtrip_shard_stats(ray.data.read_json(files), n_shards)
 
-def export_corpus_parquet(sf_dir: str, n_shards: int = 8) -> str:
-    """Parquet twin of :func:`export_corpus_jsonl`: the documents corpus
-    re-sharded as ``shard=K/part-*.parquet`` — the resumable partitioned
-    layout the 100-TB path ships (one directory per shard, `_SUCCESS`
-    marker, a failed run skips finished roots).  Unlike the JSONL sink
-    (per-row ``json.dumps``), the part write here is a **zero-copy Arrow
-    slice → ``pq.write_table``** — no Python per row — so this is also
-    the fast path of the two."""
+def _parquet_block_writer(root: pathlib.Path, n_shards: int):
+    """Task-side sharded parquet writer (doc_id % n_shards layout,
+    content-token part names, tmp+rename) — shared by the raw-corpus
+    and prepped-corpus sinks."""
     import pyarrow.parquet as pq
 
-    root, finished = _fresh_export_root("parquet", sf_dir, n_shards)
-    if finished:
-        return str(root)
-
     def write_block(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         if not len(ids):
             return pa.table({"shard": pa.array([], pa.int64()),
                              "n_rows": pa.array([], pa.int64())})
@@ -247,10 +242,83 @@ def export_corpus_parquet(sf_dir: str, n_shards: int = 8) -> str:
         return pa.table({"shard": pa.array(out_s, pa.int64()),
                          "n_rows": pa.array(out_n, pa.int64())})
 
+    return write_block
+
+
+def export_prepped_parquet(sf_dir: str, prep_ds, n_shards: int = 8) -> str:
+    """Export the PREPPED corpus — the surviving documents of
+    ``training_corpus_prep`` joined back to their text, each row
+    carrying its packed ``bin_id`` — through the same resumable
+    sharded layout as :func:`export_corpus_parquet`.  A distributed
+    inner join (never a broadcast of the survivor set: at web scale it
+    is corpus-sized).  NOT cached: the CLI one-shot rebuilds its root
+    every invocation (prep parameters vary per call)."""
+    import shutil
+
+    from crawl_ray.storage import check_multinode_storage, store_root
+
+    token = hashlib.blake2b(
+        f"prepped:{sf_dir}:{n_shards}".encode(), digest_size=8
+    ).hexdigest()
+    root = store_root() / f"prepped_{token}"
+    check_multinode_storage("export_prepped_parquet", root)
+    if root.exists():
+        shutil.rmtree(root)
+    root.mkdir(parents=True, exist_ok=True)
+    for s in range(n_shards):
+        (root / f"shard={s}").mkdir(exist_ok=True)
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    from crawl_ray.util import normalize_schema
+
+    i64 = pa.int64()
+    # prep_ds's upstream groupby/sort stages can emit zero-column empty
+    # blocks that crash the aggregator's Arrow join — normalize first
+    prep_n = normalize_schema(
+        prep_ds,
+        {"pid": i64, "n_tokens": i64, "bin_id": i64},
+        rename={"doc_id": "pid"},  # avoid join key-name collision
+        coalesce=num_partitions,
+    )
+    joined = docs.repartition(num_partitions).join(
+        prep_n, "inner", num_partitions, on=("doc_id",), right_on=("pid",),
+    )
+    parts = collect_table(
+        joined.map_batches(
+            _parquet_block_writer(root, n_shards),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+    _commit_manifest(root, parts)
+    return str(root)
+
+
+def export_corpus_parquet(sf_dir: str, n_shards: int = 8) -> str:
+    """Parquet twin of :func:`export_corpus_jsonl`: the documents corpus
+    re-sharded as ``shard=K/part-*.parquet`` — the resumable partitioned
+    layout the 100-TB path ships (one directory per shard, `_SUCCESS`
+    marker, a failed run skips finished roots).  Unlike the JSONL sink
+    (per-row ``json.dumps``), the part write here is a **zero-copy Arrow
+    slice → ``pq.write_table``** — no Python per row — so this is also
+    the fast path of the two."""
+    import pyarrow.parquet as pq
+
+    root, finished = _fresh_export_root("parquet", sf_dir, n_shards)
+    if finished:
+        return str(root)
+
     parts = collect_table(
         ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-        ).map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True)
+        ).map_batches(
+            _parquet_block_writer(root, n_shards),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
     )
     _commit_manifest(root, parts)
     return str(root)

@@ -108,10 +108,12 @@ def check_multinode_storage(what: str, path: str | os.PathLike) -> None:
 
     if _under_attested_root(path):
         return
-    try:
-        alive = [n for n in ray.nodes() if n.get("Alive")]
-    except Exception:  # Ray not initialised: single-process usage
-        return
+    if not ray.is_initialized():
+        return  # single-process usage (tests, local scripts)
+    # real errors (GCS hiccup on a live cluster) must PROPAGATE: a
+    # swallowed error here would silently disable the scatter guard
+    # at the exact moment an unattested dir is being created
+    alive = [n for n in ray.nodes() if n.get("Alive")]
     if len(alive) > 1:
         roots = ", ".join(str(r) for r in _attested_roots())
         if roots:

@@ -151,14 +151,110 @@ def test_run_follow_daemon_mode(web, tmp_path):
 
 
 def test_corpus_prep_end_to_end(capsys, ray_session):
+    import pathlib
+
     cli.main(["corpus-prep", "/root/testdata/sf0.001", "--shards", "4"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["prepped_rows"] > 0
     src_rows = pq.read_metadata(
         "/root/testdata/sf0.001/documents.parquet"
     ).num_rows
-    assert sum(out["shards"].values()) == src_rows
-    # resumable: second run reuses the finished export root
+    # the export ships the PREPPED corpus: exactly the surviving rows,
+    # strictly fewer than the raw table (the filters drop documents)
+    assert sum(out["shards"].values()) == out["prepped_rows"] < src_rows
+    # exported rows carry the joined text + packed bin assignment
+    root = pathlib.Path(out["export_root"])
+    one = next(root.glob("shard=*/part-*.parquet"))
+    cols = set(pq.read_schema(str(one)).names)
+    assert {"doc_id", "text", "lang", "bin_id"} <= cols
+    # second invocation rebuilds and lands on the same root with the
+    # same counts (deterministic one-shot)
     cli.main(["corpus-prep", "/root/testdata/sf0.001", "--shards", "4"])
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["export_root"] == out["export_root"]
+    assert out2["shards"] == out["shards"]
+
+
+def test_follow_resume_injects_downtime_seeds(web, tmp_path):
+    """A seed added WHILE THE DAEMON IS DOWN must be crawled by the
+    next `run --follow --resume` wave: resume never re-reads round-0,
+    so the daemon re-injects all round-0 parts into the resume round
+    (idempotent — already-crawled seeds drop via the seen-set)."""
+    import os
+    import pathlib
+    import selectors
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    pages, d = web
+    wd = str(tmp_path / "downtime")
+    urls = pages.column("url").to_pylist()
+    cli.main(["seed", "--workdir", wd, "--callback", "page", urls[0]])
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+
+    def run_daemon(extra):
+        return subprocess.Popen(
+            [sys.executable, "-u", "-m", "crawl_ray.cli", "run",
+             "--pages", str(d / "pages.parquet"), "--workdir", wd,
+             "--max-rounds", "6", "--shards", "2", "--concurrency", "2",
+             "--follow", "--poll-interval", "0.2", *extra],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, env=env,
+        )
+
+    def read_event(proc, want, timeout):
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if not sel.select(timeout=0.5):
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                break
+            try:
+                ev = json.loads(line)
+            except ValueError:
+                continue
+            if ev.get("event") == want:
+                return ev
+        raise AssertionError(f"no {want!r} event within {timeout}s")
+
+    # wave 1, then clean shutdown
+    proc = run_daemon([])
+    try:
+        read_event(proc, "drained", 180)
+        proc.send_signal(signal.SIGINT)
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+    # daemon down: seed a URL the first wave did not visit
+    visited = set()
+    for f in pathlib.Path(wd).glob("round=*/trace/*.parquet"):
+        visited.update(pq.read_table(str(f), columns=["url"])
+                       .column("url").to_pylist())
+    fresh = next(u for u in urls if u not in visited)
+    cli.main(["seed", "--workdir", wd, "--callback", "page", fresh])
+
+    # restart with --resume: the downtime seed must be crawled in wave 0
+    proc = run_daemon(["--resume"])
+    try:
+        read_event(proc, "drained", 180)
+        proc.send_signal(signal.SIGINT)
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    visited2 = set()
+    for f in pathlib.Path(wd).glob("round=*/trace/*.parquet"):
+        visited2.update(pq.read_table(str(f), columns=["url"])
+                        .column("url").to_pylist())
+    assert fresh in visited2, "downtime-appended seed was never crawled"

@@ -48,10 +48,30 @@ def _parse_kv(pairs: list[str]) -> dict[str, str]:
 def cmd_seed(args) -> None:
     if not args.callback:
         raise SystemExit("at least one --callback required")
+    import os
+
     wd = pathlib.Path(args.workdir) / "round=0" / "frontier"
     wd.mkdir(parents=True, exist_ok=True)
     existing = sorted(wd.glob("seed-*.parquet"))
-    offset = sum(pq.read_metadata(str(f)).num_rows for f in existing)
+    # Claim a unique slot index via O_EXCL marker creation: two
+    # concurrent invocations that both observed the same part count
+    # would otherwise stamp the SAME seq_root — identical order_keys
+    # and colliding child seq_paths for both subtrees.  Claim files
+    # are dot-prefixed (invisible to the daemon's *.parquet poll) and
+    # persist so a slot is never reissued.
+    idx = len(existing)
+    while True:
+        try:
+            os.close(os.open(wd / f".claim-{idx}",
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            break
+        except FileExistsError:
+            idx += 1
+    # each cmd_seed part is single-row by construction, so the claimed
+    # slots between len(existing) and idx each account for one row
+    offset = sum(pq.read_metadata(str(f)).num_rows for f in existing) + (
+        idx - len(existing)
+    )
     metadata = json.dumps(_parse_kv(args.metadata), sort_keys=True) if args.metadata else ""
     form = json.dumps({k: [v] for k, v in _parse_kv(args.form).items()},
                       sort_keys=True) if args.form else ""
@@ -69,15 +89,15 @@ def cmd_seed(args) -> None:
     )
     # tmp + atomic rename: the --follow daemon polls this dir, and a
     # half-written parquet (no footer) would crash its read.  The
-    # content token keeps two concurrent `seed` invocations that both
-    # observed the same part count from overwriting each other.
+    # content token keeps two concurrent `seed` invocations from
+    # colliding on the tmp name; the claimed idx keeps their seq
+    # roots (and part names) distinct.
     import hashlib
-    import os
 
     tok = hashlib.blake2b(
         f"{args.url}:{offset}:{metadata}:{form}".encode(), digest_size=6
     ).hexdigest()
-    part = wd / f"seed-{len(existing)}-{tok}.parquet"
+    part = wd / f"seed-{idx}-{tok}.parquet"
     tmp = wd / f".seed-{tok}.tmp"
     pq.write_table(row, tmp)
     os.replace(tmp, part)
@@ -197,10 +217,15 @@ def _run_follow(engine, args, seeds, robots) -> None:
         startup = sorted(str(f) for f in r0.glob("*.parquet"))
         resumable = _resumable() if args.resume else None
         if seeds is not None and startup and resumable is None:
+            # fires whether or not --resume was passed: with no
+            # committed round yet, engine.run's fresh path wipes
+            # round=0 before writing the seeds table, losing the
+            # CLI-seeded parts — there is no safe flag combination
             raise SystemExit(
-                "--follow with --seeds on a pre-seeded workdir would wipe "
-                "the seeded round-0 parts: seed via the `seed` CLI, or "
-                "drop --seeds / add --resume"
+                "--follow with --seeds on a pre-seeded workdir with no "
+                "committed round would wipe the seeded round-0 parts: "
+                "drop --seeds and seed everything via the `seed` CLI "
+                "(or use a fresh workdir for the --seeds run)"
             )
         if resumable is not None and startup:
             # resume never re-reads round-0, so parts appended while

@@ -224,6 +224,16 @@ def orders_per_nation(sf_dir: str):
         # dense numpy take, not a per-row dict lookup (nation keys are
         # small ints; this runs per order row on the hot path)
         names = lk["nation_names_arr"][nk]
+        # FK integrity guard: a nationkey GAP inside 0..max reads the
+        # dense array's None filler — fail loudly like the custkey
+        # guard above, never emit null n_name rows
+        if len(names):
+            bad = np.equal(names, None)
+            if bad.any():
+                raise ValueError(
+                    "customer.c_nationkey not in nation: "
+                    f"{np.unique(nk[bad])[:5]}"
+                )
         return pa.table(
             {
                 "n_name": pa.array(names, pa.string()),

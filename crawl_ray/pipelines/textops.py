@@ -54,6 +54,16 @@ def _topv_by_count(ds, key_col: str, cnt_col: str, top_v: int,
         ds.map_batches(local_topk, batch_format="pyarrow",
                        zero_copy_batch=True)
     )
+    if t.num_rows == 0 or "key" not in t.column_names:
+        # empty corpus: the Aggregate's zero-row block short-circuits
+        # past local_topk keeping the pre-UDF schema — return typed
+        # empties instead of KeyError'ing on the missing "key" column
+        empty: list[np.ndarray] = [
+            np.array([], dtype=object), np.zeros(0, np.int64),
+        ]
+        for _ in extra_cols:
+            empty.append(np.zeros(0, np.int64))
+        return tuple(empty)
     keys = t.column("key").to_numpy(zero_copy_only=False)
     cnts = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((keys, -cnts))[:top_v]
@@ -1825,7 +1835,7 @@ def zipf_fit(sf_dir: str, top_v: int = 1000):
     # x and y are already micro-nats, so slope_micro is 10^-6 ln-units
     # per ln-unit while the intercept lands in 10^-12 ln-count units
     # (micro x micro) -- named honestly below
-    icpt = _tdiv(sy * 1_000_000 - slope * sx, n)
+    icpt = _tdiv(sy * 1_000_000 - slope * sx, n) if n else 0
     return pa.table(
         {
             "n_points": pa.array([n], pa.int64()),

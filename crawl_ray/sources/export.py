@@ -285,6 +285,19 @@ def export_prepped_parquet(sf_dir: str, prep_ds, n_shards: int = 8) -> str:
         rename={"doc_id": "pid"},  # avoid join key-name collision
         coalesce=num_partitions,
     )
+    # Arrow's hash join rejects an all-empty side (normalize_schema's
+    # fix UDF is short-circuited on zero-row blocks, so the rename to
+    # "pid" never lands) — a fully-filtered prep or an empty documents
+    # table is a legal empty export, not a crash
+    import pyarrow.parquet as pq_
+
+    n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if n_docs == 0 or prep_n.count() == 0:
+        _commit_manifest(root, pa.table({
+            "shard": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+        }))
+        return str(root)
     joined = docs.repartition(num_partitions).join(
         prep_n, "inner", num_partitions, on=("doc_id",), right_on=("pid",),
     )

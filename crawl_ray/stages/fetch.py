@@ -166,12 +166,16 @@ class HttpFetchStage:
       keep-alive per opener) — state in ``__init__``, work per batch;
     * proxied rows go through a FRESH jar-less opener for the picked
       proxy (crawler.go:167-178);
-    * ``transport`` is injectable: ``fn(url, headers, proxy, timeout)
-      -> (status:int, body:bytes, set_cookie_json:str)`` or the full
-      6-tuple ``(status, body, set_cookie_json, final_url:str,
-      error_kind:str, error:str)`` — tests run a deterministic fake;
-      the default urllib transport is built lazily (this sandbox has
-      no network).
+    * ``transport`` is injectable.  Full signature:
+      ``fn(url, headers, proxy, timeout, method, body) -> (status:int,
+      body:bytes, set_cookie_json:str, final_url:str, error_kind:str,
+      error:str)`` — tests run a deterministic fake; the default
+      urllib transport is built lazily (this sandbox has no network).
+      A legacy 4-param transport ``fn(url, headers, proxy, timeout)``
+      returning the 3-tuple ``(status, body, set_cookie_json)`` is
+      still accepted for GET-only crawls; a Form⇒POST row routed to
+      one yields a typed ``"transport"`` error row (the body cannot
+      be delivered), never a silent body-less GET.
     * transport failures are TYPED, not collapsed to a fake 404
       (``request_error.go:6-14``): ``fetch_error_kind`` ∈ {"timeout",
       "dns", "connection", "transport"} with the message in
@@ -259,9 +263,10 @@ class HttpFetchStage:
 
         transport = self._transport or self._default_transport
         try:
-            legacy4 = len(
-                inspect.signature(transport).parameters
-            ) <= 4 and transport is not self._default_transport
+            # the default transport has 6 params, so arity alone
+            # classifies it correctly; injected 4-param transports
+            # take the legacy GET-only path below
+            legacy4 = len(inspect.signature(transport).parameters) <= 4
         except (TypeError, ValueError):
             legacy4 = False
         names = set(batch.column_names)
@@ -318,6 +323,17 @@ class HttpFetchStage:
                     "Content-Type", "application/x-www-form-urlencoded"
                 )
             if legacy4:
+                if method != "GET" or body:
+                    # a 4-param transport cannot carry method/body —
+                    # surface a typed error row instead of silently
+                    # degrading the POST to a body-less GET
+                    status[i] = 0
+                    err_kinds[i] = "transport"
+                    errs[i] = (
+                        f"legacy 4-param transport cannot send "
+                        f"{method} with a body: {url}"
+                    )
+                    continue
                 res = transport(url, hdrs, proxies[i], self.timeout_s)
             else:
                 res = transport(

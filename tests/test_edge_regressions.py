@@ -1,0 +1,169 @@
+"""Regression tests for the round-4 session-5 review findings:
+empty-corpus LM ops, zero-survivor prepped export, concurrent-seed
+seq uniqueness, legacy-transport POST refusal, nation FK-gap guard."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from crawl_ray import cli
+
+
+def _write_documents(tmp_path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+
+
+def test_empty_corpus_lm_ops(ray_session, tmp_path):
+    """0-row documents table: the vocab-truncation helper returns typed
+    empties instead of KeyError'ing on the Aggregate's schema-less
+    empty block; zipf_fit's intercept division is guarded."""
+    from crawl_ray.pipelines import textops as T
+
+    _write_documents(tmp_path, [])
+    d = str(tmp_path)
+
+    scored = T.unigram_logprob(d)
+    assert scored.count() == 0
+
+    z = T.zipf_fit(d)
+    assert z.column("n_points")[0].as_py() == 0
+    assert z.column("slope_micro")[0].as_py() == 0
+    assert z.column("intercept_pico")[0].as_py() == 0
+
+    tf = T.tfidf_top_terms(d)
+    n = tf.num_rows if hasattr(tf, "num_rows") else tf.count()
+    assert n == 0
+
+
+def test_export_prepped_zero_survivors(ray_session, tmp_path):
+    """A fully-filtered prep (zero survivors) is a legal empty export:
+    manifest {} + _SUCCESS, not an ArrowInvalid join crash."""
+    import pathlib
+
+    import ray.data as rd
+
+    from crawl_ray.sources.export import export_prepped_parquet
+
+    _write_documents(tmp_path, [(0, "hello world", "en")])
+    empty_prep = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "bin_id": pa.array([], pa.int64()),
+            }
+        )
+    )
+    root = pathlib.Path(
+        export_prepped_parquet(str(tmp_path), empty_prep, n_shards=2)
+    )
+    assert (root / "_SUCCESS").exists()
+    assert json.loads((root / "manifest.json").read_text()) == {}
+
+
+def test_seed_claimed_slot_keeps_seq_unique(tmp_path, capsys):
+    """A concurrent `seed` that claimed a slot but hasn't renamed its
+    part yet must not share a seq_root with the next invocation: the
+    claim marker advances both the slot index and the seq offset."""
+    import os
+
+    wd = tmp_path / "c"
+    frontier = wd / "round=0" / "frontier"
+    frontier.mkdir(parents=True)
+    # simulate an in-flight concurrent seed: slot 0 claimed, part not
+    # yet visible to the glob
+    os.close(os.open(frontier / ".claim-0", os.O_CREAT | os.O_EXCL))
+
+    cli.main(["seed", "--workdir", str(wd), "--callback", "page",
+              "http://host0.example/p/0"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["seq"] == 1  # slot 0 belongs to the in-flight seeder
+    files = sorted(frontier.glob("seed-*.parquet"))
+    assert len(files) == 1 and files[0].name.startswith("seed-1-")
+
+    # a third seed claims slot 2 and gets offset 2
+    cli.main(["seed", "--workdir", str(wd), "--callback", "page",
+              "http://host1.example/p/1"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["seq"] == 2
+
+
+def test_legacy4_transport_post_is_typed_error():
+    """A 4-param injected transport cannot carry a Form⇒POST body:
+    the row gets a typed 'transport' error, never a body-less GET."""
+    from crawl_ray.stages.fetch import HttpFetchStage
+
+    seen = []
+
+    def legacy(url, headers, proxy, timeout):
+        seen.append(url)
+        return 200, b"<html>ok</html>", ""
+
+    stage = HttpFetchStage(transport=legacy)
+    batch = pa.table(
+        {
+            "url": pa.array(
+                ["http://a.example/get", "http://a.example/post"],
+                pa.string(),
+            ),
+            "url_hash": pa.array([1, 2], pa.uint64()),
+            "metadata": pa.array(["", ""], pa.string()),
+            "method": pa.array(["GET", "POST"], pa.string()),
+            "form": pa.array(["", json.dumps({"k": ["v"]})], pa.string()),
+        }
+    )
+    out = stage(batch)
+    status = out.column("status").to_pylist()
+    kinds = out.column("fetch_error_kind").to_pylist()
+    assert status[0] == 200 and kinds[0] == ""
+    assert status[1] == 0 and kinds[1] == "transport"
+    assert "POST" in out.column("fetch_error")[1].as_py()
+    assert seen == ["http://a.example/get"]  # POST never hit the wire
+
+
+def test_orders_per_nation_fk_gap_raises(ray_session, tmp_path):
+    """A nationkey gap inside 0..max must fail loudly, not emit null
+    n_name rows through the dense-array take."""
+    from crawl_ray.pipelines.relational import orders_per_nation
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 2], pa.int64()),  # gap at 1
+                "n_name": pa.array(["ALGERIA", "BRAZIL"], pa.string()),
+            }
+        ),
+        tmp_path / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([10], pa.int64()),
+                "c_nationkey": pa.array([1], pa.int64()),  # the gap
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([10], pa.int64()),
+                "o_totalprice": pa.array([100.0], pa.float64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    with pytest.raises(Exception, match="c_nationkey not in nation"):
+        orders_per_nation(str(tmp_path))

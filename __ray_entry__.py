@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_flagship": CQ.crawl_flagship,
         "web_corpus_prep": CQ.web_corpus_prep,
         "anchor_text_index": CQ.anchor_text_index,
+        "link_pagerank": CQ.link_pagerank,
         "crawl_depth_histogram": CQ.crawl_depth_histogram,
         "crawl_errors": CQ.crawl_errors,
         "crawl_metrics": CQ.crawl_metrics,
@@ -564,6 +565,72 @@ def _crawl_oracle_sql() -> dict[str, str]:
                    t.top_anchor, t.top_anchor_cnt
             FROM per_t p JOIN top t ON p.target = t.target AND t.rn = 1
             ORDER BY p.target
+        """,
+        # directed integer PageRank over the link graph: links are
+        # regex-extractable from the template-regular fixture HTML
+        # (same raw/links CTEs as anchor_text_index), iterations
+        # unrolled with the identical truncating micro-unit arithmetic
+        "link_pagerank": f"""
+            WITH raw AS (
+                SELECT url,
+                       unnest(regexp_extract_all(decode(html),
+                           '<a href="([^"]*)">', 1)) AS href
+                FROM read_parquet('{pages}')
+            ), links AS (
+                SELECT DISTINCT url AS src,
+                       CASE WHEN href LIKE 'http%'
+                            THEN href
+                            ELSE 'http://' || split_part(url, '/', 3) || href
+                       END AS dst
+                FROM raw
+            ), nodes AS (
+                SELECT src AS node FROM links
+                UNION
+                SELECT dst FROM links
+            ), deg AS (
+                SELECT src, cast(count(*) as bigint) AS outdeg
+                FROM links GROUP BY src
+            ), r0 AS (
+                SELECT node, cast(1000000 as bigint) AS rank FROM nodes
+            ), it1 AS (
+                SELECT n.node,
+                       cast(150000 + (850 * coalesce(s.c, 0)) // 1000
+                            as bigint) AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT l.dst AS node,
+                           cast(sum(r.rank // d.outdeg) as bigint) AS c
+                    FROM links l
+                    JOIN deg d ON l.src = d.src
+                    JOIN r0 r ON l.src = r.node
+                    GROUP BY l.dst
+                ) s ON n.node = s.node
+            ), it2 AS (
+                SELECT n.node,
+                       cast(150000 + (850 * coalesce(s.c, 0)) // 1000
+                            as bigint) AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT l.dst AS node,
+                           cast(sum(r.rank // d.outdeg) as bigint) AS c
+                    FROM links l
+                    JOIN deg d ON l.src = d.src
+                    JOIN it1 r ON l.src = r.node
+                    GROUP BY l.dst
+                ) s ON n.node = s.node
+            ), it3 AS (
+                SELECT n.node,
+                       cast(150000 + (850 * coalesce(s.c, 0)) // 1000
+                            as bigint) AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT l.dst AS node,
+                           cast(sum(r.rank // d.outdeg) as bigint) AS c
+                    FROM links l
+                    JOIN deg d ON l.src = d.src
+                    JOIN it2 r ON l.src = r.node
+                    GROUP BY l.dst
+                ) s ON n.node = s.node
+            )
+            SELECT node AS url, rank AS rank_micro FROM it3
+            ORDER BY rank DESC, url LIMIT 20
         """,
         "crawl_errors": f"""
             SELECT error_kind, url

@@ -654,3 +654,223 @@ def crawl_politeness_audit(sf_dir: str):
     return out.select(
         ["host", "n_fetched", "peak_round_fetches", "n_rounds_active"]
     ).sort_by("host")
+
+
+def link_pagerank(
+    sf_dir: str,
+    iterations: int = 3,
+    k: int = 20,
+    num_partitions: int | None = None,
+    small_graph_threshold: int = 2_000_000,
+) -> pa.Table:
+    """Directed integer PageRank over the crawled LINK graph — the
+    frontier-prioritization signal a production crawler feeds back into
+    its priority column (O2): pages the web points at crawl first.
+
+    Exact semantics (oracle-matched, same integer-micro-unit family as
+    ``graph.supplier_pagerank``):
+
+    - nodes = distinct link SOURCES ∪ distinct resolved link TARGETS
+      (a page with neither in- nor out-links is not a graph node);
+    - edges = distinct ``(src_url, target_url)`` pairs, targets
+      resolved per F9 (``html_utils.go:93-106``) against the page url;
+    - outdeg = distinct out-targets per source; dangling nodes
+      (targets never fetched / pages without links) contribute no
+      mass — their rank is not redistributed;
+    - rank_0 = 1_000_000; rank_{t+1} =
+      150_000 + (850 * Σ_src rank_t[src] // outdeg[src]) // 1_000
+      (truncating integer division, bit-reproducible);
+    - output: top-``k`` ``(url, rank_micro)``, rank desc then url asc.
+
+    Scale shape: edge extraction is a batch-deduped ``map_batches``
+    pass over the page store (pre-aggregated before any shuffle); the
+    driver fast path collects only a ≤``small_graph_threshold``-edge
+    list, while the distributed loop mirrors ``supplier_pagerank`` —
+    string-keyed hash joins, per-batch contrib partials, and a bounded
+    nodes ⟕ contribs rebase per iteration; nothing driver-sized ever
+    materializes on the big path (forced-distributed parity test).
+    """
+    from crawl_ray.dom import find
+    from crawl_ray.pipelines.graph import BASE_RANK, DAMP_MILLI, TELEPORT
+    from crawl_ray.pipelines.joins import _default_partitions
+    from crawl_ray.util import collect_table, normalize_schema
+
+    num_partitions = num_partitions or _default_partitions()
+    d = fixture_dir(fixture_size_for(sf_dir))
+
+    empty = pa.table(
+        {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+    )
+
+    def extract_edges(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for url, h in zip(urls, htmls):
+            resolve = H.node_resolve_url(url)
+            seen: set[str] = set()
+            for node in find(parse_html(h), "a"):
+                t = resolve(node)
+                if t and t not in seen:
+                    seen.add(t)
+                    srcs.append(url)
+                    dsts.append(t)
+        if not srcs:
+            return empty
+        return pa.table(
+            {"src": pa.array(srcs, pa.string()),
+             "dst": pa.array(dsts, pa.string())}
+        )
+
+    raw = ray.data.read_parquet(
+        f"{d}/pages.parquet", columns=["url", "html"]
+    ).map_batches(
+        extract_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    # (src, dst) pairs are already distinct WITHIN a page (per-page
+    # dedup above) and a page's links live in one batch, so the raw
+    # stream is globally distinct: the count gate is exact.
+    if raw.count() <= small_graph_threshold:
+        return _link_pagerank_local(collect_table(raw), iterations, k)
+
+    s = pa.string()
+    edges = normalize_schema(raw, {"src": s, "dst": s},
+                             coalesce=num_partitions).materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"src": batch.column("src"),
+             "outdeg": pa.array(np.ones(batch.num_rows, dtype=np.int64))}
+        )
+        out = t.group_by(["src"]).aggregate([("outdeg", "sum")])
+        return out.rename_columns(
+            [c if c != "outdeg_sum" else "outdeg" for c in out.column_names]
+        )
+
+    outdeg = normalize_schema(
+        edges.map_batches(
+            deg_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("src").sum("outdeg"),
+        {"src": s, "outdeg": pa.int64()},
+        rename={"sum(outdeg)": "outdeg"},
+        coalesce=num_partitions,
+    )
+    edges_wd = normalize_schema(
+        edges.join(outdeg, "inner", num_partitions, on=("src",)),
+        {"src": s, "dst": s, "outdeg": pa.int64()},
+        coalesce=num_partitions,
+    ).materialize()
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            batch.column("src").to_numpy(zero_copy_only=False),
+            batch.column("dst").to_numpy(zero_copy_only=False),
+        ]))
+        return pa.table({"node": pa.array(u, pa.string()),
+                         "one": pa.array(np.ones(len(u), dtype=np.int64))})
+
+    nodes = normalize_schema(
+        edges.map_batches(
+            node_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("node").sum("one"),
+        {"node": s},
+        coalesce=num_partitions,
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"),
+             "rank_micro": pa.array(
+                 np.full(b.num_rows, BASE_RANK, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+
+    for _ in range(iterations):
+        carrying = normalize_schema(
+            edges_wd.join(
+                ranks, "inner", num_partitions, on=("src",),
+                right_on=("node",),
+            ),
+            {"dst": s, "outdeg": pa.int64(), "rank_micro": pa.int64()},
+            coalesce=num_partitions,
+        )
+
+        def contrib_partial(batch: pa.Table) -> pa.Table:
+            rank = batch.column("rank_micro").to_numpy()
+            deg = batch.column("outdeg").to_numpy()
+            t = pa.table(
+                {"dst": batch.column("dst"),
+                 "contrib": pa.array(rank // deg, pa.int64())}
+            )
+            out = t.group_by(["dst"]).aggregate([("contrib", "sum")])
+            return out.rename_columns(
+                [c if c != "contrib_sum" else "contrib"
+                 for c in out.column_names]
+            )
+
+        contribs = normalize_schema(
+            carrying.map_batches(
+                contrib_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).groupby("dst").sum("contrib"),
+            {"dst": s, "contrib": pa.int64()},
+            rename={"sum(contrib)": "contrib"},
+            coalesce=num_partitions,
+        )
+        rebased = normalize_schema(
+            nodes.join(
+                contribs, "left_outer", num_partitions, on=("node",),
+                right_on=("dst",),
+            ),
+            {"node": s, "contrib": pa.int64()},
+            coalesce=num_partitions,
+        )
+
+        def apply_rank(batch: pa.Table) -> pa.Table:
+            c = batch.column("contrib").to_numpy(zero_copy_only=False)
+            c = np.where(
+                np.isnan(c.astype(np.float64)), 0, c
+            ).astype(np.int64)
+            return pa.table(
+                {"node": batch.column("node"),
+                 "rank_micro": pa.array(
+                     TELEPORT + (DAMP_MILLI * c) // 1_000, pa.int64())}
+            )
+
+        ranks = rebased.map_batches(apply_rank, batch_format="pyarrow")
+
+    top = collect_table(
+        ranks.sort(["rank_micro", "node"], descending=[True, False]).limit(k)
+    )
+    return pa.table(
+        {"url": top.column("node").cast(pa.string()),
+         "rank_micro": top.column("rank_micro").cast(pa.int64())}
+    )
+
+
+def _link_pagerank_local(edges_t: pa.Table, iterations: int, k: int) -> pa.Table:
+    """Driver fast path over a collected ≤threshold edge list: the
+    identical integer arithmetic on numpy arrays (directed — dangling
+    nodes receive teleport mass only and redistribute nothing)."""
+    from crawl_ray.pipelines.graph import BASE_RANK, DAMP_MILLI, TELEPORT
+
+    src = edges_t.column("src").to_numpy(zero_copy_only=False)
+    dst = edges_t.column("dst").to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([src, dst]))
+    src_i = np.searchsorted(nodes, src)
+    dst_i = np.searchsorted(nodes, dst)
+    outdeg = np.bincount(src_i, minlength=len(nodes)).astype(np.int64)
+    rank = np.full(len(nodes), BASE_RANK, dtype=np.int64)
+    safe_deg = np.maximum(outdeg, 1)  # dangling rows never indexed via src_i
+    for _ in range(iterations):
+        contrib = rank[src_i] // safe_deg[src_i]
+        sums = np.bincount(
+            dst_i, weights=contrib.astype(np.float64), minlength=len(nodes)
+        ).astype(np.int64)
+        rank = TELEPORT + (DAMP_MILLI * sums) // 1_000
+    order = np.lexsort((nodes, -rank))[:k]
+    return pa.table(
+        {"url": pa.array(nodes[order], pa.string()),
+         "rank_micro": pa.array(rank[order], pa.int64())}
+    )

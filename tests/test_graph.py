@@ -90,3 +90,18 @@ def test_bfs_distributed_path_equals_local(ray_session):
         "/root/testdata/sf0.001", small_graph_threshold=0
     ).to_pandas()
     assert local.equals(dist)
+
+
+def test_link_pagerank_distributed_path_equals_local(ray_session):
+    """Directed link-graph PageRank: the string-keyed distributed loop
+    is bit-equal to the driver fast path on the same fixture web."""
+    from crawl_ray.pipelines.crawl_queries import link_pagerank
+
+    local = link_pagerank("/root/testdata/sf0.001").to_pandas()
+    dist = link_pagerank(
+        "/root/testdata/sf0.001", small_graph_threshold=0
+    ).to_pandas()
+    assert local.equals(dist)
+    assert len(local) == 20
+    # ranks are in micro-units with teleport floor 150000
+    assert (local.rank_micro >= 150_000).all()

@@ -107,6 +107,11 @@ def _seed_rows(seeds: pa.Table) -> list[_Row]:
             deadline=deadline,
             depth=0,
             seq_path=seq_root(i),
+            # a seeds-table priority column is honored by the engine
+            # (write_seeds passes it through; order_key encodes it), so
+            # the oracle must read it too — dropping it silently broke
+            # parity for prioritized seed lists
+            priority=float(cols.get("priority", [0.0] * n)[i] or 0.0),
         )
         rows.append(_Row(req=req))
     return rows

@@ -1040,3 +1040,52 @@ def test_robots_query_prefix_parity(fixture_tables, ray_session, tmp_path_factor
     # the query-carrying seed must actually be robots-blocked, with the
     # query in the match key — otherwise this test proves nothing
     assert any(e == "disallowed: /p/2?track=1" for _, e in got_robots)
+
+
+def test_engine_equals_simulator_with_seed_priorities(
+    fixture_tables, ray_session, tmp_path_factory
+):
+    """O2 with a NON-uniform priority column: a seeds table carrying
+    distinct priorities (the link_pagerank feedback shape) must crawl
+    high-priority URLs first on BOTH sides — engine trace ≡ simulator
+    trace under a budget that forces the priority split every round."""
+    import numpy as np
+
+    pages, seeds, robots, pages_path = fixture_tables
+    n = seeds.num_rows
+    # distinct float32-exact priorities, deliberately NOT aligned with
+    # seed order (reversal + stripe): exercises the sort, not the seq
+    # tie-break
+    prio = np.array([(i * 7) % 5 for i in range(n)], dtype=np.float32)
+    seeds_p = seeds.append_column("priority", pa.array(prio, pa.float32()))
+
+    base = {**CFG, "round_budget": 3, "max_rounds": 6, "max_depth": 1}
+    reg = HandlerRegistry()
+    flagship_spider(reg)
+    sim = simulate(pages, seeds_p, robots, reg, CrawlConfig(**base))
+
+    cfg = EngineConfig(**base, n_admission_shards=2, extract_concurrency=2)
+    engine = CrawlEngine([flagship_spider], cfg)
+    wd = str(tmp_path_factory.mktemp("prio"))
+    result = engine.run(pages_path, seeds_p, robots, wd)
+    engine.shutdown_shards()
+
+    trace = result.trace_table()
+    rows = sorted(
+        zip(
+            trace.column("round").to_pylist(),
+            trace.column("order_key").to_pylist(),
+            trace.column("url").to_pylist(),
+        )
+    )
+    assert [(r, u) for r, _, u in rows] == sim.trace
+    # the explicit O2 property: round-0 holds the max-priority seeds
+    url_prio = dict(zip(seeds_p.column("url").to_pylist(), prio.tolist()))
+    by_round: dict[int, list[float]] = {}
+    for r, _, u in rows:
+        if u in url_prio:
+            by_round.setdefault(r, []).append(url_prio[u])
+    if len(by_round) > 1:
+        assert min(by_round[0]) >= max(
+            p for r, ps in by_round.items() if r > 0 for p in ps
+        )

@@ -84,6 +84,7 @@ def cmd_seed(args) -> None:
             "callbacks": pa.array([args.callback], pa.list_(pa.string())),
             "metadata": pa.array([metadata], pa.string()),
             "deadline": pa.array([args.deadline], pa.timestamp("us")),
+            "priority": pa.array([args.priority], pa.float32()),
             "seq_path": pa.array([seq_root(offset)], pa.binary()),
         }
     )
@@ -349,6 +350,9 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--form", action="append", default=[], metavar="K=V")
     s.add_argument("--deadline", type=int, default=None,
                    help="absolute deadline, epoch micros")
+    s.add_argument("--priority", type=float, default=0.0,
+                   help="frontier priority (higher crawls first, O2; "
+                        "e.g. a link_pagerank rank)")
     s.set_defaults(fn=cmd_seed)
 
     r = sub.add_parser("run", help="run the crawl loop over a pages table")

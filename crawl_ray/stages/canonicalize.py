@@ -80,6 +80,19 @@ def _ensure_columns(batch: pa.Table) -> pa.Table:
     names = set(batch.column_names)
     for fld in FRONTIER_SCHEMA:
         if fld.name in names:
+            # schema-promoted NULLS (a frontier dir mixing parts written
+            # before/after a column existed — e.g. legacy seed parts
+            # without `priority` next to new ones — unifies with nulls,
+            # not defaults): coalesce to the column default; `deadline`
+            # is the one column where null is MEANINGFUL (no deadline)
+            if fld.name in _DEFAULTS and fld.name != "deadline":
+                col = batch.column(fld.name)
+                if col.null_count:
+                    batch = batch.set_column(
+                        batch.column_names.index(fld.name),
+                        fld.name,
+                        col.fill_null(_DEFAULTS[fld.name]),
+                    )
             continue
         if fld.name == "callbacks":
             col = pa.array([[]] * n, fld.type)

@@ -258,3 +258,49 @@ def test_follow_resume_injects_downtime_seeds(web, tmp_path):
         visited2.update(pq.read_table(str(f), columns=["url"])
                         .column("url").to_pylist())
     assert fresh in visited2, "downtime-appended seed was never crawled"
+
+
+def test_seed_priority_and_legacy_part_mix(web, tmp_path, ray_session, capsys):
+    """`seed --priority` writes a float32 priority column; a frontier
+    dir mixing pre-priority (legacy) parts with new ones must
+    null-coalesce to the column default instead of crashing the
+    extract stage, and the prioritized seed must crawl first."""
+    import pyarrow as pa
+
+    from crawl_ray.schemas import FRONTIER_SCHEMA, seq_root
+
+    pages, d = web
+    urls = pages.column("url").to_pylist()
+    wd = tmp_path / "crawl"
+    fr = wd / "round=0" / "frontier"
+    fr.mkdir(parents=True)
+    # legacy part: the pre-upgrade seed layout WITHOUT a priority column
+    legacy = pa.table(
+        {
+            "url": pa.array([urls[5]], pa.string()),
+            "method": pa.array(["GET"], pa.string()),
+            "referer": pa.array([""], pa.string()),
+            "form": pa.array([""], pa.string()),
+            "callbacks": pa.array([["page"]], pa.list_(pa.string())),
+            "metadata": pa.array([""], pa.string()),
+            "deadline": pa.array([None], pa.timestamp("us")),
+            "seq_path": pa.array([seq_root(0)], pa.binary()),
+        }
+    )
+    pq.write_table(legacy, fr / "seed-0-aaaa.parquet")
+    cli.main(["seed", "--workdir", str(wd), "--callback", "page",
+              "--priority", "3.0", urls[9]])
+    capsys.readouterr()
+    cli.main(["run", "--pages", str(d / "pages.parquet"),
+              "--robots", str(d / "robots.parquet"),
+              "--workdir", str(wd), "--max-rounds", "2", "--shards", "2",
+              "--concurrency", "2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["records"] >= 2  # both seeds crawled, no null-priority crash
+
+    # O2: within round 0 the prioritized seed's order_key sorts FIRST
+    trace_files = sorted((wd / "round=0" / "trace").glob("*.parquet"))
+    t = pa.concat_tables([pq.read_table(str(f)) for f in trace_files])
+    rows = sorted(zip(t.column("order_key").to_pylist(),
+                      t.column("url").to_pylist()))
+    assert rows[0][1] == urls[9]

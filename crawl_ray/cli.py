@@ -45,21 +45,33 @@ def _parse_kv(pairs: list[str]) -> dict[str, str]:
     return out
 
 
-def cmd_seed(args) -> None:
-    if not args.callback:
-        raise SystemExit("at least one --callback required")
+def _append_seed_part(workdir: str, rows: pa.Table) -> tuple[pathlib.Path, int]:
+    """Claim a slot and atomically append a (possibly multi-row) seed
+    part to the round-0 frontier with monotone ``seq_root`` offsets.
+    Shared by the ``seed`` CLI and the ``--follow`` seeds-table
+    injection.
+
+    * O_EXCL claim markers (dot-prefixed, invisible to the daemon's
+      ``*.parquet`` poll, never reissued) keep concurrent appenders
+      that observed the same state from stamping the same seq_root —
+      identical order_keys and colliding child seq_paths otherwise.
+    * The seq offset counts rows of ALL frontier parts (``seed-*``,
+      ``part-*`` from ``engine.write_seeds``, ``follow-*``), so CLI
+      seeds never collide with a seeds-table run's roots.
+    * Outstanding claims are estimated at one row each (the ``seed``
+      CLI part size); a multi-row injected part under-estimates only
+      during its own in-flight rename window.
+    * tmp + atomic rename: the daemon polls this dir, and a
+      half-written parquet (no footer) would crash its read.
+    """
+    import hashlib
     import os
 
-    wd = pathlib.Path(args.workdir) / "round=0" / "frontier"
+    wd = pathlib.Path(workdir) / "round=0" / "frontier"
     wd.mkdir(parents=True, exist_ok=True)
-    existing = sorted(wd.glob("seed-*.parquet"))
-    # Claim a unique slot index via O_EXCL marker creation: two
-    # concurrent invocations that both observed the same part count
-    # would otherwise stamp the SAME seq_root — identical order_keys
-    # and colliding child seq_paths for both subtrees.  Claim files
-    # are dot-prefixed (invisible to the daemon's *.parquet poll) and
-    # persist so a slot is never reissued.
-    idx = len(existing)
+    seed_parts = sorted(wd.glob("seed-*.parquet"))
+    all_parts = sorted(wd.glob("*.parquet"))
+    idx = len(seed_parts)
     while True:
         try:
             os.close(os.open(wd / f".claim-{idx}",
@@ -67,11 +79,29 @@ def cmd_seed(args) -> None:
             break
         except FileExistsError:
             idx += 1
-    # each cmd_seed part is single-row by construction, so the claimed
-    # slots between len(existing) and idx each account for one row
-    offset = sum(pq.read_metadata(str(f)).num_rows for f in existing) + (
-        idx - len(existing)
+    offset = sum(pq.read_metadata(str(f)).num_rows for f in all_parts) + (
+        idx - len(seed_parts)
     )
+    rows = rows.append_column(
+        "seq_path",
+        pa.array([seq_root(offset + i) for i in range(rows.num_rows)],
+                 pa.binary()),
+    )
+    tok = hashlib.blake2b(
+        "|".join(rows.column("url").to_pylist()).encode()
+        + f":{offset}".encode(),
+        digest_size=6,
+    ).hexdigest()
+    part = wd / f"seed-{idx}-{tok}.parquet"
+    tmp = wd / f".seed-{tok}.tmp"
+    pq.write_table(rows, tmp)
+    os.replace(tmp, part)
+    return part, offset
+
+
+def cmd_seed(args) -> None:
+    if not args.callback:
+        raise SystemExit("at least one --callback required")
     metadata = json.dumps(_parse_kv(args.metadata), sort_keys=True) if args.metadata else ""
     form = json.dumps({k: [v] for k, v in _parse_kv(args.form).items()},
                       sort_keys=True) if args.form else ""
@@ -85,23 +115,9 @@ def cmd_seed(args) -> None:
             "metadata": pa.array([metadata], pa.string()),
             "deadline": pa.array([args.deadline], pa.timestamp("us")),
             "priority": pa.array([args.priority], pa.float32()),
-            "seq_path": pa.array([seq_root(offset)], pa.binary()),
         }
     )
-    # tmp + atomic rename: the --follow daemon polls this dir, and a
-    # half-written parquet (no footer) would crash its read.  The
-    # content token keeps two concurrent `seed` invocations from
-    # colliding on the tmp name; the claimed idx keeps their seq
-    # roots (and part names) distinct.
-    import hashlib
-
-    tok = hashlib.blake2b(
-        f"{args.url}:{offset}:{metadata}:{form}".encode(), digest_size=6
-    ).hexdigest()
-    part = wd / f"seed-{idx}-{tok}.parquet"
-    tmp = wd / f".seed-{tok}.tmp"
-    pq.write_table(row, tmp)
-    os.replace(tmp, part)
+    _, offset = _append_seed_part(args.workdir, row)
     print(json.dumps({"seeded": args.url, "seq": offset, "workdir": args.workdir}))
 
 
@@ -125,7 +141,10 @@ def cmd_run(args) -> None:
         n_admission_shards=args.shards,
         extract_concurrency=args.concurrency,
     )
-    spiders = [_load_spider(s) for s in args.spider]
+    spiders = [
+        _load_spider(s)
+        for s in (args.spider or ["crawl_ray.spiders:flagship_spider"])
+    ]
     engine = CrawlEngine(spiders, cfg)
     robots = pq.read_table(args.robots) if args.robots else None
     seeds = pq.read_table(args.seeds) if args.seeds else None
@@ -228,6 +247,19 @@ def _run_follow(engine, args, seeds, robots) -> None:
                 "drop --seeds and seed everything via the `seed` CLI "
                 "(or use a fresh workdir for the --seeds run)"
             )
+        if resumable is not None and seeds is not None:
+            # engine.run on a resumed workdir never re-reads a seeds
+            # table (it raises rather than silently dropping it) —
+            # convert the table into a round-0 seed part so the
+            # injection below carries it into the resume round, and
+            # mark it consumed so the poll loop doesn't echo it.
+            from crawl_ray.engine import _validate_seeds
+
+            _validate_seeds(seeds)
+            part, _ = _append_seed_part(args.workdir, seeds)
+            startup.append(str(part))
+            processed.add(str(part))
+            seeds = None
         if resumable is not None and startup:
             # resume never re-reads round-0, so parts appended while
             # the daemon was down would be silently lost — re-inject
@@ -237,9 +269,13 @@ def _run_follow(engine, args, seeds, robots) -> None:
             # the previous daemon may have exhausted max_rounds: give
             # this wave a fresh per-wave budget like the poll loop does
             engine.cfg.max_rounds = resumable + 1 + base_max_rounds
-        # wave 0: whatever is present now (seeds table or pre-seeded dir)
-        if seeds is not None or startup or args.resume:
-            _crawl(seeds, args.resume)
+        # wave 0: whatever is present now (seeds table, pre-seeded dir,
+        # or a resumable checkpoint).  NOTE `resumable is not None`,
+        # not `args.resume`: --resume on a fresh empty workdir must
+        # fall through to the poll loop, not crash engine.run with
+        # "seeds required for a fresh run".
+        if seeds is not None or startup or resumable is not None:
+            _crawl(seeds, resumable is not None)
             # only parts that existed BEFORE the wave are consumed:
             # ones appended mid-wave may have missed round 0's read and
             # must be re-injected by the loop (idempotent via seen-set)
@@ -257,13 +293,22 @@ def _run_follow(engine, args, seeds, robots) -> None:
             # a later manifest-only round re-runs on resume, so parts
             # injected past the snapshot would be wiped by its cleanup)
             committed = _resumable()
-            nxt = 0 if committed is None else committed + 1
+            if committed is None:
+                # nothing ever committed: the parts ALREADY sit in the
+                # round-0 frontier a fresh pre-seeded run reads —
+                # copying them into the same dir would duplicate every
+                # row in this wave AND be re-discovered by the next
+                # poll as "new" parts (an echo wave re-running a full
+                # admit-nothing crawl per cold start)
+                processed.update(new)
+                engine.cfg.max_rounds = base_max_rounds
+                _crawl(None, False)
+                continue
+            nxt = committed + 1
             _inject(new, nxt)
             processed.update(new)
             engine.cfg.max_rounds = nxt + base_max_rounds
-            # committed=None → nothing ran yet: a fresh (pre-seeded)
-            # run, not a resume
-            _crawl(None, committed is not None)
+            _crawl(None, True)
     finally:
         signal.signal(signal.SIGINT, old)
     print(json.dumps({"event": "closed", **totals}), flush=True)
@@ -311,9 +356,12 @@ def cmd_corpus_prep(args) -> None:
     # bin assignment), not a re-read of the raw documents table
     root = export_prepped_parquet(args.sf_dir, prep, n_shards=args.shards)
     manifest = json.loads((pathlib.Path(root) / "manifest.json").read_text())
-    assert sum(manifest.values()) == int(n_prepped), (
-        "export row count must equal the prepped survivor count"
-    )
+    # hard raise, not assert: this invariant must survive python -O
+    if sum(manifest.values()) != int(n_prepped):
+        raise SystemExit(
+            f"export manifest rows ({sum(manifest.values())}) != prepped "
+            f"survivor count ({int(n_prepped)})"
+        )
     print(json.dumps({
         "sf_dir": args.sf_dir,
         "prepped_rows": int(n_prepped),
@@ -360,9 +408,13 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--workdir", required=True)
     r.add_argument("--seeds", default=None, help="seeds parquet (optional if workdir pre-seeded)")
     r.add_argument("--robots", default=None)
-    r.add_argument("--spider", action="append",
-                   default=["crawl_ray.spiders:flagship_spider"],
-                   help="module:callable registering handlers")
+    # default=None, resolved in cmd_run: argparse APPENDS to a non-None
+    # default list, so user-supplied spiders would pile onto the
+    # flagship default (and mutate the shared default object across
+    # main() calls) instead of replacing it
+    r.add_argument("--spider", action="append", default=None,
+                   help="module:callable registering handlers "
+                        "(repeatable; default: the flagship spider)")
     r.add_argument("--max-rounds", type=int, default=16)
     r.add_argument("--max-depth", type=int, default=8)
     r.add_argument("--round-budget", type=int, default=1 << 20)

@@ -221,6 +221,20 @@ class CrawlEngine:
         # — default is the page-store lookup; a live-HTTP deployment
         # passes ``lambda _store: HttpFetchStage(...)``
         self.fetch_stage_factory = fetch_stage_factory
+        # content-addressed worker-cache token: __qualname__ alone
+        # cannot tell two `lambda _s: HttpFetchStage(transport=X)`
+        # closures apart, so a second run in the same Ray session
+        # would silently reuse the FIRST run's fetch stage from the
+        # per-process worker cache.  Pickle bytes distinguish distinct
+        # closures/configs exactly (identical bytes → safe reuse).
+        import hashlib as _hashlib
+
+        from ray import cloudpickle as _cp
+
+        self._worker_token = _hashlib.blake2b(
+            _cp.dumps((self.spiders, self.fetch_stage_factory)),
+            digest_size=8,
+        ).hexdigest()
 
     # -- seeds -------------------------------------------------------
     def write_seeds(self, seeds: pa.Table, workdir: str) -> None:
@@ -235,15 +249,10 @@ class CrawlEngine:
             _write(seeds.slice(off, step), front, f"part-{j}.parquet")
 
     # -- checkpoint helpers ------------------------------------------
-    @staticmethod
-    def _committed_round(workdir: pathlib.Path) -> int | None:
-        best = None
-        for d in workdir.glob("round=*"):
-            if (d / "manifest.json").exists():
-                k = int(d.name.split("=")[1])
-                best = k if best is None else max(best, k)
-        return best
-
+    # (no manifest-only variant here: _resumable_round — manifest AND
+    # snapshot-complete — is the ONE resume anchor; a second
+    # semantically-weaker helper invited exactly the confusion commit
+    # 5574d7d fixed)
     @staticmethod
     def _resumable_round(workdir: pathlib.Path, n_shards: int) -> int | None:
         """Latest manifest-committed round whose state snapshot is
@@ -387,7 +396,7 @@ class CrawlEngine:
             self._prewarm_refs = [
                 _prewarm_worker.remote(
                     store_box, self.spiders, cfg.max_depth,
-                    self.fetch_stage_factory,
+                    self.fetch_stage_factory, self._worker_token,
                 )
                 for _ in range(n_warm)
             ]
@@ -395,6 +404,17 @@ class CrawlEngine:
         start_round = 0
         if resume:
             committed = self._resumable_round(wd, cfg.n_admission_shards)
+            if committed is not None and seeds is not None:
+                # the resume path never re-reads a seeds table — it
+                # would be VALIDATED then silently dropped.  Refuse
+                # loudly; the supported top-up flows are the `seed`
+                # CLI (parts re-injected by `run --follow --resume`)
+                # and --follow --seeds (converted to a seed part).
+                raise ValueError(
+                    "a seeds table cannot be applied to a resumed run "
+                    "with committed rounds (it would be silently "
+                    "ignored): seed via the `seed` CLI or --follow"
+                )
             if committed is not None:
                 self._restore(shards, wd / f"round={committed}")
                 start_round = committed + 1
@@ -750,6 +770,7 @@ class CrawlEngine:
                         r = _fetch_extract_task.remote(
                             ref, off, ln, store_box, self.spiders,
                             cfg.max_depth, self.fetch_stage_factory,
+                            self._worker_token,
                         )
                         pending.add(r)
                         out_refs.append(r)
@@ -758,6 +779,7 @@ class CrawlEngine:
                         _fetch_extract_task.remote(
                             ref, off, ln, store_box, self.spiders,
                             cfg.max_depth, self.fetch_stage_factory,
+                            self._worker_token,
                         )
                         for ref, off, ln in slices
                     ]
@@ -888,16 +910,16 @@ def _store_cache_key(store) -> object:
 
 
 def _get_worker(
-    store_box: list, spiders: list, max_depth: int, fetch_factory=None
+    store_box: list, spiders: list, max_depth: int, fetch_factory=None,
+    worker_token: str = "",
 ) -> "_FetchExtractWorker":
     """Build (or fetch from the per-process cache) the fetch+extract
-    worker for this store/spider/config combination."""
+    worker for this store/spider/config combination.  ``worker_token``
+    is the engine's content hash of (spiders, fetch_factory) — the
+    cache key component that tells apart distinct same-qualname
+    closures (e.g. two transports injected in one session)."""
     store = store_box[0]
-    key = (
-        _store_cache_key(store), max_depth,
-        tuple(f"{s.__module__}.{getattr(s, '__qualname__', repr(s))}" for s in spiders),
-        getattr(fetch_factory, "__qualname__", None),
-    )
+    key = (_store_cache_key(store), max_depth, worker_token)
     worker = _WORKER_CACHE.get(key)
     if worker is None:
         if isinstance(store, ray.ObjectRef):
@@ -915,26 +937,29 @@ def _get_worker(
 def _fetch_extract_task(
     block: pa.Table, offset: int, length: int,
     store_box: list, spiders: list, max_depth: int,
-    fetch_factory=None,
+    fetch_factory=None, worker_token: str = "",
 ) -> pa.Table:
     """One fetch+extract work unit. ``store_box`` wraps the store (or
     its ObjectRef) in a list so Ray does NOT auto-deref it — the task
     derefs lazily and caches the built worker for the process
     lifetime."""
-    worker = _get_worker(store_box, spiders, max_depth, fetch_factory)
+    worker = _get_worker(
+        store_box, spiders, max_depth, fetch_factory, worker_token
+    )
     return worker.process(block, offset, length)
 
 
 @ray.remote
 def _prewarm_worker(
-    store_box: list, spiders: list, max_depth: int, fetch_factory=None
+    store_box: list, spiders: list, max_depth: int, fetch_factory=None,
+    worker_token: str = "",
 ) -> int:
     """Async warmup unit: pay module import + store deref + parser
     construction on an idle worker process BEFORE the first real
     fetch+extract task lands there.  Submitted once per cluster CPU at
     run start and never waited on — concurrent submission spreads the
     tasks across distinct worker processes."""
-    _get_worker(store_box, spiders, max_depth, fetch_factory)
+    _get_worker(store_box, spiders, max_depth, fetch_factory, worker_token)
     return 0
 
 
@@ -1387,19 +1412,23 @@ def _fold_cookie_rows(rows: pa.Table) -> dict:
 # -- small helpers ---------------------------------------------------------
 
 
-def _collect(ds) -> pa.Table:
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
-    if not tables:
-        refs = ds.to_arrow_refs()
-        return ray.get(refs[0]) if refs else pa.table({})
-    return pa.concat_tables(tables, promote_options="default").combine_chunks()
-
-
 def _dir_rows(directory: pathlib.Path) -> int:
-    total = 0
-    for f in directory.glob("*.parquet"):
-        total += pq.read_metadata(f).num_rows
-    return total
+    """Total rows across a dir's parquet parts.  Above ``_META_BATCH``
+    files the footer reads fan out as Ray tasks (the end-of-round
+    termination check scans the next round's frontier+spill — millions
+    of small parts at the 10^10 design point; a serial driver scan
+    there is the same anti-pattern the canon planner already fans
+    out)."""
+    files = sorted(str(f) for f in directory.glob("*.parquet"))
+    if len(files) > _META_BATCH:
+        total = 0
+        for part in ray.get([
+            _read_meta_batch.remote(files[i:i + _META_BATCH])
+            for i in range(0, len(files), _META_BATCH)
+        ]):
+            total += sum(n for n, _ in part)
+        return total
+    return sum(pq.read_metadata(f).num_rows for f in files)
 
 
 def _union_to_errors_from_canon(tables: list[pa.Table]) -> pa.Table:

@@ -304,3 +304,150 @@ def test_seed_priority_and_legacy_part_mix(web, tmp_path, ray_session, capsys):
     rows = sorted(zip(t.column("order_key").to_pylist(),
                       t.column("url").to_pylist()))
     assert rows[0][1] == urls[9]
+
+
+def test_follow_resume_fresh_workdir_polls_no_echo(web, tmp_path):
+    """`run --follow --resume` on a fresh EMPTY workdir must enter the
+    poll loop (not crash engine.run with 'seeds required'), and a
+    first-seed wave on an uncommitted workdir must not echo: the
+    injected parts already sit in round 0, so re-copying them would be
+    rediscovered as 'new' and run a spurious admit-nothing wave."""
+    import os
+    import selectors
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    pages, d = web
+    wd = str(tmp_path / "fresh")
+    urls = pages.column("url").to_pylist()
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "crawl_ray.cli", "run",
+         "--pages", str(d / "pages.parquet"), "--workdir", wd,
+         "--max-rounds", "4", "--shards", "2", "--concurrency", "2",
+         "--follow", "--poll-interval", "0.2", "--resume"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True, env=env,
+    )
+
+    def read_drained(timeout):
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if not sel.select(timeout=0.5):
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                break
+            try:
+                ev = json.loads(line)
+            except ValueError:
+                continue
+            if ev.get("event") == "drained":
+                return ev
+        return None
+
+    try:
+        # daemon up and polling (the old bug: ValueError crash-loop);
+        # give it a beat, then seed the first URL
+        time.sleep(2.0)
+        assert proc.poll() is None, "daemon exited instead of polling"
+        cli.main(["seed", "--workdir", wd, "--callback", "page", urls[1]])
+        ev = read_drained(180)
+        assert ev is not None and ev["waves"] == 1
+        # echo check: with no new seed, NO second wave may fire
+        assert read_drained(3) is None, "echo wave on uncommitted workdir"
+        # a second seed drains exactly one more wave
+        cli.main(["seed", "--workdir", wd, "--callback", "page", urls[2]])
+        ev = read_drained(180)
+        assert ev is not None and ev["waves"] == 2
+        proc.send_signal(signal.SIGINT)
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
+def test_follow_resume_with_seeds_table_converts(web, tmp_path):
+    """--follow --resume --seeds on a workdir with committed rounds:
+    engine.run now REFUSES a seeds table on resume, so the daemon must
+    convert it into a round-0 seed part and inject it into the resume
+    round — the seeds crawl, nothing silently drops."""
+    import os
+    import pathlib
+    import selectors
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow as pa
+
+    pages, d = web
+    wd = str(tmp_path / "conv")
+    urls = pages.column("url").to_pylist()
+    cli.main(["seed", "--workdir", wd, "--callback", "page", urls[0]])
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    base = [sys.executable, "-u", "-m", "crawl_ray.cli", "run",
+            "--pages", str(d / "pages.parquet"), "--workdir", wd,
+            "--max-rounds", "4", "--shards", "2", "--concurrency", "2"]
+    # wave 1: commit rounds, then exit
+    assert subprocess.run(base, env=env, stdout=subprocess.DEVNULL,
+                          stderr=subprocess.DEVNULL).returncode == 0
+
+    visited = set()
+    for f in pathlib.Path(wd).glob("round=*/trace/*.parquet"):
+        visited.update(pq.read_table(str(f), columns=["url"])
+                       .column("url").to_pylist())
+    fresh = next(u for u in urls if u not in visited)
+    seeds_file = tmp_path / "top_up.parquet"
+    pq.write_table(
+        pa.table({"url": pa.array([fresh], pa.string()),
+                  "callbacks": pa.array([["page"]], pa.list_(pa.string()))}),
+        seeds_file,
+    )
+
+    proc = subprocess.Popen(
+        base + ["--follow", "--resume", "--poll-interval", "0.2",
+                "--seeds", str(seeds_file)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env,
+    )
+    try:
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        deadline = time.monotonic() + 180
+        drained = None
+        while time.monotonic() < deadline and drained is None:
+            if not sel.select(timeout=0.5):
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                break
+            try:
+                ev = json.loads(line)
+            except ValueError:
+                continue
+            if ev.get("event") == "drained":
+                drained = ev
+        assert drained is not None, "no drained event"
+        proc.send_signal(signal.SIGINT)
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+    visited2 = set()
+    for f in pathlib.Path(wd).glob("round=*/trace/*.parquet"):
+        visited2.update(pq.read_table(str(f), columns=["url"])
+                        .column("url").to_pylist())
+    assert fresh in visited2, "--seeds table was dropped on follow-resume"

@@ -1089,3 +1089,22 @@ def test_engine_equals_simulator_with_seed_priorities(
         assert min(by_round[0]) >= max(
             p for r, ps in by_round.items() if r > 0 for p in ps
         )
+
+
+def test_resume_with_seeds_table_raises(
+    fixture_tables, ray_session, tmp_path_factory
+):
+    """resume=True + a committed round + a seeds table used to VALIDATE
+    the seeds then silently drop them — must refuse loudly instead."""
+    pages, seeds, robots, pages_path = fixture_tables
+    cfg = EngineConfig(**CFG, n_admission_shards=2)
+    e = CrawlEngine([flagship_spider], cfg)
+    wd = str(tmp_path_factory.mktemp("rs"))
+    e.run(pages_path, seeds, robots, wd)
+    e.shutdown_shards()
+    e2 = CrawlEngine([flagship_spider], cfg)
+    try:
+        with pytest.raises(ValueError, match="seeds table cannot"):
+            e2.run(pages_path, seeds, robots, wd, resume=True)
+    finally:
+        e2.shutdown_shards()

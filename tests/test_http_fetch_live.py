@@ -322,3 +322,57 @@ def test_live_post_body_cookies_and_multi_set_cookie(echo_server):
     assert _json.loads(out.column("set_cookie").to_pylist()[0]) == {
         "a": "1", "b": "2"
     }
+
+
+def test_two_transports_one_session_no_stale_worker(ray_session, tmp_path):
+    """Two engines in ONE Ray session with distinct same-qualname
+    transport lambdas: the per-process worker cache must key on the
+    factory's CONTENT, not its __qualname__ — the old key silently
+    reused engine 1's transport for engine 2's tasks."""
+    import json as _json
+
+    import pyarrow.dataset as pads
+
+    from crawl_ray.engine import CrawlEngine, EngineConfig
+    from crawl_ray.spiders import flagship_spider
+
+    dummy = tmp_path / "pages.parquet"
+    pq.write_table(
+        pa.table({"url": pa.array(["http://unused/"], pa.string()),
+                  "html": pa.array([b"<html></html>"], pa.binary())}),
+        dummy,
+    )
+
+    def run_with(tag: str, wd: str) -> list[str]:
+        body = f"<html><title>{tag}</title><body>{tag}</body></html>"
+
+        def transport(url, headers, proxy, timeout, method, body_in):
+            return 200, body.encode(), "", url, "", ""
+
+        seeds = pa.table(
+            {"url": pa.array(["http://t.example/"], pa.string()),
+             "callbacks": pa.array([["page"]], pa.list_(pa.string()))}
+        )
+        cfg = EngineConfig(max_rounds=2, max_depth=0,
+                           page_store="broadcast", prewarm_workers=False)
+        # both factories are '<lambda>' — the collision the content
+        # token exists to prevent
+        engine = CrawlEngine(
+            [flagship_spider], cfg,
+            fetch_stage_factory=lambda _s: HttpFetchStage(
+                transport=transport),
+        )
+        engine.run(str(dummy), seeds, None, wd)
+        engine.shutdown_shards()
+        rec = pads.dataset(
+            [str(p) for p in
+             (tmp_path / wd.split("/")[-1]).glob("round=*/records/*.parquet")]
+        ).to_table()
+        return [
+            _json.loads(f)["title"] for f in rec.column("fields").to_pylist()
+        ]
+
+    t1 = run_with("alpha", str(tmp_path / "w1"))
+    t2 = run_with("beta", str(tmp_path / "w2"))
+    assert t1 == ["alpha"]
+    assert t2 == ["beta"], "stale cached worker served run 1's transport"

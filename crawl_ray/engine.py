@@ -316,10 +316,9 @@ class CrawlEngine:
         small-corpus shortcut."""
         if self.cfg.page_store == "bucketed":
             return BucketedPageStore(pages_path)  # workers open files
-        have = pq.read_schema(pages_path).names
-        cols = ["url", "html"] + (
-            ["set_cookie"] if "set_cookie" in have else []
-        )
+        from crawl_ray.sources.pages import fetch_read_columns
+
+        cols = fetch_read_columns(pq.read_schema(pages_path).names)
         index = build_broadcast_index(pq.read_table(pages_path, columns=cols))
         return ray.put(BroadcastPageStore(index))
 

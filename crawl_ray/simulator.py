@@ -148,7 +148,7 @@ def simulate(
     disallow, rates = _robots_maps(robots, cfg)
 
     res = SimResult()
-    tokens: dict[str, float] = {}
+    tokens: dict[str, list[float]] = {}  # host -> [tokens, last_refill_round]
     jar: dict[str, dict[str, str]] = {}  # ST1: host -> {name: value}
     pending: list[_Row] = _seed_rows(seeds)
     deferred: list[_Row] = []
@@ -200,10 +200,24 @@ def simulate(
         live = live[: cfg.round_budget]
         metrics = {"round": rnd, "pending": len(live)}
 
-        # refill all known buckets once per round
-        for host in list(tokens):
+        # lazy closed-form refill, the IDENTICAL float expression to
+        # AdmissionShard._bucket (min(burst, tokens + rate * elapsed)):
+        # a per-round iterated `tokens += rate` diverges from the
+        # engine's rate*elapsed in floating point for rates that are
+        # not binary-exact (e.g. 0.1 added 10 times < 1.0), silently
+        # breaking engine/oracle admission parity
+        def _refill(host: str) -> float:
             rate, burst = rates.get(host, (cfg.default_rate, cfg.default_burst))
-            tokens[host] = min(float(burst), tokens[host] + rate)
+            state = tokens.get(host)
+            if state is None:
+                state = [float(burst), float(rnd)]
+                tokens[host] = state
+            else:
+                elapsed = rnd - state[1]
+                if elapsed > 0:
+                    state[0] = min(float(burst), state[0] + rate * elapsed)
+                    state[1] = float(rnd)
+            return state[0]
 
         # 5. admission
         admitted: list[_Row] = []
@@ -227,11 +241,8 @@ def simulate(
             if any(path.startswith(p) for p in disallow.get(row.host, [])):
                 res.errors.append(_err(row, "robots", f"disallowed: {path}"))
                 continue
-            if row.host not in tokens:
-                _, burst = rates.get(row.host, (cfg.default_rate, cfg.default_burst))
-                tokens[row.host] = float(burst)
-            if tokens[row.host] >= 1.0:
-                tokens[row.host] -= 1.0
+            if _refill(row.host) >= 1.0:
+                tokens[row.host][0] -= 1.0
                 res.seen.add(row.url_hash)
                 admitted.append(row)
             else:

@@ -45,15 +45,35 @@ def _with_set_cookie(pages: pa.Table) -> pa.Table:
     return pages
 
 
-def build_broadcast_index(pages: pa.Table) -> pa.Table:
-    """Sort pages by url_hash for binary-search lookup; keeps only the
-    columns fetch needs (prune at the source — SURVEY guidance)."""
+def fetch_read_columns(schema_names) -> list[str]:
+    """The read-time column prune matching :func:`prepare_fetch_columns`
+    (pass ``pq.read_schema(path).names``): only fetch-side columns
+    leave storage."""
+    return ["url", "html"] + (
+        ["set_cookie"] if "set_cookie" in schema_names else []
+    )
+
+
+def prepare_fetch_columns(pages: pa.Table) -> tuple[pa.Table, np.ndarray]:
+    """The ONE store-prep sequence every page-store flavor shares:
+    prune to the fetch-side columns (url, html, optional set_cookie —
+    SURVEY 'prune at the read'), normalize set_cookie, attach
+    ``url_hash``.  Returns ``(table, hashes)``.  Adding a fetch-side
+    column (e.g. a status payload) is a one-place change instead of a
+    silent per-flavor drift."""
     names = ["url", "html"] + (
         ["set_cookie"] if "set_cookie" in pages.column_names else []
     )
     pages = _with_set_cookie(pages.select(names))
     hashes = fnv1a64_batch(pages.column("url"))
     pages = pages.append_column("url_hash", pa.array(hashes, pa.uint64()))
+    return pages, hashes
+
+
+def build_broadcast_index(pages: pa.Table) -> pa.Table:
+    """Sort pages by url_hash for binary-search lookup; keeps only the
+    columns fetch needs (prune at the source — SURVEY guidance)."""
+    pages, _ = prepare_fetch_columns(pages)
     return pages.sort_by("url_hash").combine_chunks()
 
 
@@ -146,16 +166,23 @@ def bucket_pages(pages_parquet: str, dst_dir: str, n_buckets: int = 64) -> str:
     At 100 TB this runs once as its own Ray Data job (read → add bucket
     column → write with partition_cols); here a direct pyarrow pass is
     enough for the fixture corpora."""
+    import shutil
+
     dst = pathlib.Path(dst_dir)
     done = dst / "_SUCCESS"
     if done.exists():
-        return str(dst)
+        # honor the REQUESTED bucket count: a finished layout built
+        # with a different n_buckets silently ignored scale-up/down
+        # requests (lookups stayed correct via _META, but the caller's
+        # repartitioning never happened)
+        if int((dst / "_META").read_text()) == n_buckets:
+            return str(dst)
+        shutil.rmtree(dst)
     dst.mkdir(parents=True, exist_ok=True)
-    have = pq.read_schema(pages_parquet).names
-    cols = ["url", "html"] + (["set_cookie"] if "set_cookie" in have else [])
-    table = _with_set_cookie(pq.read_table(pages_parquet, columns=cols))
-    hashes = fnv1a64_batch(table.column("url"))
-    table = table.append_column("url_hash", pa.array(hashes, pa.uint64()))
+    cols = fetch_read_columns(pq.read_schema(pages_parquet).names)
+    table, hashes = prepare_fetch_columns(
+        pq.read_table(pages_parquet, columns=cols)
+    )
     buckets = hashes % np.uint64(n_buckets)
     for b in range(n_buckets):
         part = table.filter(pa.array(buckets == b)).sort_by("url_hash")

@@ -327,10 +327,18 @@ class AdmissionShard:
                 if thr == "ALL":
                     adm = cand
                 else:
-                    keys = sub.column("order_key").take(
-                        pa.array(cand)).to_pylist()
-                    adm = cand[np.array([k_ <= thr for k_ in keys],
-                                        dtype=bool)]
+                    # vectorized Arrow compare — this is the hot-host
+                    # path, whose whole point is avoiding O(rows)
+                    # Python per RPC; a to_pylist + per-key loop here
+                    # re-introduced exactly that cost on over-draw
+                    # rounds
+                    import pyarrow.compute as pc_
+
+                    keys = sub.column("order_key").take(pa.array(cand))
+                    mask = pc_.less_equal(
+                        keys, pa.scalar(thr, pa.binary())
+                    ).to_numpy(zero_copy_only=False)
+                    adm = cand[np.asarray(mask, dtype=bool)]
                 if len(adm):
                     codes[adm] = ADMIT
                     h = sub.column("url_hash").to_numpy(zero_copy_only=False)
@@ -393,7 +401,18 @@ class AdmissionShard:
                 jar=json.dumps(snap["jar"]),
                 **{f"seen_{k}": v for k, v in snap["seen"].items()},
             )
+            # rename alone orders nothing against the page cache: a
+            # power loss after os.replace can still surface a
+            # zero-length/truncated npz under a manifest-committed
+            # round.  fsync file THEN rename THEN fsync the dir.
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def restore_from(self, path: str) -> None:
         """Load this shard's checkpoint npz SHARD-side (reverse of

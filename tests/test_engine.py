@@ -1108,3 +1108,21 @@ def test_resume_with_seeds_table_raises(
             e2.run(pages_path, seeds, robots, wd, resume=True)
     finally:
         e2.shutdown_shards()
+
+
+def test_token_refill_closed_form_not_iterated():
+    """The ONE refill definition is the closed form
+    ``min(burst, tokens + rate * elapsed)`` (AdmissionShard._bucket,
+    mirrored bit-for-bit by the simulator): an iterated per-round
+    ``tokens += rate`` accumulates float error for non-binary-exact
+    rates — 0.1 added 10 times is 0.9999999999999999, deferring a row
+    the closed form admits."""
+    import numpy as np
+
+    from crawl_ray.state.admission import ADMIT, AdmissionShard
+
+    shard = AdmissionShard({}, {"h": (0.1, 1)})
+    out = shard.admit("h", np.array([1], np.uint64), ["/"], 0)
+    assert out[0] == ADMIT  # burst spent
+    out = shard.admit("h", np.array([2], np.uint64), ["/"], 10)
+    assert out[0] == ADMIT, "0.1 * 10 must reach exactly 1.0 token"

@@ -97,3 +97,34 @@ def test_engine_bucketed_equals_broadcast(web, ray_session, tmp_path_factory):
     assert r_k, "bucketed crawl extracted no records"
     for url, fields in r_k:
         assert json.loads(fields)["text"] == page_text[url]
+
+
+def test_bucket_pages_rebuilds_on_bucket_count_change(tmp_path):
+    """A finished layout built with a different n_buckets must be
+    rebuilt to honor the caller's repartitioning request, not silently
+    returned."""
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawl_ray.sources.pages import BucketedPageStore, bucket_pages
+
+    src = tmp_path / "pages.parquet"
+    pq.write_table(
+        pa.table({
+            "url": pa.array([f"http://h.example/p/{i}" for i in range(20)],
+                            pa.string()),
+            "html": pa.array([b"<html></html>"] * 20, pa.binary()),
+        }),
+        src,
+    )
+    dst = str(tmp_path / "buckets")
+    bucket_pages(str(src), dst, n_buckets=4)
+    assert BucketedPageStore(dst).n_buckets == 4
+    bucket_pages(str(src), dst, n_buckets=8)  # scale-up request
+    assert BucketedPageStore(dst).n_buckets == 8
+    assert len(list(pathlib.Path(dst).glob("bucket=*"))) == 8
+    # unchanged request is a cache hit (marker still present)
+    bucket_pages(str(src), dst, n_buckets=8)
+    assert (pathlib.Path(dst) / "_SUCCESS").exists()

@@ -41,6 +41,7 @@ __all__ = [
     "recrawl_schedule",
     "web_corpus_prep",
     "anchor_text_index",
+    "link_pagerank",
     "crawl_depth_histogram",
     "fixture_size_for",
 ]
@@ -465,6 +466,20 @@ def web_corpus_prep(sf_dir: str, min_tokens: int = 20):
     )
 
 
+def _resolved_links(url: str, html: bytes):
+    """Per-page F9 link walk shared by :func:`anchor_text_index` and
+    :func:`link_pagerank` (ONE definition of "what counts as a link"):
+    yields ``(target, node)`` for every ``<a>`` whose ``href``
+    resolves against the page url (``html_utils.go:93-106``)."""
+    from crawl_ray.dom import find
+
+    resolve = H.node_resolve_url(url)
+    for node in find(parse_html(html), "a"):
+        t = resolve(node)
+        if t:
+            yield t, node
+
+
 def anchor_text_index(sf_dir: str, n_parts: int = 64):
     """Anchor-text index over the synthetic web — the webtext op that
     turns a link graph into training signal (anchor-based query
@@ -501,12 +516,8 @@ def anchor_text_index(sf_dir: str, n_parts: int = 64):
         htmls = batch.column("html").to_pylist()
         hosts, targets, anchors = [], [], []
         for url, h in zip(urls, htmls):
-            resolve = H.node_resolve_url(url)
             host = url.split("/", 3)[2]
-            for node in find(parse_html(h), "a"):
-                t = resolve(node)
-                if not t:
-                    continue
+            for t, node in _resolved_links(url, h):
                 hosts.append(host)
                 targets.append(t)
                 anchors.append(H.node_text(node))
@@ -690,8 +701,7 @@ def link_pagerank(
     nodes ⟕ contribs rebase per iteration; nothing driver-sized ever
     materializes on the big path (forced-distributed parity test).
     """
-    from crawl_ray.dom import find
-    from crawl_ray.pipelines.graph import BASE_RANK, DAMP_MILLI, TELEPORT
+    from crawl_ray.pipelines.graph import pagerank_loop
     from crawl_ray.pipelines.joins import _default_partitions
     from crawl_ray.util import collect_table, normalize_schema
 
@@ -708,11 +718,9 @@ def link_pagerank(
         srcs: list[str] = []
         dsts: list[str] = []
         for url, h in zip(urls, htmls):
-            resolve = H.node_resolve_url(url)
             seen: set[str] = set()
-            for node in find(parse_html(h), "a"):
-                t = resolve(node)
-                if t and t not in seen:
+            for t, _node in _resolved_links(url, h):
+                if t not in seen:
                     seen.add(t)
                     srcs.append(url)
                     dsts.append(t)
@@ -737,30 +745,9 @@ def link_pagerank(
     s = pa.string()
     edges = normalize_schema(raw, {"src": s, "dst": s},
                              coalesce=num_partitions).materialize()
-
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {"src": batch.column("src"),
-             "outdeg": pa.array(np.ones(batch.num_rows, dtype=np.int64))}
-        )
-        out = t.group_by(["src"]).aggregate([("outdeg", "sum")])
-        return out.rename_columns(
-            [c if c != "outdeg_sum" else "outdeg" for c in out.column_names]
-        )
-
-    outdeg = normalize_schema(
-        edges.map_batches(
-            deg_partial, batch_format="pyarrow", zero_copy_batch=True
-        ).groupby("src").sum("outdeg"),
-        {"src": s, "outdeg": pa.int64()},
-        rename={"sum(outdeg)": "outdeg"},
-        coalesce=num_partitions,
-    )
-    edges_wd = normalize_schema(
-        edges.join(outdeg, "inner", num_partitions, on=("src",)),
-        {"src": s, "dst": s, "outdeg": pa.int64()},
-        coalesce=num_partitions,
-    ).materialize()
+    del raw  # drop the pre-normalize stream: holding the ref would pin
+    # a full duplicate of the edge list in the object store for every
+    # PageRank iteration (it only existed to serve the count gate)
 
     def node_partial(batch: pa.Table) -> pa.Table:
         u = np.unique(np.concatenate([
@@ -770,6 +757,8 @@ def link_pagerank(
         return pa.table({"node": pa.array(u, pa.string()),
                          "one": pa.array(np.ones(len(u), dtype=np.int64))})
 
+    # directed graph: the node universe is src UNION dst (dangling link
+    # targets rebase to TELEPORT each round inside the shared loop)
     nodes = normalize_schema(
         edges.map_batches(
             node_partial, batch_format="pyarrow", zero_copy_batch=True
@@ -778,67 +767,7 @@ def link_pagerank(
         coalesce=num_partitions,
     ).materialize()
 
-    ranks = nodes.map_batches(
-        lambda b: pa.table(
-            {"node": b.column("node"),
-             "rank_micro": pa.array(
-                 np.full(b.num_rows, BASE_RANK, dtype=np.int64))}
-        ),
-        batch_format="pyarrow",
-    )
-
-    for _ in range(iterations):
-        carrying = normalize_schema(
-            edges_wd.join(
-                ranks, "inner", num_partitions, on=("src",),
-                right_on=("node",),
-            ),
-            {"dst": s, "outdeg": pa.int64(), "rank_micro": pa.int64()},
-            coalesce=num_partitions,
-        )
-
-        def contrib_partial(batch: pa.Table) -> pa.Table:
-            rank = batch.column("rank_micro").to_numpy()
-            deg = batch.column("outdeg").to_numpy()
-            t = pa.table(
-                {"dst": batch.column("dst"),
-                 "contrib": pa.array(rank // deg, pa.int64())}
-            )
-            out = t.group_by(["dst"]).aggregate([("contrib", "sum")])
-            return out.rename_columns(
-                [c if c != "contrib_sum" else "contrib"
-                 for c in out.column_names]
-            )
-
-        contribs = normalize_schema(
-            carrying.map_batches(
-                contrib_partial, batch_format="pyarrow", zero_copy_batch=True
-            ).groupby("dst").sum("contrib"),
-            {"dst": s, "contrib": pa.int64()},
-            rename={"sum(contrib)": "contrib"},
-            coalesce=num_partitions,
-        )
-        rebased = normalize_schema(
-            nodes.join(
-                contribs, "left_outer", num_partitions, on=("node",),
-                right_on=("dst",),
-            ),
-            {"node": s, "contrib": pa.int64()},
-            coalesce=num_partitions,
-        )
-
-        def apply_rank(batch: pa.Table) -> pa.Table:
-            c = batch.column("contrib").to_numpy(zero_copy_only=False)
-            c = np.where(
-                np.isnan(c.astype(np.float64)), 0, c
-            ).astype(np.int64)
-            return pa.table(
-                {"node": batch.column("node"),
-                 "rank_micro": pa.array(
-                     TELEPORT + (DAMP_MILLI * c) // 1_000, pa.int64())}
-            )
-
-        ranks = rebased.map_batches(apply_rank, batch_format="pyarrow")
+    ranks = pagerank_loop(edges, s, num_partitions, iterations, nodes=nodes)
 
     top = collect_table(
         ranks.sort(["rank_micro", "node"], descending=[True, False]).limit(k)
@@ -855,6 +784,14 @@ def _link_pagerank_local(edges_t: pa.Table, iterations: int, k: int) -> pa.Table
     nodes receive teleport mass only and redistribute nothing)."""
     from crawl_ray.pipelines.graph import BASE_RANK, DAMP_MILLI, TELEPORT
 
+    if edges_t.num_rows == 0 or "src" not in edges_t.column_names:
+        # empty page store: Ray short-circuits empty blocks past the
+        # extract UDF, so the collected table keeps the READ schema
+        # (url, html) — the same guard graph._unique_edges carries
+        return pa.table(
+            {"url": pa.array([], pa.string()),
+             "rank_micro": pa.array([], pa.int64())}
+        )
     src = edges_t.column("src").to_numpy(zero_copy_only=False)
     dst = edges_t.column("dst").to_numpy(zero_copy_only=False)
     nodes = np.unique(np.concatenate([src, dst]))

@@ -104,6 +104,132 @@ def _pagerank_local(edges_t: pa.Table, iterations: int, k: int) -> pa.Table:
     )
 
 
+def pagerank_loop(edges, key_type, num_partitions: int, iterations: int,
+                  nodes=None):
+    """Distributed integer-PageRank iteration — the ONE loop shared by
+    the bidirected supplier graph (int64 keys) and the directed crawl
+    link graph (string keys, ``crawl_queries.link_pagerank``).  Takes a
+    globally-deduped ``(src, dst)`` edge Dataset and returns the ranks
+    Dataset ``(node, rank_micro)`` after ``iterations`` rounds of the
+    truncating micro-unit arithmetic (bit-equal to the local fast
+    paths).  ``nodes`` is the caller's node universe as a ``(node,)``
+    Dataset — pass None for a bidirected graph (node set == src set,
+    derived here); a directed graph passes src ∪ dst so dangling
+    targets rebase to TELEPORT each round.
+
+    Per iteration: edges ⋈ ranks on src (hash join) → per-batch
+    contrib partials → groupby(dst).sum → nodes ⟕ contribs → apply.
+    Everything is partition-bounded; nothing driver-sized
+    materializes."""
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "src": batch.column("src"),
+                "outdeg": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["src"]).aggregate([("outdeg", "sum")])
+        return out.rename_columns(
+            [c if c != "outdeg_sum" else "outdeg" for c in out.column_names]
+        )
+
+    outdeg = normalize_schema(
+        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("src")
+        .sum("outdeg"),
+        {"src": key_type, "outdeg": pa.int64()},
+        rename={"sum(outdeg)": "outdeg"},
+        coalesce=num_partitions,
+    )
+
+    # (src, dst, outdeg) — join once, reuse every iteration.  Joins also
+    # emit zero-column empty partition blocks: normalize after each one
+    # before the output feeds another join or a column-addressed kernel.
+    edges_wd = normalize_schema(
+        edges.join(outdeg, "inner", num_partitions, on=("src",)),
+        {"src": key_type, "dst": key_type, "outdeg": pa.int64()},
+        coalesce=num_partitions,
+    ).materialize()
+
+    if nodes is None:
+        # node set == src set (bidirected graph)
+        nodes = outdeg.select_columns(["src"]).map_batches(
+            lambda b: pa.table({"node": b.column("src")}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "rank_micro": pa.array(
+                    np.full(b.num_rows, BASE_RANK, dtype=np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    for _ in range(iterations):
+        carrying = normalize_schema(
+            edges_wd.join(
+                ranks, "inner", num_partitions, on=("src",), right_on=("node",)
+            ),
+            {"dst": key_type, "outdeg": pa.int64(), "rank_micro": pa.int64()},
+            coalesce=num_partitions,
+        )
+
+        def contrib_partial(batch: pa.Table) -> pa.Table:
+            rank = batch.column("rank_micro").to_numpy()
+            deg = batch.column("outdeg").to_numpy()
+            t = pa.table(
+                {
+                    "dst": batch.column("dst"),
+                    "contrib": pa.array(rank // deg, pa.int64()),
+                }
+            )
+            out = t.group_by(["dst"]).aggregate([("contrib", "sum")])
+            return out.rename_columns(
+                [c if c != "contrib_sum" else "contrib"
+                 for c in out.column_names]
+            )
+
+        contribs = normalize_schema(
+            carrying.map_batches(
+                contrib_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("dst")
+            .sum("contrib"),
+            {"dst": key_type, "contrib": pa.int64()},
+            rename={"sum(contrib)": "contrib"},
+            coalesce=num_partitions,
+        )
+        rebased = normalize_schema(
+            nodes.join(
+                contribs, "left_outer", num_partitions, on=("node",), right_on=("dst",)
+            ),
+            {"node": key_type, "contrib": pa.int64()},
+            coalesce=num_partitions,
+        )
+
+        def apply_rank(batch: pa.Table) -> pa.Table:
+            c = batch.column("contrib").to_numpy(zero_copy_only=False)
+            c = np.where(np.isnan(c.astype(np.float64)), 0, c).astype(np.int64)
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "rank_micro": pa.array(
+                        TELEPORT + (DAMP_MILLI * c) // 1_000, pa.int64()
+                    ),
+                }
+            )
+
+        ranks = rebased.map_batches(apply_rank, batch_format="pyarrow")
+
+    return ranks
+
+
 def supplier_pagerank(
     sf_dir: str,
     iterations: int = 3,
@@ -159,108 +285,7 @@ def supplier_pagerank(
     # the ref would pin its blocks in the object store for every
     # PageRank iteration (it only existed to serve the count gate)
 
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "src": batch.column("src"),
-                "outdeg": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
-            }
-        )
-        out = t.group_by(["src"]).aggregate([("outdeg", "sum")])
-        return out.rename_columns(
-            [c if c != "outdeg_sum" else "outdeg" for c in out.column_names]
-        )
-
-    outdeg = normalize_schema(
-        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("src")
-        .sum("outdeg"),
-        {"src": pa.int64(), "outdeg": pa.int64()},
-        rename={"sum(outdeg)": "outdeg"},
-        coalesce=num_partitions,
-    )
-
-    # (src, dst, outdeg) — join once, reuse every iteration.  Joins also
-    # emit zero-column empty partition blocks: normalize after each one
-    # before the output feeds another join or a column-addressed kernel.
-    edges_wd = normalize_schema(
-        edges.join(outdeg, "inner", num_partitions, on=("src",)),
-        {"src": pa.int64(), "dst": pa.int64(), "outdeg": pa.int64()},
-        coalesce=num_partitions,
-    ).materialize()
-
-    # nodes = every src (graph is bidirected, so src set == node set)
-    nodes = outdeg.select_columns(["src"]).map_batches(
-        lambda b: pa.table({"node": b.column("src")}), batch_format="pyarrow"
-    ).materialize()
-
-    ranks = nodes.map_batches(
-        lambda b: pa.table(
-            {
-                "node": b.column("node"),
-                "rank_micro": pa.array(
-                    np.full(b.num_rows, BASE_RANK, dtype=np.int64)
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-
-    for _ in range(iterations):
-        carrying = normalize_schema(
-            edges_wd.join(
-                ranks, "inner", num_partitions, on=("src",), right_on=("node",)
-            ),
-            {"dst": pa.int64(), "outdeg": pa.int64(), "rank_micro": pa.int64()},
-            coalesce=num_partitions,
-        )
-
-        def contrib_partial(batch: pa.Table) -> pa.Table:
-            rank = batch.column("rank_micro").to_numpy()
-            deg = batch.column("outdeg").to_numpy()
-            t = pa.table(
-                {
-                    "dst": batch.column("dst"),
-                    "contrib": pa.array(rank // deg, pa.int64()),
-                }
-            )
-            out = t.group_by(["dst"]).aggregate([("contrib", "sum")])
-            return out.rename_columns(
-                [c if c != "contrib_sum" else "contrib"
-                 for c in out.column_names]
-            )
-
-        contribs = normalize_schema(
-            carrying.map_batches(
-                contrib_partial, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .groupby("dst")
-            .sum("contrib"),
-            {"dst": pa.int64(), "contrib": pa.int64()},
-            rename={"sum(contrib)": "contrib"},
-            coalesce=num_partitions,
-        )
-        rebased = normalize_schema(
-            nodes.join(
-                contribs, "left_outer", num_partitions, on=("node",), right_on=("dst",)
-            ),
-            {"node": pa.int64(), "contrib": pa.int64()},
-            coalesce=num_partitions,
-        )
-
-        def apply_rank(batch: pa.Table) -> pa.Table:
-            c = batch.column("contrib").to_numpy(zero_copy_only=False)
-            c = np.where(np.isnan(c.astype(np.float64)), 0, c).astype(np.int64)
-            return pa.table(
-                {
-                    "node": batch.column("node"),
-                    "rank_micro": pa.array(
-                        TELEPORT + (DAMP_MILLI * c) // 1_000, pa.int64()
-                    ),
-                }
-            )
-
-        ranks = rebased.map_batches(apply_rank, batch_format="pyarrow")
+    ranks = pagerank_loop(edges, pa.int64(), num_partitions, iterations)
 
     top = collect_table(
         ranks.sort(["rank_micro", "node"], descending=[True, False]).limit(k)

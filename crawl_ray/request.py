@@ -65,27 +65,6 @@ class Request:
         """``Request.String`` (``request.go:128-130``)."""
         return f"{self.get_method()} {self.url}"
 
-    def to_row(self) -> dict:
-        """Frontier-table row (see ``schemas.FRONTIER_SCHEMA``)."""
-        return {
-            "url": self.url,
-            "url_hash": 0,
-            "host": "",
-            "method": self.method,
-            "referer": self.referer,
-            "form": json.dumps(self.form, sort_keys=True) if self.form else "",
-            "query": json.dumps(self.query, sort_keys=True) if self.query else "",
-            "cookies": json.dumps(self.cookies, sort_keys=True) if self.cookies else "",
-            "headers": json.dumps(self.headers, sort_keys=True) if self.headers else "",
-            "raw": self.raw,
-            "callbacks": list(self.callbacks),
-            "depth": self.depth,
-            "seq_path": self.seq_path,
-            "priority": self.priority,
-            "deadline": self.deadline,
-            "metadata": json.dumps(self.metadata, sort_keys=True) if self.metadata else "",
-        }
-
 
 def go_glob(pattern: str, subj: str) -> bool:
     """ryanuber/go-glob semantics as used by handler dispatch
@@ -172,7 +151,15 @@ def construct_request(req: Request, default_headers: dict[str, str] | None = Non
         for name, vals in req.cookies.items():
             for value in vals:
                 cookie_pairs.append(f"{name}={value}")
-        headers[canonical_header_key("Cookie")] = "; ".join(cookie_pairs)
+        ck = canonical_header_key("Cookie")
+        # APPEND to an explicit Cookie header, never clobber it —
+        # net/http AddCookie appends (request.go:69-73): an existing
+        # "a=1" plus cookies {b: [2]} sends "a=1; b=2"
+        prior = headers.get(ck, "")
+        headers[ck] = (
+            f"{prior}; " + "; ".join(cookie_pairs) if prior
+            else "; ".join(cookie_pairs)
+        )
 
     if req.referer:
         headers[canonical_header_key("Referer")] = req.referer
@@ -210,7 +197,8 @@ def effective_fetch_key(
 
 
 def cookie_header(
-    explicit: dict[str, list[str]] | None, jar: dict[str, str] | None
+    explicit: dict[str, list[str]] | None, jar: dict[str, str] | None,
+    prior: str = "",
 ) -> str:
     """ST1 — the effective ``Cookie`` header for one request.
 
@@ -218,11 +206,14 @@ def cookie_header(
     (``request.go:69-73``, ``AddCookie`` order = map iteration over
     ``url.Values``) and the client jar's cookies for the host
     (``crawler.go:87``, ``http.Client`` appends jar cookies after the
-    header is built).  Deterministic spec here: explicit pairs first in
-    request order, then jar pairs sorted by name, skipping names the
-    request already set explicitly.
+    header is built).  Deterministic spec here: a pre-existing Cookie
+    HEADER value first verbatim (``AddCookie`` APPENDS to it, never
+    clobbers), then explicit pairs in request order, then jar pairs
+    sorted by name, skipping names the request already set explicitly
+    (the reference does not dedup against the raw header string, and
+    neither do we).
     """
-    pairs: list[str] = []
+    pairs: list[str] = [prior] if prior else []
     seen_names: set[str] = set()
     for name, vals in (explicit or {}).items():
         seen_names.add(name)
@@ -234,13 +225,42 @@ def cookie_header(
     return "; ".join(pairs)
 
 
+def apply_cookie_header(
+    headers: dict[str, str],
+    explicit: dict[str, list[str]] | None,
+    jar: dict[str, str] | None,
+) -> dict[str, str]:
+    """Merge the effective Cookie header INTO a headers dict without
+    clobbering an explicit ``Cookie`` entry (any key case).  Returns a
+    new dict when something was added, the original otherwise — the
+    shared helper for the extract / live-fetch / simulator stamping
+    sites."""
+    prior = ""
+    for k, v in headers.items():
+        if canonical_header_key(k) == "Cookie":
+            prior = v
+            break
+    merged = cookie_header(explicit, jar, prior)
+    if not merged or merged == prior:
+        return headers
+    out = {
+        k: v for k, v in headers.items()
+        if canonical_header_key(k) != "Cookie"
+    }
+    out["Cookie"] = merged
+    return out
+
+
 def merge_default_headers(
     headers: dict[str, str], default_headers: dict[str, str] | None = None
 ) -> dict[str, str]:
     """Default-header merge (``crawler.go:160-165``): defaults apply
     only when the key is not already set.  Runs AFTER middlewares, like
-    the reference."""
-    for key, value in (default_headers or DEFAULT_HEADERS).items():
+    the reference.  An explicitly EMPTY dict means "no defaults" (the
+    construct-before-middlewares call passes {} for exactly that);
+    only None selects DEFAULT_HEADERS."""
+    defaults = default_headers if default_headers is not None else DEFAULT_HEADERS
+    for key, value in defaults.items():
         ckey = canonical_header_key(key)
         if ckey not in headers:
             headers[ckey] = value
@@ -278,14 +298,20 @@ class HandlerRegistry:
         self.middlewares.append(fn)
 
     def get_handlers(self, callbacks: list[str]) -> list:
+        return [h for _, h in self.get_named_handlers(callbacks)]
+
+    def get_named_handlers(self, callbacks: list[str]) -> list:
+        """``get_handlers`` with the registered name attached to each
+        handler (record-attribution); identical order and the same
+        duplicate-dispatch quirk."""
         out: list = []
         for pattern in self.patterns:
             for name in callbacks:
                 if go_glob(pattern, name):
-                    out.extend(self.handlers[pattern])
+                    out.extend((pattern, h) for h in self.handlers[pattern])
                     break
         for name in callbacks:
-            out.extend(self.handlers.get(name, []))
+            out.extend((name, h) for h in self.handlers.get(name, []))
         return out
 
     def handler_names(self, callbacks: list[str]) -> list[str]:

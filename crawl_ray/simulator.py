@@ -27,8 +27,9 @@ round K (virtual time = t0 + K seconds):
      pages column, JSON name→value) is harvested regardless of handler
      outcome and folded into the jar at the round boundary in
      canonical order (last write per (host, name) wins)
-  7. M7 dispatch in canonical order; handler raise → error row (that
-     handler's outputs discarded, earlier handlers' kept)
+  7. M7 dispatch in canonical order; handler raise → error row
+     (outputs the handler issued BEFORE failing persist — Schedule is
+     an immediate side effect in the reference, crawler.go:265-267)
   8. children: depth+1 (dropped past max_depth), seq_path = parent
      path + 4-byte emission index
 """
@@ -44,8 +45,8 @@ import pyarrow as pa
 from crawl_ray.request import (
     HandlerRegistry,
     Request,
+    apply_cookie_header,
     construct_request,
-    cookie_header,
     effective_fetch_key,
     merge_default_headers,
 )
@@ -95,7 +96,7 @@ def _seed_rows(seeds: pa.Table) -> list[_Row]:
     cols = seeds.to_pydict()
     n = seeds.num_rows
     for i in range(n):
-        deadline = cols["deadline"][i]
+        deadline = cols.get("deadline", [None] * n)[i]
         if deadline is not None and not isinstance(deadline, int):
             deadline = int(deadline.timestamp() * 1_000_000)
         req = Request(
@@ -268,12 +269,11 @@ def simulate(
 
             addrs, _ok = proxy_from_metadata(row.req.metadata)
             proxied = bool(addrs and pick_proxy(fnv1a64(row.url), addrs))
-            header = cookie_header(
-                row.req.cookies, None if proxied else jar.get(row.host)
+            row.req.headers = apply_cookie_header(
+                row.req.headers,
+                row.req.cookies,
+                None if proxied else jar.get(row.host),
             )
-            if header:
-                row.req.headers = dict(row.req.headers)
-                row.req.headers["Cookie"] = header
             if idx is not None and set_cookies[idx] and not proxied:
                 # harvested in admitted (canonical) order; applied to
                 # the jar at the round boundary — later rows this round
@@ -288,6 +288,11 @@ def simulate(
                 try:
                     handler(resp, one)
                 except Exception as exc:  # noqa: BLE001 - handler error path
+                    # Schedule is an immediate side effect in the
+                    # reference (crawler.go:265-267): outputs the
+                    # failing handler issued BEFORE the raise persist
+                    merged.records.extend(one.records)
+                    merged.requests.extend(one.requests)
                     res.errors.append(_err(row, "handler", str(exc)))
                     break
                 merged.records.extend(one.records)

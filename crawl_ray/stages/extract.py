@@ -19,7 +19,7 @@ import json
 
 import pyarrow as pa
 
-from crawl_ray.request import HandlerRegistry, Request, cookie_header
+from crawl_ray.request import HandlerRegistry, Request, apply_cookie_header
 from crawl_ray.response import HandlerResult, ResponseView
 from crawl_ray.schemas import seq_child
 
@@ -40,6 +40,7 @@ UNION_SCHEMA = pa.schema(
         pa.field("depth", pa.int32()),
         pa.field("seq_path", pa.binary()),
         pa.field("priority", pa.float32()),
+        pa.field("deadline", pa.timestamp("us")),
         pa.field("metadata", pa.string()),
         pa.field("handler", pa.string()),
         pa.field("fields", pa.string()),
@@ -47,6 +48,17 @@ UNION_SCHEMA = pa.schema(
         pa.field("error", pa.string()),
     ]
 )
+
+
+# emit() defaults, hoisted: rebuilding this dict literal per emitted
+# row was pure allocation overhead in the hot extract loop
+_EMIT_DEFAULTS = {
+    "method": "", "referer": "", "form": "", "query": "",
+    "cookies": "", "headers": "", "raw": False, "callbacks": (),
+    "depth": 0, "seq_path": b"", "priority": 0.0, "deadline": None,
+    "metadata": "", "handler": "", "fields": "", "error_kind": "",
+    "error": "", "url": "",
+}
 
 
 def make_fetch_fn(store):
@@ -99,14 +111,7 @@ class ExtractActor:
         out: dict[str, list] = {name: [] for name in UNION_SCHEMA.names}
 
         def emit(kind: str, **kw) -> None:
-            defaults = {
-                "method": "", "referer": "", "form": "", "query": "",
-                "cookies": "", "headers": "", "raw": False, "callbacks": [],
-                "depth": 0, "seq_path": b"", "priority": 0.0, "metadata": "",
-                "handler": "", "fields": "", "error_kind": "", "error": "",
-                "url": "",
-            }
-            defaults.update(kw)
+            defaults = dict(_EMIT_DEFAULTS, **kw)
             out["kind"].append(kind)
             for name, value in defaults.items():
                 out[name].append(value)
@@ -144,24 +149,13 @@ class ExtractActor:
             # admission-stamped jar cookies for the host, observable to
             # handlers via resp.request.headers (crawler.go:87 jar +
             # request.go:69-73 AddCookie)
-            header = cookie_header(
+            req.headers = apply_cookie_header(
+                req.headers,
                 req.cookies,
                 json.loads(jar_col[i])
                 if jar_col and jar_col[i] and not proxied
                 else None,
             )
-            if header:
-                req.headers = dict(req.headers)
-                req.headers["Cookie"] = header
-            # jar harvest: the response's Set-Cookie payload, recorded
-            # regardless of handler outcome (the reference's jar updates
-            # inside the HTTP client, before handlers run); applied by
-            # the engine at the round boundary in canonical order
-            if set_cookie_col and set_cookie_col[i]:
-                emit("cookie", url=cols["url"][i],
-                     fields=set_cookie_col[i],
-                     depth=req.depth, seq_path=req.seq_path,
-                     priority=req.priority)
             # F9 resolves links against the POST-redirect response URL
             # (response.go:46-48) — the fetch stage's final_url column;
             # absent (simulator-shaped batches) it equals the request URL
@@ -169,23 +163,46 @@ class ExtractActor:
                 final_url_col[i] if final_url_col and final_url_col[i]
                 else cols["url"][i]
             )
+            # jar harvest: the response's Set-Cookie payload, recorded
+            # regardless of handler outcome (the reference's jar updates
+            # inside the HTTP client, before handlers run); applied by
+            # the engine at the round boundary in canonical order.
+            # Attributed to the FINAL-hop URL: on a cross-host redirect
+            # the cookie belongs to the host that actually set it
+            # (Go's cookiejar keys by each hop's URL), not the request
+            # host — the page-store path has final == requested.
+            if set_cookie_col and set_cookie_col[i]:
+                emit("cookie", url=resp_url,
+                     fields=set_cookie_col[i],
+                     depth=req.depth, seq_path=req.seq_path,
+                     priority=req.priority)
             resp = ResponseView(
                 req, resp_url, int(cols["status"][i]), cols["html"][i]
             )
             merged = HandlerResult()
-            for handler in self.registry.get_handlers(req.callbacks):
+            record_handlers: list[str] = []
+            for hname, handler in self.registry.get_named_handlers(
+                req.callbacks
+            ):
                 one = HandlerResult()
                 try:
                     handler(resp, one)
                 except Exception as exc:  # noqa: BLE001 - handler error path
+                    # Schedule is an immediate side effect in the
+                    # reference (crawler.go:265-267): outputs the
+                    # failing handler issued BEFORE the raise persist
+                    merged.records.extend(one.records)
+                    record_handlers.extend([hname] * len(one.records))
+                    merged.requests.extend(one.requests)
                     emit("error", url=err_url, method=req.get_method(),
                          depth=req.depth, seq_path=req.seq_path,
                          error_kind="handler", error=str(exc))
                     break
                 merged.records.extend(one.records)
+                record_handlers.extend([hname] * len(one.records))
                 merged.requests.extend(one.requests)
-            for record in merged.records:
-                emit("record", url=cols["url"][i], handler="",
+            for record, hname in zip(merged.records, record_handlers):
+                emit("record", url=cols["url"][i], handler=hname,
                      depth=req.depth, seq_path=req.seq_path,
                      fields=json.dumps(record, sort_keys=True))
             # earlier handlers' outputs survive a later handler's failure
@@ -206,6 +223,10 @@ class ExtractActor:
                     depth=req.depth + 1,
                     seq_path=seq_child(req.seq_path, j),
                     priority=child.priority,
+                    # the simulator honors child deadlines (expired →
+                    # error row); dropping it here broke parity for
+                    # handlers that schedule deadline-bearing children
+                    deadline=child.deadline,
                     metadata=json.dumps(child.metadata, sort_keys=True) if child.metadata else "",
                 )
 
@@ -217,8 +238,9 @@ class ExtractActor:
 
 def links_to_frontier(links: pa.Table) -> pa.Table:
     """Project union link rows onto the frontier schema (url_hash/host
-    are recomputed by next round's canonicalize; deadline inherits
-    null)."""
+    are recomputed by next round's canonicalize; the child deadline —
+    when the scheduling handler set one — rides through so the round
+    loop's deadline filter can expire it like the simulator does)."""
     import numpy as np
 
     from crawl_ray.schemas import FRONTIER_SCHEMA
@@ -230,8 +252,6 @@ def links_to_frontier(links: pa.Table) -> pa.Table:
             cols.append(pa.array(np.zeros(n, dtype=np.uint64), fld.type))
         elif fld.name in ("host", "req_url"):
             cols.append(pa.array([""] * n, fld.type))
-        elif fld.name == "deadline":
-            cols.append(pa.nulls(n, fld.type))
         else:
             cols.append(links.column(fld.name).cast(fld.type))
     return pa.Table.from_arrays(cols, schema=FRONTIER_SCHEMA)

@@ -259,7 +259,7 @@ class HttpFetchStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import inspect
 
-        from crawl_ray.request import cookie_header, encode_values
+        from crawl_ray.request import apply_cookie_header, encode_values
 
         transport = self._transport or self._default_transport
         try:
@@ -308,10 +308,7 @@ class HttpFetchStage:
                 json.loads(jar_col[i])
                 if jar_col and jar_col[i] and not proxies[i] else None
             )
-            ch = cookie_header(req_cookies, jar)
-            if ch:
-                hdrs = dict(hdrs)
-                hdrs["Cookie"] = ch
+            hdrs = apply_cookie_header(hdrs, req_cookies, jar)
             # M1 on the wire: effective method + urlencoded form body
             # (canonicalize already folded the query re-encode and the
             # Form⇒POST default into the url/method columns)

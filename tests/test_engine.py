@@ -1126,3 +1126,67 @@ def test_token_refill_closed_form_not_iterated():
     assert out[0] == ADMIT  # burst spent
     out = shard.admit("h", np.array([2], np.uint64), ["/"], 10)
     assert out[0] == ADMIT, "0.1 * 10 must reach exactly 1.0 token"
+
+
+def _sideeffect_spider(reg):
+    """Handler that schedules+emits and THEN raises: the reference's
+    Schedule is an immediate side effect (crawler.go:265-267), so the
+    pre-raise outputs must persist on both engine and simulator."""
+    from crawl_ray.request import Request
+    from crawl_ray.spiders import HandlerError
+
+    def h(resp, result):
+        result.emit(mark=f"visited:{resp.url}")
+        if resp.url.endswith("/p/0"):
+            result.schedule(Request(url="/p/1", referer=resp.url,
+                                    callbacks=["se"]))
+            # expired child: honored ONLY if the deadline column rides
+            # through the link emit (it used to be dropped)
+            result.schedule(Request(url="/p/2", referer=resp.url,
+                                    callbacks=["se"], deadline=1))
+            raise HandlerError("after scheduling")
+
+    reg.register("se", h)
+
+
+def test_failing_handler_side_effects_and_child_deadline(
+    fixture_tables, ray_session, tmp_path_factory
+):
+    pages, _, robots, pages_path = fixture_tables
+    url0 = next(u for u in pages.column("url").to_pylist()
+                if u.endswith("/p/0"))
+    seeds = pa.table(
+        {"url": pa.array([url0], pa.string()),
+         "callbacks": pa.array([["se"]], pa.list_(pa.string())),
+         "deadline": pa.nulls(1, pa.timestamp("us"))}
+    )
+    base = {**CFG, "max_rounds": 6, "max_depth": 3}
+    reg = HandlerRegistry()
+    _sideeffect_spider(reg)
+    sim = simulate(pages, seeds, robots, reg, CrawlConfig(**base))
+
+    cfg = EngineConfig(**base, n_admission_shards=2, extract_concurrency=2)
+    engine = CrawlEngine([_sideeffect_spider], cfg)
+    wd = str(tmp_path_factory.mktemp("sidefx"))
+    result = engine.run(pages_path, seeds, robots, wd)
+    engine.shutdown_shards()
+
+    # parity: trace, records, errors
+    trace = result.trace_table()
+    rows = sorted(zip(trace.column("round").to_pylist(),
+                      trace.column("order_key").to_pylist(),
+                      trace.column("url").to_pylist()))
+    assert [(r, u) for r, _, u in rows] == sim.trace
+    # the pre-raise schedule persisted: /p/1 was crawled
+    assert any(u.endswith("/p/1") for _, _, u in rows)
+    # the pre-raise emit persisted alongside the handler error row
+    recs = result.records_table()
+    fields = [f for f in recs.column("fields").to_pylist()]
+    assert any(url0 in f for f in fields)
+    errors = result.errors_table()
+    kinds = sorted(errors.column("error_kind").to_pylist())
+    assert "handler" in kinds
+    # the expired child produced an 'expired' error row on BOTH sides
+    assert "expired" in kinds
+    sim_kinds = sorted(e["error_kind"] for e in sim.errors)
+    assert kinds == sim_kinds

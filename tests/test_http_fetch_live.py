@@ -376,3 +376,44 @@ def test_two_transports_one_session_no_stale_worker(ray_session, tmp_path):
     t2 = run_with("beta", str(tmp_path / "w2"))
     assert t1 == ["alpha"]
     assert t2 == ["beta"], "stale cached worker served run 1's transport"
+
+
+def test_cross_host_redirect_cookie_attributed_to_final_host(
+    ray_session, tmp_path
+):
+    """A cross-host redirect's Set-Cookie belongs to the FINAL hop's
+    host (Go's cookiejar keys each hop's URL), not the request host:
+    the harvest row must carry final_url so the jar fold keys b.com."""
+    from crawl_ray.stages.extract import ExtractActor
+
+    def spider(reg):
+        reg.register("page", lambda resp, result: None)
+
+    actor = ExtractActor([spider], max_depth=2)
+    batch = pa.table(
+        {
+            "url": pa.array(["http://a.example/moved"], pa.string()),
+            "req_url": pa.array(["http://a.example/moved"], pa.string()),
+            "method": pa.array([""], pa.string()),
+            "referer": pa.array([""], pa.string()),
+            "form": pa.array([""], pa.string()),
+            "query": pa.array([""], pa.string()),
+            "cookies": pa.array([""], pa.string()),
+            "headers": pa.array([""], pa.string()),
+            "raw": pa.array([False], pa.bool_()),
+            "callbacks": pa.array([["page"]], pa.list_(pa.string())),
+            "depth": pa.array([0], pa.int32()),
+            "seq_path": pa.array([b"\x00"], pa.binary()),
+            "priority": pa.array([0.0], pa.float32()),
+            "metadata": pa.array([""], pa.string()),
+            "status": pa.array([200], pa.int32()),
+            "html": pa.array([b"<html></html>"], pa.binary()),
+            "set_cookie": pa.array(['{"sid": "x"}'], pa.string()),
+            "final_url": pa.array(["http://b.example/landed"], pa.string()),
+        }
+    )
+    out = actor(batch)
+    kinds = out.column("kind").to_pylist()
+    urls = out.column("url").to_pylist()
+    cookie_rows = [u for k, u in zip(kinds, urls) if k == "cookie"]
+    assert cookie_rows == ["http://b.example/landed"]

@@ -244,3 +244,34 @@ def test_url_host_strips_userinfo():
 
     assert url_host("http://user:pw@example.com/p") == "example.com"
     assert url_host("http://user@example.com:8080/p") == "example.com:8080"
+
+
+def test_construct_appends_to_explicit_cookie_header():
+    """net/http AddCookie APPENDS (request.go:69-73): an explicit
+    Cookie header plus the cookies map sends both."""
+    r = Request(url="http://h.example/p", headers={"Cookie": "a=1"},
+                cookies={"b": ["2"]})
+    out = construct_request(r)
+    assert out["headers"]["Cookie"] == "a=1; b=2"
+
+
+def test_merge_default_headers_empty_dict_means_none():
+    """default_headers={} must mean NO defaults (the pre-middleware
+    construct call relies on it), not fall back to DEFAULT_HEADERS."""
+    from crawl_ray.request import merge_default_headers
+
+    h: dict = {}
+    merge_default_headers(h, {})
+    assert h == {}
+    merge_default_headers(h)  # None → the real defaults
+    assert "User-Agent" in h
+
+
+def test_apply_cookie_header_preserves_prior():
+    from crawl_ray.request import apply_cookie_header
+
+    out = apply_cookie_header({"cookie": "a=1"}, {"b": ["2"]}, {"c": "3"})
+    assert out == {"Cookie": "a=1; b=2; c=3"}
+    # nothing to add → the ORIGINAL dict comes back untouched
+    base = {"Cookie": "a=1"}
+    assert apply_cookie_header(base, {}, None) is base

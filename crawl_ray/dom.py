@@ -306,6 +306,13 @@ def _fast_parse(html: str) -> Node | None:
                         v = am.group(3)
                     if v is None:
                         v = am.group(4)
+                        if v and v[0] in "\"'":
+                            # the unquoted branch swallowed an orphan
+                            # quote (unterminated quoted value):
+                            # html.parser emits the whole construct as
+                            # TEXT — abort to the fallback rather than
+                            # silently diverge
+                            return None
                     if v is None:
                         v = ""
                     attrs[k] = unescape(v) if "&" in v else v
@@ -338,7 +345,17 @@ def _fast_parse(html: str) -> Node | None:
                 end = html.find("-->", lt + 4)
                 if end < 0:
                     return None
+                if "--" in html[lt + 4 : end]:
+                    # html.parser also closes comments on '--\s*>' —
+                    # a body containing '--' may terminate EARLIER
+                    # there than our literal '-->' scan: abort to the
+                    # fallback rather than swallow real markup
+                    return None
                 pos = end + 3
+            elif html.startswith("<![", lt):
+                # CDATA / marked sections end at ']]>' in html.parser,
+                # not at the first '>' — never fast-parse them
+                return None
             else:
                 end = html.find(">", lt)
                 if end < 0:
@@ -445,6 +462,11 @@ def _pred_attr(spec: str):
             op, name = name[-1], name[:-1]
         name = name.strip()
         value = value.strip()
+        if not re.fullmatch(r"[-\w:.]+", name):
+            # e.g. [href!="x"]: '!' is not an operator we support —
+            # fail LOUDLY like unsupported pseudo-classes do, instead
+            # of silently testing a mangled attribute name
+            raise ValueError(f"unsupported attribute selector: {spec!r}")
         if len(value) >= 2 and value[0] in "\"'" and value[-1] == value[0]:
             value = value[1:-1]
         if op == "":
@@ -458,9 +480,14 @@ def _pred_attr(spec: str):
         if op == "~":
             return lambda n: value in (n.attrs.get(name) or "").split()
         if op == "|":
-            return lambda n: (n.attrs.get(name) or "") in (value, "") or (
-                n.attrs.get(name) or ""
-            ).startswith(value + "-")
+            # CSS [a|=v]: the attribute must EXIST and equal v or start
+            # with "v-" — a missing attribute never matches (the old
+            # `"" in (value, "")` accepted every attribute-less node)
+            return lambda n: (
+                n.attrs.get(name) is not None
+                and (n.attrs[name] == value
+                     or n.attrs[name].startswith(value + "-"))
+            )
     name = spec.strip()
     return lambda n: name in n.attrs
 

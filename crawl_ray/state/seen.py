@@ -102,9 +102,8 @@ class SeenTable:
         new = np.zeros(n, dtype=bool)
         if n == 0:
             return new
-        if (self._count + n) * 10 > len(self._table) * 6:  # load > 0.6
-            while (self._count + n) * 10 > len(self._table) * 6:
-                self._grow()
+        while (self._count + n) * 10 > len(self._table) * 6:  # load > 0.6
+            self._grow()
         # sequential semantics per key, vectorized probing: resolve
         # duplicates within the batch by processing in stable order and
         # letting later duplicates find the earlier insert.
@@ -112,7 +111,6 @@ class SeenTable:
         pending = np.arange(n)
         while len(pending):
             slot = self._table[idx[pending]]
-            found = slot == keys[pending]
             empty = slot == _EMPTY
             if empty.any():
                 # insert the FIRST pending key per empty slot; duplicates
@@ -120,7 +118,7 @@ class SeenTable:
                 # claim it, so insert unique (slot, key) winners only.
                 cand = pending[empty]
                 cand_idx = idx[cand]
-                uniq_slots, first_pos = np.unique(cand_idx, return_index=True)
+                _, first_pos = np.unique(cand_idx, return_index=True)
                 winners = cand[first_pos]
                 # among winners, also dedup identical keys (two equal keys
                 # probe identical sequences, so first occurrence wins)
@@ -437,12 +435,58 @@ class BloomSeenTable:
         # first occurrence of each distinct key counts new once
         _, first = np.unique(keys[todo], return_index=True)
         todo = todo[np.sort(first)]
-        np.bitwise_or.at(
-            self._words, word[todo].ravel(),
-            np.uint64(1) << bit[todo].ravel(),
+        # Exact SEQUENTIAL semantics for in-batch coverage: candidate i
+        # is already-seen iff all its positions are covered by the
+        # pre-batch state or by writes of ACCEPTED earlier candidates
+        # (the one-shot `present` screen misses earlier-in-batch
+        # coverage, drifting was-new and __len__ from a sequential
+        # replay at the FPR rate).  Candidates needing resolution are
+        # those coverable even in principle — every position pre-set or
+        # written by some OTHER candidate — which is far rarer than the
+        # FPR, so the ordered fallback loop below is effectively free.
+        m = len(todo)
+        flat = pos[todo]
+        pre_cov = (
+            (((self._words[word[todo]] >> bit[todo]) & np.uint64(1))
+             .astype(bool))
+            if self._count else np.zeros((m, self.K), dtype=bool)
         )
-        new[todo] = True
-        self._count += len(todo)
+        uniq_pos, inv = np.unique(flat, return_inverse=True)
+        inv = inv.reshape(m, self.K)
+        writers = np.bincount(inv.ravel(), minlength=len(uniq_pos))
+        suspicious = np.flatnonzero(
+            (pre_cov | (writers[inv] >= 2)).all(axis=1)
+        )
+        accepted = np.ones(m, dtype=bool)
+        if len(suspicious):
+            definite = np.ones(m, dtype=bool)
+            definite[suspicious] = False
+            owner = np.full(len(uniq_pos), m, dtype=np.int64)
+            didx = np.flatnonzero(definite)
+            if len(didx):
+                np.minimum.at(
+                    owner, inv[didx].ravel(), np.repeat(didx, self.K)
+                )
+            extra: set[int] = set()  # pos ids written by accepted suspicious
+            for s_i in suspicious.tolist():
+                row = inv[s_i]
+                covered = all(
+                    bool(pre_cov[s_i, j])
+                    or owner[row[j]] < s_i
+                    or int(row[j]) in extra
+                    for j in range(self.K)
+                )
+                if covered:
+                    accepted[s_i] = False
+                else:
+                    extra.update(int(r) for r in row.tolist())
+        keep = todo[accepted]
+        np.bitwise_or.at(
+            self._words, word[keep].ravel(),
+            np.uint64(1) << bit[keep].ravel(),
+        )
+        new[keep] = True
+        self._count += len(keep)
         return new
 
     # -- snapshot / restore (checkpoint protocol) --------------------

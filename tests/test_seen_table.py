@@ -439,3 +439,39 @@ def test_restore_dispatch_seen128():
     r = restore_seen_table(t.snapshot())
     assert isinstance(r, Seen128Table)
     assert r.contains(lo, hi).all()
+
+
+def test_bloom_batch_add_matches_sequential():
+    """Batch add must implement exact SEQUENTIAL semantics: a key whose
+    bit positions are covered by pre-state plus an EARLIER in-batch
+    accepted key counts as already-seen, exactly as a one-by-one replay
+    would decide (was-new mask and __len__ bit-equal)."""
+    import numpy as np
+
+    from crawl_ray.state.seen import BloomSeenTable
+
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        a, b = BloomSeenTable(256), BloomSeenTable(256)
+        keys = rng.integers(1, 1 << 20, size=900, dtype=np.uint64)
+        a.add(keys[:500])
+        b.add(keys[:500])
+        batch = keys[500:]
+        seq = np.array(
+            [a.add(np.array([k], np.uint64))[0] for k in batch]
+        )
+        assert np.array_equal(seq, b.add(batch))
+        assert len(a) == len(b)
+
+
+def test_dom_attr_selector_semantics():
+    """CSS regressions: [a|=v] requires the attribute to exist;
+    unsupported operators raise instead of silently matching nothing."""
+    import pytest
+
+    from crawl_ray.dom import compile_selector, find, parse_html
+
+    doc = parse_html('<div lang="en-US">a</div><p>b</p><i lang="en">c</i>')
+    assert [n.tag for n in find(doc, "[lang|=en]")] == ["div", "i"]
+    with pytest.raises(ValueError, match="unsupported attribute"):
+        compile_selector('[href!="x"]')

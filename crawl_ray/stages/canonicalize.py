@@ -83,15 +83,31 @@ def _ensure_columns(batch: pa.Table) -> pa.Table:
             # schema-promoted NULLS (a frontier dir mixing parts written
             # before/after a column existed — e.g. legacy seed parts
             # without `priority` next to new ones — unifies with nulls,
-            # not defaults): coalesce to the column default; `deadline`
-            # is the one column where null is MEANINGFUL (no deadline)
-            if fld.name in _DEFAULTS and fld.name != "deadline":
+            # not defaults): coalesce EVERY column to its default —
+            # a null seq_path would TypeError in order_key_batch and a
+            # null callbacks would crash _row_request; `deadline` is
+            # the one column where null is MEANINGFUL (no deadline)
+            if fld.name != "deadline":
                 col = batch.column(fld.name)
                 if col.null_count:
+                    if fld.name == "callbacks":
+                        filled = pa.array(
+                            [v if v is not None else []
+                             for v in col.to_pylist()],
+                            fld.type,
+                        )
+                    elif fld.name == "seq_path":
+                        filled = col.fill_null(b"")
+                    elif fld.name == "url_hash":
+                        filled = col.fill_null(0)
+                    elif fld.name in _DEFAULTS:
+                        filled = col.fill_null(_DEFAULTS[fld.name])
+                    else:
+                        filled = col.fill_null("")
                     batch = batch.set_column(
                         batch.column_names.index(fld.name),
                         fld.name,
-                        col.fill_null(_DEFAULTS[fld.name]),
+                        filled,
                     )
             continue
         if fld.name == "callbacks":
@@ -324,11 +340,15 @@ def canonicalize_batch(
         expired = pc.and_(
             pc.is_valid(deadline), pc.less(deadline.cast(pa.int64()), now_us)
         )
-        disposition_col = pc.if_else(
-            pc.and_(pc.fill_null(expired, False), pc.equal(disposition_col, "ok")),
-            "expired",
-            disposition_col,
+        hit = pc.and_(
+            pc.fill_null(expired, False), pc.equal(disposition_col, "ok")
         )
+        disposition_col = pc.if_else(hit, "expired", disposition_col)
+        # the path column doubles as the error MESSAGE downstream
+        # (engine copies it into ERRORS_SCHEMA.error): expired rows
+        # must read "deadline expired" like the simulator, not the
+        # URL path
+        path_col = pc.if_else(hit, "deadline expired", path_col)
 
     if registry is not None:
         # M3 pre-fetch middleware chain (crawler.go:153-158): first
@@ -347,9 +367,17 @@ def canonicalize_batch(
         for i in range(n):
             if disposition[i] != "ok":
                 continue
-            req = _row_request(cols, i)
-            req.method = eff_methods[i]  # Form⇒POST already applied
-            effective = construct_request(req, default_headers={})
+            try:
+                req = _row_request(cols, i)
+                req.method = eff_methods[i]  # Form⇒POST already applied
+                effective = construct_request(req, default_headers={})
+            except ValueError as exc:
+                # malformed JSON in cookies/headers/metadata: a per-row
+                # input error, not a batch-killing crash (form/query
+                # JSON errors already route per-row in the slow path)
+                disposition[i] = "badurl"
+                paths[i] = str(exc)
+                continue
             try:
                 for mw in registry.middlewares:
                     mw(req, effective)

@@ -75,6 +75,13 @@ def _row_request(cols: dict, i: int) -> Request:
         v = cols[name][i]
         return json.loads(v) if v else {}
 
+    # middlewares may inspect req.deadline (the simulator passes the
+    # real value, simulator.py) — convert the Arrow timestamp cell to
+    # epoch micros like _seed_rows does
+    deadline = cols.get("deadline", (None,) * (i + 1))[i]
+    if deadline is not None and not isinstance(deadline, int):
+        deadline = int(deadline.timestamp() * 1_000_000)
+
     return Request(
         url=cols["url"][i],
         method=cols["method"][i] or "",
@@ -88,6 +95,7 @@ def _row_request(cols: dict, i: int) -> Request:
         depth=int(cols["depth"][i]),
         seq_path=cols["seq_path"][i],
         priority=float(cols["priority"][i]),
+        deadline=deadline,
         metadata=jload("metadata"),
     )
 

@@ -57,15 +57,21 @@ def set_store_root(path: str | None) -> None:
 
 
 def store_root() -> pathlib.Path:
-    """The configured shared-storage root (driver-side resolution)."""
+    """The configured shared-storage root (driver-side resolution).
+    An EMPTY env var counts as unset — Path("") is the cwd, and
+    treating it as configured would attest the driver's whole cwd as
+    cluster-shared."""
     return pathlib.Path(
         _override
-        or os.environ.get("CRAWL_RAY_STORE_ROOT", DEFAULT_STORE_ROOT)
+        or os.environ.get("CRAWL_RAY_STORE_ROOT")
+        or DEFAULT_STORE_ROOT
     )
 
 
 def _root_is_configured() -> bool:
-    return _override is not None or "CRAWL_RAY_STORE_ROOT" in os.environ
+    return _override is not None or bool(
+        os.environ.get("CRAWL_RAY_STORE_ROOT")
+    )
 
 
 def _attested_roots() -> list[pathlib.Path]:

@@ -15,10 +15,19 @@ __all__ = [
 def round_half_away(x):
     """DuckDB-compatible rounding (numpy's ``round`` is half-to-even) —
     the ONE definition of the oracle-parity milli quantization; callers
-    do ``round_half_away(cos * 1000).astype(np.int64)``."""
+    do ``round_half_away(cos * 1000).astype(np.int64)``.
+
+    NOT ``floor(abs+0.5)``: adding 0.5 double-rounds at representability
+    boundaries (0.49999999999999994 + 0.5 == 1.0 in binary64, while
+    std::round — DuckDB's ROUND — returns 0).  ``abs(x) - floor(abs(x))``
+    is EXACT for doubles below 2^52 (both values share the ulp grid),
+    so comparing the fractional part against 0.5 reproduces half-away
+    exactly."""
     import numpy as np
 
-    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+    ax = np.abs(x)
+    fl = np.floor(ax)
+    return np.sign(x) * np.where(ax - fl >= 0.5, fl + 1, fl)
 
 
 def rename_select(t: pa.Table, cols: dict[str, str]) -> pa.Table:
@@ -95,8 +104,12 @@ def list_col_to_matrix(col, dtype=None) -> "np.ndarray":
     """Fixed-width ``list<float>`` column → 2-D numpy matrix via the
     flat Arrow values buffer (one reshape, no per-row Python objects —
     ``to_pylist`` materializes n×dim PyFloats and is 20-50× slower on
-    embedding columns).  Ragged or null-bearing input falls back to the
-    exact ``to_pylist`` path."""
+    embedding columns).  Ragged or null-bearing input (list-slot OR
+    inner-element nulls) falls back to the ``to_pylist`` path; null
+    ELEMENTS become NaN on either path — a valid embedding column has
+    none (caller's contract).  ``fixed_size_list`` columns (a common
+    external embedding layout) use their rectangular values buffer
+    directly."""
     import numpy as np
 
     if dtype is None:
@@ -105,12 +118,25 @@ def list_col_to_matrix(col, dtype=None) -> "np.ndarray":
     n = len(arr)
     if n == 0:
         return np.empty((0, 0), dtype=dtype)
-    if arr.null_count == 0:
+    import pyarrow.compute as pc
+
+    if pa.types.is_fixed_size_list(arr.type):
+        # fixed_size_list<T>[d] (a common external embedding layout)
+        # has no .offsets — the values buffer is already rectangular
+        if arr.null_count == 0 and arr.values.null_count == 0:
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(
+                flat.astype(dtype, copy=False).reshape(
+                    n, int(arr.type.list_size)
+                )
+            )
+        return np.asarray(arr.to_pylist(), dtype=dtype)
+    if arr.null_count == 0 and arr.values.null_count == 0:
+        # inner-element nulls ALSO force the exact fallback: the flat
+        # buffer would silently read them as NaN
         offs = np.asarray(arr.offsets, dtype=np.int64)
         w = np.diff(offs)
         if w.size and int(w[0]) > 0 and bool((w == w[0]).all()):
-            import pyarrow.compute as pc
-
             flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
             return np.ascontiguousarray(
                 flat.astype(dtype, copy=False).reshape(n, int(w[0]))

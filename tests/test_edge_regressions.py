@@ -167,3 +167,77 @@ def test_orders_per_nation_fk_gap_raises(ray_session, tmp_path):
     )
     with pytest.raises(Exception, match="c_nationkey not in nation"):
         orders_per_nation(str(tmp_path))
+
+
+def test_canonicalize_expired_message_and_null_coalesce():
+    """Expired rows carry 'deadline expired' as the error message (the
+    path column doubles as the message downstream), and schema-promoted
+    null seq_path/callbacks coalesce instead of crashing order_key."""
+    from crawl_ray.stages.canonicalize import canonicalize_batch
+
+    batch = pa.table(
+        {
+            "url": pa.array(
+                ["http://h.example/some/page?q=1", "http://h.example/ok"],
+                pa.string(),
+            ),
+            "callbacks": pa.array([["page"], None],
+                                  pa.list_(pa.string())),
+            "seq_path": pa.array([b"\x00", None], pa.binary()),
+            "deadline": pa.array([5, None], pa.timestamp("us")),
+        }
+    )
+    out = canonicalize_batch(batch, now_us=1_000_000)
+    disp = out.column("disposition").to_pylist()
+    paths = out.column("path").to_pylist()
+    assert disp[0] == "expired" and paths[0] == "deadline expired"
+    assert disp[1] == "ok"
+    assert out.column("seq_path")[1].as_py() == b""
+    assert out.column("callbacks")[1].as_py() == []
+
+
+def test_middleware_sees_deadline_and_bad_json_is_per_row():
+    """Middlewares receive the row's real deadline (simulator parity),
+    and malformed cookies JSON routes that ROW to an error disposition
+    instead of crashing the whole batch."""
+    from crawl_ray.request import HandlerRegistry
+    from crawl_ray.stages.canonicalize import canonicalize_batch
+
+    seen_deadlines = []
+
+    def spider(reg: HandlerRegistry):
+        reg.middleware(
+            lambda req, eff: seen_deadlines.append(req.deadline)
+        )
+
+    batch = pa.table(
+        {
+            "url": pa.array(
+                ["http://h.example/a", "http://h.example/b"], pa.string()
+            ),
+            "cookies": pa.array(["", "{bad json"], pa.string()),
+            "deadline": pa.array([10_000_000, None], pa.timestamp("us")),
+        }
+    )
+    out = canonicalize_batch(batch, now_us=0, spiders=[spider])
+    disp = out.column("disposition").to_pylist()
+    assert disp[0] == "ok" and seen_deadlines == [10_000_000]
+    assert disp[1] == "badurl"  # per-row, not a batch crash
+
+
+def test_round_half_away_boundary_and_fsl_matrix():
+    from crawl_ray.util import list_col_to_matrix, round_half_away
+
+    assert round_half_away(0.49999999999999994) == 0.0  # no double-round
+    assert round_half_away(2.5) == 3.0 and round_half_away(-2.5) == -3.0
+    fsl = pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float64(), 2))
+    m = list_col_to_matrix(fsl)
+    assert m.shape == (2, 2) and m[1, 1] == 4.0
+
+
+def test_store_root_empty_env_is_unset(monkeypatch):
+    from crawl_ray import storage
+
+    monkeypatch.setenv("CRAWL_RAY_STORE_ROOT", "")
+    assert not storage._root_is_configured()
+    assert str(storage.store_root()) == storage.DEFAULT_STORE_ROOT

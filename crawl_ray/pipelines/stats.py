@@ -38,7 +38,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from crawl_ray.pipelines.relational import _cents, _read, partial_then_final_sum
-from crawl_ray.util import collect_table, rename_select
+from crawl_ray.util import collect_table, collect_table_typed, rename_select
 
 __all__ = [
     "trending_window_topk",
@@ -81,8 +81,9 @@ def events_value_quantiles(sf_dir: str) -> pa.Table:
         out = t.group_by(["cents"]).aggregate([("n", "sum")])
         return rename_select(out, {"cents": "cents", "n_sum": "n"})
 
-    partials = collect_table(
-        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+    partials = collect_table_typed(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        {"cents": pa.int64(), "n": pa.int64()},
     )
     combined = partials.group_by(["cents"]).aggregate([("n", "sum")])
     cents = combined.column("cents").to_numpy()
@@ -118,8 +119,9 @@ def _type_cents_hist(sf_dir: str):
             out, {"event_type": "event_type", "cents": "cents", "n_sum": "n"}
         )
 
-    partials = collect_table(
-        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+    partials = collect_table_typed(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        {"event_type": pa.string(), "cents": pa.int64(), "n": pa.int64()},
     )
     combined = partials.group_by(["event_type", "cents"]).aggregate(
         [("n", "sum")]
@@ -179,8 +181,9 @@ def windowed_quantiles(sf_dir: str) -> pa.Table:
             out, {"window_start": "window_start", "cents": "cents", "n_sum": "n"}
         )
 
-    partials = collect_table(
-        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+    partials = collect_table_typed(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        {"window_start": pa.int64(), "cents": pa.int64(), "n": pa.int64()},
     )
     combined = partials.group_by(["window_start", "cents"]).aggregate(
         [("n", "sum")]
@@ -307,8 +310,9 @@ def hll_distinct_users(sf_dir: str, include_estimate: bool = False) -> pa.Table:
             }
         )
 
-    partials = collect_table(
-        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+    partials = collect_table_typed(
+        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True),
+        {"event_type": pa.string(), "registers": pa.binary()},
     )
     merged: dict[str, np.ndarray] = {}
     for t, blob in zip(
@@ -474,8 +478,9 @@ def retained_users(sf_dir: str) -> pa.Table:
             {"user_id": batch.filter(m).column("user_id").cast(pa.int64())}
         )
 
-    return collect_table(
-        both.map_batches(keep_both, batch_format="pyarrow")
+    return collect_table_typed(
+        both.map_batches(keep_both, batch_format="pyarrow"),
+        {"user_id": pa.int64()},
     ).sort_by("user_id")
 
 
@@ -508,8 +513,9 @@ def churned_users(sf_dir: str) -> pa.Table:
              "bits": pa.array(bits, pa.int64())}
         )
 
-    t = collect_table(
-        agg.map_batches(mark, batch_format="pyarrow")
+    t = collect_table_typed(
+        agg.map_batches(mark, batch_format="pyarrow"),
+        {"user_id": pa.int64(), "bits": pa.int64()},
     )  # bounded: ≤2 rows per user pre-combined to ≤1 per block
     out = t.group_by(["user_id"]).aggregate([("bits", "max")])
     uid = out.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -808,10 +814,11 @@ def events_mad(sf_dir: str) -> pa.Table:
         med = disc_median(cents[m], counts[m])
         dev = np.abs(cents[m] - med)
         # fold: multiple cents can map to one deviation — re-sum counts
+        # with int64 np.add.at, NOT float64 bincount weights (exact-
+        # integer policy: float accumulation is inexact past 2^53)
         udev, inv = np.unique(dev, return_inverse=True)
-        dev_counts = np.bincount(
-            inv, weights=counts[m], minlength=len(udev)
-        ).astype(np.int64)
+        dev_counts = np.zeros(len(udev), dtype=np.int64)
+        np.add.at(dev_counts, inv, counts[m])
         out_t.append(str(t))
         out_med.append(med)
         out_mad.append(disc_median(udev, dev_counts))

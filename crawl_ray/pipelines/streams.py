@@ -892,7 +892,7 @@ def events_funnel(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
     combine is O(parts)."""
     from crawl_ray.pipelines.joins import _default_partitions
     from crawl_ray.pipelines.stats import _splitmix64
-    from crawl_ray.util import collect_table
+    from crawl_ray.util import collect_table, collect_table_typed
 
     n_parts = num_partitions or _default_partitions()
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
@@ -941,10 +941,11 @@ def events_funnel(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
              "n_users": pa.array(n.astype(np.int64), pa.int64())}
         )
 
-    parts = collect_table(
+    parts = collect_table_typed(
         ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(funnel, batch_format="pyarrow")
+        .map_groups(funnel, batch_format="pyarrow"),
+        {"stage": pa.int64(), "n_users": pa.int64()},
     )
     out = parts.group_by(["stage"]).aggregate([("n_users", "sum")])
     return rename_select(
@@ -982,7 +983,7 @@ def events_late_data(sf_dir: str) -> pa.Table:
     and a final row-local pass (wm = max(local, block prefix)).  No
     step holds more than a block; the driver sees only block maxima
     and the per-window histogram."""
-    from crawl_ray.util import collect_table
+    from crawl_ray.util import collect_table, collect_table_typed
 
     ds = _read(sf_dir, "events", ["event_id", "ts"])
 
@@ -1053,8 +1054,9 @@ def events_late_data(sf_dir: str) -> pa.Table:
             g, {"blk_arr": "blk_arr", "blk_eid": "blk_eid", "max_us_max": "max_us"}
         )
 
-    bp = collect_table(
-        p1.map_batches(blk_partial, batch_format="pyarrow", zero_copy_batch=True)
+    bp = collect_table_typed(
+        p1.map_batches(blk_partial, batch_format="pyarrow", zero_copy_batch=True),
+        {"blk_arr": pa.int64(), "blk_eid": pa.int64(), "max_us": pa.int64()},
     )
     bt = bp.group_by(["blk_arr", "blk_eid"]).aggregate([("max_us", "max")])
     ba = bt.column("blk_arr").to_numpy(zero_copy_only=False)
@@ -1063,7 +1065,8 @@ def events_late_data(sf_dir: str) -> pa.Table:
     o = np.lexsort((be, ba))
     ba, be, bm = ba[o], be[o], bm[o]
     prefix = np.empty(len(bm), dtype=np.int64)
-    prefix[0] = NEG
+    if len(bm):  # empty events table: no blocks, empty prefix map
+        prefix[0] = NEG
     if len(bm) > 1:
         np.maximum.accumulate(bm[:-1], out=prefix[1:])
     blocks_ref = ray.put(
@@ -1100,8 +1103,10 @@ def events_late_data(sf_dir: str) -> pa.Table:
                 "n_late_sum": "n_late"}
         )
 
-    parts = collect_table(
-        p1.map_batches(late_partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = collect_table_typed(
+        p1.map_batches(late_partial, batch_format="pyarrow", zero_copy_batch=True),
+        {"window_start": pa.int64(), "n_events": pa.int64(),
+         "n_late": pa.int64()},
     )
     out = parts.group_by(["window_start"]).aggregate(
         [("n_events", "sum"), ("n_late", "sum")]
@@ -1122,7 +1127,7 @@ def events_window_distinct(sf_dir: str, num_partitions: int = 32) -> pa.Table:
     globally exact and counts are additive across partitions) →
     per-partition per-window counts → bounded driver combine
     (windows × P rows)."""
-    from crawl_ray.util import collect_table
+    from crawl_ray.util import collect_table, collect_table_typed
 
     from crawl_ray.pipelines.stats import _splitmix64
 
@@ -1177,7 +1182,9 @@ def events_window_distinct(sf_dir: str, num_partitions: int = 32) -> pa.Table:
         .groupby("part")
         .map_groups(count_partial, batch_format="pyarrow")
     )
-    t = collect_table(parts)
+    t = collect_table_typed(
+        parts, {"window_start": pa.int64(), "n_users": pa.int64()}
+    )
     out = t.group_by(["window_start"]).aggregate([("n_users", "sum")])
     return rename_select(
         out, {"window_start": "window_start", "n_users_sum": "n_users"}
@@ -1197,7 +1204,10 @@ def events_gap_stats(sf_dir: str, num_partitions: int | None = None):
     the combined histogram (``value_quantiles_per_type`` rank math), so
     no second shuffle and no event-level sort."""
     from crawl_ray.pipelines.joins import _default_partitions
-    from crawl_ray.pipelines.stats import _splitmix64
+    from crawl_ray.pipelines.stats import (
+        _splitmix64,
+        _weighted_rank_quantiles,
+    )
 
     n_parts = num_partitions or _default_partitions()
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
@@ -1251,12 +1261,13 @@ def events_gap_stats(sf_dir: str, num_partitions: int | None = None):
             out, {"event_type": "event_type", "gap_s": "gap_s", "n_sum": "n"}
         )
 
-    from crawl_ray.util import collect_table
+    from crawl_ray.util import collect_table_typed
 
-    partials = collect_table(
+    partials = collect_table_typed(
         ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(gap_hist, batch_format="pyarrow")
+        .map_groups(gap_hist, batch_format="pyarrow"),
+        {"event_type": pa.string(), "gap_s": pa.int64(), "n": pa.int64()},
     )
     combined = partials.group_by(["event_type", "gap_s"]).aggregate([("n", "sum")])
     types = np.array(combined.column("event_type").to_pylist(), dtype=object)
@@ -1266,12 +1277,13 @@ def events_gap_stats(sf_dir: str, num_partitions: int | None = None):
     for t in sorted(set(types)):
         m = types == t
         v, c = gaps[m], counts[m]
+        n = int(c.sum())
+        # the shared DuckDB quantile_disc rank convention — ONE
+        # definition (stats._weighted_rank_quantiles), not an inline
+        # copy that can drift
+        med = int(_weighted_rank_quantiles(v, c, (50,))[0])
         order = np.argsort(v)
         v, c = v[order], c[order]
-        cum = np.cumsum(c)
-        n = int(cum[-1])
-        rank = max(-(-50 * n // 100) - 1, 0)  # ceil(n/2) − 1
-        med = int(v[int(np.searchsorted(cum, rank + 1))])
         total = int(np.dot(v.astype(object), c.astype(object)))
         out_t.append(str(t))
         out_n.append(n)
@@ -1296,7 +1308,7 @@ def event_transition_matrix(sf_dir: str, num_partitions: int | None = None):
     to :func:`events_gap_stats`."""
     from crawl_ray.pipelines.joins import _default_partitions
     from crawl_ray.pipelines.stats import _splitmix64
-    from crawl_ray.util import collect_table
+    from crawl_ray.util import collect_table, collect_table_typed
 
     n_parts = num_partitions or _default_partitions()
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
@@ -1346,10 +1358,12 @@ def event_transition_matrix(sf_dir: str, num_partitions: int | None = None):
             {"prev_type": "prev_type", "event_type": "event_type", "n_sum": "n"},
         )
 
-    partials = collect_table(
+    partials = collect_table_typed(
         ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(transitions, batch_format="pyarrow")
+        .map_groups(transitions, batch_format="pyarrow"),
+        {"prev_type": pa.string(), "event_type": pa.string(),
+         "n": pa.int64()},
     )
     out = partials.group_by(["prev_type", "event_type"]).aggregate([("n", "sum")])
     out = rename_select(

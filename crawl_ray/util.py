@@ -7,8 +7,8 @@ import pyarrow as pa
 import ray
 
 __all__ = [
-    "collect_table", "normalize_schema", "rename_select",
-    "list_col_to_matrix", "round_half_away",
+    "collect_table", "collect_table_typed", "normalize_schema",
+    "rename_select", "list_col_to_matrix", "round_half_away",
 ]
 
 
@@ -142,3 +142,23 @@ def list_col_to_matrix(col, dtype=None) -> "np.ndarray":
                 flat.astype(dtype, copy=False).reshape(n, int(w[0]))
             )
     return np.asarray(arr.to_pylist(), dtype=dtype)
+
+
+def collect_table_typed(ds, schema: "dict[str, pa.DataType]") -> pa.Table:
+    """``collect_table`` + empty-block schema coercion.
+
+    An all-empty input short-circuits map UDFs (Ray returns the READ
+    schema's zero-row block), so driver-side ``group_by``/column reads
+    on the collected partials crash with ArrowInvalid.  When expected
+    columns are missing on a ZERO-row result, return a typed empty
+    table instead; missing columns on a non-empty result are a real
+    bug and raise."""
+    t = collect_table(ds)
+    missing = [c for c in schema if c not in t.column_names]
+    if not missing:
+        return t
+    if t.num_rows:
+        raise ValueError(
+            f"collected result is missing columns {missing}"
+        )
+    return pa.table({k: pa.array([], v) for k, v in schema.items()})

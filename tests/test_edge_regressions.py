@@ -241,3 +241,35 @@ def test_store_root_empty_env_is_unset(monkeypatch):
     monkeypatch.setenv("CRAWL_RAY_STORE_ROOT", "")
     assert not storage._root_is_configured()
     assert str(storage.store_root()) == storage.DEFAULT_STORE_ROOT
+
+
+def test_events_ops_empty_table(ray_session, tmp_path):
+    """All events-family operators must handle a 0-row events table
+    (zero-column empty blocks short-circuit map UDFs): typed empty
+    results, not ArrowInvalid crashes."""
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "value": pa.array([], pa.float64()),
+        }),
+        tmp_path / "events.parquet",
+    )
+    from crawl_ray.pipelines import stats as S
+    from crawl_ray.pipelines import streams as ST
+
+    d = str(tmp_path)
+    ops = [
+        S.events_value_quantiles, S.value_quantiles_per_type,
+        S.events_mad, S.events_outliers, S.windowed_quantiles,
+        S.hll_distinct_users, S.retained_users, S.churned_users,
+        ST.events_gap_stats, ST.event_transition_matrix,
+        ST.events_funnel, ST.events_late_data, ST.events_window_distinct,
+    ]
+    for fn in ops:
+        r = fn(d)
+        n = r.num_rows if hasattr(r, "num_rows") else r.count()
+        # events_value_quantiles reports its five fixed quantile labels
+        assert n == (5 if fn is S.events_value_quantiles else 0), fn

@@ -58,9 +58,13 @@ def _append_seed_part(workdir: str, rows: pa.Table) -> tuple[pathlib.Path, int]:
     * The seq offset counts rows of ALL frontier parts (``seed-*``,
       ``part-*`` from ``engine.write_seeds``, ``follow-*``), so CLI
       seeds never collide with a seeds-table run's roots.
-    * Outstanding claims are estimated at one row each (the ``seed``
-      CLI part size); a multi-row injected part under-estimates only
-      during its own in-flight rename window.
+    * Each claim file records its part's ROW COUNT at claim time, so a
+      concurrent appender inside another claim's rename window sums the
+      claimed counts instead of guessing one row per claim (a
+      multi-row ``--follow --seeds`` injection would otherwise collide
+      seq_roots).  An empty claim file (the sub-ms window between
+      O_EXCL create and the count write, or a pre-upgrade marker)
+      falls back to the historical 1-row estimate.
     * tmp + atomic rename: the daemon polls this dir, and a
       half-written parquet (no footer) would crash its read.
     """
@@ -74,14 +78,25 @@ def _append_seed_part(workdir: str, rows: pa.Table) -> tuple[pathlib.Path, int]:
     idx = len(seed_parts)
     while True:
         try:
-            os.close(os.open(wd / f".claim-{idx}",
-                             os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            fd = os.open(wd / f".claim-{idx}",
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(rows.num_rows).encode())
+            os.close(fd)
             break
         except FileExistsError:
             idx += 1
-    offset = sum(pq.read_metadata(str(f)).num_rows for f in all_parts) + (
-        idx - len(seed_parts)
-    )
+    done_idx = {int(f.name.split("-")[1]) for f in seed_parts}
+    pending = 0
+    for cf in wd.glob(".claim-*"):
+        j = int(cf.name.split("-", 1)[1])
+        if j == idx or j in done_idx:
+            continue
+        try:
+            txt = cf.read_text().strip()
+            pending += int(txt) if txt else 1
+        except (OSError, ValueError):
+            pending += 1
+    offset = sum(pq.read_metadata(str(f)).num_rows for f in all_parts) + pending
     rows = rows.append_column(
         "seq_path",
         pa.array([seq_root(offset + i) for i in range(rows.num_rows)],
@@ -175,7 +190,14 @@ def _run_follow(engine, args, seeds, robots) -> None:
     the ``seed`` CLI (the crawl-schedule producer) and crawl each new
     wave via resume.  SIGINT = graceful drain (finish the in-flight
     round, commit its checkpoint, exit — ``Queue.Close`` semantics);
-    a later ``run --follow --resume`` continues where it stopped."""
+    a later ``run --follow --resume`` continues where it stopped.
+
+    With ``--seeds-dir`` the daemon joins a COMPETING-CONSUMER group
+    (NSQ channel semantics): N daemons poll one shared topic dir and
+    split its seed parts via O_EXCL claim markers — each part crawled
+    by exactly one consumer, each consumer keeping its own workdir
+    state.  Seed through the topic OR locally per consumer, not both
+    (mixing can collide producer- and consumer-assigned seq roots)."""
     import signal
     import time
 
@@ -191,6 +213,59 @@ def _run_follow(engine, args, seeds, robots) -> None:
     old = signal.signal(signal.SIGINT, _sig)
     wd = pathlib.Path(args.workdir)
     r0 = wd / "round=0" / "frontier"
+
+    # Competing-consumer (NSQ channel) mode: N follow daemons share one
+    # TOPIC dir of seed parts (`--seeds-dir`); each part is delivered
+    # to exactly ONE consumer in the group via an O_EXCL claim marker
+    # (the channel contract, nsq/nsqcrawl/queue.go:18-26), and the
+    # winner copies it into its OWN workdir's round-0 frontier where
+    # the normal wave logic picks it up.  Consumers keep independent
+    # engine state (frontier/seen/checkpoints) exactly like NSQ
+    # consumers keep independent handler state — cross-consumer URL
+    # dedup is by seed-space partitioning, not a shared seen set.
+    # Restart-safe: parts claimed by THIS consumer are re-copied only
+    # if the copy is missing; foreign claims are skipped forever.
+    # (Crash exactly between marker create and the ownership write
+    # orphans that one part — the same at-most-once edge NSQ has.)
+    topic = (
+        pathlib.Path(args.seeds_dir)
+        if getattr(args, "seeds_dir", None) else None
+    )
+    consumer_id = (
+        getattr(args, "consumer_id", None) or wd.name or "consumer"
+    )
+
+    def _topic_poll() -> None:
+        """Claim new topic parts and copy the won ones into r0 (the
+        local glob then discovers them like locally-seeded parts)."""
+        if topic is None:
+            return
+        import os
+        import shutil as _sh
+
+        claims = topic / ".claims"
+        claims.mkdir(parents=True, exist_ok=True)
+        for f in sorted(topic.glob("*.parquet")):
+            marker = claims / (f.name + ".claim")
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, consumer_id.encode())
+                os.close(fd)
+                owner = consumer_id
+            except FileExistsError:
+                try:
+                    owner = marker.read_text().strip()
+                except OSError:
+                    owner = ""
+            if owner != consumer_id:
+                continue
+            dst = r0 / f"topic-{f.name}"
+            if not dst.exists():
+                r0.mkdir(parents=True, exist_ok=True)
+                tmp = r0 / f".topic-{f.name}.tmp"
+                _sh.copyfile(f, tmp)
+                os.replace(tmp, dst)  # atomic: the poll glob must
+                # never see a footer-less parquet
     totals = {"waves": 0, "rounds": 0, "records": 0, "links": 0, "errors": 0}
     # per-WAVE round budget: a long-lived daemon would otherwise exhaust
     # the absolute max_rounds cap after the first deep crawl
@@ -234,6 +309,7 @@ def _run_follow(engine, args, seeds, robots) -> None:
 
     try:
         processed: set[str] = set()
+        _topic_poll()  # claim + copy pre-existing topic parts first
         startup = sorted(str(f) for f in r0.glob("*.parquet"))
         resumable = _resumable() if args.resume else None
         if seeds is not None and startup and resumable is None:
@@ -281,6 +357,7 @@ def _run_follow(engine, args, seeds, robots) -> None:
             # must be re-injected by the loop (idempotent via seen-set)
             processed.update(startup)
         while not stop["flag"]:
+            _topic_poll()
             new = sorted(
                 f for f in (str(p) for p in r0.glob("*.parquet"))
                 if f not in processed
@@ -429,6 +506,16 @@ def main(argv: list[str] | None = None) -> None:
                         "(--max-rounds is the total budget across waves)")
     r.add_argument("--poll-interval", type=float, default=0.5,
                    help="seconds between frontier polls in --follow mode")
+    r.add_argument("--seeds-dir", default=None,
+                   help="competing-consumer mode: shared TOPIC dir of "
+                        "seed parts (e.g. SHARED/round=0/frontier of a "
+                        "workdir fed by the `seed` CLI); N --follow "
+                        "daemons pointed at one topic split its parts "
+                        "via claim markers, each crawling into its OWN "
+                        "--workdir (NSQ channel semantics)")
+    r.add_argument("--consumer-id", default=None,
+                   help="stable consumer name for --seeds-dir claim "
+                        "ownership (defaults to the workdir basename)")
     r.set_defaults(fn=cmd_run)
 
     ds = sub.add_parser("dump-sample",

@@ -114,10 +114,22 @@ class EngineConfig(CrawlConfig):
     # enormous hosts holding an outsized frontier share — see
     # state/admission.py): their rows route by (host, url_hash-bucket)
     # so screening spreads across shards; token/jar state stays on the
-    # home shard and is drawn once per round (phase 2).  MUST be static
-    # across a crawl including resumes — seen entries live on the
-    # bucket shards the routing picks.
+    # home shard and is drawn once per round (phase 2).  This tuple is
+    # the STATIC part of the promoted set; hosts that become hot
+    # mid-crawl are promoted AUTOMATICALLY (below) and persisted in the
+    # round manifest, so a resume restores them.  The set only grows.
     hot_hosts: tuple[str, ...] = ()
+    # Dynamic promotion (A2 host stats → salting decision, SURVEY
+    # §4.2): promote a host when its single round's admission rows
+    # reach max(hot_promote_min_rows, hot_promote_factor × round
+    # pending / n_shards) — i.e. the host alone carries several
+    # shards' worth of screening work.  At the boundary the engine
+    # replays the host's admitted urls from the trace into the bucket
+    # shards (seen migration), so auto-promotion requires
+    # keep_trace=True (it is silently inert otherwise).
+    hot_host_auto: bool = True
+    hot_promote_factor: float = 4.0
+    hot_promote_min_rows: int = 4096
     # Fire one async no-op fetch+extract setup task per cluster CPU at
     # run start so module import + page-store deref happen OFF the
     # round loop's critical path (cold first run measured 2.2x the warm
@@ -362,6 +374,13 @@ class CrawlEngine:
         # scheduler at num_cpus=4 — and distorts N-vs-4N comparisons
         ShardActor = ray.remote(num_cpus=0)(AdmissionShard)
         self.shutdown_shards()  # a prior run's actors would leak otherwise
+        # detection floor for dynamic promotion: shards report non-hot
+        # host runs at/above it (tiny dict per round); inert without
+        # keep_trace — the promotion boundary replays seen urls from it
+        promote_floor = (
+            cfg.hot_promote_min_rows
+            if cfg.hot_host_auto and cfg.keep_trace else 0
+        )
         shards = [
             ShardActor.remote(
                 disallow,
@@ -371,9 +390,13 @@ class CrawlEngine:
                 cfg.seen_backend,
                 cfg.seen_capacity,
                 tuple(cfg.hot_hosts),
+                promote_floor,
             )
             for _ in range(cfg.n_admission_shards)
         ]
+        # dynamically promoted hosts (manifest-persisted, grow-only);
+        # static cfg.hot_hosts are NOT recorded here
+        self._promoted: set[str] = set()
         # register immediately so an exception mid-run still lets the
         # caller's `finally: shutdown_shards()` reclaim the actors
         self._shards = shards
@@ -416,6 +439,18 @@ class CrawlEngine:
                 )
             if committed is not None:
                 self._restore(shards, wd / f"round={committed}")
+                # restore dynamically promoted hosts from the manifest:
+                # their seen entries live on bucket shards inside the
+                # snapshots just restored, so routing must match
+                manifest = json.loads(
+                    (wd / f"round={committed}" / "manifest.json").read_text()
+                )
+                self._promoted = set(manifest.get("promoted_hosts", []))
+                if self._promoted:
+                    ray.get([
+                        s.promote_hosts.remote(sorted(self._promoted))
+                        for s in shards
+                    ])
                 start_round = committed + 1
                 # A mid-round kill leaves partial task-side files from
                 # the uncommitted round: its own outputs under
@@ -500,7 +535,10 @@ class CrawlEngine:
                 frontier_files, cfg.canon_chunk_rows
             )
             n_shards = len(shards)
-            hot = tuple(cfg.hot_hosts)
+            hot = tuple(cfg.hot_hosts) + tuple(
+                sorted(self._promoted.difference(cfg.hot_hosts))
+            )
+            big_rows: dict[str, int] = {}
             inline_tbl: pa.Table | None = None
             fast_part_refs: list | None = None
             if pending_meta <= cfg.small_round_threshold:
@@ -625,12 +663,12 @@ class CrawlEngine:
                     for s in range(n_shards)
                 ]
                 admission_refs = [p[0] for p in pairs]
-                if hot:
-                    hot_metas = ray.get([p[1] for p in pairs])
-                    if any(hot_metas):
-                        admission_refs.extend(
-                            _finalize_hot(shards, rnd, hot_metas)
-                        )
+                hot_metas = ray.get([p[1] for p in pairs])
+                big_rows = _collect_big_rows(hot_metas)
+                if any(hot_metas):
+                    admission_refs.extend(
+                        _finalize_hot(shards, rnd, hot_metas)
+                    )
             else:
                 part_refs = fast_part_refs if fast_part_refs is not None else [
                     _shard_partition.options(num_returns=n_shards + 1).remote(
@@ -646,15 +684,15 @@ class CrawlEngine:
                         for s in range(n_shards)
                     ]
                     admission_refs = [p[0] for p in pairs]
-                    if hot:
-                        # phase 2 of two-level admission: tiny per-shard
-                        # metas (counts + burst-bounded top keys), never
-                        # the parked rows themselves
-                        hot_metas = ray.get([p[1] for p in pairs])
-                        if any(hot_metas):
-                            admission_refs.extend(
-                                _finalize_hot(shards, rnd, hot_metas)
-                            )
+                    # phase 2 of two-level admission: tiny per-shard
+                    # metas (counts + promotion-detection stats + the
+                    # draw-bounded top keys), never the parked rows
+                    hot_metas = ray.get([p[1] for p in pairs])
+                    big_rows = _collect_big_rows(hot_metas)
+                    if any(hot_metas):
+                        admission_refs.extend(
+                            _finalize_hot(shards, rnd, hot_metas)
+                        )
                     admission_refs.extend(
                         pr[n_shards] for pr in part_refs
                     )  # bad
@@ -824,6 +862,27 @@ class CrawlEngine:
                     ])
                 _lap("t_sink")
 
+            # dynamic hot-host promotion boundary: a host whose single
+            # round carried several shards' worth of screening rows is
+            # promoted NOW — after this round's trace is durable (the
+            # seen-migration source) and BEFORE the checkpoint snapshot
+            # + manifest commit, so the snapshot holds the migrated
+            # bucket-shard entries and the manifest names the host
+            if big_rows and cfg.hot_host_auto and cfg.keep_trace:
+                thresh = max(
+                    cfg.hot_promote_min_rows,
+                    int(cfg.hot_promote_factor * pending_meta
+                        / max(n_shards, 1)),
+                )
+                new_hot = sorted(
+                    h for h, n in big_rows.items()
+                    if n >= thresh and h not in hot
+                )
+                if new_hot:
+                    self._promote_hot_hosts(wd, shards, new_hot)
+                    self._promoted.update(new_hot)
+                    metrics["promoted_hosts"] = new_hot
+
             t_phase = time.perf_counter()
             self._finish_round(shards, round_dir, metrics, result, rnd)
             metrics["t_finish"] = round(time.perf_counter() - t_phase, 3)
@@ -832,6 +891,42 @@ class CrawlEngine:
             if _dir_rows(nxt / "frontier") == 0 and _dir_rows(nxt / "spill") == 0:
                 break
 
+    def _promote_hot_hosts(self, wd, shards, hosts: list) -> None:
+        """Dynamic promotion boundary (one-time per host): replay each
+        newly-hot host's admitted urls from the durable trace into the
+        bucket shards its two-level routing will probe, then flip the
+        host hot on every shard.  The host's pre-promotion seen entries
+        stay behind on the home shard as unreachable garbage (hash-only
+        backends can't delete by host) — harmless, since promoted
+        routing never consults the home shard.  Cost is one distributed
+        trace scan per promotion event, O(crawled urls) — the same
+        order as a single resume restore."""
+        n_shards = len(shards)
+        files = [
+            str(f)
+            for d in sorted(wd.glob("round=*"))
+            for f in sorted((d / "trace").glob("*.parquet"))
+        ]
+        chunks = [files[i:i + 32] for i in range(0, len(files), 32)]
+        for host in hosts:
+            parts = [
+                p for p in ray.get([
+                    _host_seen_hashes.remote(c, host) for c in chunks
+                ]) if len(p)
+            ]
+            if not parts:
+                continue
+            hashes = np.unique(np.concatenate(parts))
+            nb = HOT_BUCKETS_PER_SHARD * n_shards
+            route = _hot_route(host, n_shards)
+            shard_ids = route[(hashes % np.uint64(nb)).astype(np.int64)]
+            ray.get([
+                shards[s].seen_ingest.remote(hashes[shard_ids == s])
+                for s in range(n_shards)
+                if (shard_ids == s).any()
+            ])
+        ray.get([s.promote_hosts.remote(list(hosts)) for s in shards])
+
     def _finish_round(self, shards, round_dir, metrics, result, rnd) -> None:
         if rnd % self.cfg.checkpoint_interval == 0:
             self._snapshot(shards, round_dir)
@@ -839,8 +934,14 @@ class CrawlEngine:
         (round_dir / "metrics.json").write_text(json.dumps(metrics))
         result.metrics.append(metrics)
         # atomic commit marker LAST (manifest = the commit point, §4.3)
+        manifest = {"round": rnd, "metrics": metrics}
+        promoted = sorted(getattr(self, "_promoted", ()))
+        if promoted:
+            # cumulative dynamically-promoted set: resume must restore
+            # it alongside the snapshots (routing ↔ seen placement)
+            manifest["promoted_hosts"] = promoted
         tmp = round_dir / ".manifest.tmp"
-        tmp.write_text(json.dumps({"round": rnd, "metrics": metrics}))
+        tmp.write_text(json.dumps(manifest))
         os.replace(tmp, round_dir / "manifest.json")
 
     def dump_seen(self) -> np.ndarray:
@@ -916,8 +1017,16 @@ def _get_worker(
     worker for this store/spider/config combination.  ``worker_token``
     is the engine's content hash of (spiders, fetch_factory) — the
     cache key component that tells apart distinct same-qualname
-    closures (e.g. two transports injected in one session)."""
+    closures (e.g. two transports injected in one session).  A caller
+    omitting the token (direct ``_fetch_extract_task`` invocations in
+    tests) falls back to the spider/factory qualname tuple so it can't
+    silently reuse a worker built for a different spider set."""
     store = store_box[0]
+    if not worker_token:
+        worker_token = repr(
+            tuple(getattr(s, "__qualname__", repr(s)) for s in spiders)
+            + (getattr(fetch_factory, "__qualname__", repr(fetch_factory)),)
+        )
     key = (_store_cache_key(store), max_depth, worker_token)
     worker = _WORKER_CACHE.get(key)
     if worker is None:
@@ -1048,6 +1157,43 @@ def _shard_partition_fn(t: pa.Table, n_shards: int, hot_hosts: tuple = ()):
 
 
 _shard_partition = ray.remote(_shard_partition_fn)
+
+
+def _collect_big_rows(hot_metas: list[dict]) -> dict:
+    """Strip the shards' reserved dynamic-promotion detection entries
+    (the ``""`` key) out of the phase-1 metas IN PLACE — so
+    ``_finalize_hot`` only ever sees real parked hosts — and merge
+    them into one host→rows dict for the engine's promotion rule."""
+    big: dict[str, int] = {}
+    for m in hot_metas:
+        det = m.pop("", None)
+        if det:
+            for h, n in det["rows"].items():
+                big[h] = big.get(h, 0) + int(n)
+    return big
+
+
+@ray.remote
+def _host_seen_hashes(files: list, host: str) -> np.ndarray:
+    """One promoted host's admitted (= seen-marked) url hashes from a
+    chunk of trace parts — the seen-migration source at a dynamic
+    promotion boundary.  Host extraction is the vectorized equivalent
+    of ``urlnorm.url_host`` (netloc sans userinfo) over canonical
+    urls."""
+    tabs = [pq.read_table(f, columns=["url"]) for f in files]
+    t = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+    urls = t.column("url").combine_chunks() if t.num_rows else None
+    if urls is None or len(urls) == 0:
+        return np.empty(0, dtype=np.uint64)
+    netloc = pc.struct_field(
+        pc.extract_regex(urls, r"^[^:/?#]+://(?P<n>[^/?#]*)"), "n"
+    )
+    hosts = pc.replace_substring_regex(netloc, r"^.*@", "")
+    mask = pc.fill_null(pc.equal(hosts, host), False)
+    sel = urls.filter(mask)
+    if len(sel) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(fnv1a64_batch(sel))
 
 
 def _finalize_hot(shards, rnd: int, hot_metas: list[dict]) -> list:

@@ -736,15 +736,24 @@ def link_pagerank(
     ).map_batches(
         extract_edges, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    # (src, dst) pairs are already distinct WITHIN a page (per-page
-    # dedup above) and a page's links live in one batch, so the raw
-    # stream is globally distinct: the count gate is exact.
+    # (src, dst) pairs are distinct WITHIN a page (per-page dedup
+    # above); duplicate url rows in the store could still repeat a
+    # pair, so BOTH paths below run a global dedup — the count gate is
+    # an upper bound, which only ever routes to the (also-deduped)
+    # distributed path early.
     if raw.count() <= small_graph_threshold:
         return _link_pagerank_local(collect_table(raw), iterations, k)
 
     s = pa.string()
-    edges = normalize_schema(raw, {"src": s, "dst": s},
-                             coalesce=num_partitions).materialize()
+    # global (src, dst) dedup before the iteration loop: per-page dedup
+    # is complete only if page urls are unique in the store; the
+    # groupby shuffle makes the distributed path match the oracle's
+    # DISTINCT unconditionally (same guard supplier_pagerank carries)
+    edges = normalize_schema(
+        raw.groupby(["src", "dst"]).count().drop_columns(["count()"]),
+        {"src": s, "dst": s},
+        coalesce=num_partitions,
+    ).materialize()
     del raw  # drop the pre-normalize stream: holding the ref would pin
     # a full duplicate of the edge list in the object store for every
     # PageRank iteration (it only existed to serve the count gate)
@@ -797,6 +806,12 @@ def _link_pagerank_local(edges_t: pa.Table, iterations: int, k: int) -> pa.Table
     nodes = np.unique(np.concatenate([src, dst]))
     src_i = np.searchsorted(nodes, src)
     dst_i = np.searchsorted(nodes, dst)
+    # global (src, dst) dedup: per-page dedup leaves duplicates if the
+    # page store carries duplicate url rows — match the oracle's
+    # DISTINCT instead of double-counting outdeg
+    pair = np.unique(src_i.astype(np.int64) * np.int64(len(nodes)) + dst_i)
+    src_i = (pair // len(nodes)).astype(src_i.dtype)
+    dst_i = (pair % len(nodes)).astype(dst_i.dtype)
     outdeg = np.bincount(src_i, minlength=len(nodes)).astype(np.int64)
     rank = np.full(len(nodes), BASE_RANK, dtype=np.int64)
     safe_deg = np.maximum(outdeg, 1)  # dangling rows never indexed via src_i

@@ -639,7 +639,168 @@ def label_centroids(sf_dir: str) -> pa.Table:
     ).sort_by([("label", "ascending"), ("dim", "ascending")])
 
 
-def knn_graph_stats(sf_dir: str, k: int = 10):
+def _micro_quant_matrix(col) -> np.ndarray:
+    """Embedding list column → float64 matrix of exact integer
+    MICRO-units: ``round(x * 1e6)`` half-away-from-zero — the same
+    double-precision expression the DuckDB oracle's
+    ``list_transform(embedding, x -> round(x * 1000000))`` evaluates
+    (f32 → f64 is exact, ×1e6 is the identical double op).  Every dot
+    product / squared norm over these rows is an exact integer far
+    below 2**53 (|q| ≤ ~1e6, dim ≤ 64 → |Σ q·q'| ≤ ~6e13), so float64
+    BLAS matmul is order-independent: the summation-order ulp that
+    flipped one borderline sf0.1 edge on the float-cosine path cannot
+    occur."""
+    import pyarrow.compute as pc_
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = pc_.cast(col.flatten(), pa.float64())
+    micro = pc_.round(
+        pc_.multiply(flat, pa.scalar(1_000_000.0)),
+        round_mode="half_towards_infinity",
+    )
+    return micro.to_numpy(zero_copy_only=False).reshape(n, -1)
+
+
+def _milli_cosine_block(qa: np.ndarray, qb: np.ndarray) -> np.ndarray:
+    """Exact milli-cosine between micro-quantized row blocks:
+    ``round(1000.0 * dot / (sqrt(sa) * sqrt(sb)))`` — dot/sa/sb are
+    exact integers, sqrt/×/÷ are single correctly-rounded IEEE ops, so
+    this is bit-identical to the oracle SQL's identical expression.
+    Zero-norm rows (cosine undefined; oracle NULL, which sorts last
+    under ORDER BY c DESC) rank below every real cosine."""
+    dot = qa @ qb.T
+    na = np.sqrt(np.einsum("ij,ij->i", qa, qa))
+    nb = np.sqrt(np.einsum("ij,ij->i", qb, qb))
+    denom = na[:, None] * nb[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        val = 1000.0 * dot / denom
+    val = np.where(denom == 0.0, -1.0e6, val)
+    return _round_half_away(val).astype(np.int64)
+
+
+class _ListedKnnEdges:
+    """Actor-pool stage for the listed (IVF-partitioned) kNN-edge path:
+    each actor lazily LRU-caches quantized list partitions read
+    task-side from the shared IVF store (:func:`build_ivf_index`) —
+    nothing but the file root travels with the task, so per-batch
+    network cost is O(batch), never O(corpus) (the small-n path's
+    full-matrix ``ray.put`` broadcast is exactly what this avoids at
+    10^9 vectors).  With ``nprobe=None`` every list is scored, which
+    is EXACT: the global top-k is the top-k of the per-list top-ks
+    because IVF lists partition the corpus.  With ``nprobe < n_lists``
+    only each row's nearest-centroid lists are scored — the documented
+    approximate configuration for corpora where even streaming all
+    lists is too much compute."""
+
+    def __init__(self, root: str, k: int, n_nodes: int,
+                 nprobe: int | None, max_cached_lists: int = 64):
+        import pathlib
+        from collections import OrderedDict
+
+        self.root = pathlib.Path(root)
+        self.cent_unit = np.load(self.root / "centroids.npy")
+        self.n_lists = len(self.cent_unit)
+        self.k = k
+        self.n_nodes = n_nodes
+        self.nprobe = self.n_lists if nprobe is None else min(nprobe, self.n_lists)
+        self.max_cached_lists = max_cached_lists
+        self._cache: "dict[int, tuple[np.ndarray, np.ndarray]]" = OrderedDict()
+
+    def _list_data(self, c: int) -> tuple[np.ndarray, np.ndarray]:
+        import pyarrow.parquet as pq_
+
+        hit = self._cache.get(c)
+        if hit is not None:
+            self._cache.move_to_end(c)
+            return hit
+        files = sorted((self.root / f"list={c}").glob("*.parquet"))
+        if not files:
+            data = (np.empty(0, np.int64), np.empty((0, 1), np.float64))
+        else:
+            t = pa.concat_tables(
+                [pq_.read_table(f, columns=["vec_id", "embedding"]) for f in files]
+            )
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            data = (ids, _micro_quant_matrix(t.column("embedding")))
+        self._cache[c] = data
+        while len(self._cache) > self.max_cached_lists:
+            self._cache.popitem(last=False)
+        return data
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64())})
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(bids):
+            return empty
+        bq = _micro_quant_matrix(batch.column("embedding"))
+        if self.nprobe < self.n_lists:
+            # approximate: per-row nearest-centroid lists (float ranking
+            # is fine — the approximate path carries no exactness claim)
+            sims = _unit(bq) @ self.cent_unit.T
+            ranked = np.argsort(-sims, axis=1)[:, : self.nprobe]
+            probes = [np.flatnonzero((ranked == c).any(axis=1))
+                      for c in range(self.n_lists)]
+        else:
+            all_rows = np.arange(len(bids))
+            probes = [all_rows] * self.n_lists
+        # composite rank key: higher milli first, ties by neighbor id
+        # asc — same ordering as the small-n path's id-sorted columns
+        stride = np.int64(max(self.n_nodes, int(bids.max()) + 1) + 1)
+        sentinel = np.iinfo(np.int64).max
+        kk = min(self.k, max(self.n_nodes - 1, 1))
+        rows_acc: list[np.ndarray] = []
+        nbr_acc: list[np.ndarray] = []
+        comp_acc: list[np.ndarray] = []
+        for c in range(self.n_lists):
+            rows = probes[c]
+            if not len(rows):
+                continue
+            ids_c, q_c = self._list_data(c)
+            if not len(ids_c):
+                continue
+            milli = _milli_cosine_block(bq[rows], q_c)
+            comp = (np.int64(1000) - milli) * stride + ids_c[None, :]
+            comp[ids_c[None, :] == bids[rows, None]] = sentinel
+            take = min(kk, comp.shape[1])
+            cols = np.argpartition(comp, take - 1, axis=1)[:, :take]
+            flat_rows = np.repeat(np.arange(len(rows)), take)
+            flat_cols = cols.ravel()
+            rows_acc.append(np.repeat(rows, take))
+            nbr_acc.append(ids_c[flat_cols])
+            comp_acc.append(comp[flat_rows, flat_cols])
+        if not rows_acc:
+            return empty
+        rows_all = np.concatenate(rows_acc)
+        nbr_all = np.concatenate(nbr_acc)
+        comp_all = np.concatenate(comp_acc)
+        keep = comp_all != sentinel
+        rows_all, nbr_all, comp_all = rows_all[keep], nbr_all[keep], comp_all[keep]
+        if not len(rows_all):
+            return empty
+        order = np.lexsort((comp_all, rows_all))
+        rows_s = rows_all[order]
+        starts = np.searchsorted(rows_s, np.arange(len(bids)))
+        rank = np.arange(len(rows_s)) - starts[rows_s]
+        sel = rank < kk
+        src = bids[rows_s[sel]]
+        dst = nbr_all[order][sel]
+        u = np.minimum(src, dst)
+        v = np.maximum(src, dst)
+        uv = np.unique(np.stack([u, v], axis=1), axis=0)
+        return pa.table({"u": pa.array(uv[:, 0], pa.int64()),
+                         "v": pa.array(uv[:, 1], pa.int64())})
+
+
+def knn_graph_stats(
+    sf_dir: str,
+    k: int = 10,
+    small_n_max: int = 100_000,
+    n_lists: int = 16,
+    nprobe: int | None = None,
+):
     """kNN similarity-graph topology statistics — undirected k-nearest-
     neighbor graph over the embedding corpus (edge = either endpoint in
     the other's top-``k`` by milli-cosine, ties broken by neighbor id),
@@ -649,60 +810,81 @@ def knn_graph_stats(sf_dir: str, k: int = 10):
     (closed-wedge fraction) — the clustering-structure diagnostic used
     to QA semantic-dedup graphs.
 
-    Scale notes: candidate generation here is the documented brute
-    baseline (per-batch rows × broadcast unit matrix, the
-    :func:`knn_batch` shape); at 10^9 vectors candidates come from
-    :func:`knn_ivf`'s probed lists instead — the graph/triangle stages
-    are unchanged.  Both joins are native hash joins; wedge volume is
-    Σ deg² ≤ n·(2k)², bounded by construction, never all-pairs.
-    Cosine is milli-quantized (sign·floor(|c|·1000+0.5) ≡ DuckDB
-    ``round``) so ranking and the oracle agree exactly — up to IEEE
-    summation-order ulps: numpy's pairwise-summed dot and DuckDB's
-    sequential sum can differ in the last bit, and a cosine landing
-    exactly on a 0.0005 rounding boundary then flips one borderline
-    edge (measured at sf0.1: 1 triangle in ~287k wedges over 25M
-    cosines; sf0.01 matches exactly — see the ORACLE_AUDIT note)."""
+    Exactness: cosine is computed over micro-quantized integer
+    embeddings (:func:`_micro_quant_matrix`) so dot products and norms
+    are exact integers < 2**53 — summation order cannot shift a value,
+    and the milli edge weight (:func:`_milli_cosine_block`) is
+    bit-identical to the oracle SQL's at every scale (closing the
+    former 1-ulp sf0.1 divergence).
+
+    Scale shape: corpora up to ``small_n_max`` rows take the fast path
+    (one ``ray.put`` of the id-sorted quantized matrix, per-batch BLAS
+    block — the :func:`knn_batch` shape).  Larger corpora (or an
+    explicit ``nprobe``) use :class:`_ListedKnnEdges` over the
+    persisted :func:`build_ivf_index` layout: actors stream quantized
+    list partitions from the shared store with an LRU cache — no
+    full-matrix broadcast — and ``nprobe=None`` (score every list)
+    keeps it exactly equal to the fast path.  The two graph joins are
+    native hash joins; wedge volume is Σ deg² ≤ n·(2k)², bounded by
+    construction, never all-pairs."""
     import pyarrow.parquet as pq_
 
-    full = pq_.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    ids_full = full.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(ids_full)
-    ids_full = ids_full[order]
-    unit_full = _unit(
-        list_col_to_matrix(full.column("embedding"))[order].astype(np.float64)
-    )
-    n_nodes = len(ids_full)
-    state = ray.put((ids_full, unit_full))
+    n_nodes = pq_.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
 
-    def topk_edges(batch: pa.Table) -> pa.Table:
-        ids_f, unit_f = ray.get(state)
-        bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        if not len(bids):
-            return pa.table({"u": pa.array([], pa.int64()),
-                             "v": pa.array([], pa.int64())})
-        bmat = _unit(list_col_to_matrix(batch.column("embedding")).astype(np.float64))
-        cos = bmat @ unit_f.T
-        milli = _round_half_away(cos * 1000).astype(np.int64)
-        ncol = len(ids_f)
-        # composite rank key: higher milli first, then neighbor id asc
-        # (column order IS id order — broadcast matrix sorted by id)
-        comp = (1000 - milli) * np.int64(ncol) + np.arange(ncol, dtype=np.int64)
-        self_col = np.searchsorted(ids_f, bids)
-        rows = np.arange(len(bids))
-        is_self = (self_col < ncol) & (ids_f[np.minimum(self_col, ncol - 1)] == bids)
-        comp[rows[is_self], self_col[is_self]] = np.iinfo(np.int64).max
-        kk = min(k, ncol - 1)
-        nbr_cols = np.argpartition(comp, kk - 1, axis=1)[:, :kk]
-        src = np.repeat(bids, kk)
-        dst = ids_f[nbr_cols.ravel()]
-        u = np.minimum(src, dst)
-        v = np.maximum(src, dst)
-        uv = np.unique(np.stack([u, v], axis=1), axis=0)
-        return pa.table({"u": pa.array(uv[:, 0], pa.int64()),
-                         "v": pa.array(uv[:, 1], pa.int64())})
+    if nprobe is None and n_nodes <= small_n_max:
+        full = pq_.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids_full = full.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids_full)
+        ids_full = ids_full[order]
+        q_full = _micro_quant_matrix(full.column("embedding"))[order]
+        state = ray.put((ids_full, q_full))
 
+        def topk_edges(batch: pa.Table) -> pa.Table:
+            ids_f, q_f = ray.get(state)
+            bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(bids):
+                return pa.table({"u": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64())})
+            bq = _micro_quant_matrix(batch.column("embedding"))
+            milli = _milli_cosine_block(bq, q_f)
+            ncol = len(ids_f)
+            # composite rank key: higher milli first, then neighbor id
+            # asc (column order IS id order — matrix sorted by id)
+            comp = (1000 - milli) * np.int64(ncol) + np.arange(ncol, dtype=np.int64)
+            self_col = np.searchsorted(ids_f, bids)
+            rows = np.arange(len(bids))
+            is_self = (self_col < ncol) & (ids_f[np.minimum(self_col, ncol - 1)] == bids)
+            comp[rows[is_self], self_col[is_self]] = np.iinfo(np.int64).max
+            kk = min(k, ncol - 1)
+            nbr_cols = np.argpartition(comp, kk - 1, axis=1)[:, :kk]
+            src = np.repeat(bids, kk)
+            dst = ids_f[nbr_cols.ravel()]
+            u = np.minimum(src, dst)
+            v = np.maximum(src, dst)
+            uv = np.unique(np.stack([u, v], axis=1), axis=0)
+            return pa.table({"u": pa.array(uv[:, 0], pa.int64()),
+                             "v": pa.array(uv[:, 1], pa.int64())})
+
+        edge_src = _emb(sf_dir).map_batches(
+            topk_edges, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        root = build_ivf_index(sf_dir, n_lists=n_lists)
+        edge_src = _emb(sf_dir).map_batches(
+            _ListedKnnEdges,
+            fn_constructor_args=(root, k, n_nodes, nprobe),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+    return _edge_triangle_stats(edge_src, n_nodes)
+
+
+def _edge_triangle_stats(edge_src, n_nodes: int) -> pa.Table:
+    """Shared tail of the kNN-graph paths: dedup edges, wedge self-join,
+    closure join, transitivity — all native hash joins."""
     from crawl_ray.util import normalize_schema
 
     num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
@@ -711,8 +893,7 @@ def knn_graph_stats(sf_dir: str, k: int = 10):
     # small inputs; joins over those fail in the aggregator's Arrow join
     # — re-emit typed blocks (coalesce merges the schema-less empties)
     edges = normalize_schema(
-        _emb(sf_dir)
-        .map_batches(topk_edges, batch_format="pyarrow", zero_copy_batch=True)
+        edge_src
         .groupby(["u", "v"])
         .count()
         .drop_columns(["count()"]),

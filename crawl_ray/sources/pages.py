@@ -166,19 +166,22 @@ def bucket_pages(pages_parquet: str, dst_dir: str, n_buckets: int = 64) -> str:
     At 100 TB this runs once as its own Ray Data job (read → add bucket
     column → write with partition_cols); here a direct pyarrow pass is
     enough for the fixture corpora."""
+    import os
     import shutil
 
     dst = pathlib.Path(dst_dir)
     done = dst / "_SUCCESS"
-    if done.exists():
-        # honor the REQUESTED bucket count: a finished layout built
-        # with a different n_buckets silently ignored scale-up/down
-        # requests (lookups stayed correct via _META, but the caller's
-        # repartitioning never happened)
-        if int((dst / "_META").read_text()) == n_buckets:
-            return str(dst)
-        shutil.rmtree(dst)
-    dst.mkdir(parents=True, exist_ok=True)
+    if done.exists() and int((dst / "_META").read_text()) == n_buckets:
+        return str(dst)
+    # honor the REQUESTED bucket count: a finished layout built with a
+    # different n_buckets must be rebuilt — but into a temp sibling,
+    # swapped in only when complete, so a crash mid-rebuild leaves the
+    # old layout intact and live BucketedPageStore readers keep serving
+    # the old files (their caches hold open tables) until the swap
+    tmp = dst.parent / f".{dst.name}.rebuild-{os.getpid()}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
     cols = fetch_read_columns(pq.read_schema(pages_parquet).names)
     table, hashes = prepare_fetch_columns(
         pq.read_table(pages_parquet, columns=cols)
@@ -186,11 +189,18 @@ def bucket_pages(pages_parquet: str, dst_dir: str, n_buckets: int = 64) -> str:
     buckets = hashes % np.uint64(n_buckets)
     for b in range(n_buckets):
         part = table.filter(pa.array(buckets == b)).sort_by("url_hash")
-        bdir = dst / f"bucket={b}"
+        bdir = tmp / f"bucket={b}"
         bdir.mkdir(exist_ok=True)
         pq.write_table(part, bdir / "part.parquet")
-    (dst / "_META").write_text(str(n_buckets))
-    done.touch()
+    (tmp / "_META").write_text(str(n_buckets))
+    (tmp / "_SUCCESS").touch()
+    if dst.exists():
+        old = dst.parent / f".{dst.name}.old-{os.getpid()}"
+        os.rename(dst, old)
+        os.rename(tmp, dst)  # sub-ms non-atomic window; build is done
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, dst)
     return str(dst)
 
 

@@ -27,10 +27,21 @@ globally k smallest, defer the rest.  Identical semantics to
 the one-shot path (canonical order = ascending order_key within a
 host), with per-round wall time bounded by rows/shard, not rows/host.
 
-``hot_hosts`` must be STATIC across a crawl (including resumes): a
-promoted host's seen entries live on its bucket shards, so changing
-the set mid-crawl would mis-route membership probes — the same
-contract as changing ``n_admission_shards``.
+``hot_hosts`` may grow mid-crawl through the engine's DYNAMIC
+promotion protocol (never shrink, never change routing for an
+already-promoted host): when per-round host stats show a host
+exceeding the shard-imbalance threshold, the engine (a) replays the
+host's admitted-url hashes from the durable trace into the bucket
+shards the new routing probes (:meth:`seen_ingest`), (b) flips the
+host hot on every shard (:meth:`promote_hosts`), and (c) records the
+promotion in the round manifest BEFORE the checkpoint snapshot — so
+resumes restore the promoted set with bucket-shard snapshots that
+already contain the migrated entries.  The host's pre-promotion
+entries remain as unreachable garbage in the home shard's seen set
+(hash-only backends cannot delete by host); membership stays exact
+because promoted routing never consults the home shard.  Demotion is
+unsupported — that WOULD mis-route, the same contract as changing
+``n_admission_shards``.
 
 Determinism: hosts are disjoint across groups, and within a shard all
 per-host state is independent, so concurrent calls for different hosts
@@ -69,12 +80,18 @@ class AdmissionShard:
         seen_backend: str = "exact",
         seen_capacity: int = 1 << 16,
         hot_hosts: tuple[str, ...] = (),
+        promote_floor: int = 0,
     ) -> None:
         self.seen = make_seen_table(seen_backend, seen_capacity)
         self.disallow = robots_disallow or {}
         self.rates = robots_rates or {}
         self.default = (default_rate, default_burst)
         self.hot_hosts = frozenset(hot_hosts)
+        # dynamic-promotion detection: non-hot host runs of at least
+        # this many rows are reported (host -> rows) under the reserved
+        # "" key of admit_table's meta so the engine can apply its
+        # shard-imbalance promotion rule; 0 disables the bookkeeping
+        self.promote_floor = int(promote_floor)
         # (round, host) -> parked candidate sub-table awaiting phase 2
         self._pending_hot: dict = {}
         # host -> [tokens, last_refill_round]
@@ -225,6 +242,7 @@ class AdmissionShard:
         keep = np.ones(n, dtype=bool)
         jar_spans: list[tuple[int, int, str]] = []
         hot_meta: dict[str, dict] = {}
+        big_rows: dict[str, int] = {}
         for s0, s1 in zip(starts.tolist(), ends.tolist()):
             host = host_dict[int(codes[s0])].as_py()
             if host in self.hot_hosts:
@@ -253,6 +271,8 @@ class AdmissionShard:
                     jar_spans.append(
                         (s0, s1, json.dumps(jar, sort_keys=True))
                     )
+                if self.promote_floor and (s1 - s0) >= self.promote_floor:
+                    big_rows[host] = s1 - s0
         jar_cookies = np.full(n, "", dtype=object)
         for s0, s1, enc_json in jar_spans:
             jar_cookies[s0:s1] = enc_json
@@ -261,6 +281,11 @@ class AdmissionShard:
             out = out[keep]
             jar_cookies = jar_cookies[keep]
         t = t.append_column("admit", pa.array(out, pa.int8()))
+        if big_rows:
+            # reserved "" key (never a valid host): detection stats for
+            # the engine's dynamic-promotion rule; stripped before
+            # _finalize_hot ever sees the meta
+            hot_meta[""] = {"rows": big_rows}
         return t.append_column(
             "jar_cookies", pa.array(jar_cookies, pa.string())
         ), hot_meta
@@ -360,6 +385,23 @@ class AdmissionShard:
         engine — last write per name wins)."""
         for host, cookies in updates.items():
             self.jar.setdefault(host, {}).update(cookies)
+
+    # -- dynamic hot-host promotion (engine-driven; see module doc) --
+    def promote_hosts(self, hosts) -> None:
+        """Flip hosts hot on this shard (idempotent, grow-only).  The
+        engine calls this on EVERY shard at a promotion boundary (and
+        again on resume, from the manifest's promoted set) so routing
+        and parking agree cluster-wide from the next round on."""
+        self.hot_hosts = self.hot_hosts | frozenset(hosts)
+
+    def seen_ingest(self, hashes: np.ndarray) -> int:
+        """Bulk-add url hashes to this shard's seen set — the migration
+        sink at a promotion boundary: the engine replays a newly-hot
+        host's admitted urls (from the durable trace) into the bucket
+        shards its two-level routing will probe."""
+        if len(hashes):
+            self.seen.add(np.ascontiguousarray(hashes, dtype=np.uint64))
+        return len(self.seen)
 
     # -- introspection / checkpoint ----------------------------------
     def seen_count(self) -> int:

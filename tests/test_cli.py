@@ -451,3 +451,176 @@ def test_follow_resume_with_seeds_table_converts(web, tmp_path):
         visited2.update(pq.read_table(str(f), columns=["url"])
                         .column("url").to_pylist())
     assert fresh in visited2, "--seeds table was dropped on follow-resume"
+
+
+def _disjoint_web(tmp_path, hosts=("a.example", "b.example"), n=4):
+    """Two link-disjoint host clusters: union-identical records across
+    competing consumers vs a single daemon hold by construction."""
+    import pyarrow as pa
+
+    from crawl_ray.schemas import PAGES_SCHEMA
+    from crawl_ray.fixtures import EPOCH_US
+
+    urls, htmls, texts = [], [], []
+    for host in hosts:
+        for i in range(n):
+            links = "".join(
+                f'<a href="/p/{j}">n{j}</a>' for j in (i + 1, i + 2) if j < n
+            )
+            urls.append(f"http://{host}/p/{i}")
+            htmls.append(
+                f"<html><head><title>{host} {i}</title></head>"
+                f"<body>page {i} of {host} {links}</body></html>".encode()
+            )
+            texts.append("")
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([EPOCH_US] * len(urls), pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    p = tmp_path / "disjoint_pages.parquet"
+    pq.write_table(t, p)
+    return str(p), [f"http://{h}/p/0" for h in hosts]
+
+
+def _records_urls(wd):
+    import pathlib
+
+    out = set()
+    for f in pathlib.Path(wd).glob("round=*/records/*.parquet"):
+        out.update(pq.read_table(str(f), columns=["url"])
+                   .column("url").to_pylist())
+    return out
+
+
+def test_follow_competing_consumers_split_topic(tmp_path, ray_session):
+    """NSQ channel semantics (nsq/nsqcrawl/queue.go:18-26): two
+    --follow daemons on ONE shared topic dir claim disjoint seed parts
+    and their records union-match a solo run over the same seeds."""
+    import os
+    import pathlib
+    import selectors
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow as pa
+
+    pages_path, (url_a, url_b) = _disjoint_web(tmp_path)
+    topic_wd = str(tmp_path / "topic")
+    topic = pathlib.Path(topic_wd) / "round=0" / "frontier"
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+
+    def start(name):
+        proc = subprocess.Popen(
+            [sys.executable, "-u", "-m", "crawl_ray.cli", "run",
+             "--pages", pages_path, "--workdir", str(tmp_path / name),
+             "--max-rounds", "8", "--shards", "2", "--concurrency", "2",
+             "--follow", "--poll-interval", "0.2",
+             "--seeds-dir", str(topic), "--consumer-id", name],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, env=env,
+        )
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        return proc, sel
+
+    def read_event(proc, sel, want, timeout):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if not sel.select(timeout=0.5):
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                break
+            try:
+                ev = json.loads(line)
+            except ValueError:
+                continue
+            if ev.get("event") == want:
+                return ev
+        raise AssertionError(f"no {want!r} event within {timeout}s")
+
+    cli.main(["seed", "--workdir", topic_wd, "--callback", "page", url_a])
+    p1, s1 = start("c1")
+    p2 = None
+    try:
+        first = read_event(p1, s1, "drained", 180)
+        assert first["records"] >= 1
+        # freeze c1 so the second part is DETERMINISTICALLY claimed by
+        # c2 (NSQ guarantees exactly-one delivery, not fairness)
+        os.kill(p1.pid, signal.SIGSTOP)
+        p2, s2 = start("c2")
+        cli.main(["seed", "--workdir", topic_wd, "--callback", "page",
+                  url_b])
+        second = read_event(p2, s2, "drained", 180)
+        assert second["records"] >= 1
+        os.kill(p1.pid, signal.SIGCONT)
+
+        # disjoint ownership: every part claimed exactly once, both
+        # consumers own at least one
+        claims = sorted((topic / ".claims").glob("*.claim"))
+        owners = [c.read_text().strip() for c in claims]
+        assert len(claims) == 2
+        assert sorted(owners) == ["c1", "c2"], owners
+
+        for proc in (p1, p2):
+            proc.send_signal(signal.SIGINT)
+        read_event(p1, s1, "closed", 120)
+        read_event(p2, s2, "closed", 120)
+    finally:
+        for proc in (p1, p2):
+            if proc is not None:
+                proc.kill()
+                proc.wait()
+
+    rec_c1 = _records_urls(tmp_path / "c1")
+    rec_c2 = _records_urls(tmp_path / "c2")
+    assert rec_c1 and rec_c2
+    assert not (rec_c1 & rec_c2), "consumers crawled overlapping waves"
+
+    # union-identical vs a single engine over the same seed set
+    solo_wd = str(tmp_path / "solo")
+    seeds = pa.table({
+        "url": pa.array([url_a, url_b], pa.string()),
+        "callbacks": pa.array([["page"], ["page"]],
+                              pa.list_(pa.string())),
+    })
+    seeds_p = tmp_path / "solo_seeds.parquet"
+    pq.write_table(seeds, seeds_p)
+    cli.main(["run", "--pages", pages_path, "--workdir", solo_wd,
+              "--seeds", str(seeds_p), "--max-rounds", "8",
+              "--shards", "2", "--concurrency", "2"])
+    assert rec_c1 | rec_c2 == _records_urls(solo_wd)
+
+
+def test_cluster_smoke_ci_mode(tmp_path):
+    """examples/cluster_smoke.py --ci: the documented `ray job submit`
+    entry point must run single-node end-to-end (attested store root,
+    flagship crawl, idempotent resume) and print its JSON line."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    env["CRAWL_RAY_STORE_ROOT"] = str(tmp_path / "shared")
+    out = subprocess.run(
+        [sys.executable, "examples/cluster_smoke.py", "--ci",
+         "--n-pages", "300", "--run-name", "smoke-test"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    ev = json.loads(out.stdout.strip().splitlines()[-1])
+    assert ev["records"] > 0
+    assert ev["resume_ok"] is True
+    assert ev["workdir"].startswith(str(tmp_path / "shared"))

@@ -309,3 +309,99 @@ def test_engine_hot_hosts_distributed_path(hot_web, ray_session,
         assert set(engine.dump_seen().tolist()) == sim.seen
     finally:
         engine.shutdown_shards()
+
+
+AUTO_CFG = dict(n_admission_shards=3, extract_concurrency=2,
+                extract_batch_size=64, hot_hosts=(),
+                hot_promote_min_rows=24, hot_promote_factor=1.0)
+
+
+def test_engine_auto_promotion_equals_simulator(hot_web, ray_session,
+                                                tmp_path_factory):
+    """hot_hosts=() with AUTO-promotion: the engine must detect the
+    skewed host(s) from per-round admission stats mid-crawl, migrate
+    their seen entries to the bucket shards, keep full simulator
+    parity, and surface the promotion in metrics + manifest."""
+    pages, seeds, robots, pages_path, hot = hot_web
+    reg = HandlerRegistry()
+    flagship_spider(reg)
+    sim = simulate(pages, seeds, robots, reg, CrawlConfig(**HOT_CFG))
+
+    cfg = EngineConfig(**HOT_CFG, **AUTO_CFG)
+    engine = CrawlEngine([flagship_spider], cfg)
+    wd = str(tmp_path_factory.mktemp("autohot"))
+    try:
+        result = engine.run(pages_path, seeds, robots, wd)
+        assert _trace_rows(result) == sim.trace
+        assert set(engine.dump_seen().tolist()) == sim.seen
+
+        promoted_rounds = [m for m in result.metrics
+                           if m.get("promoted_hosts")]
+        assert promoted_rounds, (
+            "auto-promotion never fired — threshold/fixture mismatch"
+        )
+        promoted = sorted({h for m in promoted_rounds
+                           for h in m["promoted_hosts"]})
+        # the detected hosts are the actually-skewed ones
+        assert set(promoted) & set(hot), (promoted, hot)
+        # the manifest of the last committed round carries the set
+        import pathlib
+        last = max(pathlib.Path(wd).glob("round=*/manifest.json"),
+                   key=lambda p: int(p.parent.name.split("=")[1]))
+        manifest = json.loads(last.read_text())
+        assert manifest.get("promoted_hosts") == sorted(promoted)
+
+        # seen spread: a promoted host's crawled hashes live on >=2
+        # shards (pre-promotion home entries remain but the BUCKET
+        # routing must own the post-promotion ones)
+        dumps = ray.get([s.dump_seen.remote() for s in engine._shards])
+        crawled = [u for _, u in sim.trace
+                   if u.split("/")[2] == promoted[0]]
+        hot_hashes = set(fnv1a64_batch(crawled).tolist())
+        on_shard = [len(hot_hashes & set(d.tolist())) for d in dumps]
+        assert sum(1 for c in on_shard if c > 0) >= 2, on_shard
+    finally:
+        engine.shutdown_shards()
+
+
+def test_engine_auto_promotion_resume_spans_boundary(hot_web, ray_session,
+                                                     tmp_path_factory):
+    """Stop after the promotion round commits, resume WITHOUT any
+    static hot_hosts: the manifest restores the promoted set, the
+    restored bucket-shard snapshots already hold the migrated entries,
+    and the finished crawl equals the uninterrupted one."""
+    pages, seeds, robots, pages_path, _ = hot_web
+
+    def make(max_rounds):
+        return CrawlEngine(
+            [flagship_spider],
+            EngineConfig(**{**HOT_CFG, "max_rounds": max_rounds},
+                         **AUTO_CFG),
+        )
+
+    wd_full = str(tmp_path_factory.mktemp("autofull"))
+    e_full = make(HOT_CFG["max_rounds"])
+    r_full = e_full.run(pages_path, seeds, robots, wd_full)
+    e_full.shutdown_shards()
+    promo_round = min(
+        (m["round"] for m in r_full.metrics if m.get("promoted_hosts")),
+        default=None,
+    )
+    assert promo_round is not None, "auto-promotion never fired"
+
+    # stop exactly at the promotion round: the resumed part must
+    # restore promoted routing purely from manifest + snapshots
+    wd_part = str(tmp_path_factory.mktemp("autopart"))
+    e_part = make(promo_round)
+    e_part.run(pages_path, seeds, robots, wd_part)
+    e_part.shutdown_shards()
+
+    e_res = make(HOT_CFG["max_rounds"])
+    try:
+        r_res = e_res.run(pages_path, None, robots, wd_part, resume=True)
+        assert _trace_rows(r_res) == _trace_rows(r_full)
+        full = sorted(r_full.records_table().column("url").to_pylist())
+        res = sorted(r_res.records_table().column("url").to_pylist())
+        assert res == full
+    finally:
+        e_res.shutdown_shards()

@@ -102,6 +102,33 @@ def test_knn_graph_triangle_planted(tmp_path, ray_session):
     assert out.n_edges >= 3
 
 
+def test_knn_graph_listed_path_matches_broadcast(ray_session, monkeypatch):
+    """Forcing the listed (IVF-partitioned) scale path must reproduce
+    the broadcast path bit-for-bit (nprobe=None scores every list), and
+    must never ``ray.put`` the full (ids, matrix) state the small-n
+    path broadcasts — only the IVF builder's tiny centroid matrix."""
+    import numpy as np
+    import ray as ray_mod
+
+    sf = "/root/testdata/sf0.001"
+    small = SIM.knn_graph_stats(sf)
+
+    real_put = ray_mod.put
+    tuple_puts = []
+
+    def spy_put(obj, **kw):
+        if isinstance(obj, tuple) and any(
+            isinstance(x, np.ndarray) for x in obj
+        ):
+            tuple_puts.append(type(obj))
+        return real_put(obj, **kw)
+
+    monkeypatch.setattr(SIM.ray, "put", spy_put)
+    listed = SIM.knn_graph_stats(sf, small_n_max=0, n_lists=4)
+    assert listed.equals(small)
+    assert tuple_puts == []
+
+
 def _docs_table(tmp_path, texts):
     pq.write_table(
         pa.table(

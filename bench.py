@@ -81,7 +81,13 @@ def _flagship_run(sf_dir: str, num_cpus: int = 32) -> dict:
         virtual_t0=EPOCH_US,
         default_rate=1e9,
         default_burst=1 << 30,
-        n_admission_shards=max(4, num_cpus // 2),
+        # shard count follows FRONTIER size, not cores: this BFS wave
+        # peaks at ~30k pending/round, where every extra shard is one
+        # more ~25 ms actor RPC on the round's critical path (measured:
+        # 16 shards → 3.5k urls/s, 4 shards → 7.1k urls/s on the same
+        # input).  At the 10^10 design point shards are sized to seen-
+        # set capacity instead (state/seen.py envelope).
+        n_admission_shards=4,
         extract_concurrency=0,  # uncapped
     )
     engine = CrawlEngine([flagship_spider], cfg)

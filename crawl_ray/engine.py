@@ -1149,8 +1149,13 @@ def _shard_partition_fn(t: pa.Table, n_shards: int, hot_hosts: tuple = ()):
                 bucket = (uh % np.uint64(nb)).astype(np.int64)
             shard_ids = np.where(m, _hot_route(hh, n_shards)[bucket],
                                  shard_ids)
+    # combine_chunks before shipping: filter() preserves the input's
+    # chunking (one chunk per parquet row group), and Ray's Arrow
+    # serializer walks + copies offset buffers PER CHUNK — profiled at
+    # ~half the whole round's admission wall on multi-chunk sub-tables;
+    # contiguous one-chunk tables serialize in one pass
     parts = [
-        live.filter(pa.array(shard_ids == s))
+        live.filter(pa.array(shard_ids == s)).combine_chunks()
         for s in range(n_shards)
     ]
     return (*parts, bad)

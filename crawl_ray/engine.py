@@ -400,6 +400,13 @@ class CrawlEngine:
         # register immediately so an exception mid-run still lets the
         # caller's `finally: shutdown_shards()` reclaim the actors
         self._shards = shards
+        # async spawn warmup: actor fork + imports + Arrow kernel init
+        # + first plasma table fetch (~0.7 s/actor cold, measured)
+        # overlap the store build / seed write / first canon instead of
+        # blocking round 0's first admit_table RPC; refs held so Ray
+        # can't cancel the queued pings
+        warm_tbl = ray.put(pa.table({"w": pa.array([0], pa.int8())}))
+        self._shard_pings = [s.ping.remote(warm_tbl) for s in shards]
 
         # page store (J1): broadcast index or bucketed partition-local
         if store is None:

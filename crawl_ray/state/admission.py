@@ -386,6 +386,27 @@ class AdmissionShard:
         for host, cookies in updates.items():
             self.jar.setdefault(host, {}).update(cookies)
 
+    def ping(self, table=None) -> bool:
+        """Warmup RPC: the engine fires one (async, never awaited)
+        right after constructing the shard pool so actor process spawn
+        + imports + Arrow compute-kernel init + the first object-store
+        table fetch all overlap the pre-round phases (store build, seed
+        write, canonicalize) instead of landing on round 0's first
+        admit_table — cold-measured ~0.7 s per actor (kernel registry
+        + plasma/IPC deserialize paths); warmed, the same RPC is
+        ~10 ms.  ``table`` is a tiny ray.put table whose only job is
+        exercising the arg-fetch path; its contents are ignored."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = pa.table({"host": pa.array(["a"]),
+                      "order_key": pa.array([b"x"], pa.binary())})
+        pc.sort_indices(t, sort_keys=[("host", "ascending"),
+                                      ("order_key", "ascending")])
+        pc.dictionary_encode(t.column("host").combine_chunks())
+        self.seen.contains(np.zeros(1, dtype=np.uint64))
+        return True
+
     # -- dynamic hot-host promotion (engine-driven; see module doc) --
     def promote_hosts(self, hosts) -> None:
         """Flip hosts hot on this shard (idempotent, grow-only).  The

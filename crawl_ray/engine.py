@@ -539,7 +539,8 @@ class CrawlEngine:
             # frontier size + fused-task chunk plan from parquet
             # metadata — no execution needed
             pending_meta, canon_chunks = _plan_canon_chunks(
-                frontier_files, cfg.canon_chunk_rows
+                frontier_files, cfg.canon_chunk_rows,
+                n_slots=int(ray.cluster_resources().get("CPU", 0)),
             )
             n_shards = len(shards)
             hot = tuple(cfg.hot_hosts) + tuple(
@@ -1298,7 +1299,8 @@ def _read_meta_batch(paths: list) -> list:
     return [_file_meta(p) for p in paths]
 
 
-def _plan_canon_chunks(files: list[str], target_rows: int):
+def _plan_canon_chunks(files: list[str], target_rows: int,
+                       n_slots: int | None = None):
     """One metadata pass: total pending rows + the fused-task plan.
 
     A chunk is a tuple of ``(path, row_group_tuple)`` pairs holding
@@ -1310,7 +1312,15 @@ def _plan_canon_chunks(files: list[str], target_rows: int):
     ``spill_max_part_rows``, per-task frontier parts).  Above
     ``_META_BATCH`` files the footer reads fan out as Ray tasks (the
     driver keeps only the integer row counts: O(files) ints, not
-    O(files) serial I/O round trips)."""
+    O(files) serial I/O round trips).
+
+    ``n_slots`` (cluster CPUs) shrinks the chunk target adaptively so
+    a MID-SIZE round still fans out: a 50k-row round at the static
+    32k target is 2 tasks on 32 idle CPUs, putting ~1 s of serial
+    canonicalize on the round's critical path.  Target becomes
+    ``clamp(total / (2·slots), 4096, target_rows)`` — at the 10^10
+    design point total/(2·slots) far exceeds the static cap, so huge
+    frontiers keep the bounded task count."""
     if len(files) > _META_BATCH:
         metas: list = []
         for part in ray.get([
@@ -1320,7 +1330,9 @@ def _plan_canon_chunks(files: list[str], target_rows: int):
             metas.extend(part)
     else:
         metas = [_file_meta(f) for f in files]
-    total = 0
+    total = sum(n_rows for n_rows, _ in metas)
+    if n_slots and n_slots > 0:
+        target_rows = max(4096, min(target_rows, -(-total // (2 * n_slots))))
     chunks: list[tuple[tuple[str, tuple[int, ...]], ...]] = []
     cur: list[tuple[str, list[int]]] = []
     cur_rows = 0
@@ -1332,7 +1344,6 @@ def _plan_canon_chunks(files: list[str], target_rows: int):
             cur, cur_rows = [], 0
 
     for f, (n_rows, group_rows) in zip(files, metas):
-        total += n_rows
         for i, g in enumerate(group_rows):
             if g == 0:
                 continue

@@ -173,8 +173,12 @@ def _steady_state_run(num_cpus: int, n_pages: int = 50_000,
     store = engine.build_store(pages_path)
     # warm pre-run (cluster bring-up): touches the store mapping and
     # builds the per-worker-process extract state on every worker, so
-    # the timed run measures steady-state throughput, not cold starts
-    warm_n = min(2048, n)
+    # the timed run measures steady-state throughput, not cold starts.
+    # Sized to the worker pool: 2048 rows = TWO extract tasks at the
+    # 1024-row bucket batch, warming 2 of N workers and a couple of
+    # bucket caches — the timed run then paid ~0.5 s/worker of
+    # first-parse/first-bucket cost, proportionally worse at 4N.
+    warm_n = min(max(2048, num_cpus * 1024), n)
     warm_seeds = seeds.slice(0, warm_n)
     engine.run(
         pages_path, warm_seeds, None,

@@ -416,3 +416,20 @@ def test_rfm_segments_planted(tmp_path, ray_session):
     assert out.loc["R1F1M1", "n_users"] == 1
     assert out.loc["R1F0M0", "n_users"] == 1
     assert out.loc["R0F0M0", "n_users"] == 1
+
+
+def test_knn_graph_approximate_nprobe_path(ray_session):
+    """The nprobe < n_lists configuration (the 10^9 approximate path)
+    must run end-to-end through the listed edge stage and respect the
+    structural bounds: same node universe, per-row degree still capped
+    at k (so |E| ≤ n·k undirected-unioned), non-empty output.  (The
+    edge SET legitimately differs from exact — each row ranks within
+    its probed lists only, substituting, not dropping, neighbors.)"""
+    sf = "/root/testdata/sf0.001"
+    exact = SIM.knn_graph_stats(sf).to_pandas().iloc[0]
+    approx = SIM.knn_graph_stats(
+        sf, small_n_max=0, n_lists=4, nprobe=2
+    ).to_pandas().iloc[0]
+    assert approx.n_nodes == exact.n_nodes
+    assert 0 < approx.n_edges <= approx.n_nodes * 10
+    assert approx.n_wedges > 0

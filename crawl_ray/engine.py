@@ -964,6 +964,7 @@ class CrawlEngine:
             ray.kill(s)
         self._shards = []
         self._prewarm_refs = []
+        self._shard_pings = []
 
 
 class _FetchExtractWorker:

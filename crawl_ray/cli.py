@@ -450,14 +450,23 @@ def cmd_corpus_prep(args) -> None:
 def cmd_status(args) -> None:
     wd = pathlib.Path(args.workdir)
     rounds = []
+    promoted: list[str] = []
     for d in sorted(wd.glob("round=*"), key=lambda p: int(p.name.split("=")[1])):
         committed = (d / "manifest.json").exists()
+        if committed:
+            # latest manifest wins: the promoted set is cumulative
+            promoted = json.loads(
+                (d / "manifest.json").read_text()
+            ).get("promoted_hosts", promoted)
         m = {}
         if (d / "metrics.json").exists():
             m = json.loads((d / "metrics.json").read_text())
         rounds.append({"round": int(d.name.split("=")[1]),
                        "committed": committed, "metrics": m})
-    print(json.dumps({"workdir": args.workdir, "rounds": rounds}, indent=1))
+    out = {"workdir": args.workdir, "rounds": rounds}
+    if promoted:
+        out["promoted_hosts"] = promoted
+    print(json.dumps(out, indent=1))
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -624,3 +624,37 @@ def test_cluster_smoke_ci_mode(tmp_path):
     assert ev["records"] > 0
     assert ev["resume_ok"] is True
     assert ev["workdir"].startswith(str(tmp_path / "shared"))
+
+
+def test_seed_claim_files_record_row_counts(tmp_path):
+    """Multi-row injected parts must not collide seq roots with a
+    concurrent seeder: each claim file records its part's row count at
+    claim time, and offsets sum claim CONTENTS (not one-per-claim) for
+    claims whose parts haven't materialized yet."""
+    import pyarrow as pa
+
+    from crawl_ray.cli import _append_seed_part
+
+    wd = str(tmp_path / "wd")
+
+    def part(urls):
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "callbacks": pa.array([["page"]] * len(urls),
+                                  pa.list_(pa.string())),
+        })
+
+    _, off0 = _append_seed_part(wd, part(["http://a.example/0",
+                                          "http://a.example/1",
+                                          "http://a.example/2"]))
+    assert off0 == 0
+    frontier = tmp_path / "wd" / "round=0" / "frontier"
+    claim0 = frontier / ".claim-0"
+    assert claim0.read_text() == "3"
+
+    # simulate a claimed-but-not-yet-renamed multi-row injection: a
+    # bare claim recording 5 rows with NO part file present
+    (frontier / ".claim-1").write_text("5")
+    _, off2 = _append_seed_part(wd, part(["http://a.example/9"]))
+    # 3 materialized rows + 5 claimed in-flight rows
+    assert off2 == 8

@@ -251,25 +251,44 @@ def _fast_parse(html: str) -> Node | None:
     order = [1]  # root keeps _order 0
     index: dict[str, list[Node]] = {"*": []}
     all_nodes = index["*"]
+    # hot-loop locals: attribute/global lookups in CPython cost real
+    # time at ~500 tags + ~250 text nodes per page (measured ~8% of
+    # parse); node construction bypasses __init__ (same slot writes,
+    # no call overhead, no `attrs or {}` re-test)
+    _node_new = Node.__new__
+    _wref = weakref.ref
+    _autoclose_get = _AUTOCLOSE.get
+    _index_get = index.get
 
     def add_text(data: str) -> None:
         parent = stack[-1]
-        node = Node("#text", parent=parent, data=data)
+        node = _node_new(Node)
+        node.tag = "#text"
+        node.attrs = {}
+        node.children = []
+        node._parent = _wref(parent)
+        node.data = data
         node._order = order[0]
         order[0] += 1
         parent.children.append(node)
 
     def open_tag(name: str, attrs: dict, push: bool) -> None:
-        closes = _AUTOCLOSE.get(name)
+        closes = _autoclose_get(name)
         if closes:
             while len(stack) > 1 and stack[-1].tag in closes:
                 stack.pop()
-        node = Node(name, attrs, parent=stack[-1])
+        parent = stack[-1]
+        node = _node_new(Node)
+        node.tag = name
+        node.attrs = attrs
+        node.children = []
+        node._parent = _wref(parent)
+        node.data = ""
         node._order = order[0]
         order[0] += 1
-        stack[-1].children.append(node)
+        parent.children.append(node)
         all_nodes.append(node)
-        bucket = index.get(name)
+        bucket = _index_get(name)
         if bucket is None:
             index[name] = [node]
         else:
@@ -289,23 +308,30 @@ def _fast_parse(html: str) -> Node | None:
         if lt > pos:
             data = html[pos:lt]
             add_text(unescape(data) if "&" in data else data)
-        nxt = html[lt + 1 : lt + 2]
-        if nxt.isalpha():
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        # ordinal-range test beats str.isalpha() at one call per '<'.
+        # isalpha also matches non-ASCII letters, but html.parser only
+        # opens tags on '<[a-zA-Z]' — a non-ASCII letter after '<' is
+        # data there, exactly what the else branch below emits (the
+        # old isalpha path reached the same outcome via regex-fail →
+        # full html.parser fallback)
+        if ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
             m = _STARTTAG_RE.match(html, lt)
             if m is None:
                 return None
-            name = m.group(1).lower()
+            name, attrstr, slash = m.group(1, 2, 3)
+            name = name.lower()
             attrs: dict[str, str] = {}
-            if m.group(2):
-                for am in _ATTR_RE.finditer(m.group(2)):
-                    k = am.group(1).lower()
+            if attrstr:
+                for am in _ATTR_RE.finditer(attrstr):
+                    k, v, v3, v4 = am.group(1, 2, 3, 4)
+                    k = k.lower()
                     if k in attrs:  # net/html keeps the FIRST duplicate
                         continue
-                    v = am.group(2)
                     if v is None:
-                        v = am.group(3)
+                        v = v3
                     if v is None:
-                        v = am.group(4)
+                        v = v4
                         if v and v[0] in "\"'":
                             # the unquoted branch swallowed an orphan
                             # quote (unterminated quoted value):
@@ -316,7 +342,7 @@ def _fast_parse(html: str) -> Node | None:
                     if v is None:
                         v = ""
                     attrs[k] = unescape(v) if "&" in v else v
-            self_closing = bool(m.group(3))
+            self_closing = bool(slash)
             pos = m.end()
             if name in _RAW_TEXT and not self_closing:
                 open_tag(name, attrs, push=True)

@@ -231,9 +231,20 @@ def _run_follow(engine, args, seeds, robots) -> None:
         pathlib.Path(args.seeds_dir)
         if getattr(args, "seeds_dir", None) else None
     )
-    consumer_id = (
-        getattr(args, "consumer_id", None) or wd.name or "consumer"
-    )
+    if getattr(args, "consumer_id", None):
+        consumer_id = args.consumer_id
+    else:
+        # default id must distinguish same-named workdirs under
+        # different parents (two "crawl" dirs on two nodes): basename
+        # + short digest of the resolved path
+        import hashlib
+
+        consumer_id = (
+            f"{wd.name or 'consumer'}-"
+            + hashlib.blake2b(
+                str(wd.resolve()).encode(), digest_size=4
+            ).hexdigest()
+        )
 
     def _topic_poll() -> None:
         """Claim new topic parts and copy the won ones into r0 (the

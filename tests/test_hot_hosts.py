@@ -405,3 +405,54 @@ def test_engine_auto_promotion_resume_spans_boundary(hot_web, ray_session,
         assert res == full
     finally:
         e_res.shutdown_shards()
+
+
+def test_admit_table_reports_big_rows_meta():
+    """Shards report non-hot host runs at/above promote_floor under the
+    reserved "" meta key — and _collect_big_rows strips it so
+    _finalize_hot only ever sees real parked hosts."""
+    from crawl_ray.engine import _collect_big_rows
+
+    shard = AdmissionShard(**_shard_args(), promote_floor=5)
+    rows = [(BIG, f"/p/{i}", i) for i in range(7)]
+    rows += [("tiny.example", "/t", 100)]
+    t, meta = shard.admit_table(0, _frontier_table(rows))
+    assert meta[""]["rows"] == {BIG: 7}
+    big = _collect_big_rows([meta])
+    assert big == {BIG: 7}
+    assert "" not in meta  # stripped in place
+
+
+def test_admit_table_no_detection_when_floor_unset():
+    shard = AdmissionShard(**_shard_args())
+    rows = [(BIG, f"/p/{i}", i) for i in range(50)]
+    _, meta = shard.admit_table(0, _frontier_table(rows))
+    assert meta == {}
+
+
+def test_promote_hosts_idempotent_grow_only():
+    shard = AdmissionShard(**_shard_args())
+    shard.promote_hosts([BIG])
+    shard.promote_hosts([BIG, "other.example"])
+    assert shard.hot_hosts == frozenset({BIG, "other.example"})
+    # promoted host rows now park instead of one-shot admitting
+    t, meta = shard.admit_table(1, _frontier_table([(BIG, "/x", 1)]))
+    assert meta[BIG]["n"] == 1
+    assert t.num_rows == 0
+
+
+def test_seen_ingest_routes_membership():
+    """Hashes ingested at a promotion boundary must screen as SEEN."""
+    import numpy as np
+
+    shard = AdmissionShard(**_shard_args())
+    urls = [f"http://{BIG}/p/{i}" for i in range(4)]
+    hashes = fnv1a64_batch(urls)
+    shard.seen_ingest(hashes[:2])
+    codes, cand = shard._screen(
+        BIG, np.ascontiguousarray(hashes, dtype=np.uint64),
+        [f"/p/{i}" for i in range(4)],
+    )
+    from crawl_ray.state.admission import SEEN
+    assert list(codes[:2]) == [SEEN, SEEN]
+    assert set(cand.tolist()) == {2, 3}
